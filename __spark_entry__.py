@@ -1,38 +1,213 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship zonal-statistics pipeline on sf0.001.
+``queries()`` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` provides the
+DuckDB twin (scidbgeo_spark.oracle) for the value-hash correctness gate.
+
+All geo tables are deterministic arithmetic derivations of the driver's
+testdata parquet (see scidbgeo_spark.model), so Spark and DuckDB compute
+from identical rows.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import zipfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:  # driver-side import when loaded by file path
+    sys.path.insert(0, _REPO)
+
+from scidbgeo_spark import fixtures, model, oracle, tiling
+from scidbgeo_spark.model import CHUNK
+from scidbgeo_spark.operators import focal, knn as knn_mod, pip, pixel, zonal
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship scidbgeo_spark to executors (the spark-submit --py-files idiom):
+    the driver's SparkSession may not have /root/repo on the workers'
+    PYTHONPATH, and pandas-UDF closures reference the package."""
+    sc = spark.sparkContext
+    if getattr(sc, "_scidbgeo_pyfiles", False):
+        return
+    zpath = os.path.join("/tmp", f"scidbgeo_spark_pyfiles_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        pkg = os.path.join(_REPO, "scidbgeo_spark")
+        with zipfile.ZipFile(zpath, "w") as z:
+            for root, _dirs, files in os.walk(pkg):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(root, f)
+                        z.write(full, os.path.relpath(full, _REPO))
+    sc.addPyFile(zpath)
+    sc._scidbgeo_pyfiles = True
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_pyfiles(spark)
+        return fn(spark, sf_dir)
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# building blocks shared by the query callables
+# ---------------------------------------------------------------------------
+
+def _raster_tiles(spark: SparkSession, sf_dir: str):
+    coo = model.raster_coo(spark, sf_dir)
+    h, w = model.raster_dims(spark, sf_dir)
+    return tiling.pack_tiles(coo, CHUNK, h, w), h, w
+
+
+def _zone_tiles(spark: SparkSession, sf_dir: str, polygons, h: int, w: int):
+    return zonal.rasterize_polygons(spark, polygons, h, w, CHUNK)
+
+
+# ---------------------------------------------------------------------------
+# query callables (names match oracle.SQL keys)
+# ---------------------------------------------------------------------------
+
+def q_count_pixels(spark, sf_dir):
+    return pixel.count_pixels(model.raster_coo(spark, sf_dir), 42)
+
+
+def q_count_pixels_tiles(spark, sf_dir):
+    tiles, _, _ = _raster_tiles(spark, sf_dir)
+    return pixel.count_pixels_tiles(tiles, 42)
+
+
+def q_count_pixels_true(spark, sf_dir):
+    return pixel.count_pixels_true_count(model.raster_coo(spark, sf_dir), 42)
+
+
+def q_reclassify_sum(spark, sf_dir):
+    return pixel.reclassify_sum(model.raster_coo(spark, sf_dir), 87, 1000)
+
+
+def q_reclassify_persist(spark, sf_dir):
+    return pixel.reclassify(model.raster_coo(spark, sf_dir), 87, 1000, other=-99)
+
+
+def q_between_window(spark, sf_dir):
+    return pixel.between(model.raster_coo(spark, sf_dir), 25, 10, 75, 60)
+
+
+def q_subarray(spark, sf_dir):
+    return pixel.subarray(model.raster_coo(spark, sf_dir), 25, 10, 75, 60)
+
+
+def q_slice_band(spark, sf_dir):
+    return pixel.slice_band(model.raster3_coo(spark, sf_dir), 2)
+
+
+def q_raster_add(spark, sf_dir):
+    tiles, _, _ = _raster_tiles(spark, sf_dir)
+    added = pixel.overlay_add_tiles(tiles, tiles)
+    return tiling.tiles_to_coo(added, "result")
+
+
+def q_redimension_roundtrip(spark, sf_dir):
+    tiles, _, _ = _raster_tiles(spark, sf_dir)
+    return tiling.tiles_to_coo(tiles, "value")
+
+
+def q_zonal_stats_rect(spark, sf_dir):
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    return zonal.zonal_stats_tiles(tiles, zt)
+
+
+def q_zonal_stats_poly(spark, sf_dir):
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    zt = _zone_tiles(spark, sf_dir, fixtures.MIXED_POLYGONS, h, w)
+    return zonal.zonal_stats_tiles(tiles, zt)
+
+
+def q_zonal_stats_broadcast(spark, sf_dir):
+    coo = model.raster_coo(spark, sf_dir)
+    h, w = model.raster_dims(spark, sf_dir)
+    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zones_coo = tiling.tiles_to_coo(
+        zt.withColumnRenamed("zid", "px"), "id"
+    )
+    return zonal.zonal_stats_broadcast(coo, zones_coo)
+
+
+def q_join_reclass(spark, sf_dir):
+    coo = model.raster_coo(spark, sf_dir)
+    h, w = model.raster_dims(spark, sf_dir)
+    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zones_coo = tiling.tiles_to_coo(zt.withColumnRenamed("zid", "px"), "id")
+    return zonal.join_reclass(coo, zones_coo, target_zone=7, new_value=500)
+
+
+def q_focal_mean_sum(spark, sf_dir):
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    return focal.focal_mean_sum36(tiles, h, w, CHUNK)
+
+
+def q_cell_index(spark, sf_dir):
+    pts = model.points(spark, sf_dir)
+    return pts.select("doc_id", pip.cell_col().alias("cell"))
+
+
+def q_pip_grid(spark, sf_dir):
+    pts = model.points(spark, sf_dir)
+    return pip.pip_counts(spark, pts, fixtures.geo_grid_polygons())
+
+
+def q_pip_poly(spark, sf_dir):
+    pts = model.points(spark, sf_dir)
+    return pip.pip_join(spark, pts, fixtures.GEO_POLYGONS).select("doc_id", "zone_id")
+
+
+def q_knn(spark, sf_dir):
+    pts = model.points(spark, sf_dir)
+    queries = knn_mod.knn_queries_from_nation(spark, sf_dir)
+    return knn_mod.knn(spark, pts, queries, k=10)
+
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "count_pixels": q_count_pixels,
+    "count_pixels_tiles": q_count_pixels_tiles,
+    "count_pixels_true": q_count_pixels_true,
+    "reclassify_sum": q_reclassify_sum,
+    "reclassify_persist": q_reclassify_persist,
+    "between_window": q_between_window,
+    "subarray": q_subarray,
+    "slice_band": q_slice_band,
+    "raster_add": q_raster_add,
+    "redimension_roundtrip": q_redimension_roundtrip,
+    "zonal_stats_rect": q_zonal_stats_rect,
+    "zonal_stats_poly": q_zonal_stats_poly,
+    "zonal_stats_broadcast": q_zonal_stats_broadcast,
+    "join_reclass": q_join_reclass,
+    "focal_mean_sum": q_focal_mean_sum,
+    "cell_index": q_cell_index,
+    "pip_grid": q_pip_grid,
+    "pip_poly": q_pip_poly,
+    "knn": q_knn,
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: zonal statistics over the sf0.001 raster (mixed-polygon
+    layer; at this scale only the nodata zone is populated — driver checks
+    rows >= 0 and a stable schema)."""
+    _ensure_pyfiles(spark)
+    return q_zonal_stats_poly(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: _wrap(fn) for name, fn in _QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {k: oracle.SQL[k] for k in _QUERIES if k in oracle.SQL}

@@ -1,0 +1,185 @@
+"""Pure-NumPy kernels used inside Arrow/pandas UDFs.
+
+These are the compute bodies that the reference delegates to SciDB's
+engine or to client-side GDAL/NumPy; here they are unit-testable without
+Spark and are only ever invoked on vectorized batches (never per row).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NODATA_ZONE = -999  # pixels outside all polygons (SciDB_ZonalStats_CL.py:74-77)
+
+
+# ---------------------------------------------------------------------------
+# focal / moving window  (AFL window(A,1,1,1,1,avg(value)) — SciDB_analysis.py:81)
+# ---------------------------------------------------------------------------
+
+def box3_sum_count(vals: np.ndarray, mask: np.ndarray | None = None):
+    """3×3 neighborhood sum and valid-cell count with *shrinking* windows.
+
+    ``vals`` is a 2-D array that may include halo rows/cols from neighbor
+    tiles; ``mask`` marks valid cells (False = outside the raster — SciDB
+    windows truncate at array borders).  Returns (sum, count) arrays of the
+    same shape; callers slice out the interior region.
+    """
+    v = vals.astype(np.int64, copy=False)
+    if mask is None:
+        mask = np.ones_like(v, dtype=bool)
+    v = np.where(mask, v, 0)
+    m = mask.astype(np.int64)
+
+    def box(a):
+        # 3x3 box sums via a zero-prefixed 2-D cumsum (inclusion-exclusion)
+        p = np.pad(a, 1)
+        s = np.zeros((p.shape[0] + 1, p.shape[1] + 1), dtype=np.int64)
+        s[1:, 1:] = p.cumsum(0).cumsum(1)
+        return s[3:, 3:] - s[:-3, 3:] - s[3:, :-3] + s[:-3, :-3]
+
+    return box(v), box(m)
+
+
+def focal_sum36(vals: np.ndarray, mask: np.ndarray, interior: tuple[slice, slice]):
+    """Exact integer encoding of sum(avg_3x3): sum over interior cells of
+    ``box_sum * (36 // box_count)``.
+
+    36 is lcm(4,6,9) — the only possible shrinking-window counts for a
+    3×3 window — so the per-cell term is an exact integer and the global
+    sum is order-independent (bitwise reproducible across partitionings).
+    """
+    s, c = box3_sum_count(vals, mask)
+    si, ci = s[interior], c[interior]
+    mi = mask[interior]
+    ci = np.where(ci == 0, 1, ci)
+    return int(np.sum(np.where(mi, si * (36 // ci), 0)))
+
+
+def focal_mean(vals: np.ndarray, mask: np.ndarray, interior: tuple[slice, slice]):
+    """Float 3×3 shrinking-window mean over the interior region."""
+    s, c = box3_sum_count(vals, mask)
+    si, ci = s[interior].astype(np.float64), c[interior]
+    return np.where(ci > 0, si / np.maximum(ci, 1), np.nan)
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon (even-odd ray cast) — replaces gdal.RasterizeLayer
+# (SciDB_ZonalStats_CL.py:37-82) and refines the cell-prefix PIP join
+# ---------------------------------------------------------------------------
+
+def points_in_ring(px: np.ndarray, py: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized even-odd crossing test.
+
+    ``ring`` is (k,2) float [(x,y)...], closed or open (closure implied).
+    Half-open semantics fall out of the strict/non-strict comparison pair:
+    for an axis-aligned rectangle [a,b]×[c,d] the inside set is exactly
+    [a,b)×[c,d) — which is what makes pixel-center rasterization match the
+    integer-arithmetic oracles.
+    """
+    x0, y0 = ring[:, 0], ring[:, 1]
+    x1, y1 = np.roll(x0, -1), np.roll(y0, -1)
+    inside = np.zeros(px.shape, dtype=bool)
+    for i in range(len(ring)):
+        a, b, c, d = x0[i], y0[i], x1[i], y1[i]
+        if b == d:  # horizontal edge: never crosses the horizontal ray
+            continue
+        crosses = (b > py) != (d > py)
+        # x coordinate where the edge crosses the ray y=py
+        with np.errstate(invalid="ignore"):
+            xint = a + (py - b) * (c - a) / (d - b)
+        inside ^= crosses & (px < xint)
+    return inside
+
+
+class PolyPack:
+    """Polygon layer packed into flat NumPy arrays: one pickle, vectorized
+    bbox queries.  This is what rides the Spark broadcast (a list of 40k
+    tiny arrays costs seconds per python worker to unpickle; one packed
+    struct costs milliseconds)."""
+
+    __slots__ = ("zids", "bbox", "offsets", "coords")
+
+    def __init__(self, polygons: list[tuple[int, np.ndarray]]):
+        self.zids = np.array([z for z, _ in polygons], dtype=np.int64)
+        rings = [np.asarray(r, dtype=np.float64) for _, r in polygons]
+        self.offsets = np.zeros(len(rings) + 1, dtype=np.int64)
+        np.cumsum([len(r) for r in rings], out=self.offsets[1:])
+        self.coords = (
+            np.concatenate(rings) if rings else np.zeros((0, 2), dtype=np.float64)
+        )
+        self.bbox = np.array(
+            [[r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max()] for r in rings],
+            dtype=np.float64,
+        ).reshape(len(rings), 4)
+
+    def ring(self, i: int) -> np.ndarray:
+        return self.coords[self.offsets[i] : self.offsets[i + 1]]
+
+    def overlapping(self, x0: float, y0: float, x1: float, y1: float) -> np.ndarray:
+        """Indices of polygons whose bbox intersects [x0,x1)x[y0,y1),
+        in burn order (index order)."""
+        b = self.bbox
+        return np.nonzero(
+            (b[:, 0] < x1) & (b[:, 2] > x0) & (b[:, 1] < y1) & (b[:, 3] > y0)
+        )[0]
+
+
+def rasterize_tile(
+    y0: int, x0: int, h: int, w: int, polygons: "PolyPack | list[tuple[int, np.ndarray]]"
+) -> np.ndarray:
+    """Burn zone ids into an h×w tile at pixel centers (row-major int32).
+
+    Mirrors gdal.RasterizeLayer(..., ATTRIBUTE=ID) center-inclusion
+    semantics; pixels outside every polygon get NODATA_ZONE.  Later
+    polygons overwrite earlier ones (GDAL burn order).  Work per polygon
+    is cropped to the polygon-bbox x tile intersection, so dense polygon
+    layers (many small zones) cost O(covered pixels), not O(tile pixels).
+    """
+    pack = polygons if isinstance(polygons, PolyPack) else PolyPack(polygons)
+    out = np.full(h * w, NODATA_ZONE, dtype=np.int32)
+    for i in pack.overlapping(x0, y0, x0 + w, y0 + h):
+        xmin, ymin, xmax, ymax = pack.bbox[i]
+        xa = max(x0, int(np.floor(xmin - 1)))
+        xb = min(x0 + w, int(np.ceil(xmax + 1)))
+        ya = max(y0, int(np.floor(ymin - 1)))
+        yb = min(y0 + h, int(np.ceil(ymax + 1)))
+        if xa >= xb or ya >= yb:
+            continue
+        yy, xx = np.mgrid[ya:yb, xa:xb]
+        hit = points_in_ring(
+            (xx + 0.5).ravel().astype(np.float64),
+            (yy + 0.5).ravel().astype(np.float64),
+            pack.ring(i),
+        )
+        idx = ((yy - y0) * w + (xx - x0)).ravel()[hit]
+        out[idx] = pack.zids[i]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (rolling polynomial hash)
+# ---------------------------------------------------------------------------
+
+FP_BASE = 257
+FP_MOD = 2147483647  # 2^31 - 1
+
+
+def rolling_fingerprint(texts) -> np.ndarray:
+    """Polynomial rolling hash over utf-8 bytes, mod 2^31-1.
+
+    Vectorized across documents via a Horner step over the byte columns of
+    a padded matrix (documents in a batch are hashed in lockstep).
+    """
+    bs = [np.frombuffer(t.encode("utf-8"), dtype=np.uint8) for t in texts]
+    if not bs:
+        return np.array([], dtype=np.int64)
+    maxlen = max(len(b) for b in bs)
+    mat = np.zeros((len(bs), maxlen), dtype=np.int64)
+    lens = np.array([len(b) for b in bs])
+    for i, b in enumerate(bs):
+        mat[i, : len(b)] = b
+    acc = np.zeros(len(bs), dtype=np.int64)
+    for j in range(maxlen):
+        live = lens > j
+        acc[live] = (acc[live] * FP_BASE + mat[live, j]) % FP_MOD
+    return acc

@@ -1,0 +1,106 @@
+"""Data model: deterministic derivations of the engine's tables.
+
+The reference's data objects are SciDB dense arrays created from GeoTIFF
+rasters + zone shapefiles (SURVEY.md §1).  In this repo every geo table is
+derived *deterministically, by pure column arithmetic*, from the driver's
+testdata parquet so that a DuckDB oracle can compute the identical table
+from the identical rows:
+
+- **raster** (dense 2-D grid, SciDB ``<value>[y;x]`` analog) from ``events``:
+  ``event_id`` is dense 0..N-1, so ``y = event_id div W``, ``x = event_id
+  mod W``, ``value = (event_id * 2654435761) mod 251``  (same Knuth-hash
+  fixture rule as FIXTURES.md F3).
+- **raster 3-D** (``<value>[band;y;x]``) similarly with ``band = event_id
+  mod 4``.
+- **points** (geotagged pages; BASELINE.json input_hint) from ``documents``:
+  lon/lat by integer arithmetic on ``doc_id``, with a deliberate hot cell
+  (10% of points inside [10,10.1)²) to exercise skew handling.
+
+All arithmetic is integer-exact, so Spark and DuckDB produce bitwise
+identical values regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+# ---- raster fixture constants (mirrored in oracle.py SQL) -----------------
+RASTER_W = 100          # fixed raster width in pixels; height = N / W
+VALUE_MULT = 2654435761  # Knuth multiplicative hash
+VALUE_MOD = 251
+CHUNK = 50               # default tile (chunk) size, SciDB chunk analog
+
+# 3-D raster constants
+BANDS = 4
+RASTER3_W = 50
+
+# ---- point fixture constants ----------------------------------------------
+LON_MULT = 9973
+LAT_MULT = 7919
+HOT_MOD = 10             # doc_id % 10 == 0 -> hot cell at (10.0, 10.0)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def raster_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense raster as COO rows ``(y:long, x:long, value:long)``.
+
+    Analog of the reference's 1-D load array ``<y1:int64,x1:int64,value>``
+    (scidb.py:283-286).  Derived from ``events`` so the DuckDB oracle can
+    rebuild it with the same arithmetic.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.expr(f"event_id DIV {RASTER_W}").alias("y"),
+        (F.col("event_id") % RASTER_W).alias("x"),
+        ((F.col("event_id") * F.lit(VALUE_MULT)) % VALUE_MOD).alias("value"),
+    )
+
+
+def raster_dims(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    """(H, W) of the derived raster.  One metadata-only count action."""
+    n = load_table(spark, sf_dir, "events").count()
+    return n // RASTER_W, RASTER_W
+
+
+def raster3_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-D raster COO ``(band, y, x, value)`` — SciDB multiband analog
+    (GDALtoSciDB_multiprocessing.py:145-148 creates [band;y;x] arrays)."""
+    ev = load_table(spark, sf_dir, "events")
+    rest = F.expr(f"event_id DIV {BANDS}")
+    return ev.select(
+        (F.col("event_id") % BANDS).alias("band"),
+        F.expr(f"(event_id DIV {BANDS}) DIV {RASTER3_W}").alias("y"),
+        (rest % RASTER3_W).alias("x"),
+        ((F.col("event_id") * F.lit(VALUE_MULT)) % VALUE_MOD).alias("value"),
+    )
+
+
+def points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geotagged page points ``(doc_id, lon, lat)`` extracted from documents.
+
+    Mirrors the graft's page->geotag extraction (BASELINE.json input_hint);
+    coordinates are exact integer-ratio doubles (k/1000) so DuckDB matches
+    bitwise.  10% of points pile into one hot cell for skew tests.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    base_lon = F.lit(-180.0) + ((F.col("doc_id") * LON_MULT) % 360000) / F.lit(1000.0)
+    base_lat = F.lit(-90.0) + ((F.col("doc_id") * LAT_MULT) % 180000) / F.lit(1000.0)
+    hot = (F.col("doc_id") % HOT_MOD) == 0
+    return docs.select(
+        "doc_id",
+        F.when(hot, F.lit(10.0) + (F.col("doc_id") % 100) / F.lit(1000.0))
+        .otherwise(base_lon)
+        .alias("lon"),
+        F.when(hot, F.lit(10.0) + (F.expr(f"doc_id DIV {HOT_MOD}") % 100) / F.lit(1000.0))
+        .otherwise(base_lat)
+        .alias("lat"),
+    )

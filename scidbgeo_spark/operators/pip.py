@@ -1,0 +1,96 @@
+"""Vector-native point-in-polygon join over page geotag points.
+
+Generalizes the reference's zonal pattern: instead of rasterizing zones
+and positionally joining (SciDBParallel.py:675-715), or value-joining a
+COO mask with ``equi_join(..., 'algorithm=hash_replicate_right')``
+(SciDB_ZonalStats_CL.py:319-321), the polygon layer is turned into a
+**covering-cell candidate table** at a coarse grid resolution, broadcast
+(the Spark analog of hash_replicate_right), equi-joined on the point's
+cell id, and refined with an exact vectorized ray-cast kernel.
+
+Cell ids are row-major grid cells over lon/lat — a quadkey-style integer
+encoding computed by pure column arithmetic (no native geo deps), so the
+candidate join is a plain broadcast hash join that Catalyst can push the
+cell filter of.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from scidbgeo_spark.kernels import points_in_ring
+
+CAND_RES = 15.0  # candidate-cell size in degrees
+CAND_NX = int(360 / CAND_RES)  # cells per lon row
+
+POINT_RES = 1.0  # fine cell index resolution (cell_index operator)
+POINT_NX = 360
+
+
+def cell_col(lon: str = "lon", lat: str = "lat", res: float = POINT_RES, nx: int = POINT_NX):
+    """Integer grid-cell id: floor((lat+90)/res)*nx + floor((lon+180)/res)."""
+    return (
+        F.floor((F.col(lat) + 90.0) / res) * nx + F.floor((F.col(lon) + 180.0) / res)
+    ).cast("long")
+
+
+def covering_cells(ring: np.ndarray, res: float = CAND_RES, nx: int = CAND_NX) -> list[int]:
+    """Candidate cells overlapping the polygon bbox (driver-side; polygon
+    layers are the small dimension).  Over-covering is fine — refinement
+    removes false candidates."""
+    x0, x1 = ring[:, 0].min(), ring[:, 0].max()
+    y0, y1 = ring[:, 1].min(), ring[:, 1].max()
+    cells = []
+    for cy in range(int(math.floor((y0 + 90) / res)), int(math.floor((y1 + 90) / res)) + 1):
+        for cx in range(int(math.floor((x0 + 180) / res)), int(math.floor((x1 + 180) / res)) + 1):
+            cells.append(cy * nx + cx)
+    return cells
+
+
+def pip_join(
+    spark: SparkSession,
+    points: DataFrame,
+    polygons: list[tuple[int, np.ndarray]],
+) -> DataFrame:
+    """Points x polygons inner join -> one row per (point, containing
+    polygon).  Broadcast candidate join + exact ray-cast refinement."""
+    cand_rows = [
+        (int(zid), int(c)) for zid, ring in polygons for c in covering_cells(ring)
+    ]
+    cand = spark.createDataFrame(cand_rows, "zone_id int, ccell long")
+    bc_polys = spark.sparkContext.broadcast(
+        {int(zid): np.asarray(ring, dtype=np.float64) for zid, ring in polygons}
+    )
+
+    @F.pandas_udf(T.BooleanType())
+    def _refine(lon: pd.Series, lat: pd.Series, zone: pd.Series) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        lo = lon.to_numpy(dtype=np.float64)
+        la = lat.to_numpy(dtype=np.float64)
+        for zid, idx in zone.groupby(zone).groups.items():
+            ring = bc_polys.value[int(zid)]
+            ii = np.asarray(idx)
+            out[ii] = points_in_ring(lo[ii], la[ii], ring)
+        return pd.Series(out)
+
+    pts = points.withColumn("ccell", cell_col(res=CAND_RES, nx=CAND_NX))
+    candidates = pts.join(F.broadcast(cand), "ccell")
+    return (
+        candidates.filter(_refine("lon", "lat", "zone_id"))
+        .select(points["*"], F.col("zone_id").cast("long").alias("zone_id"))
+    )
+
+
+def pip_counts(spark: SparkSession, points: DataFrame, polygons) -> DataFrame:
+    """Zonal rollup over the PIP join: points per zone."""
+    return (
+        pip_join(spark, points, polygons)
+        .groupBy("zone_id")
+        .agg(F.count("*").alias("n_points"))
+    )

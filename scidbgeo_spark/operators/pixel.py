@@ -1,0 +1,150 @@
+"""Cell-level AFL operators: filter/apply/iif/between/subarray/slice,
+count-pixels, reclassify, overlay add.
+
+Every operator here is pure DataFrame algebra (whole-stage codegen, no
+Python in the hot path).  Tile-payload variants use Spark's higher-order
+array functions (``transform`` / ``zip_with`` / ``aggregate``) which also
+run JVM-side.
+
+Reference semantics cited per function (file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from scidbgeo_spark.tiling import TILE_KEYS
+
+
+# -- O1 + O10: aggregate(filter(A, value = v), sum(value)) ------------------
+
+def count_pixels(coo: DataFrame, v: int) -> DataFrame:
+    """"CountPixels" — reference computes the *sum* of matching pixel
+    values and labels it count (SciDB_analysis.py:116-143; quirk pinned in
+    SURVEY §2.13).  Returns one row ``(pixel_sum)``."""
+    return coo.filter(F.col("value") == v).agg(F.sum("value").alias("pixel_sum"))
+
+
+def count_pixels_true_count(coo: DataFrame, v: int) -> DataFrame:
+    """The count the reference *says* it computes."""
+    return coo.filter(F.col("value") == v).agg(
+        F.count("value").alias("pixel_count")
+    )
+
+
+def count_pixels_tiles(tiles: DataFrame, v: int) -> DataFrame:
+    """Tile-payload variant: per-chunk partial sums via JVM higher-order
+    functions, then a global sum — the map-side-combine shape SciDB gets by
+    aggregating inside chunks."""
+    part = F.aggregate(
+        F.filter(F.col("px"), lambda e: e == v),
+        F.lit(0).cast("long"),
+        lambda acc, e: acc + e,
+    )
+    return tiles.select(part.alias("p")).agg(F.sum("p").alias("pixel_sum"))
+
+
+# -- O2 + O3 + O10: reclassify ----------------------------------------------
+
+def reclassify_sum(coo: DataFrame, old: int, new: int, other: int = 0) -> DataFrame:
+    """aggregate(apply(A, value2, iif(value=old,new,0)), sum(value2))
+    — SciDB_analysis.py:162."""
+    v2 = F.when(F.col("value") == old, F.lit(new)).otherwise(F.lit(other))
+    return coo.agg(F.sum(v2).alias("reclass_sum"))
+
+
+def reclassify(coo: DataFrame, old: int, new: int, other: int = -99) -> DataFrame:
+    """Persisted reclassify: iif(value=old,new,-99) over every cell
+    (SciDB_analysis.py:168-170; the -99 vs 0 constant quirk is deliberate,
+    SURVEY §2.13)."""
+    return coo.select(
+        "y",
+        "x",
+        F.when(F.col("value") == old, F.lit(new))
+        .otherwise(F.lit(other))
+        .cast("long")
+        .alias("newvalue"),
+    )
+
+
+def reclassify_tiles(tiles: DataFrame, old: int, new: int, other: int = -99) -> DataFrame:
+    """Tile variant: vectorized per-chunk map (JVM ``transform``)."""
+    return tiles.withColumn(
+        "px",
+        F.transform(
+            F.col("px"),
+            lambda e: F.when(e == old, F.lit(new)).otherwise(F.lit(other)).cast("long"),
+        ),
+    )
+
+
+# -- O6 / O7 / O8: dimension-range ops ---------------------------------------
+
+def between(coo: DataFrame, y_min: int, x_min: int, y_max: int, x_max: int) -> DataFrame:
+    """between(A, minY, minX, maxY, maxX): inclusive rectangular window,
+    coordinates preserved (SciDB_ZonalStats_CL.py:150-151)."""
+    return coo.filter(
+        F.col("y").between(y_min, y_max) & F.col("x").between(x_min, x_max)
+    )
+
+
+def between_tiles(
+    tiles: DataFrame, chunk: int, y_min: int, x_min: int, y_max: int, x_max: int
+) -> DataFrame:
+    """Tile-level pruning form of ``between``: a chunk-key range filter that
+    Catalyst can push to partition pruning, keeping interior tiles intact
+    (edge tiles are cropped downstream).  This is the reference's
+    'window both join inputs before joining' optimization
+    (SciDBParallel.py:700-706) expressed as scan pruning."""
+    return tiles.filter(
+        F.col("tile_y").between(y_min // chunk, y_max // chunk)
+        & F.col("tile_x").between(x_min // chunk, x_max // chunk)
+    )
+
+
+def subarray(coo: DataFrame, y_min: int, x_min: int, y_max: int, x_max: int) -> DataFrame:
+    """subarray(...): like between but re-origins dims to 0
+    (SciDB_ZonalStats_CL.py:351-352)."""
+    return between(coo, y_min, x_min, y_max, x_max).select(
+        (F.col("y") - y_min).alias("y"),
+        (F.col("x") - x_min).alias("x"),
+        "value",
+    )
+
+
+def slice_band(coo3: DataFrame, band: int) -> DataFrame:
+    """slice(A, band, k): fix + drop the band dimension
+    (SciDBParallel.py:700-702)."""
+    return coo3.filter(F.col("band") == band).drop("band")
+
+
+# -- O4 self-join + O2: raster overlay add -----------------------------------
+
+def overlay_add_coo(a: DataFrame, b: DataFrame) -> DataFrame:
+    """apply(join(apply(A,x1,value), apply(B,y1,value)), result, x1+y1)
+    — SciDB_analysis.py:92-113 (self-join in the reference).  Positional
+    join == equi-join on the dimension columns."""
+    bb = b.select(F.col("y"), F.col("x"), F.col("value").alias("value_b"))
+    return a.join(bb, ["y", "x"]).select(
+        "y", "x", (F.col("value") + F.col("value_b")).alias("result")
+    )
+
+
+def overlay_add_tiles(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Tile-native overlay: equi-join on chunk keys, then a JVM ``zip_with``
+    cellwise add.  One shuffle at chunk granularity instead of per-cell —
+    the plan a 100 TB raster needs (cell alignment is array-index math,
+    not join work)."""
+    bb = b.select(*TILE_KEYS, F.col("px").alias("px_b"))
+    return a.join(bb, TILE_KEYS).withColumn(
+        "px", F.zip_with("px", "px_b", lambda u, v: u + v)
+    ).drop("px_b")
+
+
+# -- O16: sort + save ---------------------------------------------------------
+
+def sorted_export(coo: DataFrame) -> DataFrame:
+    """save(sort(Q, y, x), 'out', 0, 'csv') — SciDBParallel.py:750-754.
+    Returns the ordered frame; callers chain ``.write.csv``."""
+    return coo.orderBy("y", "x")

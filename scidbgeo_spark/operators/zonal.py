@@ -1,0 +1,156 @@
+"""Zonal statistics: the reference's flagship workload.
+
+Reference pipeline (SciDBParallel.py:675-715 `GlobalJoin_SummaryStats`):
+rasterize polygons to a zone-id grid (gdal.RasterizeLayer), redimension it
+into a mask array aligned with the raster, positional-join raster x mask,
+then ``grouped_aggregate(min,max,avg,count by id)``.
+
+Spark-native re-expression:
+
+1. **rasterize**: per-tile ray-cast kernel (mapInPandas over the tile
+   grid; polygons broadcast) -> zone tiles.  No GDAL.
+2. **join**: equi-join raster tiles x zone tiles on chunk keys — the
+   positional join collapses to chunk-granular join + array-index math.
+3. **partial aggregate inside the kernel**: each joined chunk emits at most
+   (#zones-in-chunk) rows of (id, min, max, sum, count) — the shuffle
+   carries per-(chunk,zone) partials, never pixels.  Same reason the
+   reference runs grouped_aggregate server-side.
+4. final ``groupBy(id)`` rollup; avg = sum/count (exact for int rasters).
+
+A broadcast COO variant mirrors the reference's
+``equi_join(..., algorithm=hash_replicate_right)`` mode
+(SciDB_ZonalStats_CL.py:319-321): hash_replicate_right *is* a
+broadcast-right hash join.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scidbgeo_spark import tiling
+from scidbgeo_spark.kernels import rasterize_tile
+from scidbgeo_spark.tiling import TILE_KEYS
+
+ZONE_TILE_SCHEMA = "tile_y int, tile_x int, y0 long, x0 long, h int, w int, zid array<int>"
+PARTIAL_SCHEMA = "id long, mn long, mx long, s long, c long"
+
+
+def rasterize_polygons(
+    spark: SparkSession,
+    polygons: list[tuple[int, np.ndarray]],
+    height: int,
+    width: int,
+    chunk: int,
+) -> DataFrame:
+    """Polygon layer -> zone-id tile table (pixel-center inclusion).
+
+    Replaces ParallelRasterization/BigRasterization
+    (SciDBParallel.py:935-961, 795-897): instead of mp.Pool workers writing
+    per-instance COO files, each Spark task rasterizes the chunks of its
+    partition; polygons ride along as a broadcast variable.
+    """
+    from scidbgeo_spark.kernels import PolyPack
+
+    grid = tiling.tile_grid(spark, height, width, chunk)
+    bc = spark.sparkContext.broadcast(PolyPack(polygons))
+
+    def _rasterize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        polys = bc.value
+        for pdf in batches:
+            zids = [
+                rasterize_tile(int(r.y0), int(r.x0), int(r.h), int(r.w), polys)
+                for r in pdf.itertuples()
+            ]
+            yield pdf.assign(zid=zids)
+
+    return grid.mapInPandas(_rasterize, schema=ZONE_TILE_SCHEMA)
+
+
+def zonal_stats_tiles(raster_tiles: DataFrame, zone_tiles: DataFrame) -> DataFrame:
+    """Chunk-join + in-kernel partials + rollup.  Output schema matches the
+    reference's printed header "geoid, min, max, average, count"
+    (scidb.py:64)."""
+    zt = zone_tiles.select(*TILE_KEYS, "zid")
+    joined = raster_tiles.join(zt, TILE_KEYS)
+
+    def _partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            vals = np.concatenate([np.asarray(p, dtype=np.int64) for p in pdf["px"]])
+            zs = np.concatenate([np.asarray(z, dtype=np.int64) for z in pdf["zid"]])
+            g = (
+                pd.DataFrame({"id": zs, "v": vals})
+                .groupby("id", sort=False)["v"]
+                .agg(mn="min", mx="max", s="sum", c="count")
+                .reset_index()
+            )
+            yield g.astype({"id": "int64", "mn": "int64", "mx": "int64", "s": "int64", "c": "int64"})
+
+    partials = joined.select("px", "zid").mapInPandas(_partials, schema=PARTIAL_SCHEMA)
+    return finalize_partials(partials)
+
+
+def finalize_partials(partials: DataFrame) -> DataFrame:
+    return (
+        partials.groupBy("id")
+        .agg(
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+            F.sum("s").alias("_s"),
+            F.sum("c").alias("count_value"),
+        )
+        .select(
+            "id",
+            "min_value",
+            "max_value",
+            (F.col("_s") / F.col("count_value")).alias("avg_value"),
+            "count_value",
+        )
+    )
+
+
+def zonal_stats_broadcast(raster_coo: DataFrame, zones_coo: DataFrame) -> DataFrame:
+    """equi_join(..., 'algorithm=hash_replicate_right') variant
+    (SciDB_ZonalStats_CL.py:290-328): zone COO stays 'vector-shaped'
+    (never redimensioned), broadcast to every task, value-based join on
+    the named coordinate attributes."""
+    return (
+        raster_coo.join(F.broadcast(zones_coo), ["y", "x"])
+        .groupBy("id")
+        .agg(
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.avg("value").alias("avg_value"),
+            F.count("value").alias("count_value"),
+        )
+        .withColumn("id", F.col("id").cast("long"))
+        .select("id", "min_value", "max_value", "avg_value", "count_value")
+    )
+
+
+def join_reclass(
+    raster_coo: DataFrame,
+    zones_coo: DataFrame,
+    target_zone: int,
+    new_value: int,
+) -> DataFrame:
+    """JoinReclass (SciDBParallel.py:717-754): zone-conditioned reclassify
+    — apply(join(between(R,...), between(M,...)), newvalue, <expr>).
+    Cells in the target zone take new_value, others keep their value."""
+    return (
+        raster_coo.join(zones_coo, ["y", "x"])
+        .select(
+            "y",
+            "x",
+            F.when(F.col("id") == target_zone, F.lit(new_value))
+            .otherwise(F.col("value"))
+            .cast("long")
+            .alias("newvalue"),
+        )
+    )

@@ -1,0 +1,165 @@
+"""DuckDB oracle SQL for every SQL-expressible engine query.
+
+Each string rebuilds the engine's derived tables (raster COO from
+``events``, points from ``documents``) with the *same integer arithmetic*
+as scidbgeo_spark.model, so results are bitwise comparable.  Aggregate
+sums are CAST to BIGINT (DuckDB promotes sum(BIGINT) to HUGEINT; Spark
+keeps LONG).
+
+These strings are consumed by ``__spark_entry__.oracle_sql()``.
+"""
+
+from __future__ import annotations
+
+from scidbgeo_spark.fixtures import ZONE_H, ZONE_W
+from scidbgeo_spark.model import (
+    BANDS,
+    HOT_MOD,
+    LAT_MULT,
+    LON_MULT,
+    RASTER3_W,
+    RASTER_W,
+    VALUE_MOD,
+    VALUE_MULT,
+)
+
+# -- shared CTE fragments -----------------------------------------------------
+
+COO = f"""
+coo AS (
+  SELECT event_id // {RASTER_W} AS y,
+         event_id % {RASTER_W} AS x,
+         (event_id * {VALUE_MULT}) % {VALUE_MOD} AS value
+  FROM events
+)"""
+
+COO3 = f"""
+coo3 AS (
+  SELECT event_id % {BANDS} AS band,
+         (event_id // {BANDS}) // {RASTER3_W} AS y,
+         (event_id // {BANDS}) % {RASTER3_W} AS x,
+         (event_id * {VALUE_MULT}) % {VALUE_MOD} AS value
+  FROM events
+)"""
+
+PTS = f"""
+pts AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {HOT_MOD} = 0
+              THEN 10.0 + (doc_id % 100) / 1000.0
+              ELSE -180.0 + ((doc_id * {LON_MULT}) % 360000) / 1000.0 END AS lon,
+         CASE WHEN doc_id % {HOT_MOD} = 0
+              THEN 10.0 + ((doc_id // {HOT_MOD}) % 100) / 1000.0
+              ELSE -90.0 + ((doc_id * {LAT_MULT}) % 180000) / 1000.0 END AS lat
+  FROM documents
+)"""
+
+NZX = RASTER_W // ZONE_W  # rect-grid zones per raster row
+RECT_ZONE = f"(y // {ZONE_H}) * {NZX} + (x // {ZONE_W})"
+
+# membership arithmetic for fixtures.MIXED_POLYGONS (burn order = reverse CASE)
+MIXED_ZONE = """CASE
+  WHEN x >= 80 AND x < 100 AND y >= 80 AND y < 100 THEN 4
+  WHEN x >= 70 AND x < 95  AND y >= 60 AND y < 95  THEN 3
+  WHEN (x >= 40 AND x < 60 AND y >= 10 AND y < 50)
+    OR (x >= 60 AND x < 90 AND y >= 10 AND y < 30) THEN 2
+  WHEN x >= 10 AND y >= 10 AND x + y <= 38 THEN 1
+  ELSE -999 END"""
+
+# membership arithmetic for fixtures.GEO_POLYGONS (non-overlapping)
+GEO_ZONE = """CASE
+  WHEN lon >= 0    AND lon < 45  AND lat >= 0   AND lat < 45  THEN 10
+  WHEN (lon >= -120 AND lon < -60 AND lat >= -60 AND lat < 0)
+    OR (lon >= -60  AND lon < -30 AND lat >= -60 AND lat < -30) THEN 11
+  WHEN lon >= 90   AND lon < 180 AND lat >= 30  AND lat < 90  THEN 12
+  END"""
+
+ZONAL_AGG = """min(value) AS min_value,
+       max(value) AS max_value,
+       avg(value) AS avg_value,
+       CAST(count(value) AS BIGINT) AS count_value"""
+
+
+SQL: dict[str, str] = {
+    "count_pixels": f"""WITH {COO}
+SELECT CAST(sum(value) AS BIGINT) AS pixel_sum FROM coo WHERE value = 42""",
+    "count_pixels_tiles": f"""WITH {COO}
+SELECT CAST(sum(value) AS BIGINT) AS pixel_sum FROM coo WHERE value = 42""",
+    "count_pixels_true": f"""WITH {COO}
+SELECT CAST(count(value) AS BIGINT) AS pixel_count FROM coo WHERE value = 42""",
+    "reclassify_sum": f"""WITH {COO}
+SELECT CAST(sum(CASE WHEN value = 87 THEN 1000 ELSE 0 END) AS BIGINT)
+  AS reclass_sum FROM coo""",
+    "reclassify_persist": f"""WITH {COO}
+SELECT y, x, CAST(CASE WHEN value = 87 THEN 1000 ELSE -99 END AS BIGINT)
+  AS newvalue FROM coo""",
+    "between_window": f"""WITH {COO}
+SELECT y, x, value FROM coo
+WHERE y BETWEEN 25 AND 75 AND x BETWEEN 10 AND 60""",
+    "subarray": f"""WITH {COO}
+SELECT y - 25 AS y, x - 10 AS x, value FROM coo
+WHERE y BETWEEN 25 AND 75 AND x BETWEEN 10 AND 60""",
+    "slice_band": f"""WITH {COO3}
+SELECT y, x, value FROM coo3 WHERE band = 2""",
+    "raster_add": f"""WITH {COO}
+SELECT y, x, a.value + b.value AS result
+FROM coo a JOIN coo b USING (y, x)""",
+    "redimension_roundtrip": f"""WITH {COO}
+SELECT y, x, value FROM coo""",
+    "zonal_stats_rect": f"""WITH {COO}
+SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
+       {ZONAL_AGG}
+FROM coo GROUP BY 1""",
+    "zonal_stats_poly": f"""WITH {COO}
+SELECT CAST({MIXED_ZONE} AS BIGINT) AS id,
+       {ZONAL_AGG}
+FROM coo GROUP BY 1""",
+    "zonal_stats_broadcast": f"""WITH {COO}
+SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
+       {ZONAL_AGG}
+FROM coo GROUP BY 1""",
+    "join_reclass": f"""WITH {COO}
+SELECT y, x,
+       CAST(CASE WHEN {RECT_ZONE} = 7 THEN 500 ELSE value END AS BIGINT)
+  AS newvalue FROM coo""",
+    "focal_mean_sum": f"""WITH {COO},
+nb AS (
+  SELECT a.y AS y, a.x AS x,
+         CAST(sum(b.value) AS BIGINT) AS s, count(*) AS c
+  FROM coo a JOIN coo b
+    ON b.y BETWEEN a.y - 1 AND a.y + 1
+   AND b.x BETWEEN a.x - 1 AND a.x + 1
+  GROUP BY a.y, a.x
+)
+SELECT CAST(sum((s * 36) // c) AS BIGINT) AS focal_sum36 FROM nb""",
+    "cell_index": f"""WITH {PTS}
+SELECT doc_id,
+       CAST(floor(lat + 90) * 360 + floor(lon + 180) AS BIGINT) AS cell
+FROM pts""",
+    "pip_grid": f"""WITH {PTS}
+SELECT CAST(floor((lon + 180) / 60) * 3 + floor((lat + 90) / 60) AS BIGINT)
+         AS zone_id,
+       count(*) AS n_points
+FROM pts GROUP BY 1""",
+    "pip_poly": f"""WITH {PTS}
+SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
+  SELECT doc_id, {GEO_ZONE} AS zone_id FROM pts
+) WHERE zone_id IS NOT NULL""",
+    "knn": f"""WITH {PTS},
+q AS (
+  SELECT n_nationkey AS q_id,
+         -180.0 + ((n_nationkey * 77777) % 360000) / 1000.0 AS qlon,
+         -90.0 + ((n_nationkey * 33333) % 180000) / 1000.0 AS qlat
+  FROM nation WHERE n_nationkey < 5
+)
+SELECT q_id, doc_id, CAST(rank AS INT) AS rank FROM (
+  SELECT q.q_id, p.doc_id,
+         row_number() OVER (
+           PARTITION BY q.q_id
+           ORDER BY (p.lon - q.qlon) * (p.lon - q.qlon)
+                  + (p.lat - q.qlat) * (p.lat - q.qlat),
+                    p.doc_id
+         ) AS rank
+  FROM q CROSS JOIN pts p
+) WHERE rank <= 10""",
+}

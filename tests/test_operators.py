@@ -1,0 +1,133 @@
+"""End-to-end operator tests on the sf0.001 fixture (fast) — each §2.2
+workload evaluated two ways: engine pipeline vs a NumPy evaluation of the
+AFL semantics (SURVEY §5 item 2)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from scidbgeo_spark import fixtures, model, tiling
+from scidbgeo_spark.model import CHUNK, RASTER_W, VALUE_MOD, VALUE_MULT
+from scidbgeo_spark.operators import focal, pixel, zonal
+
+
+@pytest.fixture(scope="module")
+def dense(spark, sf_smoke):
+    """NumPy twin of the derived raster at sf0.001 (H=10, W=100)."""
+    n = spark.read.parquet(f"{sf_smoke}/events.parquet").count()
+    ids = np.arange(n, dtype=np.int64)
+    vals = (ids * VALUE_MULT) % VALUE_MOD
+    return vals.reshape(n // RASTER_W, RASTER_W)
+
+
+@pytest.fixture(scope="module")
+def coo(spark, sf_smoke):
+    return model.raster_coo(spark, sf_smoke)
+
+
+@pytest.fixture(scope="module")
+def tiles(spark, sf_smoke, coo, dense):
+    h, w = dense.shape
+    return tiling.pack_tiles(coo, CHUNK, h, w).cache()
+
+
+def test_raster_derivation(coo, dense):
+    rows = coo.collect()
+    assert len(rows) == dense.size
+    for r in rows[:50]:
+        assert dense[r.y, r.x] == r.value
+
+
+def test_pack_unpack_roundtrip(tiles, coo):
+    back = tiling.tiles_to_coo(tiles)
+    a = {(r.y, r.x): r.value for r in back.collect()}
+    b = {(r.y, r.x): r.value for r in coo.collect()}
+    assert a == b
+
+
+def test_tile_shapes_ragged_edges(tiles, dense):
+    h, w = dense.shape  # 10 x 100 at sf0.001: tiles are 10 x 50
+    for t in tiles.collect():
+        assert t.h == min(CHUNK, h - t.tile_y * CHUNK)
+        assert t.w == min(CHUNK, w - t.tile_x * CHUNK)
+        assert len(t.px) == t.h * t.w
+
+
+def test_count_pixels_sum_semantics(coo, dense):
+    got = pixel.count_pixels(coo, 42).collect()[0].pixel_sum
+    want = int(dense[dense == 42].sum())
+    assert (got or 0) == want
+
+
+def test_reclassify_sum(coo, dense):
+    got = pixel.reclassify_sum(coo, 87, 1000).collect()[0].reclass_sum
+    assert got == 1000 * int((dense == 87).sum())
+
+
+def test_between_subarray(coo, dense):
+    got = pixel.between(coo, 2, 10, 5, 20).collect()
+    assert len(got) == 4 * 11
+    sub = pixel.subarray(coo, 2, 10, 5, 20).collect()
+    for r in sub:
+        assert dense[r.y + 2, r.x + 10] == r.value
+
+
+def test_overlay_add_tiles(tiles, dense):
+    added = pixel.overlay_add_tiles(tiles, tiles)
+    back = tiling.tiles_to_coo(added, "result").collect()
+    for r in back[:100]:
+        assert r.result == 2 * dense[r.y, r.x]
+
+
+def test_focal_sum36_vs_numpy(spark, tiles, dense):
+    h, w = dense.shape
+    got = focal.focal_mean_sum36(tiles, h, w, CHUNK).collect()[0].focal_sum36
+    # NumPy oracle: shrinking-window 3x3 means over the whole raster
+    from scidbgeo_spark.kernels import focal_sum36
+
+    want = focal_sum36(
+        np.pad(dense, 1), np.pad(np.ones_like(dense, bool), 1), (slice(1, h + 1), slice(1, w + 1))
+    )
+    assert got == want
+
+
+def test_focal_chunk_size_invariance(spark, coo, dense):
+    """Chunk size is a physical knob, not a semantic one (config.ini:5
+    sweeps it): results must be identical across chunkings."""
+    h, w = dense.shape
+    outs = []
+    for chunk in (5, 10, 50):
+        t = tiling.pack_tiles(coo, chunk, h, w)
+        outs.append(focal.focal_mean_sum36(t, h, w, chunk).collect()[0].focal_sum36)
+    assert outs[0] == outs[1] == outs[2]
+
+
+def test_zonal_stats_tiles_vs_numpy(spark, sf_correct):
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    tiles = tiling.pack_tiles(coo, CHUNK, h, w)
+    zt = zonal.rasterize_polygons(spark, fixtures.MIXED_POLYGONS, h, w, CHUNK)
+    got = {r.id: r for r in zonal.zonal_stats_tiles(tiles, zt).collect()}
+
+    n = h * w
+    ids = np.arange(n, dtype=np.int64)
+    dense = ((ids * VALUE_MULT) % VALUE_MOD).reshape(h, w)
+    zones = fixtures.mixed_zone_numpy(h, w)
+    for zid in np.unique(zones):
+        sel = dense[zones == zid]
+        r = got[int(zid)]
+        assert r.min_value == sel.min()
+        assert r.max_value == sel.max()
+        assert r.count_value == sel.size
+        assert abs(r.avg_value - sel.mean()) < 1e-9
+
+
+def test_zonal_includes_nodata_group(spark, sf_correct):
+    """Pixels outside all polygons join as zone -999 (SURVEY §2.13,
+    SciDB_ZonalStats_CL.py:74-77)."""
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    tiles = tiling.pack_tiles(coo, CHUNK, h, w)
+    zt = zonal.rasterize_polygons(spark, fixtures.MIXED_POLYGONS, h, w, CHUNK)
+    ids = [r.id for r in zonal.zonal_stats_tiles(tiles, zt).select("id").collect()]
+    assert -999 in ids

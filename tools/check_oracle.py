@@ -1,0 +1,101 @@
+"""Emulate the driver's correctness gate locally: run each queries() entry
+on Spark and its oracle_sql() twin on DuckDB at sf0.01 (or $SF_DIR), then
+compare row counts, column names, and exact sorted values.
+
+Usage: python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import __spark_entry__ as entrymod
+from scidbgeo_spark.model import TABLES
+from scidbgeo_spark.session import get_spark
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[str]:
+    problems = []
+    if sorted(spark_df.columns) != sorted(oracle_df.columns):
+        problems.append(f"columns {sorted(spark_df.columns)} vs {sorted(oracle_df.columns)}")
+        return problems
+    if len(spark_df) != len(oracle_df):
+        problems.append(f"rowcount {len(spark_df)} vs {len(oracle_df)}")
+        return problems
+    a, b = normalize(spark_df), normalize(oracle_df)
+    for c in a.columns:
+        av, bv = a[c].to_numpy(), b[c].to_numpy()
+        if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
+            af = av.astype(np.float64)
+            bf = bv.astype(np.float64)
+            if not np.array_equal(af, bf):
+                bad = np.nonzero(af != bf)[0][:3]
+                problems.append(f"col {c}: float mismatch at rows {bad.tolist()} {af[bad]} vs {bf[bad]}")
+        else:
+            if not np.array_equal(av, bv):
+                bad = np.nonzero(av != bv)[0][:3]
+                problems.append(f"col {c}: mismatch at rows {bad.tolist()} {av[bad]!r} vs {bv[bad]!r}")
+    # dtype report (schema parity is informative, not exact across engines)
+    da = {c: str(a[c].dtype) for c in a.columns}
+    db = {c: str(b[c].dtype) for c in b.columns}
+    if da != db:
+        problems.append(f"NOTE dtypes spark={da} duck={db}")
+    return problems
+
+
+def main() -> int:
+    wanted = sys.argv[1:]
+    spark = get_spark("oracle-check", cores=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    qs = entrymod.queries()
+    sqls = entrymod.oracle_sql()
+    failures = 0
+    for name, fn in qs.items():
+        if wanted and name not in wanted:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in sqls:
+            print(f"okro {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            continue
+        odf = con.execute(sqls[name]).df()
+        problems = [p for p in compare(name, sdf, odf)]
+        hard = [p for p in problems if not p.startswith("NOTE")]
+        if hard:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            note = "; ".join(p for p in problems if p.startswith("NOTE"))
+            print(f"ok   {name}: {len(sdf)} rows ({time.time()-t0:.1f}s) {note}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
