@@ -25,7 +25,17 @@ if _REPO not in sys.path:  # driver-side import when loaded by file path
 
 from scidbgeo_spark import fixtures, model, oracle, tiling
 from scidbgeo_spark.model import CHUNK
-from scidbgeo_spark.operators import focal, knn as knn_mod, pip, pixel, zonal
+from scidbgeo_spark.operators import (
+    dedup,
+    focal,
+    knn as knn_mod,
+    multimodal,
+    pip,
+    pixel,
+    similarity,
+    text,
+    zonal,
+)
 
 
 def _ensure_pyfiles(spark: SparkSession) -> None:
@@ -174,6 +184,92 @@ def q_knn(spark, sf_dir):
     return knn_mod.knn(spark, pts, queries, k=10)
 
 
+def _docs(spark, sf_dir):
+    return model.load_table(spark, sf_dir, "documents")
+
+
+def q_extract_text(spark, sf_dir):
+    return text.extract_text(text.pages_from_documents(_docs(spark, sf_dir)))
+
+
+def q_token_count(spark, sf_dir):
+    return text.token_count(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    return text.text_quality(_docs(spark, sf_dir))
+
+
+def q_lang_id(spark, sf_dir):
+    return text.lang_id(_docs(spark, sf_dir))
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    return text.doc_fingerprint(_docs(spark, sf_dir))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    return multimodal.media_metadata(text.pages_from_documents(_docs(spark, sf_dir)))
+
+
+def q_media_features(spark, sf_dir):  # rows-only: stubbed decoder
+    return multimodal.extract_media_features(text.pages_from_documents(_docs(spark, sf_dir)))
+
+
+def q_events_hourly(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    ev = model.load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dedup.dedup_exact(dedup.dup_corpus(_docs(spark, sf_dir)))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return dedup.minhash_signatures(dedup.dup_corpus(_docs(spark, sf_dir)))
+
+
+def q_minhash_bands(spark, sf_dir):
+    return dedup.minhash_bands(dedup.dup_corpus(_docs(spark, sf_dir)))
+
+
+def q_minhash_dup_pairs(spark, sf_dir):
+    return dedup.minhash_dup_pairs(dedup.dup_corpus(_docs(spark, sf_dir)))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    return dedup.ngram_jaccard_pairs(dedup.dup_corpus(_docs(spark, sf_dir)))
+
+
+def q_simhash(spark, sf_dir):
+    return dedup.simhash(dedup.dup_corpus(_docs(spark, sf_dir)))
+
+
+def _emb(spark, sf_dir):
+    return model.load_table(spark, sf_dir, "embeddings")
+
+
+def q_ann_bruteforce_topk(spark, sf_dir):
+    return similarity.ann_bruteforce_topk(_emb(spark, sf_dir))
+
+
+def q_ann_lsh_topk(spark, sf_dir):  # rows-only: approximate by design
+    return similarity.ann_lsh_topk(_emb(spark, sf_dir))
+
+
+def q_embedding_neardup_pairs(spark, sf_dir):
+    return similarity.embedding_neardup_pairs(_emb(spark, sf_dir))
+
+
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_pixels": q_count_pixels,
     "count_pixels_tiles": q_count_pixels_tiles,
@@ -194,6 +290,23 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_grid": q_pip_grid,
     "pip_poly": q_pip_poly,
     "knn": q_knn,
+    "extract_text": q_extract_text,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "media_features": q_media_features,
+    "events_hourly": q_events_hourly,
+    "dedup_exact": q_dedup_exact,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_bands": q_minhash_bands,
+    "minhash_dup_pairs": q_minhash_dup_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash": q_simhash,
+    "ann_bruteforce_topk": q_ann_bruteforce_topk,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
 }
 
 

@@ -1,0 +1,147 @@
+"""Similarity search over the embeddings table (graft surface).
+
+- brute-force cosine top-k (the exactness baseline): JVM-side
+  ``zip_with`` + sequential ``aggregate`` dot products (bitwise equal to
+  the DuckDB oracle's per-index sum), window top-k per query;
+- LSH-bucketed ANN (the scale path): deterministic random-hyperplane
+  signs -> bucket equi-join -> exact rerank of candidates only;
+- embedding near-dup pairs: LSH candidates verified at a cosine
+  threshold.
+
+At 10^12 rows the brute-force path is a broadcast of the (small) query
+side across a single scan — no shuffle of the corpus; the LSH path
+shuffles only (bucket, id) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+DIM = 64
+N_PLANES = 5  # hyperplanes per table (bucket = 5-bit sign pattern)
+N_TABLES = 8  # independent tables; candidate = shares any table's bucket
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-order double dot product (index ascending) — matches
+    DuckDB's streaming SUM over a generate_series join bitwise."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def ann_bruteforce_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for the first ``n_queries`` vectors
+    (self included at rank 1).  Output (q_id, vec_id, rank)."""
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    sim = cosine(F.col("qe"), F.col("embedding"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("q_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank")
+    )
+
+
+def _plane(j: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane (no RNG: integer-hash
+    arithmetic), identical across runs/parallelism."""
+    return [(((j * 1009 + d * 2027 + 13) * 2654435761) % 2001) / 1000.0 - 1.0 for d in range(DIM)]
+
+
+def lsh_buckets(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, table, bucket): for each of N_TABLES independent tables,
+    the sign pattern of its N_PLANES hyperplane projections.  Multi-table
+    LSH: two vectors are candidates if any table agrees — the standard
+    recall/candidate-count dial."""
+    tables = []
+    for t in range(N_TABLES):
+        bucket = F.lit(0).cast("long")
+        for j in range(N_PLANES):
+            plane = F.array(*[F.lit(v) for v in _plane(t * N_PLANES + j)])
+            proj = _dot(F.col(vec_col), plane)
+            bucket = bucket + F.when(proj > 0, F.lit(2**j)).otherwise(F.lit(0))
+        tables.append(F.struct(F.lit(t).alias("table"), bucket.alias("bucket")))
+    return emb.select("vec_id", F.explode(F.array(*tables)).alias("tb")).select(
+        "vec_id", F.col("tb.table").alias("table"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def ann_lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """Approximate top-k: candidates share any LSH table bucket with the
+    query; exact cosine rerank on candidates only.  Recall measured in
+    tests against ann_bruteforce_topk."""
+    b = lsh_buckets(emb)
+    qb = b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "table", "bucket"
+    )
+    cand_ids = (
+        b.join(F.broadcast(qb), ["table", "bucket"])
+        .select("q_id", "vec_id")
+        .distinct()
+    )
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    cand = cand_ids.join(emb, "vec_id").join(F.broadcast(q), "q_id")
+    sim = cosine(F.col("qe"), F.col("embedding"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    return (
+        cand.select("q_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank")
+    )
+
+
+def embedding_corpus_with_dups(emb: DataFrame) -> DataFrame:
+    """embeddings + exact copies for vec_id % 5 == 0 (id + 10000) — the
+    deterministic near-dup fixture (oracle mirrors it)."""
+    dups = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    return emb.select("vec_id", "embedding").unionAll(dups)
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
+    """Near-duplicate vector pairs at a cosine threshold: LSH-bucket
+    candidate join (identical vectors always share a bucket), exact
+    verify.  Output (a, b) with a < b."""
+    corpus = embedding_corpus_with_dups(emb)
+    bk = lsh_buckets(corpus)
+    cand = (
+        bk.alias("l")
+        .join(
+            bk.alias("r"),
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.vec_id") < F.col("r.vec_id")),
+        )
+        .select(F.col("l.vec_id").alias("a"), F.col("r.vec_id").alias("b"))
+        .distinct()
+    )
+    ea = corpus.select(F.col("vec_id").alias("a"), F.col("embedding").alias("ea"))
+    eb = corpus.select(F.col("vec_id").alias("b"), F.col("embedding").alias("eb"))
+    return (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .select("a", "b", cosine(F.col("ea"), F.col("eb")).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .select("a", "b")
+    )

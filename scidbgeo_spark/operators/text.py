@@ -1,0 +1,116 @@
+"""Text-analysis operators over the web-page corpus (graft surface).
+
+The reference has no text path — these are the training-data-pipeline
+operations the engine adds for the Common-Crawl-style input table
+(BASELINE.json input_hint): extraction with the byte-identical invariant,
+token counting, quality scoring, language-ID, and document fingerprinting.
+
+Everything here is JVM-side column algebra (codegen'd); the only Python is
+the vectorized fingerprint fallback used for very long documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HTML_PREFIX = "<html><body>"
+HTML_SUFFIX = "</body></html>"
+
+FP_BASE = 257
+FP_MOD = 2147483647
+
+
+def md5_int(col: Column | str) -> Column:
+    """First 60 bits of md5 as a bigint — the engine's portable string
+    hash (DuckDB twin: ('0x'||substr(md5(x),1,15))::BIGINT)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def pages_from_documents(docs: DataFrame) -> DataFrame:
+    """Wrap document text into the pages shape (url-ish id, html binary) —
+    the deterministic stand-in for a WARC payload."""
+    html = F.encode(F.concat(F.lit(HTML_PREFIX), F.col("text"), F.lit(HTML_SUFFIX)), "utf-8")
+    return docs.select("doc_id", html.alias("html"), "text", "lang")
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """html binary -> extracted text; the per-url **byte-identical** text
+    invariant (north rule) is pinned by comparing against the source
+    ``text`` column via the oracle value hash."""
+    s = F.decode(F.col("html"), "utf-8")
+    extracted = F.substring(
+        s, len(HTML_PREFIX) + 1, F.length(s) - len(HTML_PREFIX) - len(HTML_SUFFIX)
+    )
+    return pages.select("doc_id", extracted.alias("extracted"))
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokenization (BPE-ish regex variant in token_count_re)."""
+    return docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+
+
+def text_quality(docs: DataFrame) -> DataFrame:
+    """Quality-scoring features: length, tokens, chars/token, lexical
+    diversity (distinct-token share).  Single exact divisions so the
+    DuckDB twin is bitwise identical."""
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    n_chars = F.length("text").cast("long")
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_chars / n_tokens).alias("chars_per_token"),
+        (n_distinct / n_tokens).alias("lexical_diversity"),
+    )
+
+
+# marker-word table: occurrence counts of distinctive words vote for a
+# language label (n-gram-heuristic shape; markers are configurable — the
+# fixture corpus has a synthetic vocabulary, so markers come from it).
+LANG_MARKERS: list[tuple[str, str]] = [
+    ("en", "join"),
+    ("de", "hash"),
+    ("fr", "scan"),
+    ("es", "merge"),
+]
+
+
+def _occurrences(col: Column, needle: str) -> Column:
+    return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Language-ID heuristic: argmax of marker occurrences with a total
+    tie-break (marker-table priority), via an encoded score
+    ``count*1000 + priority`` so the argmax is a plain greatest() — the
+    DuckDB twin mirrors the encoding exactly."""
+    t = F.col("text")
+    n = len(LANG_MARKERS)
+    encs = {
+        lang: (_occurrences(t, m) * 1000 + (n - 1 - i))
+        for i, (lang, m) in enumerate(LANG_MARKERS)
+    }
+    d = docs.select("doc_id", *[c.alias(f"e_{lang}") for lang, c in encs.items()])
+    g = F.greatest(*[F.col(f"e_{lang}") for lang, _ in LANG_MARKERS])
+    pred = None
+    for lang, _ in LANG_MARKERS:
+        cond = F.col(f"e_{lang}") == g
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return d.select("doc_id", pred.alias("lang_pred"))
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Rolling polynomial hash over the characters (Horner, mod 2^31-1),
+    computed JVM-side with a higher-order aggregate — the scalable
+    whole-document fingerprint (kernels.rolling_fingerprint is the NumPy
+    twin used in unit tests)."""
+    fp = F.aggregate(
+        F.transform(F.split("text", ""), lambda c: F.ascii(c)),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
+    )
+    return docs.select("doc_id", fp.alias("fingerprint"))

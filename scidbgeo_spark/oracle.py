@@ -145,6 +145,32 @@ FROM pts GROUP BY 1""",
 SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
   SELECT doc_id, {GEO_ZONE} AS zone_id FROM pts
 ) WHERE zone_id IS NOT NULL""",
+    "extract_text": """SELECT doc_id, text AS extracted FROM documents""",
+    "token_count": """SELECT doc_id,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents""",
+    "text_quality": """SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+       CAST(length(text) AS BIGINT) / len(string_split(text, ' ')) AS chars_per_token,
+       len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))
+         AS lexical_diversity
+FROM documents""",
+    "doc_fingerprint": """SELECT doc_id,
+       list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
+                   (a, c) -> (a * 257 + c) % 2147483647) AS fingerprint
+FROM documents""",
+    "multimodal_meta": """SELECT doc_id,
+       CAST(octet_length(encode('<html><body>' || text || '</body></html>')) AS BIGINT)
+         AS n_bytes,
+       lower(hex(encode(substr('<html><body>' || text || '</body></html>', 1, 4))))
+         AS magic_hex
+FROM documents""",
+    "events_hourly": """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       min(value) AS min_value,
+       max(value) AS max_value
+FROM events GROUP BY 1, 2""",
     "knn": f"""WITH {PTS},
 q AS (
   SELECT n_nationkey AS q_id,
@@ -163,3 +189,128 @@ SELECT q_id, doc_id, CAST(rank AS INT) AS rank FROM (
   FROM q CROSS JOIN pts p
 ) WHERE rank <= 10""",
 }
+
+# ---------------------------------------------------------------------------
+# programmatically generated oracle SQL: lang-id, dedup family, ANN
+# (mirrors scidbgeo_spark.operators.{text,dedup,similarity} constants)
+# ---------------------------------------------------------------------------
+
+from scidbgeo_spark.operators.dedup import A as MH_A, B as MH_B, N_BANDS, N_HASHES, P, SHINGLE_K, SIMHASH_BITS  # noqa: E402
+from scidbgeo_spark.operators.text import LANG_MARKERS  # noqa: E402
+
+_n = len(LANG_MARKERS)
+_enc = {
+    lang: f"((length(text) - length(replace(text, '{m}', ''))) / {len(m)}) * 1000 + {_n - 1 - i}"
+    for i, (lang, m) in enumerate(LANG_MARKERS)
+}
+_g = "greatest(" + ", ".join(f"e_{lang}" for lang, _ in LANG_MARKERS) + ")"
+_case = " ".join(
+    f"WHEN e_{lang} = {_g} THEN '{lang}'" for lang, _ in LANG_MARKERS
+)
+SQL["lang_id"] = (
+    "SELECT doc_id, CASE " + _case + " END AS lang_pred FROM (SELECT doc_id, "
+    + ", ".join(f"{expr} AS e_{lang}" for lang, expr in _enc.items())
+    + " FROM documents)"
+)
+
+CORPUS = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS doc_id, 'mutated ' || text AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+)"""
+
+SHINGLES = f"""
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - {SHINGLE_K} + 1, 1) + 1),
+           i -> array_to_string(toks[i:i+{SHINGLE_K - 1}], ' '))) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM corpus)
+)"""
+
+_MD5INT = "(('0x' || substr(md5({x}), 1, 15))::BIGINT)"
+
+SQL["dedup_exact"] = f"""WITH {CORPUS}
+SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+FROM corpus GROUP BY md5(text)"""
+
+_mh_cols = ", ".join(
+    f"list_min(list_transform(sh, s -> (({_MD5INT.format(x='s')} % {P}) * {MH_A[j]} + {MH_B[j]}) % {P})) AS mh_{j}"
+    for j in range(N_HASHES)
+)
+SIG = f"sig AS (SELECT doc_id, {_mh_cols} FROM sh)"
+SQL["minhash_signatures"] = f"WITH {CORPUS}, {SHINGLES}, {SIG}\nSELECT * FROM sig"
+
+_rpb = N_HASHES // N_BANDS
+def _bucket_expr(b: int) -> str:
+    acc = "0"
+    for r in range(_rpb):
+        acc = f"(({acc}) * 1000003 + mh_{b * _rpb + r}) % {P}"
+    return acc
+
+BANDS = "bands AS (" + " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, {_bucket_expr(b)} AS bucket FROM sig"
+    for b in range(N_BANDS)
+) + ")"
+SQL["minhash_bands"] = (
+    f"WITH {CORPUS}, {SHINGLES}, {SIG}, {BANDS}\n"
+    "SELECT doc_id, CAST(band AS INT) AS band, bucket FROM bands"
+)
+
+_JACCARD_TAIL = """
+SELECT c.a, c.b,
+       len(list_intersect(l.sh, r.sh))
+         / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS jaccard
+FROM cand c JOIN sh l ON l.doc_id = c.a JOIN sh r ON r.doc_id = c.b
+WHERE len(list_intersect(l.sh, r.sh))
+      / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) >= 0.5"""
+
+SQL["minhash_dup_pairs"] = f"""WITH {CORPUS}, {SHINGLES}, {SIG}, {BANDS},
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+)
+{_JACCARD_TAIL}"""
+
+SQL["ngram_jaccard_pairs"] = f"""WITH {CORPUS}, {SHINGLES},
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM (SELECT doc_id, unnest(sh) AS s FROM sh) l
+  JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) r
+    ON l.s = r.s AND l.doc_id < r.doc_id
+)
+{_JACCARD_TAIL}"""
+
+_sim_bits = " + ".join(
+    f"(CASE WHEN list_reduce(list_transform(hs, h -> ((h >> {i}) % 2) * 2 - 1), (a, b) -> a + b) > 0 THEN {2**i} ELSE 0 END)"
+    for i in range(SIMHASH_BITS)
+)
+SQL["simhash"] = f"""WITH {CORPUS}, {SHINGLES},
+hv AS (SELECT doc_id, list_transform(sh, s -> {_MD5INT.format(x='s')} % {P}) AS hs FROM sh)
+SELECT doc_id, CAST({_sim_bits} AS BIGINT) AS simhash FROM hv"""
+
+SQL["ann_bruteforce_topk"] = """WITH q AS (
+  SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8
+),
+dots AS (
+  SELECT q.q_id, e.vec_id,
+         sum(CAST(q.qe[s.i] AS DOUBLE) * CAST(e.embedding[s.i] AS DOUBLE)) AS dot,
+         sum(CAST(q.qe[s.i] AS DOUBLE) * CAST(q.qe[s.i] AS DOUBLE)) AS nq,
+         sum(CAST(e.embedding[s.i] AS DOUBLE) * CAST(e.embedding[s.i] AS DOUBLE)) AS ne
+  FROM q, embeddings e, (SELECT unnest(generate_series(1, 64)) AS i) s
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, CAST(rn AS INT) AS rank FROM (
+  SELECT q_id, vec_id,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY dot / (sqrt(nq) * sqrt(ne)) DESC, vec_id) AS rn
+  FROM dots
+) WHERE rn <= 5"""
+
+SQL["embedding_neardup_pairs"] = """SELECT vec_id AS a, vec_id + 10000 AS b
+FROM embeddings WHERE vec_id % 5 = 0"""

@@ -1,0 +1,114 @@
+"""Text / dedup / similarity operator tests (sf0.001 for speed, NumPy or
+self-consistency oracles)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from scidbgeo_spark import model
+from scidbgeo_spark.kernels import rolling_fingerprint
+from scidbgeo_spark.operators import dedup, multimodal, similarity, text
+
+
+def _docs(spark, sf):
+    return model.load_table(spark, sf, "documents")
+
+
+def test_extract_text_byte_identical(spark, sf_correct):
+    """North-rule invariant: per-url byte-identical extracted text."""
+    docs = _docs(spark, sf_correct)
+    pages = text.pages_from_documents(docs)
+    joined = (
+        text.extract_text(pages)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .filter(F.col("extracted") != F.col("text"))
+    )
+    assert joined.count() == 0
+
+
+def test_doc_fingerprint_matches_numpy_kernel(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    got = {r.doc_id: r.fingerprint for r in text.doc_fingerprint(docs).collect()}
+    rows = docs.select("doc_id", "text").collect()
+    want = rolling_fingerprint([r.text for r in rows])
+    for r, w in zip(rows, want):
+        assert got[r.doc_id] == int(w)
+
+
+def test_dedup_exact_finds_injected_dups(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    n = docs.count()
+    corpus = dedup.dup_corpus(docs)
+    res = dedup.dedup_exact(corpus).collect()
+    n_dup_groups = sum(1 for r in res if r.n_copies > 1)
+    n_injected = docs.filter(F.col("doc_id") % 11 == 0).count()
+    assert n_dup_groups == n_injected
+    assert sum(r.n_copies for r in res) == corpus.count()
+
+
+def test_minhash_no_false_negatives_on_exact_dups(spark, sf_smoke):
+    """An exact duplicate has identical signatures in every band — LSH can
+    never miss it."""
+    docs = _docs(spark, sf_smoke)
+    pairs = {(r.a, r.b) for r in dedup.minhash_dup_pairs(dedup.dup_corpus(docs)).collect()}
+    for r in docs.filter(F.col("doc_id") % 11 == 0).select("doc_id").collect():
+        assert (r.doc_id, r.doc_id + 200000) in pairs
+
+
+def test_minhash_pairs_subset_of_exact_jaccard(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    corpus = dedup.dup_corpus(docs)
+    mh = {(r.a, r.b) for r in dedup.minhash_dup_pairs(corpus).collect()}
+    exact = {(r.a, r.b) for r in dedup.ngram_jaccard_pairs(corpus).collect()}
+    assert mh <= exact
+    assert len(mh) >= 0.9 * len(exact)  # high recall at jaccard >= 0.5
+
+
+def test_simhash_exact_dups_equal_near_dups_close(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    sh = {r.doc_id: r.simhash for r in dedup.simhash(dedup.dup_corpus(docs)).collect()}
+    for r in docs.select("doc_id").collect():
+        if r.doc_id % 11 == 0:
+            assert sh[r.doc_id] == sh[r.doc_id + 200000]
+        if r.doc_id % 7 == 0:
+            ham = bin(sh[r.doc_id] ^ sh[r.doc_id + 100000]).count("1")
+            assert ham <= 6  # near-dup stays within a small Hamming ball
+
+
+def test_ann_lsh_recall(spark, sf_correct):
+    emb = model.load_table(spark, sf_correct, "embeddings")
+    bf = {(r.q_id, r.vec_id) for r in similarity.ann_bruteforce_topk(emb).collect()}
+    lsh = {(r.q_id, r.vec_id) for r in similarity.ann_lsh_topk(emb).collect()}
+    # rank-1 self hits always recalled; overall recall is approximate
+    assert len(lsh & bf) / len(bf) >= 0.3
+    for q in {q for q, _ in bf}:
+        assert (q, q) in lsh
+
+
+def test_embedding_neardups_exact(spark, sf_smoke):
+    emb = model.load_table(spark, sf_smoke, "embeddings")
+    got = {(r.a, r.b) for r in similarity.embedding_neardup_pairs(emb).collect()}
+    want = {
+        (r.vec_id, r.vec_id + 10000)
+        for r in emb.filter(F.col("vec_id") % 5 == 0).select("vec_id").collect()
+    }
+    assert got == want
+
+
+def test_media_features_deterministic_stub(spark, sf_smoke):
+    pages = text.pages_from_documents(_docs(spark, sf_smoke))
+    a = {r.doc_id: r.mean_byte for r in multimodal.extract_media_features(pages).collect()}
+    b = {r.doc_id: r.mean_byte for r in multimodal.extract_media_features(pages).collect()}
+    assert a == b and len(a) == pages.count()
+    import numpy as np
+
+    row = pages.select("doc_id", "html").first()
+    feats = multimodal.decode_stub(row.html)
+    assert abs(a[row.doc_id] - feats["mean_byte"]) < 1e-12
+
+
+def test_lang_id_deterministic_labels(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    res = text.lang_id(docs)
+    assert res.count() == docs.count()
+    langs = {r.lang_pred for r in res.collect()}
+    assert langs <= {lang for lang, _ in text.LANG_MARKERS}
