@@ -178,6 +178,19 @@ def q_pip_poly(spark, sf_dir):
     return pip.pip_join(spark, pts, fixtures.GEO_POLYGONS).select("doc_id", "zone_id")
 
 
+def q_pip_grid_salted(spark, sf_dir):
+    """pip_grid with explicit two-phase salted aggregation over the hot
+    cell (oracle identical to pip_grid: salting must not change results)."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.plans import skew
+
+    pts = model.points(spark, sf_dir)
+    joined = pip.pip_join(spark, pts, fixtures.geo_grid_polygons())
+    counts = skew.salted_counts(joined, "zone_id", "doc_id", cap=50)
+    return counts.select("zone_id", F.col("count").alias("n_points"))
+
+
 def q_knn(spark, sf_dir):
     pts = model.points(spark, sf_dir)
     queries = knn_mod.knn_queries_from_nation(spark, sf_dir)
@@ -289,6 +302,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_index": q_cell_index,
     "pip_grid": q_pip_grid,
     "pip_poly": q_pip_poly,
+    "pip_grid_salted": q_pip_grid_salted,
     "knn": q_knn,
     "extract_text": q_extract_text,
     "token_count": q_token_count,

@@ -141,6 +141,11 @@ SELECT CAST(floor((lon + 180) / 60) * 3 + floor((lat + 90) / 60) AS BIGINT)
          AS zone_id,
        count(*) AS n_points
 FROM pts GROUP BY 1""",
+    "pip_grid_salted": f"""WITH {PTS}
+SELECT CAST(floor((lon + 180) / 60) * 3 + floor((lat + 90) / 60) AS BIGINT)
+         AS zone_id,
+       count(*) AS n_points
+FROM pts GROUP BY 1""",
     "pip_poly": f"""WITH {PTS}
 SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
   SELECT doc_id, {GEO_ZONE} AS zone_id FROM pts
