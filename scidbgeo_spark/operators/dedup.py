@@ -64,18 +64,22 @@ def shingles_col(text: Column | str, k: int = SHINGLE_K) -> Column:
     return F.array_distinct(sh)
 
 
-def _minhash_cols(sh: Column) -> list[Column]:
-    hs = F.transform(sh, lambda s: md5_int(s) % P)
-    return [
-        F.array_min(F.transform(hs, lambda h: (h * A[j] + B[j]) % P)).alias(f"mh_{j}")
-        for j in range(N_HASHES)
-    ]
+def _affine_min(j: int) -> Column:
+    return F.array_min(
+        F.transform(F.col("hs"), lambda h: (h * A[j] + B[j]) % P)
+    ).alias(f"mh_{j}")
 
 
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
     """(doc_id, mh_0..mh_15): per-document MinHash signature over word
-    shingles — fully JVM-side, oracle-reproducible."""
-    return corpus.select("doc_id", *_minhash_cols(shingles_col("text")))
+    shingles — fully JVM-side, oracle-reproducible.  The shingle md5s are
+    materialized once per document (a projection barrier), then the 16
+    affine minima read the shared array — without it Catalyst inlines the
+    md5 tree into every signature column (16x the hashing work)."""
+    hs = F.transform(shingles_col("text"), lambda s: md5_int(s) % P)
+    return corpus.select("doc_id", hs.alias("hs")).select(
+        "doc_id", *[_affine_min(j) for j in range(N_HASHES)]
+    )
 
 
 def minhash_bands(corpus: DataFrame) -> DataFrame:

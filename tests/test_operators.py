@@ -102,12 +102,13 @@ def test_focal_chunk_size_invariance(spark, coo, dense):
     assert outs[0] == outs[1] == outs[2]
 
 
-def test_zonal_stats_tiles_vs_numpy(spark, sf_correct):
+@pytest.mark.parametrize("impl", [zonal.zonal_stats_tiles, zonal.zonal_stats_tiles_kernel])
+def test_zonal_stats_tiles_vs_numpy(spark, sf_correct, impl):
     coo = model.raster_coo(spark, sf_correct)
     h, w = model.raster_dims(spark, sf_correct)
     tiles = tiling.pack_tiles(coo, CHUNK, h, w)
     zt = zonal.rasterize_polygons(spark, fixtures.MIXED_POLYGONS, h, w, CHUNK)
-    got = {r.id: r for r in zonal.zonal_stats_tiles(tiles, zt).collect()}
+    got = {r.id: r for r in impl(tiles, zt).collect()}
 
     n = h * w
     ids = np.arange(n, dtype=np.int64)
