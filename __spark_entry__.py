@@ -163,6 +163,34 @@ def q_focal_mean_sum(spark, sf_dir):
     return focal.focal_mean_sum36(tiles, h, w, CHUNK)
 
 
+def q_focal_mean_cells(spark, sf_dir):
+    """Materialized focal means (per-cell), the window(...) output array."""
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    means = focal.focal_mean_tiles(tiles, h, w, CHUNK)
+    return tiling.tiles_to_coo(means, "value_avg")
+
+
+def q_between_tiles(spark, sf_dir):
+    """between via two-level pruning: chunk-key range filter (partition
+    pruning analog) + exact cell filter on the cropped remainder."""
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    pruned = pixel.between_tiles(tiles, CHUNK, 25, 10, 75, 60)
+    return pixel.between(tiling.tiles_to_coo(pruned, "value"), 25, 10, 75, 60)
+
+
+def q_overlay_add_bands(spark, sf_dir):
+    """Multiband overlay: slice bands 0 and 1 of the 3-D raster, pack
+    each, chunk-join + cellwise add (SciDBParallel.py:743-748 shape)."""
+    from scidbgeo_spark.model import BANDS, RASTER3_W
+
+    coo3 = model.raster3_coo(spark, sf_dir)
+    n = model.load_table(spark, sf_dir, "events").count()
+    h3 = n // BANDS // RASTER3_W
+    a = tiling.pack_tiles(pixel.slice_band(coo3, 0), CHUNK, h3, RASTER3_W)
+    b = tiling.pack_tiles(pixel.slice_band(coo3, 1), CHUNK, h3, RASTER3_W)
+    return tiling.tiles_to_coo(pixel.overlay_add_tiles(a, b), "result")
+
+
 def q_cell_index(spark, sf_dir):
     pts = model.points(spark, sf_dir)
     return pts.select("doc_id", pip.cell_col().alias("cell"))
@@ -299,6 +327,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats_broadcast": q_zonal_stats_broadcast,
     "join_reclass": q_join_reclass,
     "focal_mean_sum": q_focal_mean_sum,
+    "focal_mean_cells": q_focal_mean_cells,
+    "between_tiles": q_between_tiles,
+    "overlay_add_bands": q_overlay_add_bands,
     "cell_index": q_cell_index,
     "pip_grid": q_pip_grid,
     "pip_poly": q_pip_poly,

@@ -104,17 +104,20 @@ def focal_mean_tiles(tiles: DataFrame, height: int, width: int, chunk: int) -> D
     def _tile(key, pdf):
         vals, mask, interior = _assemble(pdf)
         m = focal_mean(vals, mask, interior)
-        h, w = m.shape
+        th, tw = m.shape
         return pd.DataFrame(
             {
                 "tile_y": [int(key[0])],
                 "tile_x": [int(key[1])],
-                "h": [h],
-                "w": [w],
+                "y0": [int(key[0]) * chunk],
+                "x0": [int(key[1]) * chunk],
+                "h": [th],
+                "w": [tw],
                 "px": [m.ravel()],
             }
         )
 
     return msgs.groupBy("rty", "rtx").applyInPandas(
-        _tile, schema="tile_y int, tile_x int, h int, w int, px array<double>"
+        _tile,
+        schema="tile_y int, tile_x int, y0 long, x0 long, h int, w int, px array<double>",
     )

@@ -132,6 +132,23 @@ nb AS (
   GROUP BY a.y, a.x
 )
 SELECT CAST(sum((s * 36) // c) AS BIGINT) AS focal_sum36 FROM nb""",
+    "focal_mean_cells": f"""WITH {COO},
+nb AS (
+  SELECT a.y AS y, a.x AS x,
+         CAST(sum(b.value) AS BIGINT) AS s, count(*) AS c
+  FROM coo a JOIN coo b
+    ON b.y BETWEEN a.y - 1 AND a.y + 1
+   AND b.x BETWEEN a.x - 1 AND a.x + 1
+  GROUP BY a.y, a.x
+)
+SELECT y, x, CAST(s AS DOUBLE) / c AS value_avg FROM nb""",
+    "between_tiles": f"""WITH {COO}
+SELECT y, x, value FROM coo
+WHERE y BETWEEN 25 AND 75 AND x BETWEEN 10 AND 60""",
+    "overlay_add_bands": f"""WITH {COO3}
+SELECT y, x, a.value + b.value AS result
+FROM (SELECT y, x, value FROM coo3 WHERE band = 0) a
+JOIN (SELECT y, x, value FROM coo3 WHERE band = 1) b USING (y, x)""",
     "cell_index": f"""WITH {PTS}
 SELECT doc_id,
        CAST(floor(lat + 90) * 360 + floor(lon + 180) AS BIGINT) AS cell

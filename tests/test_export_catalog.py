@@ -1,0 +1,126 @@
+"""Export sinks, catalog facade, geotransform, CLI, streaming."""
+
+import csv
+import glob
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from scidbgeo_spark import export, model, tiling
+from scidbgeo_spark.catalog import ArrayCatalog
+from scidbgeo_spark.model import CHUNK, RASTER_W, VALUE_MOD, VALUE_MULT
+
+
+def _dense(n):
+    ids = np.arange(n, dtype=np.int64)
+    return ((ids * VALUE_MULT) % VALUE_MOD).reshape(n // RASTER_W, RASTER_W)
+
+
+def test_sorted_csv_export(spark, sf_smoke, tmp_path):
+    coo = model.raster_coo(spark, sf_smoke)
+    path = str(tmp_path / "coo_csv")
+    export.write_sorted_csv(coo, path, single_file=True)
+    files = glob.glob(path + "/part-*.csv")
+    assert len(files) == 1
+    with open(files[0]) as f:
+        rows = list(csv.DictReader(f))
+    n = coo.count()
+    assert len(rows) == n
+    # sorted by (y, x) — save(sort(Q,y,x)) semantics
+    pairs = [(int(r["y"]), int(r["x"])) for r in rows]
+    assert pairs == sorted(pairs)
+
+
+def test_tiles_to_numpy_roundtrip(spark, sf_smoke):
+    coo = model.raster_coo(spark, sf_smoke)
+    n = coo.count()
+    h, w = n // RASTER_W, RASTER_W
+    tiles = tiling.pack_tiles(coo, CHUNK, h, w)
+    arr = export.tiles_to_numpy(tiles, h, w)
+    np.testing.assert_array_equal(arr, _dense(n))
+
+
+def test_tiles_to_numpy_guard(spark):
+    import pytest
+
+    with pytest.raises(ValueError):
+        export.tiles_to_numpy(None, 100_000, 100_000)
+
+
+def test_geotransform_matches_reference_formulas():
+    """world2Pixel/Pixel2world math (SciDBGDAL.py:12-56): x = floor((lon -
+    ulX)/xDist), lon = x*xDist + ulX."""
+    gt = export.GeoTransform(-180.0, 90.0, 0.25, -0.25)
+    lon = np.array([-180.0, -179.9, 0.0, 179.99])
+    lat = np.array([90.0, 89.9, 0.0, -89.99])
+    x, y = gt.world_to_pixel(lon, lat)
+    np.testing.assert_array_equal(x, [0, 0, 720, 1439])
+    np.testing.assert_array_equal(y, [0, 0, 360, 719])
+    lon2, lat2 = gt.pixel_to_world(x, y)
+    assert (np.abs(lon2 - lon) <= 0.25).all()
+    assert (np.abs(lat2 - lat) <= 0.25).all()
+
+
+def test_catalog_facade(spark, sf_smoke, tmp_path):
+    cat = ArrayCatalog(spark, warehouse=str(tmp_path))
+    coo = model.raster_coo(spark, sf_smoke)
+    cat.register("coo_view", coo)
+    assert "coo_view" in cat.list_arrays()
+    assert "y:bigint" in cat.show("coo_view")
+    cat.save("coo_saved", coo)
+    assert spark.table("coo_saved").count() == coo.count()
+    cat.remove("coo_view")
+    assert "coo_view" not in cat.list_arrays()
+    assert cat.instance_count() >= 1
+
+
+def test_cli_zonal_timing_csv(spark, sf_smoke, tmp_path):
+    """CLI writes the reference's timing columns
+    (SciDB_analysis.py:57-63)."""
+    from scidbgeo_spark import cli
+
+    timed = cli.run_zonal(spark, sf_smoke, 50, 1, None)
+    want_fields = [
+        "connectionInfo",
+        "run",
+        "array_table",
+        "boundary_table",
+        "full_time",
+        "join_time",
+        "redimension_time",
+        "rasterize_time",
+        "dataset",
+        "chunk",
+        "load_time",
+    ]
+    assert [k for k in timed if k in want_fields] == want_fields
+    out = str(tmp_path / "t.csv")
+    cli.write_file(out, {("k",): timed})
+    with open(out) as f:
+        rows = list(csv.DictReader(f))
+    assert len(rows) == 1 and float(rows[0]["full_time"]) > 0
+
+
+def test_streaming_hourly_equals_batch(spark, sf_smoke, tmp_path):
+    from scidbgeo_spark import streaming
+
+    events_dir = str(tmp_path / "events_stream")
+    model.load_table(spark, sf_smoke, "events").write.parquet(events_dir)
+    got = streaming.run_to_memory(
+        streaming.hourly_event_stream(spark, events_dir), "hourly_test"
+    )
+    batch = (
+        model.load_table(spark, sf_smoke, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    a = {(r.hour, r.event_type): (r.n, r.min_value, r.max_value) for r in got.collect()}
+    b = {(r.hour, r.event_type): (r.n, r.min_value, r.max_value) for r in batch.collect()}
+    assert a == b
