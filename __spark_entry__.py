@@ -101,6 +101,30 @@ def q_reclassify_sum(spark, sf_dir):
     return pixel.reclassify_sum(model.raster_coo(spark, sf_dir), 87, 1000)
 
 
+def q_count_pixels_sql(spark, sf_dir):
+    """AQL form (SciDB_analysis.py:130-131 'SELECT count(value) FROM A
+    WHERE value = k'; runner scidb.py:107-124): the engine exposes the
+    same queries through spark.sql over registered views."""
+    model.raster_coo(spark, sf_dir).createOrReplaceTempView("raster_coo_v")
+    return spark.sql(
+        "SELECT count(value) AS pixel_count FROM raster_coo_v WHERE value = 42"
+    )
+
+
+def q_merge_insert(spark, sf_dir):
+    """insert(redimension(...)) upsert: reclassify one window of the
+    raster, pack it, merge into the existing tile table, read back COO.
+    Oracle: CASE over the window bounds."""
+    from pyspark.sql import functions as F
+
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    window = pixel.between(model.raster_coo(spark, sf_dir), 0, 0, 49, 99)
+    updated = pixel.reclassify(window, 87, 1000, other=-99)
+    up_tiles = tiling.pack_tiles(updated, CHUNK, h, w, value_col="newvalue")
+    merged = tiling.merge_into_tiles(tiles, up_tiles)
+    return tiling.tiles_to_coo(merged, "value")
+
+
 def q_reclassify_persist(spark, sf_dir):
     return pixel.reclassify(model.raster_coo(spark, sf_dir), 87, 1000, other=-99)
 
@@ -189,6 +213,77 @@ def q_overlay_add_bands(spark, sf_dir):
     a = tiling.pack_tiles(pixel.slice_band(coo3, 0), CHUNK, h3, RASTER3_W)
     b = tiling.pack_tiles(pixel.slice_band(coo3, 1), CHUNK, h3, RASTER3_W)
     return tiling.tiles_to_coo(pixel.overlay_add_tiles(a, b), "result")
+
+
+def q_extract_geotags(spark, sf_dir):
+    """Page -> point-feature extraction (the north-star step: geotags
+    embedded in page text become point features).  Documents get the
+    deterministic geotag token appended, html-wrapped, then the engine
+    extracts text and parses coordinates back — all JVM-side regex +
+    integer arithmetic."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.operators.text import HTML_PREFIX, HTML_SUFFIX
+    from scidbgeo_spark.sources import pages as pages_src
+
+    docs = _docs(spark, sf_dir)
+    lat_m, lon_m = pages_src._lat_lon_milli(F.col("doc_id"))
+    text = F.concat(
+        F.col("text"), F.lit(" geo:"), lat_m.cast("string"), F.lit(","), lon_m.cast("string")
+    )
+    html = F.encode(F.concat(F.lit(HTML_PREFIX), text, F.lit(HTML_SUFFIX)), "utf-8")
+    pages = docs.select("doc_id", html.alias("html"))
+    return pages_src.extract_geotags(pages, id_col="doc_id")
+
+
+def q_zonal_stats_sortmerge(spark, sf_dir):
+    """Mode-2 analog: zone COO too big to replicate -> sort-merge join on
+    the coordinate attributes (the reference's non-equi_join global-join
+    path chooses this shape; we force the merge hint)."""
+    from pyspark.sql import functions as F
+
+    coo = model.raster_coo(spark, sf_dir)
+    h, w = model.raster_dims(spark, sf_dir)
+    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zones_coo = tiling.tiles_to_coo(zt.withColumnRenamed("zid", "px"), "id").hint("merge")
+    return (
+        coo.join(zones_coo, ["y", "x"])
+        .groupBy("id")
+        .agg(
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.avg("value").alias("avg_value"),
+            F.count("value").alias("count_value"),
+        )
+        .withColumn("id", F.col("id").cast("long"))
+        .select("id", "min_value", "max_value", "avg_value", "count_value")
+    )
+
+
+def q_zonal_stats_float(spark, sf_dir):
+    """Float-attribute raster (value = events.value, double): zonal
+    min/max/count (exact for doubles; sums are order-dependent so the
+    float path reports order-free stats)."""
+    from pyspark.sql import functions as F
+
+    ev = model.load_table(spark, sf_dir, "events")
+    coo = ev.select(
+        F.expr("event_id DIV 100").alias("y"),
+        (F.col("event_id") % 100).alias("x"),
+        F.col("value"),
+    )
+    h, w = model.raster_dims(spark, sf_dir)
+    tiles = tiling.pack_tiles(coo, CHUNK, h, w, int_values=False)
+    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    j = tiles.join(zt.select("tile_y", "tile_x", "zid"), ["tile_y", "tile_x"])
+    flat = j.select(F.explode(F.arrays_zip(F.col("zid"), F.col("px"))).alias("c")).select(
+        F.col("c.zid").cast("long").alias("id"), F.col("c.px").alias("v")
+    )
+    return flat.groupBy("id").agg(
+        F.min("v").alias("min_value"),
+        F.max("v").alias("max_value"),
+        F.count("v").alias("count_value"),
+    )
 
 
 def q_cell_index(spark, sf_dir):
@@ -315,6 +410,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_pixels": q_count_pixels,
     "count_pixels_tiles": q_count_pixels_tiles,
     "count_pixels_true": q_count_pixels_true,
+    "count_pixels_sql": q_count_pixels_sql,
+    "merge_insert": q_merge_insert,
     "reclassify_sum": q_reclassify_sum,
     "reclassify_persist": q_reclassify_persist,
     "between_window": q_between_window,
@@ -325,6 +422,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats_rect": q_zonal_stats_rect,
     "zonal_stats_poly": q_zonal_stats_poly,
     "zonal_stats_broadcast": q_zonal_stats_broadcast,
+    "zonal_stats_sortmerge": q_zonal_stats_sortmerge,
+    "zonal_stats_float": q_zonal_stats_float,
+    "extract_geotags": q_extract_geotags,
     "join_reclass": q_join_reclass,
     "focal_mean_sum": q_focal_mean_sum,
     "focal_mean_cells": q_focal_mean_cells,

@@ -93,6 +93,14 @@ SELECT CAST(sum(CASE WHEN value = 87 THEN 1000 ELSE 0 END) AS BIGINT)
     "reclassify_persist": f"""WITH {COO}
 SELECT y, x, CAST(CASE WHEN value = 87 THEN 1000 ELSE -99 END AS BIGINT)
   AS newvalue FROM coo""",
+    "count_pixels_sql": f"""WITH {COO}
+SELECT CAST(count(value) AS BIGINT) AS pixel_count FROM coo WHERE value = 42""",
+    "merge_insert": f"""WITH {COO}
+SELECT y, x,
+       CAST(CASE WHEN y < 50
+                 THEN CASE WHEN value = 87 THEN 1000 ELSE -99 END
+                 ELSE value END AS BIGINT) AS value
+FROM coo""",
     "between_window": f"""WITH {COO}
 SELECT y, x, value FROM coo
 WHERE y BETWEEN 25 AND 75 AND x BETWEEN 10 AND 60""",
@@ -118,6 +126,23 @@ FROM coo GROUP BY 1""",
 SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
        {ZONAL_AGG}
 FROM coo GROUP BY 1""",
+    "zonal_stats_sortmerge": f"""WITH {COO}
+SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
+       {ZONAL_AGG}
+FROM coo GROUP BY 1""",
+    "zonal_stats_float": f"""WITH coof AS (
+  SELECT event_id // {RASTER_W} AS y, event_id % {RASTER_W} AS x, value FROM events
+)
+SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
+       min(value) AS min_value, max(value) AS max_value,
+       CAST(count(*) AS BIGINT) AS count_value
+FROM coof GROUP BY 1""",
+    "extract_geotags": f"""SELECT doc_id,
+  -180.0 + (CASE WHEN doc_id % {HOT_MOD} = 0 THEN 190000 + doc_id % 100
+                 ELSE (doc_id * {LON_MULT}) % 360000 END) / 1000.0 AS lon,
+  -90.0 + (CASE WHEN doc_id % {HOT_MOD} = 0 THEN 100000 + (doc_id // {HOT_MOD}) % 100
+                ELSE (doc_id * {LAT_MULT}) % 180000 END) / 1000.0 AS lat
+FROM documents""",
     "join_reclass": f"""WITH {COO}
 SELECT y, x,
        CAST(CASE WHEN {RECT_ZONE} = 7 THEN 500 ELSE value END AS BIGINT)

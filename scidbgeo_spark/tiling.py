@@ -49,22 +49,25 @@ def pack_tiles(
     tile must be present exactly once.  Edge tiles are ragged
     (h,w < chunk), matching SciDB's bounded dimensions.
 
-    Fast path (``int_values``, requires 0 <= value < 2^32): each cell is
-    encoded as one long ``(row_major_offset << 32) | value`` so the
-    per-chunk ordering is a primitive-long ``array_sort`` — far cheaper
-    than sorting structs at 100 TB.  Fallback sorts (y,x,v) structs.
+    Fast path (``int_values``, requires -2^31 <= value < 2^31): each cell
+    is encoded as one long ``(row_major_offset << 32) | (value + 2^31)``
+    so the per-chunk ordering is a primitive-long ``array_sort`` — far
+    cheaper than sorting structs at 100 TB.  Fallback sorts (y,x,v)
+    structs.
     """
     t = with_tile_keys(coo, chunk)
     w_t = F.least(F.lit(chunk), F.lit(width) - F.col("tile_x") * chunk).cast("long")
     if int_values:
+        bias = 2147483648  # sign bias keeps the low 32 bits non-negative
         off = (F.col("y") % chunk) * w_t + (F.col("x") % chunk)
-        enc = (off * F.lit(4294967296).cast("long") + F.col(value_col).cast("long")).alias(
-            "enc"
-        )
+        enc = (
+            off * F.lit(4294967296).cast("long")
+            + (F.col(value_col).cast("long") + bias)
+        ).alias("enc")
         g = t.select("tile_y", "tile_x", enc).groupBy(*TILE_KEYS).agg(
             F.array_sort(F.collect_list("enc")).alias("cells")
         )
-        px = F.transform(F.col("cells"), lambda e: e % 4294967296)
+        px = F.transform(F.col("cells"), lambda e: e % 4294967296 - bias)
     else:
         cell = F.struct(F.col("y"), F.col("x"), F.col(value_col).alias("v"))
         g = t.groupBy(*TILE_KEYS).agg(
@@ -102,6 +105,15 @@ def tiles_to_coo(tiles: DataFrame, value_name: str = "value") -> DataFrame:
         (F.col("x0") + (F.col("pos") % F.col("w"))).alias("x"),
         value_name,
     )
+
+
+def merge_into_tiles(existing: DataFrame, updates: DataFrame) -> DataFrame:
+    """insert(redimension(...), A) merge semantics (SciDBParallel.py:346-348):
+    an insert into a SciDB array *upserts* whole chunks — updated chunks
+    replace existing ones, untouched chunks survive.  Expressed as an
+    anti-join + union (MERGE INTO once an Iceberg catalog is wired)."""
+    keep = existing.join(updates.select(*TILE_KEYS), TILE_KEYS, "left_anti")
+    return keep.unionByName(updates)
 
 
 def tile_grid(spark, height: int, width: int, chunk: int) -> DataFrame:

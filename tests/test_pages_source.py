@@ -1,0 +1,45 @@
+"""Synthetic page corpus: byte-identity, geotag extraction, end-to-end
+page -> point -> PIP pipeline (the north-star dataflow)."""
+
+from pyspark.sql import functions as F
+
+from scidbgeo_spark import fixtures
+from scidbgeo_spark.operators import pip
+from scidbgeo_spark.sources import pages as pages_src
+
+
+def test_generate_pages_deterministic(spark):
+    a = pages_src.generate_pages(spark, 200).collect()
+    b = pages_src.generate_pages(spark, 200).collect()
+    assert a == b
+    assert len({r.url for r in a}) == 200
+    assert all(r.lang in {"en", "de", "fr", "es"} for r in a)
+
+
+def test_extract_text_byte_identical_on_pages(spark):
+    pages = pages_src.generate_pages(spark, 500)
+    bad = pages.filter(
+        pages_src.extract_text_col(F.col("html")) != F.col("text")
+    ).count()
+    assert bad == 0
+
+
+def test_geotag_extraction_exact(spark):
+    pages = pages_src.generate_pages(spark, 500)
+    pts = pages_src.extract_geotags(pages)
+    rows = pts.collect()
+    assert len(rows) == 500
+    assert all(-180.0 <= r.lon < 180.0 and -90.0 <= r.lat < 90.0 for r in rows)
+    # hot cell: ids % 10 == 0 land in [10, 10.1)^2
+    hot = [r for r in rows if r.url.endswith("/p/0") or r.url.endswith("/p/10")]
+    assert all(10.0 <= r.lon < 10.1 and 10.0 <= r.lat < 10.1 for r in hot)
+
+
+def test_pages_to_pip_pipeline(spark):
+    """Full dataflow: corpus -> extract text -> parse geotags -> cell
+    index -> broadcast PIP join -> zonal counts."""
+    pages = pages_src.generate_pages(spark, 1000)
+    pts = pages_src.extract_geotags(pages).withColumnRenamed("url", "doc_id")
+    counts = pip.pip_counts(spark, pts, fixtures.geo_grid_polygons())
+    total = sum(r.n_points for r in counts.collect())
+    assert total == 1000  # the grid partitions the world: every page lands once
