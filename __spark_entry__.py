@@ -291,6 +291,20 @@ def q_cell_index(spark, sf_dir):
     return pts.select("doc_id", pip.cell_col().alias("cell"))
 
 
+def q_zorder_cell(spark, sf_dir):
+    """Morton/Z-order bit-interleaved cell ids (quadkey hierarchy)."""
+    pts = model.points(spark, sf_dir)
+    return pts.select("doc_id", pip.zorder_cell_col().alias("zcell"))
+
+
+def q_focal_mean_sum_overlap(spark, sf_dir):
+    """Focal mean via materialized chunk overlap (the reference's
+    'overlap' benchmark mode) — same oracle as focal_mean_sum."""
+    coo = model.raster_coo(spark, sf_dir)
+    h, w = model.raster_dims(spark, sf_dir)
+    return focal.focal_mean_sum36_overlap(coo, h, w, CHUNK)
+
+
 def q_pip_grid(spark, sf_dir):
     pts = model.points(spark, sf_dir)
     return pip.pip_counts(spark, pts, fixtures.geo_grid_polygons())
@@ -318,6 +332,14 @@ def q_knn(spark, sf_dir):
     pts = model.points(spark, sf_dir)
     queries = knn_mod.knn_queries_from_nation(spark, sf_dir)
     return knn_mod.knn(spark, pts, queries, k=10)
+
+
+def q_knn_bulk(spark, sf_dir):
+    """Many-query kNN join (all 25 nation-derived query points, no
+    broadcast/driver loop — the sort-merge path)."""
+    pts = model.points(spark, sf_dir)
+    queries = knn_mod.knn_queries_from_nation(spark, sf_dir, limit=25)
+    return knn_mod.knn_join_bulk(spark, pts, queries, k=10)
 
 
 def _docs(spark, sf_dir):
@@ -427,7 +449,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_geotags": q_extract_geotags,
     "join_reclass": q_join_reclass,
     "focal_mean_sum": q_focal_mean_sum,
+    "focal_mean_sum_overlap": q_focal_mean_sum_overlap,
     "focal_mean_cells": q_focal_mean_cells,
+    "zorder_cell": q_zorder_cell,
     "between_tiles": q_between_tiles,
     "overlay_add_bands": q_overlay_add_bands,
     "cell_index": q_cell_index,
@@ -435,6 +459,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_poly": q_pip_poly,
     "pip_grid_salted": q_pip_grid_salted,
     "knn": q_knn,
+    "knn_bulk": q_knn_bulk,
     "extract_text": q_extract_text,
     "token_count": q_token_count,
     "text_quality": q_text_quality,

@@ -96,6 +96,75 @@ def focal_mean_sum36(
     return partials.agg(F.sum("ps").alias("focal_sum36"))
 
 
+def focal_mean_sum36_overlap(
+    coo: DataFrame, height: int, width: int, chunk: int
+) -> DataFrame:
+    """Materialized-halo variant: the reference's chunk *overlap* storage
+    model (``create array ... [y,chunk,overlap]`` — SciDBParallel.py:182-185;
+    README: "Adding overlap increases data loading time").
+
+    Each COO cell is redimensioned into every chunk whose 1-cell halo
+    window contains it (~1 + 4/chunk storage blow-up), so the focal kernel
+    needs no neighbor exchange at query time — the load-time/query-time
+    trade the reference benchmarks as its 'overlap' mode.  Same result as
+    focal_mean_sum36 (pinned by tests/oracle)."""
+    bias = 2147483648
+    cands = []
+    for oy in (-1, 0, 1):
+        for ox in (-1, 0, 1):
+            cands.append(
+                F.struct(
+                    F.expr(f"CAST((y + {oy}) DIV {chunk} AS INT)").alias("ty"),
+                    F.expr(f"CAST((x + {ox}) DIV {chunk} AS INT)").alias("tx"),
+                )
+            )
+    nty = -(-height // chunk)
+    ntx = -(-width // chunk)
+    t = (
+        coo.select("y", "x", "value", F.explode(F.array_distinct(F.array(*cands))).alias("t"))
+        .select("y", "x", "value", F.col("t.ty").alias("ty"), F.col("t.tx").alias("tx"))
+        .filter(
+            (F.col("ty") >= 0) & (F.col("ty") < nty) & (F.col("tx") >= 0) & (F.col("tx") < ntx)
+        )
+    )
+    w_t = F.least(F.lit(chunk), F.lit(width) - F.col("tx") * chunk).cast("long")
+    h_t = F.least(F.lit(chunk), F.lit(height) - F.col("ty") * chunk).cast("long")
+    off = (F.col("y") - (F.col("ty").cast("long") * chunk - 1)) * (w_t + 2) + (
+        F.col("x") - (F.col("tx").cast("long") * chunk - 1)
+    )
+    enc = off * F.lit(4294967296).cast("long") + (F.col("value") + bias)
+    g = t.select("ty", "tx", enc.alias("enc"), h_t.alias("ht"), w_t.alias("wt")).groupBy(
+        "ty", "tx"
+    ).agg(
+        F.array_sort(F.collect_list("enc")).alias("cells"),
+        F.first("ht").alias("ht"),
+        F.first("wt").alias("wt"),
+    )
+
+    def _partial(pdf):
+        out = []
+        for row in pdf.itertuples():
+            ph, pw = int(row.ht) + 2, int(row.wt) + 2
+            cells = np.asarray(row.cells, dtype=np.int64)
+            offs = cells >> 32
+            vals = (cells & 0xFFFFFFFF) - 2147483648
+            grid = np.zeros(ph * pw, dtype=np.int64)
+            mask = np.zeros(ph * pw, dtype=bool)
+            grid[offs] = vals
+            mask[offs] = True
+            out.append(
+                focal_sum36(
+                    grid.reshape(ph, pw),
+                    mask.reshape(ph, pw),
+                    (slice(1, ph - 1), slice(1, pw - 1)),
+                )
+            )
+        return pd.DataFrame({"ps": out})
+
+    partials = g.mapInPandas(lambda it: (_partial(pdf) for pdf in it), schema="ps long")
+    return partials.agg(F.sum("ps").alias("focal_sum36"))
+
+
 def focal_mean_tiles(tiles: DataFrame, height: int, width: int, chunk: int) -> DataFrame:
     """Full focal-mean raster as chunk rows (float payload) — the
     materialized form of window(...avg(value))."""

@@ -97,11 +97,115 @@ def knn(
     return topk.select("q_id", "doc_id", "rank")
 
 
-def knn_queries_from_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ring_cells_col(r: int):
+    """All cells within Chebyshev radius r of the query's cell, as a JVM
+    array expression (no driver-side enumeration — queries stay
+    distributed)."""
+    qcy = F.floor((F.col("qlat") + 90.0) / CELL).cast("long")
+    qcx = F.floor((F.col("qlon") + 180.0) / CELL).cast("long")
+    dy = F.sequence(F.lit(-r), F.lit(r))
+    return F.flatten(
+        F.transform(
+            dy,
+            lambda oy: F.filter(
+                F.transform(
+                    F.sequence(F.lit(-r), F.lit(r)),
+                    lambda ox: F.when(
+                        (qcy + oy >= 0)
+                        & (qcy + oy < NY)
+                        & (qcx + ox >= 0)
+                        & (qcx + ox < NX),
+                        (qcy + oy) * NX + (qcx + ox),
+                    ),
+                ),
+                lambda c: c.isNotNull(),
+            ),
+        )
+    )
+
+
+def knn_join_bulk(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    max_rounds: int = 6,
+) -> DataFrame:
+    """Many-query kNN join — the sort-merge path for query sets too large
+    to broadcast or driver-loop:
+
+    each round, every *uncertified* query explodes its radius-r ring cells
+    into (cell, query) rows; a plain equi-join on ``cell`` co-locates
+    candidates (sort-merge/shuffle-hash — Catalyst's pick), a window takes
+    exact per-query top-k, and queries whose k-th distance is certified
+    (< (r*CELL)^2 with a full count) leave the loop.  Remaining queries
+    double r; after max_rounds the fallback joins them against the full
+    point table.  Only per-query certification flags return to the driver
+    (O(|Q|) booleans, not data).
+
+    Deterministic: ordering ties break on doc_id; results equal the
+    brute-force cross join (pinned by tests).
+    """
+    pts = points.withColumn(
+        "cell",
+        (
+            F.floor((F.col("lat") + 90.0) / CELL) * NX
+            + F.floor((F.col("lon") + 180.0) / CELL)
+        ).cast("long"),
+    )
+    d2 = (F.col("lon") - F.col("qlon")) * (F.col("lon") - F.col("qlon")) + (
+        F.col("lat") - F.col("qlat")
+    ) * (F.col("lat") - F.col("qlat"))
+    w = Window.partitionBy("q_id").orderBy(F.col("d2"), F.col("doc_id"))
+
+    remaining = queries.select("q_id", "qlon", "qlat")
+    results = []
+    r = 1
+    for _ in range(max_rounds):
+        ring = remaining.select(
+            "q_id", "qlon", "qlat", F.explode(_ring_cells_col(r)).alias("cell")
+        )
+        cand = ring.join(pts, "cell")  # co-located equi-join on cell
+        topk = (
+            cand.withColumn("d2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "doc_id", "rank", "d2")
+        )
+        bound = float((r * CELL) ** 2)
+        cert = topk.groupBy("q_id").agg(F.max("d2").alias("dk"), F.count("*").alias("n"))
+        done_ids = [
+            row.q_id for row in cert.collect() if row.n == k and row.dk < bound
+        ]
+        if done_ids:
+            results.append(
+                topk.filter(F.col("q_id").isin(done_ids)).select("q_id", "doc_id", "rank")
+            )
+        remaining = remaining.filter(~F.col("q_id").isin(done_ids) if done_ids else F.lit(True))
+        if remaining.isEmpty():
+            break
+        r *= 2
+    else:
+        # sort-merge fallback: full scan for the stragglers
+        full = remaining.crossJoin(pts.drop("cell"))
+        topk = (
+            full.withColumn("d2", d2)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("q_id", "doc_id", "rank")
+        )
+        results.append(topk)
+    out = results[0]
+    for extra in results[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def knn_queries_from_nation(spark: SparkSession, sf_dir: str, limit: int = 5) -> DataFrame:
     """Deterministic query points derived from the nation table (oracle.py
     'knn' uses the identical arithmetic)."""
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
-    return nation.filter(F.col("n_nationkey") < 5).select(
+    return nation.filter(F.col("n_nationkey") < limit).select(
         F.col("n_nationkey").alias("q_id"),
         (F.lit(-180.0) + ((F.col("n_nationkey") * 77777) % 360000) / F.lit(1000.0)).alias("qlon"),
         (F.lit(-90.0) + ((F.col("n_nationkey") * 33333) % 180000) / F.lit(1000.0)).alias("qlat"),

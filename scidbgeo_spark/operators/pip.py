@@ -40,6 +40,25 @@ def cell_col(lon: str = "lon", lat: str = "lat", res: float = POINT_RES, nx: int
     ).cast("long")
 
 
+ZORDER_RES = 0.01  # 0.01 deg -> cx < 36000, cy < 18000: 16 bits each
+ZORDER_BITS = 16
+
+
+def zorder_cell_col(lon: str = "lon", lat: str = "lat"):
+    """Morton / Z-order cell id: bit-interleave of the 16-bit grid
+    coordinates at 0.01-degree resolution.  Prefix truncation of a Z-order
+    id is a coarser spatial cell — the quadkey hierarchy used for prefix
+    joins.  Pure JVM bit arithmetic (identical expression in the DuckDB
+    oracle)."""
+    cx = F.floor((F.col(lon) + 180.0) / ZORDER_RES).cast("long")
+    cy = F.floor((F.col(lat) + 90.0) / ZORDER_RES).cast("long")
+    z = F.lit(0).cast("long")
+    for i in range(ZORDER_BITS):
+        z = z + F.shiftleft(F.shiftright(cx, i) % 2, 2 * i)
+        z = z + F.shiftleft(F.shiftright(cy, i) % 2, 2 * i + 1)
+    return z
+
+
 def covering_cells(ring: np.ndarray, res: float = CAND_RES, nx: int = CAND_NX) -> list[int]:
     """Candidate cells overlapping the polygon bbox (driver-side; polygon
     layers are the small dimension).  Over-covering is fine — refinement

@@ -235,6 +235,23 @@ SELECT q_id, doc_id, CAST(rank AS INT) AS rank FROM (
          ) AS rank
   FROM q CROSS JOIN pts p
 ) WHERE rank <= 10""",
+    "knn_bulk": f"""WITH {PTS},
+q AS (
+  SELECT n_nationkey AS q_id,
+         -180.0 + ((n_nationkey * 77777) % 360000) / 1000.0 AS qlon,
+         -90.0 + ((n_nationkey * 33333) % 180000) / 1000.0 AS qlat
+  FROM nation WHERE n_nationkey < 25
+)
+SELECT q_id, doc_id, CAST(rank AS INT) AS rank FROM (
+  SELECT q.q_id, p.doc_id,
+         row_number() OVER (
+           PARTITION BY q.q_id
+           ORDER BY (p.lon - q.qlon) * (p.lon - q.qlon)
+                  + (p.lat - q.qlat) * (p.lat - q.qlat),
+                    p.doc_id
+         ) AS rank
+  FROM q CROSS JOIN pts p
+) WHERE rank <= 10""",
 }
 
 # ---------------------------------------------------------------------------
@@ -361,3 +378,14 @@ SELECT q_id, vec_id, CAST(rn AS INT) AS rank FROM (
 
 SQL["embedding_neardup_pairs"] = """SELECT vec_id AS a, vec_id + 10000 AS b
 FROM embeddings WHERE vec_id % 5 = 0"""
+
+# Z-order (Morton) cell id — mirrors operators.pip.zorder_cell_col bitwise
+_zx = "CAST(floor((lon + 180.0) / 0.01) AS BIGINT)"
+_zy = "CAST(floor((lat + 90.0) / 0.01) AS BIGINT)"
+_zbits = " + ".join(
+    f"((({_zx} >> {i}) % 2) << {2 * i}) + ((({_zy} >> {i}) % 2) << {2 * i + 1})"
+    for i in range(16)
+)
+SQL["zorder_cell"] = f"WITH {PTS}\nSELECT doc_id, CAST({_zbits} AS BIGINT) AS zcell FROM pts"
+
+SQL["focal_mean_sum_overlap"] = SQL["focal_mean_sum"]

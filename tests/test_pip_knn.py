@@ -69,6 +69,23 @@ def test_knn_vs_bruteforce(spark, sf_correct):
     assert sorted(got) == sorted(want)
 
 
+def test_knn_bulk_equals_bruteforce(spark, sf_correct):
+    pts = model.points(spark, sf_correct)
+    queries = knn_mod.knn_queries_from_nation(spark, sf_correct, limit=25)
+    got = sorted(
+        (r.q_id, r.doc_id, r.rank)
+        for r in knn_mod.knn_join_bulk(spark, pts, queries, k=10).collect()
+    )
+    n = pts.count()
+    ids, lon, lat = _points_numpy(n)
+    want = []
+    for q in queries.collect():
+        d2 = (lon - q.qlon) ** 2 + (lat - q.qlat) ** 2
+        order = np.lexsort((ids, d2))[:10]
+        want += [(q.q_id, int(ids[i]), rk + 1) for rk, i in enumerate(order)]
+    assert got == sorted(want)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
