@@ -152,6 +152,28 @@ def q_redimension_roundtrip(spark, sf_dir):
     return tiling.tiles_to_coo(tiles, "value")
 
 
+def q_redimension_roundtrip_3d(spark, sf_dir):
+    """3-D chunked array (band dimension): pack per (band, tile) and
+    vectorize back (SciDB multiband [band;y;x] analog)."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.model import BANDS, RASTER3_W
+
+    coo3 = model.raster3_coo(spark, sf_dir)
+    n = model.load_table(spark, sf_dir, "events").count()
+    h3 = n // BANDS // RASTER3_W
+    tiles3 = tiling.pack_tiles_3d(coo3, CHUNK, h3, RASTER3_W)
+    e = tiles3.select(
+        "band", "y0", "x0", "w", F.posexplode("px").alias("pos", "value")
+    )
+    return e.select(
+        "band",
+        (F.col("y0") + F.expr("pos DIV w")).alias("y"),
+        (F.col("x0") + (F.col("pos") % F.col("w"))).alias("x"),
+        "value",
+    )
+
+
 def q_zonal_stats_rect(spark, sf_dir):
     tiles, h, w = _raster_tiles(spark, sf_dir)
     zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
@@ -424,6 +446,10 @@ def q_ann_lsh_topk(spark, sf_dir):  # rows-only: approximate by design
     return similarity.ann_lsh_topk(_emb(spark, sf_dir))
 
 
+def q_ann_ivf_topk(spark, sf_dir):  # rows-only: approximate by design
+    return similarity.ann_ivf_topk(_emb(spark, sf_dir))
+
+
 def q_embedding_neardup_pairs(spark, sf_dir):
     return similarity.embedding_neardup_pairs(_emb(spark, sf_dir))
 
@@ -441,6 +467,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "slice_band": q_slice_band,
     "raster_add": q_raster_add,
     "redimension_roundtrip": q_redimension_roundtrip,
+    "redimension_roundtrip_3d": q_redimension_roundtrip_3d,
     "zonal_stats_rect": q_zonal_stats_rect,
     "zonal_stats_poly": q_zonal_stats_poly,
     "zonal_stats_broadcast": q_zonal_stats_broadcast,
@@ -476,6 +503,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
 }
 

@@ -110,6 +110,52 @@ def ann_lsh_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
     )
 
 
+IVF_CENTROID_MOD = 50  # deterministic 'training sample': every 50th vector
+IVF_NPROBE = 3
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame, rank_limit: int = 1) -> DataFrame:
+    """(vec_id, centroid_id[, crank]): nearest-centroid assignment by
+    cosine (broadcast centroid table — the IVF coarse quantizer)."""
+    c = centroids.select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("ce")
+    )
+    sim = cosine(F.col("ce"), F.col("embedding"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("csim"), F.col("centroid_id"))
+    return (
+        emb.crossJoin(F.broadcast(c))
+        .select("vec_id", "embedding", "centroid_id", sim.alias("csim"))
+        .withColumn("crank", F.row_number().over(w))
+        .filter(F.col("crank") <= rank_limit)
+    )
+
+
+def ann_ivf_topk(emb: DataFrame, n_queries: int = 8, k: int = 5, nprobe: int = IVF_NPROBE) -> DataFrame:
+    """IVF-style ANN: vectors are bucketed by nearest centroid (inverted
+    lists); a query probes its nprobe closest centroids and reranks only
+    those lists exactly.  Centroids are a deterministic data sample (every
+    IVF_CENTROID_MOD-th vector) — no RNG, so assignments are stable across
+    runs/parallelism.  At scale the lists are the shuffle partitioning:
+    the probe join moves only (centroid, query) pairs."""
+    centroids = emb.filter(F.col("vec_id") % IVF_CENTROID_MOD == 0)
+    lists = ivf_assign(emb, centroids, rank_limit=1).select(
+        "vec_id", "embedding", "centroid_id"
+    )
+    queries = emb.filter(F.col("vec_id") < n_queries)
+    probes = ivf_assign(queries, centroids, rank_limit=nprobe).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "centroid_id"
+    )
+    cand = lists.join(F.broadcast(probes), "centroid_id")
+    sim = cosine(F.col("qe"), F.col("embedding"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col("vec_id"))
+    return (
+        cand.select("q_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank")
+    )
+
+
 def embedding_corpus_with_dups(emb: DataFrame) -> DataFrame:
     """embeddings + exact copies for vec_id % 5 == 0 (id + 10000) — the
     deterministic near-dup fixture (oracle mirrors it)."""

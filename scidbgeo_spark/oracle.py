@@ -114,6 +114,8 @@ SELECT y, x, a.value + b.value AS result
 FROM coo a JOIN coo b USING (y, x)""",
     "redimension_roundtrip": f"""WITH {COO}
 SELECT y, x, value FROM coo""",
+    "redimension_roundtrip_3d": f"""WITH {COO3}
+SELECT band, y, x, value FROM coo3""",
     "zonal_stats_rect": f"""WITH {COO}
 SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
        {ZONAL_AGG}

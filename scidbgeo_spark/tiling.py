@@ -107,6 +107,35 @@ def tiles_to_coo(tiles: DataFrame, value_name: str = "value") -> DataFrame:
     )
 
 
+def pack_tiles_3d(
+    coo3: DataFrame, chunk: int, height: int, width: int, value_col: str = "value"
+) -> DataFrame:
+    """3-D redimension: band is a *dimension* (SciDB ``[band;y;x]`` with
+    band chunk size 1 — SciDBParallel.py:188-192), so chunks are keyed by
+    (band, tile_y, tile_x) — one distributed groupBy, band folded into the
+    shuffle key."""
+    bias = 2147483648
+    t = with_tile_keys(coo3, chunk)
+    w_t = F.least(F.lit(chunk), F.lit(width) - F.col("tile_x") * chunk).cast("long")
+    off = (F.col("y") % chunk) * w_t + (F.col("x") % chunk)
+    enc = (off * F.lit(4294967296).cast("long") + (F.col(value_col).cast("long") + bias)).alias(
+        "enc"
+    )
+    g = t.select("band", "tile_y", "tile_x", enc).groupBy("band", *TILE_KEYS).agg(
+        F.array_sort(F.collect_list("enc")).alias("cells")
+    )
+    return g.select(
+        "band",
+        "tile_y",
+        "tile_x",
+        (F.col("tile_y").cast("long") * chunk).alias("y0"),
+        (F.col("tile_x").cast("long") * chunk).alias("x0"),
+        F.least(F.lit(chunk), F.lit(height) - F.col("tile_y") * chunk).cast("int").alias("h"),
+        F.least(F.lit(chunk), F.lit(width) - F.col("tile_x") * chunk).cast("int").alias("w"),
+        F.transform(F.col("cells"), lambda e: e % 4294967296 - bias).alias("px"),
+    )
+
+
 def merge_into_tiles(existing: DataFrame, updates: DataFrame) -> DataFrame:
     """insert(redimension(...), A) merge semantics (SciDBParallel.py:346-348):
     an insert into a SciDB array *upserts* whole chunks — updated chunks

@@ -84,6 +84,15 @@ def test_ann_lsh_recall(spark, sf_correct):
         assert (q, q) in lsh
 
 
+def test_ann_ivf_recall(spark, sf_correct):
+    emb = model.load_table(spark, sf_correct, "embeddings")
+    bf = {(r.q_id, r.vec_id) for r in similarity.ann_bruteforce_topk(emb).collect()}
+    ivf = {(r.q_id, r.vec_id) for r in similarity.ann_ivf_topk(emb).collect()}
+    assert len(ivf & bf) / len(bf) >= 0.3
+    for q in {q for q, _ in bf}:
+        assert (q, q) in ivf  # self always in its own probed list
+
+
 def test_embedding_neardups_exact(spark, sf_smoke):
     emb = model.load_table(spark, sf_smoke, "embeddings")
     got = {(r.a, r.b) for r in similarity.embedding_neardup_pairs(emb).collect()}
