@@ -396,6 +396,41 @@ def q_media_features(spark, sf_dir):  # rows-only: stubbed decoder
     return multimodal.extract_media_features(text.pages_from_documents(_docs(spark, sf_dir)))
 
 
+def q_sessionize(spark, sf_dir):
+    """Sessionization: per-user session count with a 1-hour inactivity
+    gap (lag + cumulative gap-sum — the ordered-window operator class;
+    no reference analog, Spark/OLAP completeness)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = model.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    gap = F.expr("timestampdiff(SECOND, prev_ts, ts)")
+    marked = prev.withColumn(
+        "new_sess", F.when(F.col("prev_ts").isNull() | (gap > 3600), 1).otherwise(0)
+    )
+    return (
+        marked.groupBy("user_id")
+        .agg(F.sum("new_sess").alias("n_sessions"), F.count("*").alias("n_events"))
+    )
+
+
+def q_top_events_per_user(spark, sf_dir):
+    """Top-3 events per user by value (top-k-per-group window pattern),
+    ties broken on event_id."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ev = model.load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("value"), F.col("event_id"))
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "rank")
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     from pyspark.sql import functions as F
 
@@ -495,6 +530,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "media_features": q_media_features,
     "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
+    "top_events_per_user": q_top_events_per_user,
     "dedup_exact": q_dedup_exact,
     "minhash_signatures": q_minhash_signatures,
     "minhash_bands": q_minhash_bands,

@@ -391,3 +391,20 @@ _zbits = " + ".join(
 SQL["zorder_cell"] = f"WITH {PTS}\nSELECT doc_id, CAST({_zbits} AS BIGINT) AS zcell FROM pts"
 
 SQL["focal_mean_sum_overlap"] = SQL["focal_mean_sum"]
+
+SQL["sessionize"] = """WITH marked AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 3600
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+)
+SELECT user_id, CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM marked GROUP BY user_id"""
+
+SQL["top_events_per_user"] = """SELECT user_id, event_id, CAST(rank AS INT) AS rank FROM (
+  SELECT user_id, event_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+  FROM events
+) WHERE rank <= 3"""
