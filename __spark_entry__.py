@@ -406,9 +406,13 @@ def q_sessionize(spark, sf_dir):
     ev = model.load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = ev.withColumn("prev_ts", F.lag("ts").over(w))
-    gap = F.expr("timestampdiff(SECOND, prev_ts, ts)")
+    # microsecond diff: timestamps carry sub-second precision, and the
+    # oracle's epoch() diff is fractional — SECOND would truncate and
+    # misclassify gaps in (3600, 3601)
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
     marked = prev.withColumn(
-        "new_sess", F.when(F.col("prev_ts").isNull() | (gap > 3600), 1).otherwise(0)
+        "new_sess",
+        F.when(F.col("prev_ts").isNull() | (gap_us > 3600 * 1000000), 1).otherwise(0),
     )
     return (
         marked.groupBy("user_id")
