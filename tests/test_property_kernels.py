@@ -1,0 +1,95 @@
+"""Property-based kernel tests (hypothesis; no Spark)."""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from scidbgeo_spark.kernels import (
+    PolyPack,
+    box3_sum_count,
+    points_in_ring,
+    rasterize_tile,
+    rolling_fingerprint,
+)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(2, 24),
+    w=st.integers(2, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_box3_matches_bruteforce_property(h, w, seed):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 251, size=(h, w)).astype(np.int64)
+    mask = rng.random((h, w)) > 0.3
+    s, c = box3_sum_count(a, mask)
+    av = np.where(mask, a, 0)
+    for _ in range(5):
+        i, j = rng.integers(0, h), rng.integers(0, w)
+        ys, ye = max(0, i - 1), min(h, i + 2)
+        xs, xe = max(0, j - 1), min(w, j + 2)
+        assert s[i, j] == av[ys:ye, xs:xe][mask[ys:ye, xs:xe]].sum()
+        assert c[i, j] == mask[ys:ye, xs:xe].sum()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    x0=st.integers(-50, 50),
+    y0=st.integers(-50, 50),
+    dx=st.integers(1, 40),
+    dy=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_rect_ring_is_half_open_property(x0, y0, dx, dy, seed):
+    """Axis-aligned integer rectangles: ray-cast membership == the
+    half-open arithmetic the DuckDB oracles use (the exactness the whole
+    oracle strategy rests on)."""
+    x1, y1 = x0 + dx, y0 + dy
+    ring = np.array(
+        [(x0, y0), (x1, y0), (x1, y1), (x0, y1)], dtype=np.float64
+    )
+    rng = np.random.default_rng(seed)
+    px = rng.uniform(x0 - 2, x1 + 2, 64)
+    py = rng.uniform(y0 - 2, y1 + 2, 64)
+    # include exact boundary points
+    px[:4] = [x0, x1, x0 + dx / 2, x0 + dx / 2]
+    py[:4] = [y0 + dy / 2, y0 + dy / 2, y0, y1]
+    got = points_in_ring(px, py, ring)
+    want = (px >= x0) & (px < x1) & (py >= y0) & (py < y1)
+    np.testing.assert_array_equal(got, want)
+
+
+@settings(max_examples=20, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), n=st.integers(1, 12))
+def test_rasterize_burn_order_last_wins_property(seed, n):
+    rng = np.random.default_rng(seed)
+    polys = []
+    for zid in range(1, n + 1):
+        x0, y0 = rng.integers(0, 30, 2)
+        x1, y1 = x0 + rng.integers(1, 20), y0 + rng.integers(1, 20)
+        polys.append(
+            (zid, np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1)], dtype=np.float64))
+        )
+    out = rasterize_tile(0, 0, 40, 40, PolyPack(polys)).reshape(40, 40)
+    # NumPy oracle: paint in order
+    want = np.full((40, 40), -999, dtype=np.int32)
+    yy, xx = np.mgrid[0:40, 0:40]
+    for zid, ring in polys:
+        x0, y0 = ring[0]
+        x1, y1 = ring[2]
+        want[(xx >= x0) & (xx < x1) & (yy >= y0) & (yy < y1)] = zid
+    np.testing.assert_array_equal(out, want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(min_size=0, max_size=200), min_size=1, max_size=8))
+def test_rolling_fingerprint_property(texts):
+    def scalar(t):
+        acc = 0
+        for b in t.encode("utf-8"):
+            acc = (acc * 257 + b) % 2147483647
+        return acc
+
+    got = rolling_fingerprint(texts)
+    assert list(got) == [scalar(t) for t in texts]
