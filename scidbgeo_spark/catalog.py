@@ -33,6 +33,20 @@ class ArrayCatalog:
         df.write.mode("overwrite").parquet(f"{self.warehouse}/{name}")
         self.register(name, self.spark.read.parquet(f"{self.warehouse}/{name}"))
 
+    def save_tiles(self, name: str, tiles: DataFrame) -> DataFrame:
+        """Persist a chunked-array table with SciDB-like chunk placement:
+        hive-partitioned by tile_y so dimension-range queries prune whole
+        chunk-row directories at planning time (the Iceberg partition-spec
+        analog — `bucket(tile_y, tile_x)` there; plain parquet here).
+        Returns the re-read table (scans of it show PartitionFilters)."""
+        if not self.warehouse:
+            raise ValueError("no warehouse dir configured")
+        path = f"{self.warehouse}/{name}"
+        tiles.write.mode("overwrite").partitionBy("tile_y").parquet(path)
+        df = self.spark.read.parquet(path)
+        self.register(name, df)
+        return df
+
     # -- show / list -------------------------------------------------------
     def show(self, name: str) -> str:
         """Schema string (the reference regex-parses show() output to clone

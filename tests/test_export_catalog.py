@@ -74,6 +74,29 @@ def test_catalog_facade(spark, sf_smoke, tmp_path):
     assert cat.instance_count() >= 1
 
 
+def test_tile_store_partition_pruning(spark, sf_correct, tmp_path):
+    """Persisted chunk tables prune tile_y partitions at planning time —
+    the reference's 'between both join inputs' optimization becomes
+    storage-level pruning (SURVEY §4 row 1)."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.operators import pixel
+
+    cat = ArrayCatalog(spark, warehouse=str(tmp_path))
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = 100, 100
+    tiles = tiling.pack_tiles(coo, CHUNK, h, w)
+    stored = cat.save_tiles("raster_tiles", tiles)
+
+    pruned = pixel.between_tiles(stored, CHUNK, 0, 0, 49, 99)  # tile_y == 0 only
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tile_y" in plan.split("PartitionFilters")[1][:200]
+    back = pixel.between(tiling.tiles_to_coo(pruned, "value"), 0, 0, 49, 99)
+    assert back.count() == 50 * 100
+    # round-trip correctness through the store
+    assert tiling.tiles_to_coo(stored, "value").count() == coo.count()
+
+
 def test_cli_zonal_timing_csv(spark, sf_smoke, tmp_path):
     """CLI writes the reference's timing columns
     (SciDB_analysis.py:57-63)."""

@@ -54,6 +54,37 @@ def test_split_oversized_groups_bounded(spark, sf_correct):
     assert max(r["count"] for r in sizes) < n // 10
 
 
+def test_results_invariant_across_parallelism(spark, sf_correct):
+    """North rule: join row sets / zone assignments / stats identical
+    across parallelism levels.  Within one session the controllable
+    parallelism axes are input partitioning and shuffle width — results
+    must be bitwise equal across them (local[8]-vs-local[32] equality is
+    exercised by bench.py's two-cluster-size runs)."""
+    from scidbgeo_spark import fixtures, tiling
+    from scidbgeo_spark.operators import zonal as z
+
+    base = model.points(spark, sf_correct)
+    outs = []
+    for nparts in (2, 37):
+        counts = pip.pip_counts(spark, base.repartition(nparts), fixtures.geo_grid_polygons())
+        outs.append(sorted((r.zone_id, r.n_points) for r in counts.collect()))
+    assert outs[0] == outs[1]
+
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    zouts = []
+    for nparts in (3, 41):
+        tiles = tiling.pack_tiles(coo.repartition(nparts), 50, h, w)
+        zt = z.rasterize_polygons(spark, fixtures.MIXED_POLYGONS, h, w, 50)
+        zouts.append(
+            sorted(
+                (r.id, r.min_value, r.max_value, r.avg_value, r.count_value)
+                for r in z.zonal_stats_tiles(tiles, zt).collect()
+            )
+        )
+    assert zouts[0] == zouts[1]  # avg included: bitwise (exact int sums)
+
+
 def test_zonal_pipeline_checkpoint_and_resume(spark, sf_smoke, tmp_path):
     wd = str(tmp_path / "ckpt")
     stats1, pipe1 = lineage.zonal_pipeline(spark, sf_smoke, wd)
