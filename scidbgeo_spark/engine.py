@@ -1,0 +1,98 @@
+"""User-facing facade: the reference's class surface, Spark-native.
+
+A user of the reference drives three objects — ``iquery``/``Statements``
+(scidb.py), ``RasterLoader``/``ZonalStats`` (SciDBParallel.py) — plus the
+``SciDB_analysis.py`` CLI.  This facade exposes the same verbs on Spark
+DataFrames so that switching is a rename, not a rewrite:
+
+    eng = SciDBGeoEngine(spark)
+    eng.create_array("r", coo, height=H, width=W, chunk=50)   # redimension
+    eng.zonal_statistics("r", polygons)                       # flagship
+    eng.count_pixels("r", 42); eng.reclassify("r", 87, 1000)
+    eng.focal_mean_sum("r"); eng.raster_add("r", "r")
+    eng.between("r", ...); eng.subarray("r", ...)
+    eng.versions() / eng.remove("r") / eng.show("r")
+
+Arrays are named chunk tables tracked by the catalog facade; every method
+returns a DataFrame (lazy — the caller decides when to execute).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from scidbgeo_spark import tiling
+from scidbgeo_spark.catalog import ArrayCatalog
+from scidbgeo_spark.operators import focal, pixel, zonal
+
+
+class SciDBGeoEngine:
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+        self.spark = spark
+        self.catalog = ArrayCatalog(spark, warehouse)
+        self._meta: dict[str, tuple[int, int, int]] = {}  # name -> (H, W, chunk)
+
+    # -- DDL / lifecycle (scidb.py:267-294, 126-156) -------------------------
+    def create_array(
+        self, name: str, coo: DataFrame, height: int, width: int, chunk: int
+    ) -> DataFrame:
+        """create array + load + redimension-insert in one step."""
+        tiles = tiling.pack_tiles(coo, chunk, height, width)
+        self.catalog.register(name, tiles)
+        self._meta[name] = (height, width, chunk)
+        return tiles
+
+    def remove(self, name: str) -> None:
+        self.catalog.remove(name)
+        self._meta.pop(name, None)
+
+    def show(self, name: str) -> str:
+        return self.catalog.show(name)
+
+    def versions(self) -> list[str]:
+        return self.catalog.list_arrays()
+
+    def _tiles(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
+    def _dims(self, name: str) -> tuple[int, int, int]:
+        return self._meta[name]
+
+    # -- the five analytics (SciDB_analysis.py) ------------------------------
+    def zonal_statistics(
+        self, name: str, polygons: list[tuple[int, np.ndarray]]
+    ) -> DataFrame:
+        h, w, chunk = self._dims(name)
+        zt = zonal.rasterize_polygons(self.spark, polygons, h, w, chunk)
+        return zonal.zonal_stats_tiles(self._tiles(name), zt)
+
+    def count_pixels(self, name: str, value: int) -> DataFrame:
+        return pixel.count_pixels_tiles(self._tiles(name), value)
+
+    def reclassify(self, name: str, old: int, new: int, other: int = -99) -> DataFrame:
+        return pixel.reclassify_tiles(self._tiles(name), old, new, other)
+
+    def focal_mean_sum(self, name: str) -> DataFrame:
+        h, w, chunk = self._dims(name)
+        return focal.focal_mean_sum36(self._tiles(name), h, w, chunk)
+
+    def raster_add(self, a: str, b: str) -> DataFrame:
+        return pixel.overlay_add_tiles(self._tiles(a), self._tiles(b))
+
+    # -- dimension-range ops --------------------------------------------------
+    def between(self, name: str, y_min: int, x_min: int, y_max: int, x_max: int) -> DataFrame:
+        _, _, chunk = self._dims(name)
+        pruned = pixel.between_tiles(self._tiles(name), chunk, y_min, x_min, y_max, x_max)
+        return pixel.between(tiling.tiles_to_coo(pruned, "value"), y_min, x_min, y_max, x_max)
+
+    def subarray(self, name: str, y_min: int, x_min: int, y_max: int, x_max: int) -> DataFrame:
+        return pixel.subarray(
+            tiling.tiles_to_coo(self._tiles(name), "value"), y_min, x_min, y_max, x_max
+        )
+
+    # -- export ---------------------------------------------------------------
+    def save_csv(self, name: str, path: str) -> None:
+        from scidbgeo_spark.export import write_sorted_csv
+
+        write_sorted_csv(tiling.tiles_to_coo(self._tiles(name), "value"), path)
