@@ -41,7 +41,8 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SCALE_N = int(os.environ.get("BENCH_SCALE_N", "1"))
 SCALE_4N = 4 * SCALE_N
-SCALE_TRIALS = int(os.environ.get("BENCH_SCALE_TRIALS", "3"))
+SCALE_TRIALS = int(os.environ.get("BENCH_SCALE_TRIALS", "2"))
+SCALE_BUDGET_S = int(os.environ.get("BENCH_SCALE_BUDGET_S", "330"))
 SCALE_SHUFFLE = 32  # constant across core counts: same job, same partitioning
 SCALE_H = int(os.environ.get("BENCH_SCALE_H", "4096"))
 SCALE_PTS = int(os.environ.get("BENCH_SCALE_PTS", "2000000"))
@@ -194,6 +195,7 @@ def run_scaling() -> dict:
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
     pairs = []
+    t_start = time.time()
     for _ in range(SCALE_PAIRS):
         rn = one(SCALE_N)
         r4 = one(SCALE_4N)
@@ -201,6 +203,8 @@ def run_scaling() -> dict:
         pairs.append({"n": rn, "4n": r4, "efficiency": round(eff, 3)})
         if eff >= SCALE_TARGET_EFF:
             break  # clean pair observed; stop burning host time
+        if time.time() - t_start > SCALE_BUDGET_S:
+            break  # wall-clock budget: don't blow the driver's timeout
     best_pair = max(pairs, key=lambda p: p["efficiency"])
     return {
         "n": best_pair["n"],
