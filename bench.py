@@ -152,7 +152,7 @@ def _scale_once(cores: int, trials: int) -> dict:
     }
 
 
-SCALE_PAIRS = int(os.environ.get("BENCH_SCALE_PAIRS", "2"))
+SCALE_PAIRS = int(os.environ.get("BENCH_SCALE_PAIRS", "3"))
 SCALE_TARGET_EFF = 0.8
 
 

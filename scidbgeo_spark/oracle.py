@@ -55,7 +55,13 @@ pts AS (
 )"""
 
 NZX = RASTER_W // ZONE_W  # rect-grid zones per raster row
-RECT_ZONE = f"(y // {ZONE_H}) * {NZX} + (x // {ZONE_W})"
+# The rect-grid polygon layer tiles [0, (H div ZONE_H)*ZONE_H) x [0, W);
+# rows below the last full zone band are nodata (-999), matching the
+# rasterized layer at ANY raster height (H = count(events)/RASTER_W).
+RECT_ZONE = f"""CASE
+  WHEN y >= (((SELECT count(*) FROM events) // {RASTER_W}) // {ZONE_H}) * {ZONE_H}
+  THEN -999
+  ELSE (y // {ZONE_H}) * {NZX} + (x // {ZONE_W}) END"""
 
 # membership arithmetic for fixtures.MIXED_POLYGONS (burn order = reverse CASE)
 MIXED_ZONE = """CASE
