@@ -63,3 +63,19 @@ class ArrayCatalog:
     # -- list('instances') -------------------------------------------------
     def instance_count(self) -> int:
         return self.spark.sparkContext.defaultParallelism
+
+    # -- Iceberg switch point ------------------------------------------------
+    def iceberg_available(self) -> bool:
+        """The production catalog is Iceberg (snapshots replace SciDB
+        array versions; MERGE INTO replaces insert(redimension(...));
+        bucket(tile_y, tile_x) partition specs give chunk placement).
+        This sandbox ships no Iceberg jars, so save()/save_tiles() write
+        hive-partitioned parquet with lineage manifests
+        (plans/lineage.py) as the functional stand-in.  Wiring Iceberg is
+        a config change: spark.sql.catalog.<name>=org.apache.iceberg...
+        and df.writeTo(...) in the two save methods."""
+        try:
+            self.spark._jvm.Class.forName("org.apache.iceberg.catalog.Catalog")
+            return True
+        except Exception:  # noqa: BLE001
+            return False
