@@ -449,6 +449,26 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_corpus_curation(spark, sf_dir):
+    """Composite training-data curation pipeline: dedup-exact keep-list ->
+    quality filter (lexical diversity + length band) -> per-language kept
+    doc and token totals.  The shape of a real pretraining-data job."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    corpus = dedup.dup_corpus(docs)
+    keep = dedup.dedup_exact(corpus).select(F.col("keep_id").alias("doc_id"))
+    kept = corpus.join(keep, "doc_id").join(
+        docs.select("doc_id", "lang"), "doc_id", "left"
+    )
+    toks = F.size(F.split("text", " "))
+    distinct_ratio = F.size(F.array_distinct(F.split("text", " "))) / toks
+    good = kept.filter((toks >= 10) & (distinct_ratio >= F.lit(0.3)))
+    return good.groupBy(F.coalesce("lang", F.lit("unk")).alias("lang")).agg(
+        F.count("*").alias("n_docs"), F.sum(toks).cast("long").alias("n_tokens")
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(dedup.dup_corpus(_docs(spark, sf_dir)))
 
@@ -537,6 +557,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sessionize": q_sessionize,
     "top_events_per_user": q_top_events_per_user,
     "dedup_exact": q_dedup_exact,
+    "corpus_curation": q_corpus_curation,
     "minhash_signatures": q_minhash_signatures,
     "minhash_bands": q_minhash_bands,
     "minhash_dup_pairs": q_minhash_dup_pairs,

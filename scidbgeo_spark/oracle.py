@@ -414,3 +414,18 @@ SQL["top_events_per_user"] = """SELECT user_id, event_id, CAST(rank AS INT) AS r
          row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
   FROM events
 ) WHERE rank <= 3"""
+
+SQL["corpus_curation"] = f"""WITH {CORPUS},
+keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+kept AS (
+  SELECT c.doc_id, c.text, d.lang
+  FROM corpus c JOIN keep k ON c.doc_id = k.doc_id
+  LEFT JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT coalesce(lang, 'unk') AS lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+FROM kept
+WHERE len(string_split(text, ' ')) >= 10
+  AND len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) >= 0.3
+GROUP BY 1"""

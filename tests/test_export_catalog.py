@@ -124,6 +124,35 @@ def test_cli_zonal_timing_csv(spark, sf_smoke, tmp_path):
     assert len(rows) == 1 and float(rows[0]["full_time"]) > 0
 
 
+def test_streaming_incremental_two_batches(spark, sf_smoke, tmp_path):
+    """Files arriving after the stream starts are processed incrementally
+    and the final state equals the batch aggregate over everything."""
+    from scidbgeo_spark import streaming
+
+    ev = model.load_table(spark, sf_smoke, "events")
+    d = str(tmp_path / "incr")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.write.parquet(d)
+    q = (
+        streaming.hourly_event_stream(spark, d)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("incr_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("SELECT sum(n) FROM incr_test").collect()[0][0]
+        assert n1 == first.count()
+        second.write.mode("append").parquet(d)
+        q.processAllAvailable()
+        n2 = spark.sql("SELECT sum(n) FROM incr_test").collect()[0][0]
+        assert n2 == ev.count()
+    finally:
+        q.stop()
+
+
 def test_streaming_hourly_equals_batch(spark, sf_smoke, tmp_path):
     from scidbgeo_spark import streaming
 
