@@ -396,6 +396,20 @@ def q_media_features(spark, sf_dir):  # rows-only: stubbed decoder
     return multimodal.extract_media_features(text.pages_from_documents(_docs(spark, sf_dir)))
 
 
+def q_events_cube(spark, sf_dir):
+    """CUBE rollup over (event_type, hour): the grouping-sets operator
+    class (absent in the reference; Spark/OLAP completeness)."""
+    from pyspark.sql import functions as F
+
+    ev = model.load_table(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias("hour")
+    return (
+        ev.select("event_type", hour)
+        .cube("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: per-user session count with a 1-hour inactivity
     gap (lag + cumulative gap-sum — the ordered-window operator class;
@@ -554,6 +568,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "media_features": q_media_features,
     "events_hourly": q_events_hourly,
+    "events_cube": q_events_cube,
     "sessionize": q_sessionize,
     "top_events_per_user": q_top_events_per_user,
     "dedup_exact": q_dedup_exact,

@@ -429,3 +429,9 @@ FROM kept
 WHERE len(string_split(text, ' ')) >= 10
   AND len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' ')) >= 0.3
 GROUP BY 1"""
+
+SQL["events_cube"] = """SELECT event_type,
+       strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS hour,
+       CAST(count(*) AS BIGINT) AS n
+FROM events
+GROUP BY CUBE (event_type, date_trunc('hour', ts))"""
