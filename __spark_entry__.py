@@ -157,11 +157,10 @@ def q_redimension_roundtrip_3d(spark, sf_dir):
     vectorize back (SciDB multiband [band;y;x] analog)."""
     from pyspark.sql import functions as F
 
-    from scidbgeo_spark.model import BANDS, RASTER3_W
+    from scidbgeo_spark.model import RASTER3_W
 
     coo3 = model.raster3_coo(spark, sf_dir)
-    n = model.load_table(spark, sf_dir, "events").count()
-    h3 = n // BANDS // RASTER3_W
+    _, h3, _ = model.raster3_dims(spark, sf_dir)
     tiles3 = tiling.pack_tiles_3d(coo3, CHUNK, h3, RASTER3_W)
     e = tiles3.select(
         "band", "y0", "x0", "w", F.posexplode("px").alias("pos", "value")
@@ -227,11 +226,10 @@ def q_between_tiles(spark, sf_dir):
 def q_overlay_add_bands(spark, sf_dir):
     """Multiband overlay: slice bands 0 and 1 of the 3-D raster, pack
     each, chunk-join + cellwise add (SciDBParallel.py:743-748 shape)."""
-    from scidbgeo_spark.model import BANDS, RASTER3_W
+    from scidbgeo_spark.model import RASTER3_W
 
     coo3 = model.raster3_coo(spark, sf_dir)
-    n = model.load_table(spark, sf_dir, "events").count()
-    h3 = n // BANDS // RASTER3_W
+    _, h3, _ = model.raster3_dims(spark, sf_dir)
     a = tiling.pack_tiles(pixel.slice_band(coo3, 0), CHUNK, h3, RASTER3_W)
     b = tiling.pack_tiles(pixel.slice_band(coo3, 1), CHUNK, h3, RASTER3_W)
     return tiling.tiles_to_coo(pixel.overlay_add_tiles(a, b), "result")
@@ -392,7 +390,7 @@ def q_multimodal_meta(spark, sf_dir):
     return multimodal.media_metadata(text.pages_from_documents(_docs(spark, sf_dir)))
 
 
-def q_media_features(spark, sf_dir):  # rows-only: stubbed decoder
+def q_media_features(spark, sf_dir):  # exact oracle: stub features are byte stats
     return multimodal.extract_media_features(text.pages_from_documents(_docs(spark, sf_dir)))
 
 
@@ -515,11 +513,11 @@ def q_ann_bruteforce_topk(spark, sf_dir):
     return similarity.ann_bruteforce_topk(_emb(spark, sf_dir))
 
 
-def q_ann_lsh_topk(spark, sf_dir):  # rows-only: approximate by design
+def q_ann_lsh_topk(spark, sf_dir):
     return similarity.ann_lsh_topk(_emb(spark, sf_dir))
 
 
-def q_ann_ivf_topk(spark, sf_dir):  # rows-only: approximate by design
+def q_ann_ivf_topk(spark, sf_dir):
     return similarity.ann_ivf_topk(_emb(spark, sf_dir))
 
 

@@ -66,9 +66,31 @@ def raster_coo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def raster_dims(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
-    """(H, W) of the derived raster.  One metadata-only count action."""
+    """(H, W) of the derived raster.  One metadata-only count action.
+
+    The derivation assumes the dense event-id range fills whole raster
+    rows; a non-multiple count would leave a ragged last row that every
+    tile path (zonal zip, focal reshape) silently mishandles vs the
+    oracle — so fail fast instead."""
     n = load_table(spark, sf_dir, "events").count()
+    if n % RASTER_W != 0:
+        raise ValueError(
+            f"events count {n} is not a multiple of RASTER_W={RASTER_W}; "
+            "the derived raster would have a ragged last row"
+        )
     return n // RASTER_W, RASTER_W
+
+
+def raster3_dims(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
+    """(BANDS, H3, W3) of the derived 3-D raster, with the same
+    fail-fast divisibility contract as :func:`raster_dims`."""
+    n = load_table(spark, sf_dir, "events").count()
+    if n % (BANDS * RASTER3_W) != 0:
+        raise ValueError(
+            f"events count {n} is not a multiple of BANDS*RASTER3_W="
+            f"{BANDS * RASTER3_W}; the 3-D raster would be ragged"
+        )
+    return BANDS, n // BANDS // RASTER3_W, RASTER3_W
 
 
 def raster3_coo(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,7 +13,7 @@ Spark and the oracle SQL.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from scidbgeo_spark.operators.text import md5_int
@@ -31,7 +31,16 @@ B = [(j * j * 7919 + 17) % P for j in range(N_HASHES)]
 def dup_corpus(docs: DataFrame) -> DataFrame:
     """documents + injected duplicates: exact copies (doc_id % 11 == 0,
     id + 200000) and near-duplicates with a prefix mutation
-    (doc_id % 7 == 0, id + 100000)."""
+    (doc_id % 7 == 0, id + 100000).
+
+    The injected ids collide with real ids iff any doc_id >= 100000; that
+    would silently corrupt pair semantics on BOTH engines (consistent but
+    meaningless), so it fails fast here (one pushdown-filtered probe)."""
+    if not docs.filter(F.col("doc_id") >= 100000).isEmpty():
+        raise ValueError(
+            "dup_corpus id-offset collision: documents has doc_id >= 100000; "
+            "raise the injection offsets"
+        )
     base = docs.select("doc_id", "text")
     near = (
         docs.filter(F.col("doc_id") % 7 == 0)
@@ -64,6 +73,18 @@ def shingles_col(text: Column | str, k: int = SHINGLE_K) -> Column:
     return F.array_distinct(sh)
 
 
+def hashed_shingles(corpus: DataFrame) -> DataFrame:
+    """(doc_id, hs64): distinct shingles reduced to 60-bit md5-prefix
+    hashes, computed ONCE per document.  Every downstream consumer
+    (signatures, simhash, Jaccard verify) reads this array instead of
+    re-hashing strings — and the verify join ships 8-byte longs, not
+    shingle strings.  Jaccard over the 60-bit hashes equals Jaccard over
+    the strings absent a collision (~n^2/2^61); the oracle uses the same
+    hashes, so results agree bitwise regardless."""
+    hs = F.transform(shingles_col("text"), md5_int)
+    return corpus.select("doc_id", hs.alias("hs64"))
+
+
 def _affine_min(j: int) -> Column:
     return F.array_min(
         F.transform(F.col("hs"), lambda h: (h * A[j] + B[j]) % P)
@@ -72,12 +93,13 @@ def _affine_min(j: int) -> Column:
 
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
     """(doc_id, mh_0..mh_15): per-document MinHash signature over word
-    shingles — fully JVM-side, oracle-reproducible.  The shingle md5s are
-    materialized once per document (a projection barrier), then the 16
-    affine minima read the shared array — without it Catalyst inlines the
-    md5 tree into every signature column (16x the hashing work)."""
-    hs = F.transform(shingles_col("text"), lambda s: md5_int(s) % P)
-    return corpus.select("doc_id", hs.alias("hs")).select(
+    shingles — fully JVM-side, oracle-reproducible.  The mod-P shingle
+    hashes are materialized once per document (a projection barrier: the
+    16-way-referenced alias survives CollapseProject), then the 16 affine
+    minima read the shared array — without it Catalyst inlines the md5
+    tree into every signature column (16x the hashing work)."""
+    hsP = F.transform(F.col("hs64"), lambda h: h % P)
+    return hashed_shingles(corpus).select("doc_id", hsP.alias("hs")).select(
         "doc_id", *[_affine_min(j) for j in range(N_HASHES)]
     )
 
@@ -100,14 +122,30 @@ def minhash_bands(corpus: DataFrame) -> DataFrame:
     )
 
 
-def minhash_dup_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+BUCKET_CAP = 200  # LSH buckets larger than this are skipped (boilerplate)
+
+
+def minhash_dup_pairs(
+    corpus: DataFrame, threshold: float = 0.5, bucket_cap: int = BUCKET_CAP
+) -> DataFrame:
     """Near-dup pairs: LSH candidates (shared band bucket) verified by
-    exact shingle-set Jaccard >= threshold.  The candidate join shuffles
-    only (doc_id, bucket) pairs; the verify join carries shingle sets for
-    candidates only — the standard MinHash+LSH scale shape."""
+    exact shingle-set Jaccard >= threshold over the 60-bit shingle hashes.
+    The candidate join shuffles only (doc_id, bucket) pairs; the verify
+    join carries hash arrays (8-byte longs) for candidates only — the
+    standard MinHash+LSH scale shape.
+
+    Hot-bucket cap: a bucket of m near-identical documents yields m^2
+    candidates, so buckets larger than ``bucket_cap`` are dropped (web
+    boilerplate at scale).  The cap is part of the operator's semantics —
+    the DuckDB oracle applies the identical QUALIFY — and is far above any
+    fixture bucket size, so fixture output equals the uncapped run."""
     bands = minhash_bands(corpus)
-    left = bands.alias("l")
-    right = bands.alias("r")
+    bw = Window.partitionBy("band", "bucket")
+    capped = bands.withColumn("bsz", F.count("*").over(bw)).filter(
+        F.col("bsz") <= bucket_cap
+    )
+    left = capped.alias("l")
+    right = capped.alias("r")
     cand = (
         left.join(
             right,
@@ -118,9 +156,49 @@ def minhash_dup_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    sh = corpus.select("doc_id", shingles_col("text").alias("sh"))
+    sh = hashed_shingles(corpus)
     j = (
-        cand.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a")
+        cand.join(sh.select(F.col("doc_id").alias("a"), F.col("hs64").alias("sha")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("hs64").alias("shb")), "b")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    return (
+        j.select("a", "b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+NGRAM_DF_CAP = 500  # shingles present in more docs than this are dropped
+
+
+def ngram_jaccard_pairs(
+    corpus: DataFrame, threshold: float = 0.5, df_cap: int = NGRAM_DF_CAP
+) -> DataFrame:
+    """Exhaustive candidate generation by shared shingle (no MinHash
+    approximation): explode distinct shingle hashes, self-join, exact
+    Jaccard.  The scale path is minhash_dup_pairs; this is the exact
+    baseline.
+
+    Document-frequency cap: a natural-language hot shingle appearing in f
+    documents contributes f^2 join rows, so shingles with df > ``df_cap``
+    are excluded from candidate generation (NOT from the Jaccard itself).
+    A pair sharing ONLY ultra-common shingles can no longer become a
+    candidate — at any realistic threshold such a pair is far below it
+    anyway, and the oracle applies the identical cap."""
+    sh = hashed_shingles(corpus).withColumnRenamed("hs64", "sh")
+    ex = sh.select("doc_id", F.explode("sh").alias("s"))
+    rare = ex.groupBy("s").agg(F.count("*").alias("df")).filter(F.col("df") <= df_cap)
+    exr = ex.join(rare.select("s"), "s")
+    pairs = (
+        exr.alias("l")
+        .join(exr.alias("r"), (F.col("l.s") == F.col("r.s")) & (F.col("l.doc_id") < F.col("r.doc_id")))
+        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+        .agg(F.count("*").alias("n_shared_rare"))
+        .select("a", "b")
+    )
+    j = (
+        pairs.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a")
         .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")), "b")
     )
     inter = F.size(F.array_intersect("sha", "shb"))
@@ -131,42 +209,29 @@ def minhash_dup_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Exhaustive candidate generation by shared shingle (no MinHash
-    approximation): explode distinct shingles, self-join, exact Jaccard.
-    The scale path is minhash_dup_pairs; this is the exact baseline."""
-    sh = corpus.select("doc_id", shingles_col("text").alias("sh"))
-    ex = sh.select("doc_id", F.explode("sh").alias("s"))
-    pairs = (
-        ex.alias("l")
-        .join(ex.alias("r"), (F.col("l.s") == F.col("r.s")) & (F.col("l.doc_id") < F.col("r.doc_id")))
-        .groupBy(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
-        .agg(F.count("*").alias("inter"))
-    )
-    sizes = sh.select("doc_id", F.size("sh").alias("n"))
-    j = (
-        pairs.join(sizes.select(F.col("doc_id").alias("a"), F.col("n").alias("na")), "a")
-        .join(sizes.select(F.col("doc_id").alias("b"), F.col("n").alias("nb")), "b")
-    )
-    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
-    return j.select("a", "b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
-
-
 SIMHASH_BITS = 16
 
 
 def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     """SimHash over shingle hashes: bit i of the fingerprint is the sign
     of sum(+1/-1 votes of bit i across shingles).  JVM-side; 16 bits keeps
-    the oracle SQL tractable (the semantics are bit-count-agnostic)."""
-    sh = shingles_col("text")
-    hs = F.transform(sh, lambda s: md5_int(s) % P)
+    the oracle SQL tractable (the semantics are bit-count-agnostic).
+
+    The mod-P hash array is materialized in a preceding select (same
+    projection barrier as minhash_signatures) so the 16 bit-vote
+    ``aggregate`` columns share ONE md5 pass instead of Catalyst inlining
+    the shingle-hash tree into each."""
 
     def _vote(i: int):
         return lambda a, h: a + (F.shiftright(h, i) % 2) * 2 - 1
 
     acc = F.lit(0).cast("long")
     for i in range(bits):
-        vote = F.aggregate(hs, F.lit(0).cast("long"), _vote(i))
+        vote = F.aggregate(F.col("hs"), F.lit(0).cast("long"), _vote(i))
         acc = acc + F.when(vote > 0, F.lit(2**i)).otherwise(F.lit(0))
-    return corpus.select("doc_id", acc.alias("simhash"))
+    hsP = F.transform(F.col("hs64"), lambda h: h % P)
+    return (
+        hashed_shingles(corpus)
+        .select("doc_id", hsP.alias("hs"))
+        .select("doc_id", acc.alias("simhash"))
+    )

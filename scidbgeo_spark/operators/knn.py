@@ -37,6 +37,9 @@ def _cells_in_ring(qcy: int, qcx: int, r: int) -> set[int]:
     return cells
 
 
+BULK_ROUTE_THRESHOLD = 64  # above this many queries, use the bulk join path
+
+
 def knn(
     spark: SparkSession,
     points: DataFrame,
@@ -46,10 +49,15 @@ def knn(
     """queries: small DataFrame (q_id, qlon, qlat) — collected to the
     driver (bounded by design: the query side of a kNN join is the small
     side; the reference's analog is the broadcast-right equi_join).
+    Query sets above BULK_ROUTE_THRESHOLD are routed to
+    :func:`knn_join_bulk` automatically — the broadcast/IN-list plan is
+    only ever built for genuinely small query sides.
 
     Returns (q_id, doc_id, rank) with rank 1..k.
     """
-    qrows = queries.collect()
+    qrows = queries.limit(BULK_ROUTE_THRESHOLD + 1).collect()
+    if len(qrows) > BULK_ROUTE_THRESHOLD:
+        return knn_join_bulk(spark, points, queries, k=k)
     qcells = [
         (int((r.qlat + 90) // CELL), int((r.qlon + 180) // CELL)) for r in qrows
     ]
@@ -85,24 +93,30 @@ def knn(
         )
         if exact:
             break
-        # certification: per-query k-th distance must beat the pruning bound
-        kth = topk.groupBy("q_id").agg(F.max("d2").alias("dk"), F.count("*").alias("n")).collect()
+        # certification: per-query k-th distance must beat the pruning
+        # bound — reduced to ONE driver-side row (count of certified
+        # queries), never a per-query list
         bound = (r * CELL) ** 2
-        if len(kth) == len(qrows) and all(
-            row.n >= min(k, 1) and row.n == k and row.dk < bound for row in kth
-        ):
+        kth = topk.groupBy("q_id").agg(F.max("d2").alias("dk"), F.count("*").alias("n"))
+        n_certified = (
+            kth.filter((F.col("n") == k) & (F.col("dk") < bound))
+            .agg(F.count("*").alias("c"))
+            .collect()[0][0]
+        )
+        if n_certified == len(qrows):
             break
         r *= 2
         r = min(r, max_r)
     return topk.select("q_id", "doc_id", "rank")
 
 
-def _ring_cells_col(r: int):
+def _ring_cells_col(r: int, cell: float = CELL):
     """All cells within Chebyshev radius r of the query's cell, as a JVM
     array expression (no driver-side enumeration — queries stay
     distributed)."""
-    qcy = F.floor((F.col("qlat") + 90.0) / CELL).cast("long")
-    qcx = F.floor((F.col("qlon") + 180.0) / CELL).cast("long")
+    nx, ny = int(360 / cell), int(180 / cell)
+    qcy = F.floor((F.col("qlat") + 90.0) / cell).cast("long")
+    qcx = F.floor((F.col("qlon") + 180.0) / cell).cast("long")
     dy = F.sequence(F.lit(-r), F.lit(r))
     return F.flatten(
         F.transform(
@@ -112,10 +126,10 @@ def _ring_cells_col(r: int):
                     F.sequence(F.lit(-r), F.lit(r)),
                     lambda ox: F.when(
                         (qcy + oy >= 0)
-                        & (qcy + oy < NY)
+                        & (qcy + oy < ny)
                         & (qcx + ox >= 0)
-                        & (qcx + ox < NX),
-                        (qcy + oy) * NX + (qcx + ox),
+                        & (qcx + ox < nx),
+                        (qcy + oy) * nx + (qcx + ox),
                     ),
                 ),
                 lambda c: c.isNotNull(),
@@ -130,6 +144,7 @@ def knn_join_bulk(
     queries: DataFrame,
     k: int = 10,
     max_rounds: int = 6,
+    cell: float = CELL,
 ) -> DataFrame:
     """Many-query kNN join — the sort-merge path for query sets too large
     to broadcast or driver-loop:
@@ -138,19 +153,23 @@ def knn_join_bulk(
     into (cell, query) rows; a plain equi-join on ``cell`` co-locates
     candidates (sort-merge/shuffle-hash — Catalyst's pick), a window takes
     exact per-query top-k, and queries whose k-th distance is certified
-    (< (r*CELL)^2 with a full count) leave the loop.  Remaining queries
-    double r; after max_rounds the fallback joins them against the full
-    point table.  Only per-query certification flags return to the driver
-    (O(|Q|) booleans, not data).
+    (< (r*CELL)^2 with a full count) leave the loop via a DISTRIBUTED
+    semi-join; uncertified ones continue via a left-anti join.  Remaining
+    queries double r; after max_rounds the fallback joins them against the
+    full point table.  NOTHING per-query returns to the driver — the only
+    driver-side signal is one emptiness boolean per round, so the plan
+    holds at millions of queries.  The certified-id frame is
+    localCheckpoint'd each round to keep plan depth bounded.
 
     Deterministic: ordering ties break on doc_id; results equal the
     brute-force cross join (pinned by tests).
     """
+    nx = int(360 / cell)
     pts = points.withColumn(
         "cell",
         (
-            F.floor((F.col("lat") + 90.0) / CELL) * NX
-            + F.floor((F.col("lon") + 180.0) / CELL)
+            F.floor((F.col("lat") + 90.0) / cell) * nx
+            + F.floor((F.col("lon") + 180.0) / cell)
         ).cast("long"),
     )
     d2 = (F.col("lon") - F.col("qlon")) * (F.col("lon") - F.col("qlon")) + (
@@ -163,7 +182,7 @@ def knn_join_bulk(
     r = 1
     for _ in range(max_rounds):
         ring = remaining.select(
-            "q_id", "qlon", "qlat", F.explode(_ring_cells_col(r)).alias("cell")
+            "q_id", "qlon", "qlat", F.explode(_ring_cells_col(r, cell)).alias("cell")
         )
         cand = ring.join(pts, "cell")  # co-located equi-join on cell
         topk = (
@@ -172,16 +191,17 @@ def knn_join_bulk(
             .filter(F.col("rank") <= k)
             .select("q_id", "doc_id", "rank", "d2")
         )
-        bound = float((r * CELL) ** 2)
+        bound = float((r * cell) ** 2)
         cert = topk.groupBy("q_id").agg(F.max("d2").alias("dk"), F.count("*").alias("n"))
-        done_ids = [
-            row.q_id for row in cert.collect() if row.n == k and row.dk < bound
-        ]
-        if done_ids:
-            results.append(
-                topk.filter(F.col("q_id").isin(done_ids)).select("q_id", "doc_id", "rank")
-            )
-        remaining = remaining.filter(~F.col("q_id").isin(done_ids) if done_ids else F.lit(True))
+        done = (
+            cert.filter((F.col("n") == k) & (F.col("dk") < bound))
+            .select("q_id")
+            .localCheckpoint()
+        )
+        results.append(
+            topk.join(done, "q_id", "left_semi").select("q_id", "doc_id", "rank")
+        )
+        remaining = remaining.join(done, "q_id", "left_anti")
         if remaining.isEmpty():
             break
         r *= 2

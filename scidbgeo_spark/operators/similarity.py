@@ -158,7 +158,13 @@ def ann_ivf_topk(emb: DataFrame, n_queries: int = 8, k: int = 5, nprobe: int = I
 
 def embedding_corpus_with_dups(emb: DataFrame) -> DataFrame:
     """embeddings + exact copies for vec_id % 5 == 0 (id + 10000) — the
-    deterministic near-dup fixture (oracle mirrors it)."""
+    deterministic near-dup fixture (oracle mirrors it).  Fails fast if the
+    id offset would collide with a real vec_id (one pushdown probe)."""
+    if not emb.filter(F.col("vec_id") >= 10000).isEmpty():
+        raise ValueError(
+            "embedding_corpus_with_dups id-offset collision: vec_id >= 10000 "
+            "exists; raise the injection offset"
+        )
     dups = emb.filter(F.col("vec_id") % 5 == 0).select(
         (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
     )

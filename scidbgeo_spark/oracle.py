@@ -333,28 +333,40 @@ SQL["minhash_bands"] = (
     "SELECT doc_id, CAST(band AS INT) AS band, bucket FROM bands"
 )
 
+from scidbgeo_spark.operators.dedup import BUCKET_CAP, NGRAM_DF_CAP  # noqa: E402
+
+# 60-bit shingle hashes (NO mod P) — the verify-join currency: Jaccard
+# over these equals Jaccard over shingle strings absent a 2^-61 collision,
+# and both engines use the identical hashes so they agree bitwise anyway.
+HV64 = f"hv64 AS (SELECT doc_id, list_transform(sh, s -> {_MD5INT.format(x='s')}) AS hs FROM sh)"
+
 _JACCARD_TAIL = """
 SELECT c.a, c.b,
-       len(list_intersect(l.sh, r.sh))
-         / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) AS jaccard
-FROM cand c JOIN sh l ON l.doc_id = c.a JOIN sh r ON r.doc_id = c.b
-WHERE len(list_intersect(l.sh, r.sh))
-      / (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh))) >= 0.5"""
+       len(list_intersect(l.hs, r.hs))
+         / (len(l.hs) + len(r.hs) - len(list_intersect(l.hs, r.hs))) AS jaccard
+FROM cand c JOIN hv64 l ON l.doc_id = c.a JOIN hv64 r ON r.doc_id = c.b
+WHERE len(list_intersect(l.hs, r.hs))
+      / (len(l.hs) + len(r.hs) - len(list_intersect(l.hs, r.hs))) >= 0.5"""
 
-SQL["minhash_dup_pairs"] = f"""WITH {CORPUS}, {SHINGLES}, {SIG}, {BANDS},
+SQL["minhash_dup_pairs"] = f"""WITH {CORPUS}, {SHINGLES}, {HV64}, {SIG}, {BANDS},
+bands_c AS (
+  SELECT * FROM bands
+  QUALIFY count(*) OVER (PARTITION BY band, bucket) <= {BUCKET_CAP}
+),
 cand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-  FROM bands l JOIN bands r
+  FROM bands_c l JOIN bands_c r
     ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id
 )
 {_JACCARD_TAIL}"""
 
-SQL["ngram_jaccard_pairs"] = f"""WITH {CORPUS}, {SHINGLES},
+SQL["ngram_jaccard_pairs"] = f"""WITH {CORPUS}, {SHINGLES}, {HV64},
+ex AS (SELECT doc_id, unnest(hs) AS s FROM hv64),
+rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= {NGRAM_DF_CAP}),
+exr AS (SELECT ex.doc_id, ex.s FROM ex JOIN rare USING (s)),
 cand AS (
   SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-  FROM (SELECT doc_id, unnest(sh) AS s FROM sh) l
-  JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) r
-    ON l.s = r.s AND l.doc_id < r.doc_id
+  FROM exr l JOIN exr r ON l.s = r.s AND l.doc_id < r.doc_id
 )
 {_JACCARD_TAIL}"""
 
@@ -384,8 +396,109 @@ SELECT q_id, vec_id, CAST(rn AS INT) AS rank FROM (
   FROM dots
 ) WHERE rn <= 5"""
 
-SQL["embedding_neardup_pairs"] = """SELECT vec_id AS a, vec_id + 10000 AS b
-FROM embeddings WHERE vec_id % 5 = 0"""
+# Semantic twin: ALL pairs at cosine >= 0.99 over the dup-injected corpus
+# (brute force — no fixture snapshot, so an engine miss or an organic
+# near-pair at a future scale factor is a real gate failure).
+# list_dot_product is bitwise-equal to the streaming per-index SUM
+# (verified against sf0.01 data), which round 1 validated against Spark's
+# sequential aggregate fold.
+_COS = (
+    "list_dot_product({a}, {b}) / "
+    "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+)
+
+SQL["embedding_neardup_pairs"] = f"""WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding::DOUBLE[] AS ee
+  FROM embeddings WHERE vec_id % 5 = 0
+)
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE {_COS.format(a='a.ee', b='b.ee')} >= 0.99"""
+
+# -- exact oracle twins for the approximate ANN paths -------------------------
+# The LSH/IVF pipelines are deterministic (hash-derived hyperplanes, data-
+# sample centroids), so DuckDB can reproduce buckets, probes, candidates
+# and the rerank exactly — approximation does NOT mean rows-only.
+
+from scidbgeo_spark.operators.similarity import (  # noqa: E402
+    IVF_CENTROID_MOD,
+    IVF_NPROBE,
+    N_PLANES,
+    N_TABLES,
+    _plane,
+)
+
+
+def _plane_lit(j: int) -> str:
+    return "[" + ", ".join(repr(v) for v in _plane(j)) + "]::DOUBLE[]"
+
+
+_EMB_D = "e AS (SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings)"
+
+_lsh_tables = []
+for _t in range(N_TABLES):
+    _bits = " + ".join(
+        f"(CASE WHEN list_dot_product(ee, {_plane_lit(_t * N_PLANES + _j)}) > 0"
+        f" THEN {2 ** _j} ELSE 0 END)"
+        for _j in range(N_PLANES)
+    )
+    _lsh_tables.append(f"SELECT vec_id, {_t} AS tbl, {_bits} AS bucket FROM e")
+
+_ANN_RERANK = f"""sims AS (
+  SELECT c.q_id, c.vec_id, {_COS.format(a='qe.ee', b='ce.ee')} AS sim
+  FROM cand c JOIN e qe ON qe.vec_id = c.q_id JOIN e ce ON ce.vec_id = c.vec_id
+)
+SELECT q_id, vec_id, CAST(rn AS INT) AS rank FROM (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id) AS rn
+  FROM sims
+) WHERE rn <= 5"""
+
+SQL["ann_lsh_topk"] = f"""WITH {_EMB_D},
+bk AS ({' UNION ALL '.join(_lsh_tables)}),
+cand AS (
+  SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS vec_id
+  FROM bk b JOIN bk q ON b.tbl = q.tbl AND b.bucket = q.bucket
+  WHERE q.vec_id < 8
+),
+{_ANN_RERANK}"""
+
+SQL["ann_ivf_topk"] = f"""WITH {_EMB_D},
+cent AS (SELECT vec_id AS centroid_id, ee AS ce FROM e WHERE vec_id % {IVF_CENTROID_MOD} = 0),
+csim AS (
+  SELECT e.vec_id, cent.centroid_id, {_COS.format(a='cent.ce', b='e.ee')} AS csim
+  FROM e CROSS JOIN cent
+),
+lists AS (
+  SELECT vec_id, centroid_id FROM csim
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) <= 1
+),
+probes AS (
+  SELECT vec_id AS q_id, centroid_id FROM csim WHERE vec_id < 8
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, centroid_id) <= {IVF_NPROBE}
+),
+cand AS (SELECT p.q_id, l.vec_id FROM lists l JOIN probes p USING (centroid_id)),
+{_ANN_RERANK}"""
+
+# Exact oracle for the stub media featurizer: the features are plain byte
+# statistics of the html blob, SQL-computable from its hex dump.
+SQL["media_features"] = """WITH pages AS (
+  SELECT doc_id, encode('<html><body>' || text || '</body></html>') AS b
+  FROM documents
+),
+byt AS (
+  SELECT doc_id,
+         list_transform(range(1, octet_length(b) + 1),
+                        i -> ('0x' || substr(hex(b), 2 * i - 1, 2))::BIGINT) AS bytes
+  FROM pages
+)
+SELECT doc_id,
+       CAST(list_sum(bytes) AS DOUBLE) / len(bytes) AS mean_byte,
+       CAST(list_max(bytes) AS DOUBLE) AS max_byte,
+       CAST(len(bytes) AS DOUBLE) AS n_bytes
+FROM byt"""
 
 # Z-order (Morton) cell id — mirrors operators.pip.zorder_cell_col bitwise
 _zx = "CAST(floor((lon + 180.0) / 0.01) AS BIGINT)"

@@ -94,3 +94,66 @@ def test_entry_smoke(spark):
     assert df.columns == ["id", "min_value", "max_value", "avg_value", "count_value"]
     assert len(rows) >= 1
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def _synth_points(spark, n):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(-180.0) + ((F.col("id") * 9973) % 360000) / F.lit(1000.0)).alias("lon"),
+        (F.lit(-90.0) + ((F.col("id") * 7919) % 180000) / F.lit(1000.0)).alias("lat"),
+    )
+
+
+def test_knn_routes_large_query_sets_to_bulk(spark, sf_correct, monkeypatch):
+    """Above BULK_ROUTE_THRESHOLD queries, knn() must delegate to the
+    distributed bulk path instead of collecting the query side."""
+    sentinel = object()
+    called = {}
+
+    def fake_bulk(s, pts, queries, k=10, **kw):
+        called["k"] = k
+        return sentinel
+
+    monkeypatch.setattr(knn_mod, "knn_join_bulk", fake_bulk)
+    pts = model.points(spark, sf_correct)
+    queries = _synth_points(spark, knn_mod.BULK_ROUTE_THRESHOLD + 10).select(
+        F.col("doc_id").alias("q_id"),
+        F.col("lon").alias("qlon"),
+        F.col("lat").alias("qlat"),
+    )
+    assert knn_mod.knn(spark, pts, queries, k=7) is sentinel
+    assert called["k"] == 7
+
+
+def test_knn_bulk_hundred_thousand_queries(spark):
+    """10^5-query bulk kNN: certification must stay distributed (semi/anti
+    joins) — the driver sees only per-round emptiness booleans.  Validated
+    by invariants on the full output plus a brute-force NumPy check on a
+    sample of queries."""
+    n_pts, n_q, k = 200_000, 100_000, 1
+    pts = _synth_points(spark, n_pts)
+    queries = spark.range(n_q).select(
+        F.col("id").alias("q_id"),
+        (F.lit(-180.0) + ((F.col("id") * 31337) % 360000) / F.lit(1000.0)).alias("qlon"),
+        (F.lit(-90.0) + ((F.col("id") * 27644437) % 180000) / F.lit(1000.0)).alias("qlat"),
+    )
+    out = knn_mod.knn_join_bulk(spark, pts, queries, k=k, cell=1.0)
+    rows = out.collect()
+    assert len(rows) == n_q * k
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.q_id, []).append(r.rank)
+    assert len(per_q) == n_q
+    assert all(sorted(v) == list(range(1, k + 1)) for v in per_q.values())
+
+    # exact spot-check vs brute force on 20 deterministic queries
+    import numpy as np
+
+    ids = np.arange(n_pts, dtype=np.int64)
+    lon = -180.0 + ((ids * 9973) % 360000) / 1000.0
+    lat = -90.0 + ((ids * 7919) % 180000) / 1000.0
+    got = {r.q_id: r.doc_id for r in rows if r.q_id % 5000 == 0}
+    for q in queries.filter(F.col("q_id") % 5000 == 0).collect():
+        d2 = (lon - q.qlon) ** 2 + (lat - q.qlat) ** 2
+        best = ids[np.lexsort((ids, d2))[0]]
+        assert got[q.q_id] == int(best), q.q_id
