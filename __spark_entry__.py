@@ -125,6 +125,26 @@ def q_merge_insert(spark, sf_dir):
     return tiling.tiles_to_coo(merged, "value")
 
 
+def q_merge_insert_catalog(spark, sf_dir):
+    """The merge_insert upsert routed through the transactional
+    SnapshotCatalog (MERGE INTO + snapshot commit + read-back): same
+    oracle as merge_insert — the catalog layer must not change results.
+    Exercises the real write path: copy-on-write parquet partitions, an
+    atomic manifest commit, then a snapshot read."""
+    import tempfile
+
+    from scidbgeo_spark.catalog import SnapshotCatalog
+
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    window = pixel.between(model.raster_coo(spark, sf_dir), 0, 0, 49, 99)
+    updated = pixel.reclassify(window, 87, 1000, other=-99)
+    up_tiles = tiling.pack_tiles(updated, CHUNK, h, w, value_col="newvalue")
+    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="scidbgeo_snapcat_"))
+    cat.create("raster", tiles)
+    cat.merge("raster", up_tiles)
+    return tiling.tiles_to_coo(cat.read("raster"), "value")
+
+
 def q_reclassify_persist(spark, sf_dir):
     return pixel.reclassify(model.raster_coo(spark, sf_dir), 87, 1000, other=-99)
 
@@ -145,6 +165,31 @@ def q_raster_add(spark, sf_dir):
     tiles, _, _ = _raster_tiles(spark, sf_dir)
     added = pixel.overlay_add_tiles(tiles, tiles)
     return tiling.tiles_to_coo(added, "result")
+
+
+def q_geotiff_ingest(spark, sf_dir):
+    """REAL raster ingest end-to-end: serialize the deterministic raster
+    as an actual GeoTIFF file (pure-NumPy writer), then ingest it through
+    the binaryFile -> strip-windowed parse path
+    (GDALtoSciDB_multiprocessing.py:300-320 analog).  Oracle: the plain
+    COO derivation — bytes on disk must round-trip exactly."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from scidbgeo_spark.model import VALUE_MOD, VALUE_MULT
+    from scidbgeo_spark.sources import geotiff
+
+    h, w = model.raster_dims(spark, sf_dir)
+    if h * w > 50_000_000:
+        raise ValueError("fixture writer is driver-side; raster too large")
+    eid = np.arange(h * w, dtype=np.int64)
+    arr = ((eid * VALUE_MULT) % VALUE_MOD).astype(np.int32).reshape(h, w)
+    d = tempfile.mkdtemp(prefix="scidbgeo_tiff_")
+    with open(os.path.join(d, "raster.tif"), "wb") as f:
+        f.write(geotiff.write_tiff(arr))
+    return geotiff.geotiff_coo(spark, d)
 
 
 def q_redimension_roundtrip(spark, sf_dir):
@@ -306,6 +351,34 @@ def q_zonal_stats_float(spark, sf_dir):
     )
 
 
+def q_zonal_stats_multi(spark, sf_dir):
+    """Zonal statistics over a MULTI-ATTRIBUTE array (reference
+    arrayType == 2, SciDBParallel.py:55-83): one chunk table carrying two
+    value attributes, aggregated per zone in a single pass — stats on
+    attribute a, sum of attribute b."""
+    from pyspark.sql import functions as F
+
+    coo = model.raster_coo_multi(spark, sf_dir)
+    h, w = model.raster_dims(spark, sf_dir)
+    tiles = tiling.pack_tiles_multi(coo, CHUNK, h, w, ["va", "vb"])
+    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    j = tiles.join(zt.select("tile_y", "tile_x", "zid"), ["tile_y", "tile_x"])
+    flat = j.select(
+        F.explode(F.arrays_zip("zid", "px_va", "px_vb")).alias("c")
+    ).select(
+        F.col("c.zid").cast("long").alias("id"),
+        F.col("c.px_va").alias("va"),
+        F.col("c.px_vb").alias("vb"),
+    )
+    return flat.groupBy("id").agg(
+        F.min("va").alias("min_a"),
+        F.max("va").alias("max_a"),
+        F.avg("va").alias("avg_a"),
+        F.count("va").alias("count_a"),
+        F.sum("vb").alias("sum_b"),
+    )
+
+
 def q_cell_index(spark, sf_dir):
     pts = model.points(spark, sf_dir)
     return pts.select("doc_id", pip.cell_col().alias("cell"))
@@ -333,6 +406,15 @@ def q_pip_grid(spark, sf_dir):
 def q_pip_poly(spark, sf_dir):
     pts = model.points(spark, sf_dir)
     return pip.pip_join(spark, pts, fixtures.GEO_POLYGONS).select("doc_id", "zone_id")
+
+
+def q_pip_poly_df(spark, sf_dir):
+    """pip_poly with the polygon layer as a DataFrame (no driver-side
+    polygon structures — the millions-of-polygons shape); same oracle as
+    pip_poly: the layer representation must not change results."""
+    pts = model.points(spark, sf_dir)
+    poly = pip.polygons_df(spark, fixtures.GEO_POLYGONS)
+    return pip.pip_join_df(spark, pts, poly).select("doc_id", "zone_id")
 
 
 def q_pip_grid_salted(spark, sf_dir):
@@ -531,12 +613,14 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_pixels_true": q_count_pixels_true,
     "count_pixels_sql": q_count_pixels_sql,
     "merge_insert": q_merge_insert,
+    "merge_insert_catalog": q_merge_insert_catalog,
     "reclassify_sum": q_reclassify_sum,
     "reclassify_persist": q_reclassify_persist,
     "between_window": q_between_window,
     "subarray": q_subarray,
     "slice_band": q_slice_band,
     "raster_add": q_raster_add,
+    "geotiff_ingest": q_geotiff_ingest,
     "redimension_roundtrip": q_redimension_roundtrip,
     "redimension_roundtrip_3d": q_redimension_roundtrip_3d,
     "zonal_stats_rect": q_zonal_stats_rect,
@@ -544,6 +628,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats_broadcast": q_zonal_stats_broadcast,
     "zonal_stats_sortmerge": q_zonal_stats_sortmerge,
     "zonal_stats_float": q_zonal_stats_float,
+    "zonal_stats_multi": q_zonal_stats_multi,
     "extract_geotags": q_extract_geotags,
     "join_reclass": q_join_reclass,
     "focal_mean_sum": q_focal_mean_sum,
@@ -555,6 +640,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_index": q_cell_index,
     "pip_grid": q_pip_grid,
     "pip_poly": q_pip_poly,
+    "pip_poly_df": q_pip_poly_df,
     "pip_grid_salted": q_pip_grid_salted,
     "knn": q_knn,
     "knn_bulk": q_knn_bulk,

@@ -8,14 +8,26 @@ introspection surface (scidb.py):
   (the reference sizes its ingest partitioning from the instance count;
   the engine reads Spark's default parallelism)
 
-Tables live as temp views (session catalog) or parquet dirs (persistent);
-Iceberg would slot in here behind the same calls (config switch, no code
-dependency — SURVEY §7).
+Tables live as temp views (session catalog) or parquet dirs (persistent).
+
+:class:`SnapshotCatalog` adds the transactional layer (the Iceberg-shape
+semantics, implemented on plain parquet + JSON manifests so it runs in
+this container): snapshot-isolated MERGE of chunk updates with
+copy-on-write at tile_y-partition granularity, snapshot listing
+(SciDB ``versions(A)``), time-travel reads, optimistic commit via
+exclusive manifest creation, and snapshot expiry (version GC).  Swapping
+in real Iceberg is a config + writeTo change behind the same methods.
 """
 
 from __future__ import annotations
 
+import json
+import os
+import shutil
+import time
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 class ArrayCatalog:
@@ -79,3 +91,199 @@ class ArrayCatalog:
             return True
         except Exception:  # noqa: BLE001
             return False
+
+
+class SnapshotCatalog:
+    """Transactional chunk-table store: MERGE + versions on plain parquet.
+
+    The reference's array lifecycle is ``insert(redimension(...), A)``
+    upserts plus ``versions(A)`` / ``remove_versions`` bookkeeping
+    (SciDBParallel.py:346-348, scidb.py:126-156).  The production Spark
+    analog is an Iceberg table (MERGE INTO, snapshots, expire_snapshots);
+    this class implements the same semantics on the filesystem so the
+    engine is self-contained:
+
+    - each **snapshot** is a JSON manifest mapping ``tile_y`` partition
+      keys to immutable data directories;
+    - **merge** is copy-on-write at partition granularity: only
+      partitions containing updated chunks are rewritten (merged with
+      :func:`tiling.merge_into_tiles` chunk-upsert semantics); untouched
+      partitions are inherited from the parent manifest by reference;
+    - **commit** is optimistic: the manifest file is hard-linked into
+      place (atomic create-if-absent); losing a race re-merges against
+      the winner's snapshot and retries;
+    - **expire** drops old manifests and any data directory no kept
+      snapshot references (the reference's version GC).
+
+    Readers always see a complete snapshot: a manifest is only visible
+    after its data dirs are fully written, and data dirs are never
+    mutated.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str):
+        self.spark = spark
+        self.warehouse = warehouse
+
+    # -- layout --------------------------------------------------------------
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.warehouse, name)
+
+    def _manifest_dir(self, name: str) -> str:
+        return os.path.join(self._dir(name), "manifests")
+
+    def _manifest_path(self, name: str, version: int) -> str:
+        return os.path.join(self._manifest_dir(name), f"v{version:06d}.json")
+
+    def versions(self, name: str) -> list[dict]:
+        """All snapshots, oldest first — ``versions(A)`` (scidb.py:126-156)."""
+        mdir = self._manifest_dir(name)
+        out = []
+        for f in sorted(os.listdir(mdir)):
+            if f.endswith(".json"):
+                with open(os.path.join(mdir, f)) as fh:
+                    m = json.load(fh)
+                out.append(m)
+        return out
+
+    def current_version(self, name: str) -> int:
+        vs = [m["version"] for m in self.versions(name)]
+        if not vs:
+            raise FileNotFoundError(f"no snapshots for table {name}")
+        return max(vs)
+
+    def _read_manifest(self, name: str, version: int) -> dict:
+        with open(self._manifest_path(name, version)) as fh:
+            return json.load(fh)
+
+    # -- writes ---------------------------------------------------------------
+    def _write_partitions(self, name: str, version: int, tiles: DataFrame) -> dict[str, str]:
+        """Write one immutable data dir for this snapshot, hive-split by
+        tile_y (``pt_y`` is a throwaway copy so ``tile_y`` itself stays a
+        data column and per-partition dirs are self-contained).  Returns
+        {tile_y: relative_path}."""
+        rel = f"data/v{version:06d}"
+        path = os.path.join(self._dir(name), rel)
+        tiles.withColumn("pt_y", F.col("tile_y")).write.mode("error").partitionBy(
+            "pt_y"
+        ).parquet(path)
+        parts = {}
+        for d in os.listdir(path):
+            if d.startswith("pt_y="):
+                parts[d.split("=", 1)[1]] = f"{rel}/{d}"
+        return parts
+
+    def _commit(self, name: str, manifest: dict) -> bool:
+        """Atomic create-if-absent via hard link: returns False if another
+        writer committed this version first (optimistic concurrency)."""
+        final = self._manifest_path(name, manifest["version"])
+        tmp = final + f".tmp-{os.getpid()}-{time.monotonic_ns()}"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        try:
+            os.link(tmp, final)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            os.unlink(tmp)
+
+    def create(self, name: str, tiles: DataFrame) -> int:
+        """``create array`` + initial load as snapshot 1."""
+        os.makedirs(self._manifest_dir(name), exist_ok=True)
+        parts = self._write_partitions(name, 1, tiles)
+        ok = self._commit(
+            name,
+            {
+                "version": 1,
+                "parent": None,
+                "operation": "create",
+                "ts": time.time(),
+                "partitions": parts,
+            },
+        )
+        if not ok:
+            raise FileExistsError(f"table {name} already has snapshot 1")
+        return 1
+
+    def read(self, name: str, version: int | None = None) -> DataFrame:
+        """Snapshot read (current by default) — time travel via ``version``."""
+        v = self.current_version(name) if version is None else version
+        m = self._read_manifest(name, v)
+        paths = [os.path.join(self._dir(name), p) for p in m["partitions"].values()]
+        return self.spark.read.parquet(*paths).drop("pt_y")
+
+    def merge(self, name: str, updates: DataFrame, max_retries: int = 5) -> int:
+        """MERGE INTO: chunk-level upsert (``insert(redimension(...), A)``
+        semantics — updated (tile_y, tile_x) chunks replace existing ones,
+        everything else survives).  Copy-on-write: only tile_y partitions
+        that contain updated chunks are rewritten; the rest are inherited
+        by reference.  The touched-partition list is the only driver-side
+        state (partition metadata, not data — the same list Iceberg's
+        planner holds)."""
+        from scidbgeo_spark.tiling import merge_into_tiles
+
+        touched = sorted(
+            r.tile_y for r in updates.select("tile_y").distinct().collect()
+        )
+        for _ in range(max_retries):
+            parent_v = self.current_version(name)
+            parent = self._read_manifest(name, parent_v)
+            version = parent_v + 1
+            overlap = [str(y) for y in touched if str(y) in parent["partitions"]]
+            existing_touched = (
+                self.read(name, parent_v).filter(F.col("tile_y").isin(touched))
+                if overlap
+                else None
+            )
+            merged = (
+                merge_into_tiles(existing_touched, updates)
+                if existing_touched is not None
+                else updates
+            )
+            try:
+                new_parts = self._write_partitions(name, version, merged)
+            except Exception:
+                # data dir for this version already exists: a concurrent
+                # writer is ahead — re-read the new current and retry
+                continue
+            parts = dict(parent["partitions"])
+            parts.update(new_parts)
+            manifest = {
+                "version": version,
+                "parent": parent_v,
+                "operation": "merge",
+                "ts": time.time(),
+                "partitions": parts,
+            }
+            if self._commit(name, manifest):
+                return version
+            # lost the race after writing data: clean our orphan data dir
+            shutil.rmtree(
+                os.path.join(self._dir(name), f"data/v{version:06d}"),
+                ignore_errors=True,
+            )
+        raise RuntimeError(f"merge into {name} lost {max_retries} commit races")
+
+    # -- maintenance -----------------------------------------------------------
+    def expire_snapshots(self, name: str, keep_last: int = 1) -> list[int]:
+        """Drop all but the newest ``keep_last`` snapshots and delete data
+        dirs no kept snapshot references (remove_versions analog).
+        Returns the expired version numbers."""
+        vs = sorted(m["version"] for m in self.versions(name))
+        expired = vs[:-keep_last] if keep_last > 0 else vs
+        kept = vs[len(expired):]
+        referenced = set()
+        for v in kept:
+            for rel in self._read_manifest(name, v)["partitions"].values():
+                referenced.add(rel.split("/")[1])  # data/<vdir>/pt_y=...
+        for v in expired:
+            os.unlink(self._manifest_path(name, v))
+        data_root = os.path.join(self._dir(name), "data")
+        for d in os.listdir(data_root):
+            if d not in referenced:
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+        return expired
+
+    def drop(self, name: str) -> None:
+        """``remove(A)`` — the whole table, all snapshots."""
+        shutil.rmtree(self._dir(name), ignore_errors=True)

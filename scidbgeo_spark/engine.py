@@ -91,8 +91,31 @@ class SciDBGeoEngine:
             tiling.tiles_to_coo(self._tiles(name), "value"), y_min, x_min, y_max, x_max
         )
 
+    # -- ingest (GDALtoSciDB_multiprocessing.py driver analog) ---------------
+    def load_geotiff(
+        self, name: str, path: str, chunk: int = 50
+    ) -> DataFrame:
+        """Real-file ingest: GeoTIFF bytes -> COO -> chunk table, all
+        distributed (binaryFile + strip-window parse)."""
+        from scidbgeo_spark.sources.geotiff import geotiff_coo, parse_tiff
+
+        coo = geotiff_coo(self.spark, path)
+        # dims from the first file's header (driver-side metadata read)
+        row = (
+            self.spark.read.format("binaryFile").load(path).select("content").first()
+        )
+        hdr = parse_tiff(bytes(row.content))
+        return self.create_array(name, coo, hdr["height"], hdr["width"], chunk)
+
     # -- export ---------------------------------------------------------------
     def save_csv(self, name: str, path: str) -> None:
         from scidbgeo_spark.export import write_sorted_csv
 
         write_sorted_csv(tiling.tiles_to_coo(self._tiles(name), "value"), path)
+
+    def save_geotiff(self, name: str, path: str, transform=None) -> None:
+        """Array -> GeoTIFF write-back (scidb.py:192-250 analog)."""
+        from scidbgeo_spark.export import write_geotiff
+
+        h, w, _ = self._dims(name)
+        write_geotiff(self._tiles(name), path, h, w, transform=transform)

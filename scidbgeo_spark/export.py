@@ -3,10 +3,11 @@
 The reference exports query results as sorted CSV (``save(sort(Q,y,x))``
 — SciDBParallel.py:750-754; ``iquery -o csv+`` — scidb.py:44-67) and
 re-assembles arrays into GeoTIFFs (scidb.py:192-250 ``OutputToArray`` /
-``WriteRaster``).  GDAL isn't available (or needed) here: the engine
-writes sorted CSV / parquet sinks distributed, and assembles small rasters
-into a NumPy array driver-side (the GeoTIFF-writing step is the only part
-stubbed out — the geotransform metadata is carried alongside).
+``WriteRaster``).  GDAL isn't available here, but the GeoTIFF write-back
+is REAL: small outputs assemble driver-side and serialize through the
+pure-NumPy TIFF writer (sources/geotiff.write_tiff), carrying the
+geotransform as ModelPixelScale/ModelTiepoint tags — a file the engine's
+own ingest (and GDAL) reads back bit-exactly.
 """
 
 from __future__ import annotations
@@ -46,6 +47,30 @@ def tiles_to_numpy(tiles: DataFrame, height: int, width: int, dtype=np.int64) ->
             t.h, t.w
         )
     return out
+
+
+def write_geotiff(
+    tiles: DataFrame,
+    path: str,
+    height: int,
+    width: int,
+    transform: "GeoTransform | None" = None,
+) -> None:
+    """Array -> GeoTIFF write-back (scidb.py:192-250 ``WriteRaster``):
+    assemble the (guarded-small) tile table and serialize a real
+    uncompressed GeoTIFF with geo tags.  Round-trips through
+    sources/geotiff.parse_tiff (and GDAL, which reads the same layout)."""
+    from scidbgeo_spark.sources.geotiff import write_tiff
+
+    arr = tiles_to_numpy(tiles, height, width, dtype=np.int32)
+    origin = (0.0, 0.0)
+    pixel_size = (1.0, 1.0)
+    if transform is not None:
+        origin = (transform.ul_x, transform.ul_y)
+        pixel_size = (transform.x_dist, abs(transform.y_dist))
+    data = write_tiff(arr, origin=origin, pixel_size=pixel_size)
+    with open(path, "wb") as f:
+        f.write(data)
 
 
 class GeoTransform:

@@ -35,6 +35,9 @@ RASTER_W = 100          # fixed raster width in pixels; height = N / W
 VALUE_MULT = 2654435761  # Knuth multiplicative hash
 VALUE_MOD = 251
 CHUNK = 50               # default tile (chunk) size, SciDB chunk analog
+# second attribute for multi-attribute arrays (arrayType == 2)
+VALUE_MULT_B = 2246822519
+VALUE_MOD_B = 509
 
 # 3-D raster constants
 BANDS = 4
@@ -91,6 +94,20 @@ def raster3_dims(spark: SparkSession, sf_dir: str) -> tuple[int, int, int]:
             f"{BANDS * RASTER3_W}; the 3-D raster would be ragged"
         )
     return BANDS, n // BANDS // RASTER3_W, RASTER3_W
+
+
+def raster_coo_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-attribute raster COO ``(y, x, va, vb)`` — the reference's
+    arrayType == 2 shape: several value attributes per cell in ONE array
+    (``RasterShapeLogic``/attribute-list handling, SciDBParallel.py:55-83)
+    as opposed to bands-as-dimension (raster3_coo)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        F.expr(f"event_id DIV {RASTER_W}").alias("y"),
+        (F.col("event_id") % RASTER_W).alias("x"),
+        ((F.col("event_id") * F.lit(VALUE_MULT)) % VALUE_MOD).alias("va"),
+        ((F.col("event_id") * F.lit(VALUE_MULT_B)) % VALUE_MOD_B).alias("vb"),
+    )
 
 
 def raster3_coo(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -91,24 +91,32 @@ def _affine_min(j: int) -> Column:
     ).alias(f"mh_{j}")
 
 
-def minhash_signatures(corpus: DataFrame) -> DataFrame:
-    """(doc_id, mh_0..mh_15): per-document MinHash signature over word
-    shingles — fully JVM-side, oracle-reproducible.  The mod-P shingle
-    hashes are materialized once per document (a projection barrier: the
-    16-way-referenced alias survives CollapseProject), then the 16 affine
-    minima read the shared array — without it Catalyst inlines the md5
-    tree into every signature column (16x the hashing work)."""
+def _signatures_from_hashes(sh: DataFrame) -> DataFrame:
+    """Signature columns from a (doc_id, hs64) frame.  The mod-P shingle
+    hashes are materialized in a preceding select (a projection barrier:
+    the 16-way-referenced alias survives CollapseProject), then the 16
+    affine minima read the shared array — without it Catalyst inlines the
+    hash tree into every signature column (16x the hashing work)."""
     hsP = F.transform(F.col("hs64"), lambda h: h % P)
-    return hashed_shingles(corpus).select("doc_id", hsP.alias("hs")).select(
+    return sh.select("doc_id", hsP.alias("hs")).select(
         "doc_id", *[_affine_min(j) for j in range(N_HASHES)]
     )
+
+
+def minhash_signatures(corpus: DataFrame) -> DataFrame:
+    """(doc_id, mh_0..mh_15): per-document MinHash signature over word
+    shingles — fully JVM-side, oracle-reproducible."""
+    return _signatures_from_hashes(hashed_shingles(corpus))
 
 
 def minhash_bands(corpus: DataFrame) -> DataFrame:
     """(doc_id, band, bucket): LSH banding of the signature — documents
     sharing a (band, bucket) are near-dup candidates.  bucket combines the
     band's rows with the same affine family."""
-    sig = minhash_signatures(corpus)
+    return _bands_from_signatures(minhash_signatures(corpus))
+
+
+def _bands_from_signatures(sig: DataFrame) -> DataFrame:
     rows_per_band = N_HASHES // N_BANDS
     bands = []
     for b in range(N_BANDS):
@@ -138,8 +146,14 @@ def minhash_dup_pairs(
     candidates, so buckets larger than ``bucket_cap`` are dropped (web
     boilerplate at scale).  The cap is part of the operator's semantics —
     the DuckDB oracle applies the identical QUALIFY — and is far above any
-    fixture bucket size, so fixture output equals the uncapped run."""
-    bands = minhash_bands(corpus)
+    fixture bucket size, so fixture output equals the uncapped run.
+
+    The shingle-hash pass runs ONCE: ``sh`` is pinned behind an explicit
+    repartition on doc_id, so the banding branch and both verify-join
+    sides consume the same reused shuffle exchange instead of re-hashing
+    the corpus (Spark only reuses *exchanges*, not bare projections)."""
+    sh = hashed_shingles(corpus).repartition("doc_id")
+    bands = _bands_from_signatures(_signatures_from_hashes(sh))
     bw = Window.partitionBy("band", "bucket")
     capped = bands.withColumn("bsz", F.count("*").over(bw)).filter(
         F.col("bsz") <= bucket_cap
@@ -156,7 +170,6 @@ def minhash_dup_pairs(
         .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
         .distinct()
     )
-    sh = hashed_shingles(corpus)
     j = (
         cand.join(sh.select(F.col("doc_id").alias("a"), F.col("hs64").alias("sha")), "a")
         .join(sh.select(F.col("doc_id").alias("b"), F.col("hs64").alias("shb")), "b")

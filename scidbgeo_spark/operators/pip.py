@@ -106,6 +106,104 @@ def pip_join(
     )
 
 
+def polygons_df(spark: SparkSession, polygons: list[tuple[int, np.ndarray]]) -> DataFrame:
+    """Polygon layer as a DataFrame ``(zone_id, xs, ys)`` — the shape a
+    GeoJSON/WKT parquet reader produces.  For fixture-sized layers this is
+    a createDataFrame; a real deployment reads it with spark.read."""
+    rows = [
+        (int(zid), [float(v) for v in ring[:, 0]], [float(v) for v in ring[:, 1]])
+        for zid, ring in polygons
+    ]
+    return spark.createDataFrame(
+        rows, "zone_id int, xs array<double>, ys array<double>"
+    )
+
+
+def pip_join_df(
+    spark: SparkSession,
+    points: DataFrame,
+    poly_df: DataFrame,
+    mode: str = "auto",
+    broadcast_cells: int = 100_000,
+) -> DataFrame:
+    """Points x polygons PIP join with the polygon layer as a DATAFRAME —
+    no driver-side polygon loop, so it holds for millions of polygons.
+
+    Candidate cells are built distributed: each polygon's bbox expands to
+    its covering coarse cells via sequence+explode (pure column algebra),
+    then points equi-join candidates on the cell id.  The join strategy
+    mirrors the reference's mode-2/mode-3 choice
+    (SciDB_ZonalStats_CL.py:290-360): ``broadcast`` replicates the
+    candidate table (hash_replicate_right analog) when it is small,
+    ``shuffle`` lets Catalyst pick a shuffled join for huge layers;
+    ``auto`` decides by candidate-cell count.  Exact ray-cast refinement
+    runs on candidate rows only, with ring coordinates carried as array
+    columns (converted once per zone per Arrow batch)."""
+    bbox = poly_df.select(
+        "zone_id",
+        "xs",
+        "ys",
+        F.array_min("xs").alias("x0"),
+        F.array_max("xs").alias("x1"),
+        F.array_min("ys").alias("y0"),
+        F.array_max("ys").alias("y1"),
+    )
+    cy = F.explode(
+        F.sequence(
+            F.floor((F.col("y0") + 90.0) / CAND_RES),
+            F.floor((F.col("y1") + 90.0) / CAND_RES),
+        )
+    ).alias("cy")
+    cand = bbox.select("zone_id", "xs", "ys", "x1", "x0", cy).select(
+        "zone_id",
+        "xs",
+        "ys",
+        "cy",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("x0") + 180.0) / CAND_RES),
+                F.floor((F.col("x1") + 180.0) / CAND_RES),
+            )
+        ).alias("cx"),
+    ).select(
+        "zone_id",
+        "xs",
+        "ys",
+        (F.col("cy") * CAND_NX + F.col("cx")).cast("long").alias("ccell"),
+    )
+    if mode == "auto":
+        mode = "broadcast" if cand.count() <= broadcast_cells else "shuffle"
+    if mode == "broadcast":
+        cand = F.broadcast(cand)
+    elif mode == "shuffle":
+        # explicit: a layer too big to replicate must not be broadcast
+        # even if Catalyst's size estimate would allow it
+        cand = cand.hint("shuffle_hash")
+    else:
+        raise ValueError(f"unknown pip mode {mode!r}")
+
+    @F.pandas_udf(T.BooleanType())
+    def _refine_arrays(
+        lon: pd.Series, lat: pd.Series, zone: pd.Series, xs: pd.Series, ys: pd.Series
+    ) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        lo = lon.to_numpy(dtype=np.float64)
+        la = lat.to_numpy(dtype=np.float64)
+        for _zid, idx in zone.groupby(zone).groups.items():
+            ii = np.asarray(idx)
+            ring = np.column_stack(
+                (np.asarray(xs.iloc[ii[0]]), np.asarray(ys.iloc[ii[0]]))
+            )
+            out[ii] = points_in_ring(lo[ii], la[ii], ring)
+        return pd.Series(out)
+
+    pts = points.withColumn("ccell", cell_col(res=CAND_RES, nx=CAND_NX))
+    candidates = pts.join(cand, "ccell")
+    return candidates.filter(
+        _refine_arrays("lon", "lat", "zone_id", "xs", "ys")
+    ).select(points["*"], F.col("zone_id").cast("long").alias("zone_id"))
+
+
 def pip_counts(spark: SparkSession, points: DataFrame, polygons) -> DataFrame:
     """Zonal rollup over the PIP join: points per zone."""
     return (

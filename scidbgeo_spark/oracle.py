@@ -20,7 +20,9 @@ from scidbgeo_spark.model import (
     RASTER3_W,
     RASTER_W,
     VALUE_MOD,
+    VALUE_MOD_B,
     VALUE_MULT,
+    VALUE_MULT_B,
 )
 
 # -- shared CTE fragments -----------------------------------------------------
@@ -96,6 +98,12 @@ SELECT CAST(count(value) AS BIGINT) AS pixel_count FROM coo WHERE value = 42""",
     "reclassify_sum": f"""WITH {COO}
 SELECT CAST(sum(CASE WHEN value = 87 THEN 1000 ELSE 0 END) AS BIGINT)
   AS reclass_sum FROM coo""",
+    "merge_insert_catalog": f"""WITH {COO}
+SELECT y, x,
+       CAST(CASE WHEN y < 50
+                 THEN CASE WHEN value = 87 THEN 1000 ELSE -99 END
+                 ELSE value END AS BIGINT) AS value
+FROM coo""",
     "reclassify_persist": f"""WITH {COO}
 SELECT y, x, CAST(CASE WHEN value = 87 THEN 1000 ELSE -99 END AS BIGINT)
   AS newvalue FROM coo""",
@@ -119,6 +127,8 @@ SELECT y, x, value FROM coo3 WHERE band = 2""",
 SELECT y, x, a.value + b.value AS result
 FROM coo a JOIN coo b USING (y, x)""",
     "redimension_roundtrip": f"""WITH {COO}
+SELECT y, x, value FROM coo""",
+    "geotiff_ingest": f"""WITH {COO}
 SELECT y, x, value FROM coo""",
     "redimension_roundtrip_3d": f"""WITH {COO3}
 SELECT band, y, x, value FROM coo3""",
@@ -145,6 +155,18 @@ SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
        min(value) AS min_value, max(value) AS max_value,
        CAST(count(*) AS BIGINT) AS count_value
 FROM coof GROUP BY 1""",
+    "zonal_stats_multi": f"""WITH coom AS (
+  SELECT event_id // {RASTER_W} AS y,
+         event_id % {RASTER_W} AS x,
+         (event_id * {VALUE_MULT}) % {VALUE_MOD} AS va,
+         (event_id * {VALUE_MULT_B}) % {VALUE_MOD_B} AS vb
+  FROM events
+)
+SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
+       min(va) AS min_a, max(va) AS max_a, avg(va) AS avg_a,
+       CAST(count(va) AS BIGINT) AS count_a,
+       CAST(sum(vb) AS BIGINT) AS sum_b
+FROM coom GROUP BY 1""",
     "extract_geotags": f"""SELECT doc_id,
   -180.0 + (CASE WHEN doc_id % {HOT_MOD} = 0 THEN 190000 + doc_id % 100
                  ELSE (doc_id * {LON_MULT}) % 360000 END) / 1000.0 AS lon,
@@ -197,6 +219,10 @@ SELECT CAST(floor((lon + 180) / 60) * 3 + floor((lat + 90) / 60) AS BIGINT)
        count(*) AS n_points
 FROM pts GROUP BY 1""",
     "pip_poly": f"""WITH {PTS}
+SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
+  SELECT doc_id, {GEO_ZONE} AS zone_id FROM pts
+) WHERE zone_id IS NOT NULL""",
+    "pip_poly_df": f"""WITH {PTS}
 SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
   SELECT doc_id, {GEO_ZONE} AS zone_id FROM pts
 ) WHERE zone_id IS NOT NULL""",

@@ -11,6 +11,7 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+_AQE = "false" if os.environ.get("SPARK_GRAFT_AQE") == "0" else "true"
 
 
 def get_spark(
@@ -31,9 +32,12 @@ def get_spark(
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app)
         .config("spark.sql.shuffle.partitions", str(shuffle))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE on by default; SPARK_GRAFT_AQE=0 disables it for scaling
+        # measurements where per-stage re-planning is a fixed driver cost
+        # that biases small-job core-count ratios
+        .config("spark.sql.adaptive.enabled", _AQE)
+        .config("spark.sql.adaptive.coalescePartitions.enabled", _AQE)
+        .config("spark.sql.adaptive.skewJoin.enabled", _AQE)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")

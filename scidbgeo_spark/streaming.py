@@ -60,3 +60,89 @@ def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
         q.stop()
     spark = stream_df.sparkSession
     return spark.sql(f"SELECT * FROM {name}")
+
+
+SESSION_GAP_US = 3600 * 1_000_000  # 1-hour inactivity gap, microsecond-exact
+
+
+def sessionize_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` — the arbitrary-state API (flatMapGroups-
+    WithState analog), not a built-in windowed aggregate.
+
+    State per user: (n_sessions, n_events, last_ts_us).  Each micro-batch
+    sorts its arrivals by (ts, event_id) and folds them into the state;
+    a gap > 1 hour (strictly, in MICROSECONDS — identical to the batch
+    ``sessionize`` query and its DuckDB oracle) opens a new session.
+    Emits the running totals per user every batch ("update" mode).
+
+    Exactness contract: equal to the batch query when per-user arrivals
+    are time-ordered across micro-batches (file streams deliver files in
+    discovery order; a production feed would pair this with a watermark
+    + event-time reorder buffer).  Pinned by tests against q_sessionize.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = spark.read.parquet(events_dir).schema
+    events = spark.readStream.schema(schema).parquet(events_dir)
+    events = events.select(
+        "user_id", "event_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n_sessions, n_events, last_us = (
+            state.get if state.exists else (0, 0, None)
+        )
+        rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        for ts in rows["ts"]:
+            us = ts.value // 1000  # pandas ns -> us
+            if last_us is None or us - last_us > SESSION_GAP_US:
+                n_sessions += 1
+            n_events += 1
+            last_us = us
+        state.update((n_sessions, n_events, last_us))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType="user_id long, n_sessions long, n_events long",
+        stateStructType="n_sessions long, n_events long, last_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive an update-mode stateful stream to completion and return the
+    LAST emitted row per key (the final state)."""
+    q = (
+        stream_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    spark = stream_df.sparkSession
+    # update mode appends one row per key per batch; the final state per
+    # key is the row with the max n_events (totals are monotone).  A
+    # window avoids the self-join (ambiguous against a memory-sink view).
+    from pyspark.sql import Window
+
+    t = spark.table(name)
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_sessions", "n_events")
+    )

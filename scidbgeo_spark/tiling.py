@@ -107,6 +107,57 @@ def tiles_to_coo(tiles: DataFrame, value_name: str = "value") -> DataFrame:
     )
 
 
+def pack_tiles_multi(
+    coo: DataFrame,
+    chunk: int,
+    height: int,
+    width: int,
+    value_cols: list[str],
+) -> DataFrame:
+    """Multi-attribute redimension (reference arrayType == 2,
+    SciDBParallel.py:55-83): one chunk row carries one payload array PER
+    attribute (``px_<name>``), all in the same row-major cell order.  One
+    struct sort per chunk orders every attribute at once — still a single
+    groupBy shuffle on the tile keys."""
+
+    def _field(name: str):
+        return lambda c: c[name]
+
+    t = with_tile_keys(coo, chunk)
+    w_t = F.least(F.lit(chunk), F.lit(width) - F.col("tile_x") * chunk).cast("long")
+    off = ((F.col("y") % chunk) * w_t + (F.col("x") % chunk)).alias("off")
+    cell = F.struct(off, *[F.col(c).alias(c) for c in value_cols])
+    g = t.groupBy(*TILE_KEYS).agg(F.array_sort(F.collect_list(cell)).alias("cells"))
+    return g.select(
+        "tile_y",
+        "tile_x",
+        (F.col("tile_y").cast("long") * chunk).alias("y0"),
+        (F.col("tile_x").cast("long") * chunk).alias("x0"),
+        F.least(F.lit(chunk), F.lit(height) - F.col("tile_y") * chunk)
+        .cast("int")
+        .alias("h"),
+        F.least(F.lit(chunk), F.lit(width) - F.col("tile_x") * chunk)
+        .cast("int")
+        .alias("w"),
+        *[
+            F.transform(F.col("cells"), _field(c)).alias(f"px_{c}")
+            for c in value_cols
+        ],
+    )
+
+
+def tiles_multi_to_coo(tiles: DataFrame, value_cols: list[str]) -> DataFrame:
+    """Vectorize a multi-attribute chunk table back to COO rows, one
+    column per attribute."""
+    zipped = F.arrays_zip(*[F.col(f"px_{c}").alias(c) for c in value_cols])
+    e = tiles.select("y0", "x0", "w", F.posexplode(zipped).alias("pos", "cell"))
+    return e.select(
+        (F.col("y0") + F.expr("pos DIV w")).alias("y"),
+        (F.col("x0") + (F.col("pos") % F.col("w"))).alias("x"),
+        *[F.col("cell").getField(c).alias(c) for c in value_cols],
+    )
+
+
 def pack_tiles_3d(
     coo3: DataFrame, chunk: int, height: int, width: int, value_col: str = "value"
 ) -> DataFrame:

@@ -176,3 +176,50 @@ def test_streaming_hourly_equals_batch(spark, sf_smoke, tmp_path):
     a = {(r.hour, r.event_type): (r.n, r.min_value, r.max_value) for r in got.collect()}
     b = {(r.hour, r.event_type): (r.n, r.min_value, r.max_value) for r in batch.collect()}
     assert a == b
+
+
+def test_stateful_sessionize_stream_equals_batch(spark, sf_smoke, tmp_path):
+    """applyInPandasWithState sessionizer == batch sessionize query, fed
+    incrementally in two time-ordered batches."""
+    import shutil
+
+    import __spark_entry__ as e
+    from scidbgeo_spark import streaming
+
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet").orderBy("ts", "event_id")
+    n = ev.count()
+    first, second = ev.limit(n // 2), ev.subtract(ev.limit(n // 2))
+    d = str(tmp_path / "ev_stream")
+    first.coalesce(1).write.mode("overwrite").parquet(d)
+
+    got_df = streaming.sessionize_stream(spark, d)
+    q = (
+        got_df.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # second batch arrives later (strictly later timestamps)
+        second.coalesce(1).write.mode("append").parquet(d)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    t = spark.table("sess_stream")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    got = {
+        (r.user_id, r.n_sessions, r.n_events)
+        for r in t.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_sessions", "n_events")
+        .collect()
+    }
+    want = {
+        (r.user_id, r.n_sessions, r.n_events)
+        for r in e.q_sessionize(spark, sf_smoke).collect()
+    }
+    assert got == want

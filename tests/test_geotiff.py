@@ -1,0 +1,96 @@
+"""Pure-NumPy GeoTIFF writer/parser + distributed binaryFile ingest.
+
+Covers the reference's windowed raster load
+(GDALtoSciDB_multiprocessing.py:89-120, 300-320) without GDAL.
+"""
+
+import numpy as np
+import pytest
+
+from scidbgeo_spark import model, tiling
+from scidbgeo_spark.model import CHUNK
+from scidbgeo_spark.sources import geotiff
+
+
+def _arr(h=13, w=37):
+    eid = np.arange(h * w, dtype=np.int64)
+    return ((eid * 2654435761) % 251).astype(np.int32).reshape(h, w) - 7
+
+
+def test_write_parse_roundtrip():
+    a = _arr()
+    data = geotiff.write_tiff(a, origin=(-120.5, 48.25), pixel_size=(0.5, 0.5))
+    hdr = geotiff.parse_tiff(data)
+    assert (hdr["height"], hdr["width"]) == a.shape
+    assert hdr["origin"] == (-120.5, 48.25)
+    assert hdr["pixel_size"] == (0.5, 0.5)
+    back = geotiff.tiff_to_array(data)
+    assert back.dtype.kind == "i"
+    assert np.array_equal(back, a)
+
+
+def test_parse_rejects_non_tiff_and_compressed():
+    with pytest.raises(ValueError, match="not a TIFF"):
+        geotiff.parse_tiff(b"PK\x03\x04 not a tiff")
+    data = bytearray(geotiff.write_tiff(_arr(4, 4)))
+    # flip the Compression tag value (1 -> 5/LZW) in place
+    idx = data.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
+    data[idx + 8] = 5
+    with pytest.raises(ValueError, match="compressed"):
+        geotiff.parse_tiff(bytes(data))
+
+
+def test_geotiff_coo_matches_model_raster(spark, sf_correct, tmp_path):
+    """Ingesting a real TIFF of the deterministic raster reproduces
+    model.raster_coo exactly, and survives pack_tiles round-trip."""
+    h, w = model.raster_dims(spark, sf_correct)
+    eid = np.arange(h * w, dtype=np.int64)
+    arr = ((eid * model.VALUE_MULT) % model.VALUE_MOD).astype(np.int32).reshape(h, w)
+    p = tmp_path / "r.tif"
+    p.write_bytes(geotiff.write_tiff(arr))
+    coo = geotiff.geotiff_coo(spark, str(tmp_path))
+    got = sorted((r.y, r.x, r.value) for r in coo.collect())
+    want = sorted((r.y, r.x, r.value) for r in model.raster_coo(spark, sf_correct).collect())
+    assert got == want
+    tiles = tiling.pack_tiles(coo, CHUNK, h, w)
+    back = sorted(
+        (r.y, r.x, r.value)
+        for r in tiling.tiles_to_coo(tiles, "value").collect()
+    )
+    assert back == want
+
+
+def test_geotiff_coo_batches_bound_memory(spark, tmp_path):
+    """A small batch_rows still yields complete, correct output (the
+    strip-window streaming path, not a whole-file materialization)."""
+    a = _arr(50, 20)
+    (tmp_path / "s.tif").write_bytes(geotiff.write_tiff(a))
+    coo = geotiff.geotiff_coo(spark, str(tmp_path), batch_rows=7)
+    rows = coo.collect()
+    assert len(rows) == a.size
+    got = np.zeros_like(a)
+    for r in rows:
+        got[r.y, r.x] = r.value
+    assert np.array_equal(got, a)
+
+
+def test_write_geotiff_roundtrips_through_ingest(spark, sf_correct, tmp_path):
+    """export.write_geotiff output re-ingests to the identical raster —
+    the full array -> GeoTIFF -> array cycle (scidb.py:192-250 +
+    GDALtoSciDB ingest, engine-side)."""
+    from scidbgeo_spark import export
+
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    tiles = tiling.pack_tiles(coo, CHUNK, h, w)
+    out = tmp_path / "export"
+    out.mkdir()
+    gt = export.GeoTransform(-180.0, 90.0, 0.1, -0.1)
+    export.write_geotiff(tiles, str(out / "r.tif"), h, w, transform=gt)
+    hdr = geotiff.parse_tiff((out / "r.tif").read_bytes())
+    assert hdr["origin"] == (-180.0, 90.0)
+    assert hdr["pixel_size"] == (0.1, 0.1)
+    back = geotiff.geotiff_coo(spark, str(out))
+    got = sorted((r.y, r.x, r.value) for r in back.collect())
+    want = sorted((r.y, r.x, r.value) for r in coo.collect())
+    assert got == want

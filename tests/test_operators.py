@@ -132,3 +132,29 @@ def test_zonal_includes_nodata_group(spark, sf_correct):
     zt = zonal.rasterize_polygons(spark, fixtures.MIXED_POLYGONS, h, w, CHUNK)
     ids = [r.id for r in zonal.zonal_stats_tiles(tiles, zt).select("id").collect()]
     assert -999 in ids
+
+
+def test_pack_tiles_multi_roundtrip(spark, sf_correct):
+    """Multi-attribute pack -> unpack is the identity on (y, x, va, vb)."""
+    coo = model.raster_coo_multi(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    tiles = tiling.pack_tiles_multi(coo, CHUNK, h, w, ["va", "vb"])
+    back = tiling.tiles_multi_to_coo(tiles, ["va", "vb"])
+    want = sorted((r.y, r.x, r.va, r.vb) for r in coo.collect())
+    got = sorted((r.y, r.x, r.va, r.vb) for r in back.collect())
+    assert got == want
+
+
+def test_pack_tiles_multi_attrs_share_cell_order(spark, sf_correct):
+    """Both payload arrays of a chunk must be in the SAME row-major cell
+    order (one struct sort orders all attributes together)."""
+    coo = model.raster_coo_multi(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    t = tiling.pack_tiles_multi(coo, CHUNK, h, w, ["va", "vb"]).first()
+    assert len(t.px_va) == len(t.px_vb) == t.h * t.w
+    # cell (0,0) of the first tile: event_id = y0*W + x0
+    eid = t.y0 * w + t.x0
+    assert t.px_va[0] == (eid * VALUE_MULT) % VALUE_MOD
+    from scidbgeo_spark.model import VALUE_MOD_B, VALUE_MULT_B
+
+    assert t.px_vb[0] == (eid * VALUE_MULT_B) % VALUE_MOD_B

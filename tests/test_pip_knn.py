@@ -157,3 +157,31 @@ def test_knn_bulk_hundred_thousand_queries(spark):
         d2 = (lon - q.qlon) ** 2 + (lat - q.qlat) ** 2
         best = ids[np.lexsort((ids, d2))[0]]
         assert got[q.q_id] == int(best), q.q_id
+
+
+def test_pip_join_df_matches_broadcast_path(spark, sf_correct):
+    """DataFrame-layer PIP == driver-list PIP on the same polygons, via
+    both join strategies."""
+    pts = model.points(spark, sf_correct)
+    want = sorted(
+        (r.doc_id, r.zone_id)
+        for r in pip.pip_join(spark, pts, fixtures.GEO_POLYGONS).collect()
+    )
+    poly = pip.polygons_df(spark, fixtures.GEO_POLYGONS)
+    for mode in ("broadcast", "shuffle", "auto"):
+        got = sorted(
+            (r.doc_id, r.zone_id)
+            for r in pip.pip_join_df(spark, pts, poly, mode=mode).collect()
+        )
+        assert got == want, mode
+
+
+def test_pip_join_df_plan_strategy(spark, sf_correct):
+    """broadcast mode must plan a BroadcastHashJoin; shuffle mode must
+    not broadcast the candidate table (mode-2 vs mode-3 analog)."""
+    pts = model.points(spark, sf_correct)
+    poly = pip.polygons_df(spark, fixtures.GEO_POLYGONS)
+    bc_plan = pip.pip_join_df(spark, pts, poly, mode="broadcast")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in bc_plan
+    sh_plan = pip.pip_join_df(spark, pts, poly, mode="shuffle")._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in sh_plan or "SortMergeJoin" in sh_plan

@@ -1,0 +1,132 @@
+"""SnapshotCatalog: transactional MERGE, versions, time travel, expiry.
+
+The semantics under test are the reference's array lifecycle —
+``insert(redimension(...), A)`` chunk upserts + ``versions(A)`` /
+``remove_versions`` (SciDBParallel.py:346-348, scidb.py:126-156) —
+implemented as snapshot-isolated copy-on-write parquet.
+"""
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from scidbgeo_spark import model, tiling
+from scidbgeo_spark.catalog import SnapshotCatalog
+from scidbgeo_spark.model import CHUNK
+
+
+def _base_and_updates(spark, sf_correct):
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    tiles = tiling.pack_tiles(coo, CHUNK, h, w)
+    upd_coo = coo.filter(F.col("y") < CHUNK).withColumn(
+        "value", F.lit(777).cast("long")
+    )
+    updates = tiling.pack_tiles(upd_coo, CHUNK, h, w)
+    return tiles, updates
+
+
+def _content(cat, name, version=None):
+    return sorted(
+        (r.y, r.x, r.value)
+        for r in tiling.tiles_to_coo(cat.read(name, version), "value").collect()
+    )
+
+
+def test_merge_matches_plain_merge_into_tiles(spark, sf_correct, tmp_path):
+    tiles, updates = _base_and_updates(spark, sf_correct)
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.create("a", tiles)
+    v = cat.merge("a", updates)
+    assert v == 2
+    want = sorted(
+        (r.y, r.x, r.value)
+        for r in tiling.tiles_to_coo(
+            tiling.merge_into_tiles(tiles, updates), "value"
+        ).collect()
+    )
+    assert _content(cat, "a") == want
+
+
+def test_rerun_merge_is_idempotent(spark, sf_correct, tmp_path):
+    """Re-applying the identical merge (a retry after a lost ack) creates
+    a new snapshot with IDENTICAL content — upsert semantics."""
+    tiles, updates = _base_and_updates(spark, sf_correct)
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.create("a", tiles)
+    cat.merge("a", updates)
+    before = _content(cat, "a")
+    v = cat.merge("a", updates)
+    assert v == 3
+    assert _content(cat, "a") == before
+    assert [m["version"] for m in cat.versions("a")] == [1, 2, 3]
+
+
+def test_time_travel_reads_parent_snapshot(spark, sf_correct, tmp_path):
+    tiles, updates = _base_and_updates(spark, sf_correct)
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.create("a", tiles)
+    original = _content(cat, "a", 1)
+    cat.merge("a", updates)
+    assert _content(cat, "a", 1) == original  # v1 unchanged
+    assert _content(cat, "a", 2) != original
+
+
+def test_copy_on_write_rewrites_only_touched_partitions(spark, sf_correct, tmp_path):
+    tiles, updates = _base_and_updates(spark, sf_correct)
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.create("a", tiles)
+    n_parts_v1 = len(cat._read_manifest("a", 1)["partitions"])
+    cat.merge("a", updates)
+    m2 = cat._read_manifest("a", 2)
+    rewritten = [p for p in m2["partitions"].values() if "v000002" in p]
+    inherited = [p for p in m2["partitions"].values() if "v000001" in p]
+    assert len(rewritten) == 1  # updates touch only tile_y=0
+    assert len(inherited) == n_parts_v1 - 1
+
+
+def test_commit_race_retries_onto_winner(spark, sf_correct, tmp_path):
+    """Simulate a concurrent writer that committed version 2 first: merge
+    must retry and land at version 3 on top of the winner's snapshot."""
+    tiles, updates = _base_and_updates(spark, sf_correct)
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.create("a", tiles)
+    # fake winner: snapshot 2 identical to 1 (a no-op concurrent commit)
+    m1 = cat._read_manifest("a", 1)
+    winner = dict(m1, version=2, parent=1, operation="merge")
+    with open(cat._manifest_path("a", 2), "w") as fh:
+        json.dump(winner, fh)
+    v = cat.merge("a", updates)
+    assert v == 3
+    assert cat._read_manifest("a", 3)["parent"] == 2
+    want = sorted(
+        (r.y, r.x, r.value)
+        for r in tiling.tiles_to_coo(
+            tiling.merge_into_tiles(tiles, updates), "value"
+        ).collect()
+    )
+    assert _content(cat, "a") == want
+
+
+def test_expire_snapshots_gc(spark, sf_correct, tmp_path):
+    tiles, updates = _base_and_updates(spark, sf_correct)
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.create("a", tiles)
+    cat.merge("a", updates)
+    current = _content(cat, "a")
+    expired = cat.expire_snapshots("a", keep_last=1)
+    assert expired == [1]
+    assert [m["version"] for m in cat.versions("a")] == [2]
+    assert _content(cat, "a") == current  # current snapshot intact
+    # v1-only data (the rewritten partition's old copy) must still exist
+    # iff referenced: v2 inherits most v1 partitions, so v000001 survives
+    data = os.listdir(os.path.join(str(tmp_path), "a", "data"))
+    assert "v000001" in data and "v000002" in data
+    # but after expiring everything except a fresh full rewrite, GC drops it
+    full = cat.merge("a", cat.read("a"))  # rewrites every partition
+    cat.expire_snapshots("a", keep_last=1)
+    data = os.listdir(os.path.join(str(tmp_path), "a", "data"))
+    assert data == [f"v{full:06d}"]
+    shutil.rmtree(str(tmp_path), ignore_errors=True)
