@@ -390,6 +390,24 @@ def q_zorder_cell(spark, sf_dir):
     return pts.select("doc_id", pip.zorder_cell_col().alias("zcell"))
 
 
+def q_zorder_range_count(spark, sf_dir):
+    """Quadkey/Z-order RANGE PRUNING: a quadkey-aligned 2^k x 2^k block
+    of 0.01-deg cells is one contiguous zcell interval, so the spatial
+    box query becomes a single range predicate over the Z-order index —
+    at scale this is a min/max-zone-pruned scan, no join at all.  The
+    oracle verifies the SEMANTICS (range == lon/lat box) independently.
+    Block chosen to contain the fixture's hot cell."""
+    from pyspark.sql import functions as F
+
+    pts = model.points(spark, sf_dir)
+    z0, z1 = pip.zorder_block_range(16384, 8192, 12)  # 40.96-deg block
+    return (
+        pts.select(pip.zorder_cell_col().alias("zcell"))
+        .filter((F.col("zcell") >= z0) & (F.col("zcell") < z1))
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
 def q_focal_mean_sum_overlap(spark, sf_dir):
     """Focal mean via materialized chunk overlap (the reference's
     'overlap' benchmark mode) — same oracle as focal_mean_sum."""
@@ -635,6 +653,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "focal_mean_sum_overlap": q_focal_mean_sum_overlap,
     "focal_mean_cells": q_focal_mean_cells,
     "zorder_cell": q_zorder_cell,
+    "zorder_range_count": q_zorder_range_count,
     "between_tiles": q_between_tiles,
     "overlay_add_bands": q_overlay_add_bands,
     "cell_index": q_cell_index,

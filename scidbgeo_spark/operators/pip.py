@@ -59,6 +59,21 @@ def zorder_cell_col(lon: str = "lon", lat: str = "lat"):
     return z
 
 
+def zorder_block_range(cx0: int, cy0: int, k: int) -> tuple[int, int]:
+    """[z0, z1) of the quadkey-aligned block ``cx in [cx0, cx0+2^k), cy
+    in [cy0, cy0+2^k)``: because Z-order interleaves bits, an aligned
+    2^k x 2^k block is ONE CONTIGUOUS id range of length 4^k — the
+    property that turns a spatial box into a single min/max-prunable
+    range predicate (the H3/S2 prefix-join scan shape)."""
+    if cx0 % (1 << k) or cy0 % (1 << k):
+        raise ValueError(f"block origin ({cx0},{cy0}) not aligned to 2^{k}")
+    z0 = 0
+    for i in range(ZORDER_BITS):
+        z0 |= ((cx0 >> i) & 1) << (2 * i)
+        z0 |= ((cy0 >> i) & 1) << (2 * i + 1)
+    return z0, z0 + 4**k
+
+
 def covering_cells(ring: np.ndarray, res: float = CAND_RES, nx: int = CAND_NX) -> list[int]:
     """Candidate cells overlapping the polygon bbox (driver-side; polygon
     layers are the small dimension).  Over-covering is fine — refinement

@@ -537,6 +537,14 @@ SQL["zorder_cell"] = f"WITH {PTS}\nSELECT doc_id, CAST({_zbits} AS BIGINT) AS zc
 
 SQL["focal_mean_sum_overlap"] = SQL["focal_mean_sum"]
 
+# Z-order range semantics: the engine filters ONE contiguous zcell range;
+# the oracle counts the equivalent lon/lat box directly (independent
+# derivation — verifies range == box, not just that both sides share code)
+SQL["zorder_range_count"] = f"""WITH {PTS}
+SELECT CAST(count(*) AS BIGINT) AS n_points FROM pts
+WHERE floor((lon + 180.0) / 0.01) >= 16384 AND floor((lon + 180.0) / 0.01) < 20480
+  AND floor((lat + 90.0) / 0.01) >= 8192  AND floor((lat + 90.0) / 0.01) < 12288"""
+
 SQL["sessionize"] = """WITH marked AS (
   SELECT user_id,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL

@@ -43,3 +43,40 @@ def test_pages_to_pip_pipeline(spark):
     counts = pip.pip_counts(spark, pts, fixtures.geo_grid_polygons())
     total = sum(r.n_points for r in counts.collect())
     assert total == 1000  # the grid partitions the world: every page lands once
+
+
+def test_coo_binary_roundtrip(spark, sf_correct, tmp_path):
+    """Reference-format binary COO sink -> binaryFile source roundtrip
+    (GDALtoSciDB_multiprocessing.py:375-430 record layout)."""
+    import numpy as np
+
+    from scidbgeo_spark import model
+    from scidbgeo_spark.sources import coo_binary
+
+    coo = model.raster_coo(spark, sf_correct)
+    out = str(tmp_path / "coo_bin")
+    n_files = coo_binary.write_coo_binary(coo.repartition(4), out)
+    assert n_files >= 1
+    # byte-layout check: a file parses with the reference dtype
+    import glob, os
+
+    f = sorted(glob.glob(os.path.join(out, "*.scidb")))[0]
+    rec = np.fromfile(f, dtype=coo_binary.COO_DTYPE)
+    assert rec.dtype.itemsize == 24 and len(rec) > 0
+    back = coo_binary.read_coo_binary(spark, out)
+    got = sorted((r.y, r.x, r.value) for r in back.collect())
+    want = sorted((r.y, r.x, r.value) for r in coo.collect())
+    assert got == want
+
+
+def test_zorder_block_range_alignment():
+    import pytest
+
+    from scidbgeo_spark.operators import pip
+
+    z0, z1 = pip.zorder_block_range(0, 0, 2)
+    assert (z0, z1) == (0, 16)
+    z0, z1 = pip.zorder_block_range(4, 0, 2)
+    assert z1 - z0 == 16
+    with pytest.raises(ValueError):
+        pip.zorder_block_range(3, 0, 2)
