@@ -138,6 +138,45 @@ def run_add(spark, sf_dir, chunk, run):
     return _simple(run, "raster_add", time.time() - t0, sf_dir, chunk)
 
 
+def run_ingest(spark, tiff_path: str, chunk: int, run: int, warehouse: str | None) -> OrderedDict:
+    """Real-file ingest driver — the engine's `GDALtoSciDB` CLI analog
+    (GDALtoSciDB_multiprocessing.py:504-513 load+redimension timing):
+    GeoTIFF bytes -> windowed parse -> chunk pack, optionally committed
+    as snapshot 1 of a SnapshotCatalog table."""
+    from scidbgeo_spark.sources import geotiff as gt
+
+    row = spark.read.format("binaryFile").load(tiff_path).select("content").first()
+    hdr = gt.parse_tiff(bytes(row.content))
+
+    t0 = time.time()
+    coo = gt.geotiff_coo(spark, tiff_path)
+    n_cells = coo.count()
+    load_time = time.time() - t0
+
+    t0 = time.time()
+    tiles = tiling.pack_tiles(coo, chunk, hdr["height"], hdr["width"])
+    if warehouse:
+        from scidbgeo_spark.catalog import SnapshotCatalog
+
+        SnapshotCatalog(spark, warehouse).create("ingested", tiles)
+    else:
+        tiles.count()
+    redimension_time = time.time() - t0
+    return OrderedDict(
+        [
+            ("run", run),
+            ("analytic", "ingest"),
+            ("array_table", f"ingested_{chunk}"),
+            ("loadTime", load_time),
+            ("redimensionTime", redimension_time),
+            ("n_cells", n_cells),
+            ("height", hdr["height"]),
+            ("width", hdr["width"]),
+            ("chunk", chunk),
+        ]
+    )
+
+
 COMMANDS = {
     "zonal": run_zonal,
     "count": run_count,
@@ -145,6 +184,7 @@ COMMANDS = {
     "focal": run_focal,
     "overlap": run_focal,  # same query; overlap is a storage-layout axis in the reference
     "add": run_add,
+    "ingest": run_ingest,
 }
 
 
@@ -169,6 +209,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--csv", default=None, help="timing CSV output path")
     p.add_argument("--stats-csv", default=None, help="zonal stats CSV output path")
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--tiff", default=None, help="GeoTIFF path/glob (ingest)")
+    p.add_argument("--warehouse", default=None, help="SnapshotCatalog dir (ingest)")
     args = p.parse_args(argv)
 
     spark = get_spark("scidbgeo-cli", cores=args.cores)
@@ -177,6 +219,10 @@ def main(argv: list[str] | None = None) -> int:
         for r in range(1, args.runs + 1):
             if args.command == "zonal":
                 timed = run_zonal(spark, args.sf_dir, chunk, r, args.stats_csv)
+            elif args.command == "ingest":
+                if not args.tiff:
+                    p.error("ingest requires --tiff")
+                timed = run_ingest(spark, args.tiff, chunk, r, args.warehouse)
             else:
                 timed = COMMANDS[args.command](spark, args.sf_dir, chunk, r)
             timings[(r, _dataset_name(args.sf_dir, chunk))] = timed

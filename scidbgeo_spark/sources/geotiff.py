@@ -73,20 +73,27 @@ def write_tiff(
     ifd_size = 2 + len(entries) * 12 + 4
     ext_offset = ifd_offset + ifd_size  # external value arrays start here
 
-    # lay out external arrays (anything wider than 4 bytes)
+    # first pass: compute where pixel data lands, so strip offsets (which
+    # may be inline when h == 1) are known before serializing anything
+    total_ext = sum(
+        _TYPE_SIZES[typ] * count
+        for _tag, typ, count, _v in entries
+        if _TYPE_SIZES[typ] * count > 4
+    )
+    data_off = ext_offset + total_ext
+    strip_offsets = [data_off + i * row_bytes for i in range(h)]
+    entries = [
+        (tag, typ, count, strip_offsets if tag == T_STRIP_OFFSETS else values)
+        for tag, typ, count, values in entries
+    ]
+
     ext = bytearray()
     ext_offsets: dict[int, int] = {}
     for tag, typ, count, values in entries:
         size = _TYPE_SIZES[typ] * count
-        if size > 4 and values is not None:
+        if size > 4:
             ext_offsets[tag] = ext_offset + len(ext)
             ext += struct.pack("<" + _TYPE_FMT[typ] * count, *values)
-    # strip offsets array sits after the other externals; pixel data after it
-    strips_array_off = ext_offset + len(ext)
-    data_off = strips_array_off + 4 * h
-    strip_offsets = [data_off + i * row_bytes for i in range(h)]
-    ext += struct.pack("<" + "I" * h, *strip_offsets)
-    ext_offsets[T_STRIP_OFFSETS] = strips_array_off
 
     out = bytearray()
     out += struct.pack("<2sHI", b"II", 42, ifd_offset)

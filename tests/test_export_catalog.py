@@ -223,3 +223,35 @@ def test_stateful_sessionize_stream_equals_batch(spark, sf_smoke, tmp_path):
         for r in e.q_sessionize(spark, sf_smoke).collect()
     }
     assert got == want
+
+
+def test_cli_ingest_geotiff(spark, sf_correct, tmp_path):
+    """CLI ingest: real TIFF -> chunk table committed as snapshot 1."""
+    import numpy as np
+
+    from scidbgeo_spark import cli, model
+    from scidbgeo_spark.catalog import SnapshotCatalog
+    from scidbgeo_spark.sources import geotiff
+
+    h, w = model.raster_dims(spark, sf_correct)
+    eid = np.arange(h * w, dtype=np.int64)
+    arr = ((eid * model.VALUE_MULT) % model.VALUE_MOD).astype(np.int32).reshape(h, w)
+    tdir = tmp_path / "tiffs"
+    tdir.mkdir()
+    (tdir / "r.tif").write_bytes(geotiff.write_tiff(arr))
+    wh = str(tmp_path / "wh")
+    timed = cli.run_ingest(spark, str(tdir), 50, 1, wh)
+    assert timed["n_cells"] == h * w
+    assert (timed["height"], timed["width"]) == (h, w)
+    cat = SnapshotCatalog(spark, wh)
+    assert cat.current_version("ingested") == 1
+    from scidbgeo_spark import tiling
+
+    got = sorted(
+        (r.y, r.x, r.value)
+        for r in tiling.tiles_to_coo(cat.read("ingested"), "value").collect()
+    )
+    want = sorted(
+        (r.y, r.x, r.value) for r in model.raster_coo(spark, sf_correct).collect()
+    )
+    assert got == want

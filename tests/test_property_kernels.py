@@ -93,3 +93,61 @@ def test_rolling_fingerprint_property(texts):
 
     got = rolling_fingerprint(texts)
     assert list(got) == [scalar(t) for t in texts]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+    ox=st.floats(-180, 180, allow_nan=False),
+    oy=st.floats(-90, 90, allow_nan=False),
+)
+def test_geotiff_roundtrip_property(h, w, seed, ox, oy):
+    """write_tiff -> parse/decode is the identity for any int32 array."""
+    from scidbgeo_spark.sources import geotiff
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(-(2**31), 2**31, size=(h, w), dtype=np.int64).astype(np.int32)
+    data = geotiff.write_tiff(a, origin=(ox, oy), pixel_size=(0.25, 0.5))
+    hdr = geotiff.parse_tiff(data)
+    assert (hdr["height"], hdr["width"]) == (h, w)
+    assert hdr["origin"] == (ox, oy)
+    assert np.array_equal(geotiff.tiff_to_array(data), a)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    k=st.integers(0, 10),
+    bx=st.integers(0, 60),
+    by=st.integers(0, 60),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_zorder_block_range_equals_box_property(k, bx, by, seed):
+    """Membership in the [z0, z1) Z-order interval == membership in the
+    aligned (cx, cy) box, for random cells (the range-pruning soundness
+    property behind zorder_range_count)."""
+    from scidbgeo_spark.operators.pip import ZORDER_BITS, zorder_block_range
+
+    cx0, cy0 = bx << k, by << k
+    if cx0 >= (1 << ZORDER_BITS) or cy0 >= (1 << ZORDER_BITS):
+        return
+    z0, z1 = zorder_block_range(cx0, cy0, k)
+
+    def interleave(cx, cy):
+        z = 0
+        for i in range(ZORDER_BITS):
+            z |= ((cx >> i) & 1) << (2 * i)
+            z |= ((cy >> i) & 1) << (2 * i + 1)
+        return z
+
+    rng = np.random.default_rng(seed)
+    for _ in range(20):
+        cx = int(rng.integers(0, 1 << ZORDER_BITS))
+        cy = int(rng.integers(0, 1 << ZORDER_BITS))
+        in_box = cx0 <= cx < cx0 + (1 << k) and cy0 <= cy < cy0 + (1 << k)
+        in_range = z0 <= interleave(cx, cy) < z1
+        assert in_box == in_range, (cx, cy, k)
+    # the block's own corners are always inside
+    assert z0 <= interleave(cx0, cy0) < z1
+    assert z0 <= interleave(cx0 + (1 << k) - 1, cy0 + (1 << k) - 1) < z1
