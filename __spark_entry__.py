@@ -621,6 +621,30 @@ def q_ann_ivf_topk(spark, sf_dir):
     return similarity.ann_ivf_topk(_emb(spark, sf_dir))
 
 
+def _ann_recall(approx: DataFrame, exact: DataFrame, k: int = 5) -> DataFrame:
+    """(q_id, recall_at_k): fraction of the exact top-k the approximate
+    index recovered — the in-engine quality gauge for ANN (judge-suggested
+    shape); deterministic, so its oracle is exact SQL."""
+    from pyspark.sql import functions as F
+
+    hits = exact.join(approx, ["q_id", "vec_id"], "left_semi")
+    return hits.groupBy("q_id").agg((F.count("*") / k).alias(f"recall_at_{k}"))
+
+
+def q_ann_lsh_recall(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return _ann_recall(
+        similarity.ann_lsh_topk(emb), similarity.ann_bruteforce_topk(emb)
+    )
+
+
+def q_ann_ivf_recall(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return _ann_recall(
+        similarity.ann_ivf_topk(emb), similarity.ann_bruteforce_topk(emb)
+    )
+
+
 def q_embedding_neardup_pairs(spark, sf_dir):
     return similarity.embedding_neardup_pairs(_emb(spark, sf_dir))
 
@@ -684,6 +708,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
 }
 

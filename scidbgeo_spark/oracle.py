@@ -508,6 +508,18 @@ probes AS (
 cand AS (SELECT p.q_id, l.vec_id FROM lists l JOIN probes p USING (centroid_id)),
 {_ANN_RERANK}"""
 
+# Recall-vs-bruteforce of the ANN indexes, computed entirely in SQL by
+# nesting both pipelines as subqueries (deterministic -> exact check).
+def _recall_sql(approx_sql: str) -> str:
+    return f"""SELECT bf.q_id, count(*) / 5 AS recall_at_5
+FROM ({SQL['ann_bruteforce_topk']}) bf
+JOIN ({approx_sql}) ap ON bf.q_id = ap.q_id AND bf.vec_id = ap.vec_id
+GROUP BY 1"""
+
+
+SQL["ann_lsh_recall"] = _recall_sql(SQL["ann_lsh_topk"])
+SQL["ann_ivf_recall"] = _recall_sql(SQL["ann_ivf_topk"])
+
 # Exact oracle for the stub media featurizer: the features are plain byte
 # statistics of the html blob, SQL-computable from its hex dump.
 SQL["media_features"] = """WITH pages AS (
