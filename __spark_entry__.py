@@ -351,6 +351,25 @@ def q_zonal_stats_float(spark, sf_dir):
     )
 
 
+def q_zonal_median(spark, sf_dir):
+    """Exact per-zone ORDERED statistics (median + p90) — Spark's exact
+    `percentile` aggregate over the zone join; interpolation matches
+    DuckDB quantile_cont bitwise on integer inputs.  An aggregate class
+    the reference's grouped_aggregate surface lacks."""
+    from pyspark.sql import functions as F
+
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    j = tiles.join(zt.select("tile_y", "tile_x", "zid"), ["tile_y", "tile_x"])
+    flat = j.select(F.explode(F.arrays_zip("zid", "px")).alias("c")).select(
+        F.col("c.zid").cast("long").alias("id"), F.col("c.px").alias("v")
+    )
+    return flat.groupBy("id").agg(
+        F.expr("percentile(v, 0.5)").alias("median_value"),
+        F.expr("percentile(v, 0.9)").alias("p90_value"),
+    )
+
+
 def q_zonal_stats_multi(spark, sf_dir):
     """Zonal statistics over a MULTI-ATTRIBUTE array (reference
     arrayType == 2, SciDBParallel.py:55-83): one chunk table carrying two
@@ -671,6 +690,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats_sortmerge": q_zonal_stats_sortmerge,
     "zonal_stats_float": q_zonal_stats_float,
     "zonal_stats_multi": q_zonal_stats_multi,
+    "zonal_median": q_zonal_median,
     "extract_geotags": q_extract_geotags,
     "join_reclass": q_join_reclass,
     "focal_mean_sum": q_focal_mean_sum,

@@ -243,7 +243,21 @@ def run_scaling() -> dict:
         rn = one(SCALE_N, SCALE_TRIALS)
         r4 = one(SCALE_4N, SCALE_TRIALS_4N)
         eff = rn["phases"]["full_time"] / (4 * r4["phases"]["full_time"])
-        pairs.append({"n": rn, "4n": r4, "efficiency": round(eff, 3)})
+        # per-pair hardware calibration: the streaming-triad control runs
+        # adjacent to the pair it calibrates, so a host-contended window
+        # is visible on BOTH numbers
+        bw = membw_control()
+        pairs.append(
+            {
+                "n": rn,
+                "4n": r4,
+                "efficiency": round(eff, 3),
+                "membw_efficiency": bw["efficiency"],
+                "vs_ceiling": round(eff / bw["efficiency"], 3)
+                if bw["efficiency"]
+                else None,
+            }
+        )
         if len(pairs) >= SCALE_PAIRS and median_eff() >= SCALE_TARGET_EFF:
             break
         if time.time() - t_start > SCALE_BUDGET_S:
@@ -252,7 +266,6 @@ def run_scaling() -> dict:
     # representative pair for the throughput fields: the one closest to
     # the median efficiency
     rep = min(pairs, key=lambda p: abs(p["efficiency"] - med))
-    bw = membw_control()
     return {
         "n": rep["n"],
         "4n": rep["4n"],
@@ -263,13 +276,15 @@ def run_scaling() -> dict:
         "median_efficiency": med,
         "best_efficiency": max(p["efficiency"] for p in pairs),
         # hardware calibration: what 1 -> 4 scaling THIS BOX permits for
-        # pure streaming work (shared-DRAM ceiling).  On a real cluster
-        # each executor adds its own memory channels, so the transferable
-        # engine property is efficiency relative to this ceiling.
-        "membw_control": bw,
-        "efficiency_vs_membw_ceiling": round(med / bw["efficiency"], 3)
-        if bw["efficiency"]
-        else None,
+        # pure streaming work (shared-DRAM ceiling), measured adjacent to
+        # every pair.  On a real cluster each executor adds its own
+        # memory channels, so the transferable engine property is
+        # efficiency relative to this ceiling (>= 1 means the engine
+        # scales better than the hardware's streaming limit).
+        "membw_efficiencies": [p["membw_efficiency"] for p in pairs],
+        "median_efficiency_vs_ceiling": round(
+            statistics.median(p["vs_ceiling"] for p in pairs if p["vs_ceiling"]), 3
+        ),
     }
 
 

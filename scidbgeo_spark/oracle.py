@@ -155,6 +155,11 @@ SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
        min(value) AS min_value, max(value) AS max_value,
        CAST(count(*) AS BIGINT) AS count_value
 FROM coof GROUP BY 1""",
+    "zonal_median": f"""WITH {COO}
+SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
+       quantile_cont(value, 0.5) AS median_value,
+       quantile_cont(value, 0.9) AS p90_value
+FROM coo GROUP BY 1""",
     "zonal_stats_multi": f"""WITH coom AS (
   SELECT event_id // {RASTER_W} AS y,
          event_id % {RASTER_W} AS x,
