@@ -149,6 +149,15 @@ def q_reclassify_persist(spark, sf_dir):
     return pixel.reclassify(model.raster_coo(spark, sf_dir), 87, 1000, other=-99)
 
 
+def q_downsample(spark, sf_dir):
+    """regrid(A, 2, 2, avg) analog: block-mean overview pyramid level."""
+    return pixel.downsample(model.raster_coo(spark, sf_dir), 2)
+
+
+def q_raster_histogram(spark, sf_dir):
+    return pixel.histogram(model.raster_coo(spark, sf_dir))
+
+
 def q_between_window(spark, sf_dir):
     return pixel.between(model.raster_coo(spark, sf_dir), 25, 10, 75, 60)
 
@@ -677,6 +686,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_insert_catalog": q_merge_insert_catalog,
     "reclassify_sum": q_reclassify_sum,
     "reclassify_persist": q_reclassify_persist,
+    "downsample": q_downsample,
+    "raster_histogram": q_raster_histogram,
     "between_window": q_between_window,
     "subarray": q_subarray,
     "slice_band": q_slice_band,

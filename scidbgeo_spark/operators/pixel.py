@@ -148,3 +148,29 @@ def sorted_export(coo: DataFrame) -> DataFrame:
     """save(sort(Q, y, x), 'out', 0, 'csv') — SciDBParallel.py:750-754.
     Returns the ordered frame; callers chain ``.write.csv``."""
     return coo.orderBy("y", "x")
+
+
+def downsample(coo: DataFrame, factor: int = 2) -> DataFrame:
+    """Block-mean downsample (the GDAL overview / `regrid(A, f, f, avg)`
+    shape): each factor x factor block becomes one coarse cell holding
+    the mean of its members.  Pure groupBy on integer-divided
+    coordinates — one map-side-combined shuffle, no kernel needed; ragged
+    edge blocks average their actual members (regrid semantics)."""
+    return (
+        coo.groupBy(
+            F.expr(f"y DIV {factor}").alias("y"),
+            F.expr(f"x DIV {factor}").alias("x"),
+        )
+        .agg(F.avg("value").alias("value_avg"))
+        .select("y", "x", "value_avg")
+    )
+
+
+def histogram(coo: DataFrame) -> DataFrame:
+    """Pixel-value histogram (the classification QA companion of
+    count_pixels): one row per distinct value with its frequency."""
+    return (
+        coo.groupBy("value")
+        .agg(F.count("*").alias("n_pixels"))
+        .select("value", "n_pixels")
+    )

@@ -115,6 +115,11 @@ SELECT y, x,
                  THEN CASE WHEN value = 87 THEN 1000 ELSE -99 END
                  ELSE value END AS BIGINT) AS value
 FROM coo""",
+    "downsample": f"""WITH {COO}
+SELECT y // 2 AS y, x // 2 AS x, avg(value) AS value_avg
+FROM coo GROUP BY 1, 2""",
+    "raster_histogram": f"""WITH {COO}
+SELECT value, CAST(count(*) AS BIGINT) AS n_pixels FROM coo GROUP BY 1""",
     "between_window": f"""WITH {COO}
 SELECT y, x, value FROM coo
 WHERE y BETWEEN 25 AND 75 AND x BETWEEN 10 AND 60""",
