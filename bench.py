@@ -46,7 +46,7 @@ SCALE_4N = 4 * SCALE_N
 # ratio — so the cheap 4N side retries more
 SCALE_TRIALS = int(os.environ.get("BENCH_SCALE_TRIALS", "2"))
 SCALE_TRIALS_4N = int(os.environ.get("BENCH_SCALE_TRIALS_4N", "3"))
-SCALE_BUDGET_S = int(os.environ.get("BENCH_SCALE_BUDGET_S", "480"))
+SCALE_BUDGET_S = int(os.environ.get("BENCH_SCALE_BUDGET_S", "360"))
 SCALE_SHUFFLE = 32  # constant across core counts: same job, same partitioning
 SCALE_H = int(os.environ.get("BENCH_SCALE_H", "4096"))
 SCALE_PTS = int(os.environ.get("BENCH_SCALE_PTS", "2000000"))
