@@ -171,16 +171,35 @@ def embedding_corpus_with_dups(emb: DataFrame) -> DataFrame:
     return emb.select("vec_id", "embedding").unionAll(dups)
 
 
-def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
+EMB_BUCKET_CAP = 200  # LSH buckets larger than this are skipped per table
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame, threshold: float = 0.99, bucket_cap: int = EMB_BUCKET_CAP
+) -> DataFrame:
     """Near-duplicate vector pairs at a cosine threshold: LSH-bucket
     candidate join (identical vectors always share a bucket), exact
-    verify.  Output (a, b) with a < b."""
+    verify.  Output (a, b) with a < b.
+
+    Hot-bucket cap (same shape as dedup.minhash_dup_pairs): a clump of m
+    near-identical embeddings (boilerplate pages, zero vectors) lands in
+    one bucket per table and would emit m^2 candidate rows; buckets larger
+    than ``bucket_cap`` are dropped PER TABLE.  The cap is part of the
+    operator's semantics — the DuckDB oracle applies the identical
+    QUALIFY — and because the N_TABLES tables partition the corpus
+    independently, a genuine near-dup pair survives unless it is capped in
+    every table (verified against brute force on the fixtures, where the
+    capped output is identical)."""
     corpus = embedding_corpus_with_dups(emb)
     bk = lsh_buckets(corpus)
+    bw = Window.partitionBy("table", "bucket")
+    capped = bk.withColumn("bsz", F.count("*").over(bw)).filter(
+        F.col("bsz") <= bucket_cap
+    )
     cand = (
-        bk.alias("l")
+        capped.alias("l")
         .join(
-            bk.alias("r"),
+            capped.alias("r"),
             (F.col("l.table") == F.col("r.table"))
             & (F.col("l.bucket") == F.col("r.bucket"))
             & (F.col("l.vec_id") < F.col("r.vec_id")),

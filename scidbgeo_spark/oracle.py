@@ -443,16 +443,6 @@ _COS = (
     "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
 )
 
-SQL["embedding_neardup_pairs"] = f"""WITH corpus AS (
-  SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
-  UNION ALL
-  SELECT vec_id + 10000 AS vec_id, embedding::DOUBLE[] AS ee
-  FROM embeddings WHERE vec_id % 5 = 0
-)
-SELECT a.vec_id AS a, b.vec_id AS b
-FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-WHERE {_COS.format(a='a.ee', b='b.ee')} >= 0.99"""
-
 # -- exact oracle twins for the approximate ANN paths -------------------------
 # The LSH/IVF pipelines are deterministic (hash-derived hyperplanes, data-
 # sample centroids), so DuckDB can reproduce buckets, probes, candidates
@@ -529,6 +519,34 @@ GROUP BY 1"""
 
 SQL["ann_lsh_recall"] = _recall_sql(SQL["ann_lsh_topk"])
 SQL["ann_ivf_recall"] = _recall_sql(SQL["ann_ivf_topk"])
+
+# Exact algorithm twin of similarity.embedding_neardup_pairs: dup-injected
+# corpus -> per-table LSH buckets -> hot-bucket QUALIFY cap (mirrors
+# EMB_BUCKET_CAP) -> distinct candidates -> cosine>=0.99 verify.  On the
+# fixtures the capped output equals brute force (pytest pins that); the
+# oracle reproduces the capped pipeline so the check stays exact at any sf.
+from scidbgeo_spark.operators.similarity import EMB_BUCKET_CAP  # noqa: E402
+
+_neardup_tables = [t.replace("FROM e", "FROM corpus") for t in _lsh_tables]
+SQL["embedding_neardup_pairs"] = f"""WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+  UNION ALL
+  SELECT vec_id + 10000 AS vec_id, embedding::DOUBLE[] AS ee
+  FROM embeddings WHERE vec_id % 5 = 0
+),
+bk AS ({' UNION ALL '.join(_neardup_tables)}),
+bkc AS (
+  SELECT * FROM bk
+  QUALIFY count(*) OVER (PARTITION BY tbl, bucket) <= {EMB_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM bkc l JOIN bkc r
+    ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+)
+SELECT c.a, c.b
+FROM cand c JOIN corpus ca ON ca.vec_id = c.a JOIN corpus cb ON cb.vec_id = c.b
+WHERE {_COS.format(a='ca.ee', b='cb.ee')} >= 0.99"""
 
 # Exact oracle for the stub media featurizer: the features are plain byte
 # statistics of the html blob, SQL-computable from its hex dump.

@@ -103,6 +103,42 @@ def test_embedding_neardups_exact(spark, sf_smoke):
     assert got == want
 
 
+def test_embedding_neardup_hot_bucket_cap(spark, sf_smoke):
+    """Adversarial identical-vector clump: a boilerplate clump larger than
+    the bucket cap fills its bucket in EVERY table (identical vectors hash
+    identically), so the cap drops all of its m^2 candidate pairs — while
+    the genuine injected dups (under the cap) are still found."""
+    emb = model.load_table(spark, sf_smoke, "embeddings")
+    # cap 70 clears every natural fixture bucket (max 68) but the 100-wide
+    # clump overflows its bucket in all tables; clump ids stay below the
+    # corpus guard's 10000 offset (their %5==0 members get dup-injected
+    # too — more clump mass, same capped bucket)
+    clump_n = 100
+    one = emb.filter(F.col("vec_id") == 1).select("embedding")
+    clump = (
+        spark.range(clump_n)
+        .select((F.col("id") + 5000).alias("vec_id"))
+        .crossJoin(F.broadcast(one))
+    )
+    poisoned = emb.select("vec_id", "embedding").unionAll(clump)
+    got = {
+        (r.a, r.b)
+        for r in similarity.embedding_neardup_pairs(poisoned, bucket_cap=70).collect()
+    }
+
+    def in_clump(v):
+        return 5000 <= v < 5100 or 15000 <= v < 15100
+
+    # no clump-internal pair survives (bucket over cap in all tables) ...
+    assert not any(in_clump(a) and in_clump(b) for a, b in got)
+    # ... and every genuine injected fixture dup is still recovered
+    want = {
+        (r.vec_id, r.vec_id + 10000)
+        for r in emb.filter(F.col("vec_id") % 5 == 0).select("vec_id").collect()
+    }
+    assert want <= got
+
+
 def test_media_features_deterministic_stub(spark, sf_smoke):
     pages = text.pages_from_documents(_docs(spark, sf_smoke))
     a = {r.doc_id: r.mean_byte for r in multimodal.extract_media_features(pages).collect()}
