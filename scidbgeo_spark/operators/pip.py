@@ -134,30 +134,16 @@ def polygons_df(spark: SparkSession, polygons: list[tuple[int, np.ndarray]]) -> 
     )
 
 
-def pip_join_df(
-    spark: SparkSession,
-    points: DataFrame,
-    poly_df: DataFrame,
-    mode: str = "auto",
-    broadcast_cells: int = 100_000,
-) -> DataFrame:
-    """Points x polygons PIP join with the polygon layer as a DATAFRAME —
-    no driver-side polygon loop, so it holds for millions of polygons.
-
-    Candidate cells are built distributed: each polygon's bbox expands to
-    its covering coarse cells via sequence+explode (pure column algebra),
-    then points equi-join candidates on the cell id.  The join strategy
-    mirrors the reference's mode-2/mode-3 choice
-    (SciDB_ZonalStats_CL.py:290-360): ``broadcast`` replicates the
-    candidate table (hash_replicate_right analog) when it is small,
-    ``shuffle`` lets Catalyst pick a shuffled join for huge layers;
-    ``auto`` decides by candidate-cell count.  Exact ray-cast refinement
-    runs on candidate rows only, with ring coordinates carried as array
-    columns (converted once per zone per Arrow batch)."""
+def _covering_cand(poly_df: DataFrame, with_rings: bool) -> DataFrame:
+    """Distributed covering-cell candidate table: each polygon's bbox
+    expands to its coarse cells via sequence+explode (pure column
+    algebra).  ``with_rings`` controls whether the ring arrays ride along
+    (broadcast mode) or the table stays a bare (zone_id, ccell) pair set
+    (shuffle mode — rings attach later)."""
+    carry = ["xs", "ys"] if with_rings else []
     bbox = poly_df.select(
         "zone_id",
-        "xs",
-        "ys",
+        *carry,
         F.array_min("xs").alias("x0"),
         F.array_max("xs").alias("x1"),
         F.array_min("ys").alias("y0"),
@@ -169,33 +155,61 @@ def pip_join_df(
             F.floor((F.col("y1") + 90.0) / CAND_RES),
         )
     ).alias("cy")
-    cand = bbox.select("zone_id", "xs", "ys", "x1", "x0", cy).select(
-        "zone_id",
-        "xs",
-        "ys",
-        "cy",
-        F.explode(
-            F.sequence(
-                F.floor((F.col("x0") + 180.0) / CAND_RES),
-                F.floor((F.col("x1") + 180.0) / CAND_RES),
-            )
-        ).alias("cx"),
-    ).select(
-        "zone_id",
-        "xs",
-        "ys",
-        (F.col("cy") * CAND_NX + F.col("cx")).cast("long").alias("ccell"),
+    return (
+        bbox.select("zone_id", *carry, "x1", "x0", cy)
+        .select(
+            "zone_id",
+            *carry,
+            "cy",
+            F.explode(
+                F.sequence(
+                    F.floor((F.col("x0") + 180.0) / CAND_RES),
+                    F.floor((F.col("x1") + 180.0) / CAND_RES),
+                )
+            ).alias("cx"),
+        )
+        .select(
+            "zone_id",
+            *carry,
+            (F.col("cy") * CAND_NX + F.col("cx")).cast("long").alias("ccell"),
+        )
     )
+
+
+def plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's size estimate for a DataFrame (optimized-plan stats) —
+    pure metadata, runs NO job: for file sources it is the pruned scan
+    size, for local relations the serialized rows."""
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+
+def pip_join_df(
+    spark: SparkSession,
+    points: DataFrame,
+    poly_df: DataFrame,
+    mode: str = "auto",
+    broadcast_bytes: int = 64 << 20,
+) -> DataFrame:
+    """Points x polygons PIP join with the polygon layer as a DATAFRAME —
+    no driver-side polygon loop, so it holds for millions of polygons.
+
+    The join strategy mirrors the reference's mode-2/mode-3 choice
+    (SciDB_ZonalStats_CL.py:290-360) and is picked from the layer's
+    Catalyst size estimate — plan metadata only, NO extra job:
+
+    - ``broadcast`` (small layer): candidate cells carry the ring arrays
+      and replicate to every task (hash_replicate_right analog) — the
+      whole join runs without any shuffle.
+    - ``shuffle`` (huge layer): the candidate table is a bare
+      (zone_id, ccell) pair set, so the candidate shuffle moves 16-byte
+      rows — ring arrays attach in a SECOND zone-keyed join immediately
+      before refinement, shipping each ring once per surviving candidate
+      exchange rather than through every join stage.
+
+    Exact ray-cast refinement runs on candidate rows only, with ring
+    coordinates converted once per zone per Arrow batch."""
     if mode == "auto":
-        mode = "broadcast" if cand.count() <= broadcast_cells else "shuffle"
-    if mode == "broadcast":
-        cand = F.broadcast(cand)
-    elif mode == "shuffle":
-        # explicit: a layer too big to replicate must not be broadcast
-        # even if Catalyst's size estimate would allow it
-        cand = cand.hint("shuffle_hash")
-    else:
-        raise ValueError(f"unknown pip mode {mode!r}")
+        mode = "broadcast" if plan_size_bytes(poly_df) <= broadcast_bytes else "shuffle"
 
     @F.pandas_udf(T.BooleanType())
     def _refine_arrays(
@@ -213,7 +227,18 @@ def pip_join_df(
         return pd.Series(out)
 
     pts = points.withColumn("ccell", cell_col(res=CAND_RES, nx=CAND_NX))
-    candidates = pts.join(cand, "ccell")
+    if mode == "broadcast":
+        candidates = pts.join(F.broadcast(_covering_cand(poly_df, with_rings=True)), "ccell")
+    elif mode == "shuffle":
+        # explicit: a layer too big to replicate must not be broadcast
+        # even if Catalyst's size estimate would allow it
+        cand = _covering_cand(poly_df, with_rings=False).hint("shuffle_hash")
+        hits = pts.join(cand, "ccell")
+        candidates = hits.join(
+            poly_df.select("zone_id", "xs", "ys").hint("shuffle_hash"), "zone_id"
+        )
+    else:
+        raise ValueError(f"unknown pip mode {mode!r}")
     return candidates.filter(
         _refine_arrays("lon", "lat", "zone_id", "xs", "ys")
     ).select(points["*"], F.col("zone_id").cast("long").alias("zone_id"))

@@ -185,3 +185,40 @@ def test_pip_join_df_plan_strategy(spark, sf_correct):
     assert "BroadcastHashJoin" in bc_plan
     sh_plan = pip.pip_join_df(spark, pts, poly, mode="shuffle")._jdf.queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in sh_plan or "SortMergeJoin" in sh_plan
+
+
+def test_pip_join_df_auto_runs_no_job(spark, sf_correct):
+    """Strategy selection must be plan metadata only: building the auto-
+    mode DataFrame (no action) may not launch any Spark job."""
+    pts = model.points(spark, sf_correct)
+    poly = pip.polygons_df(spark, fixtures.GEO_POLYGONS)
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    df = pip.pip_join_df(spark, pts, poly, mode="auto")
+    df.schema  # force analysis, still no job
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before
+    assert df is not None
+
+
+def test_pip_join_df_shuffle_keeps_rings_out_of_candidate_exchange(spark, sf_correct):
+    """In shuffle mode the candidate join must move bare (zone_id, ccell)
+    rows: no Exchange may carry the ring arrays together with the cell id
+    (rings attach in the later zone-keyed join)."""
+    import io
+    import contextlib
+
+    pts = model.points(spark, sf_correct)
+    poly = pip.polygons_df(spark, fixtures.GEO_POLYGONS)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pip.pip_join_df(spark, pts, poly, mode="shuffle").explain("formatted")
+    lines = buf.getvalue().splitlines()
+    n_exchanges = 0
+    for i, line in enumerate(lines):
+        if ") Exchange" in line:
+            n_exchanges += 1
+            inputs = lines[i + 1]  # "Input [n]: [cols]"
+            assert "Input" in inputs
+            assert not ("xs" in inputs and "ccell" in inputs), inputs
+    assert n_exchanges >= 2  # candidate shuffle + ring-attach shuffle exist
