@@ -463,6 +463,25 @@ def q_pip_poly_df(spark, sf_dir):
     return pip.pip_join_df(spark, pts, poly).select("doc_id", "zone_id")
 
 
+def q_pip_poly_wkt(spark, sf_dir):
+    """pip_poly with the polygon layer read from a WKT parquet FILE and
+    parsed distributed (regexp/split column algebra — the reference's OGR
+    shapefile load, SciDB_ZonalStats_CL.py:443-445, re-expressed as a
+    vector-format reader).  File content is the deterministic fixture
+    layer, so the oracle is pip_poly's: the serialization round-trip must
+    not change results."""
+    import os
+    import tempfile
+
+    from scidbgeo_spark.sources import vector
+
+    d = tempfile.mkdtemp(prefix="scidbgeo_wkt_")
+    vector.write_wkt_fixture(os.path.join(d, "layer.parquet"), fixtures.GEO_POLYGONS)
+    poly = vector.polygons_from_wkt(spark.read.parquet(d))
+    pts = model.points(spark, sf_dir)
+    return pip.pip_join_df(spark, pts, poly).select("doc_id", "zone_id")
+
+
 def q_pip_grid_salted(spark, sf_dir):
     """pip_grid with explicit two-phase salted aggregation over the hot
     cell (oracle identical to pip_grid: salting must not change results)."""
@@ -707,6 +726,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_grid": q_pip_grid,
     "pip_poly": q_pip_poly,
     "pip_poly_df": q_pip_poly_df,
+    "pip_poly_wkt": q_pip_poly_wkt,
     "pip_grid_salted": q_pip_grid_salted,
     "knn": q_knn,
     "knn_bulk": q_knn_bulk,

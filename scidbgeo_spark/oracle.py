@@ -236,6 +236,11 @@ SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
 SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
   SELECT doc_id, {GEO_ZONE} AS zone_id FROM pts
 ) WHERE zone_id IS NOT NULL""",
+    # WKT-file layer: serialization round-trip must not change results
+    "pip_poly_wkt": f"""WITH {PTS}
+SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
+  SELECT doc_id, {GEO_ZONE} AS zone_id FROM pts
+) WHERE zone_id IS NOT NULL""",
     "extract_text": """SELECT doc_id, text AS extracted FROM documents""",
     "token_count": """SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents""",

@@ -222,3 +222,59 @@ def test_pip_join_df_shuffle_keeps_rings_out_of_candidate_exchange(spark, sf_cor
             assert "Input" in inputs
             assert not ("xs" in inputs and "ccell" in inputs), inputs
     assert n_exchanges >= 2  # candidate shuffle + ring-attach shuffle exist
+
+
+def test_wkt_layer_roundtrip_exact(spark, tmp_path):
+    """WKT serialize -> distributed parse recovers the exact binary64
+    ring coordinates and the open-ring layout of polygons_df."""
+    from scidbgeo_spark.sources import vector
+
+    p = str(tmp_path / "layer.parquet")
+    vector.write_wkt_fixture(p, fixtures.GEO_POLYGONS)
+    got = {
+        r.zone_id: (r.xs, r.ys)
+        for r in vector.polygons_from_wkt(spark.read.parquet(p)).collect()
+    }
+    want = {
+        r.zone_id: (r.xs, r.ys)
+        for r in pip.polygons_df(spark, fixtures.GEO_POLYGONS).collect()
+    }
+    assert got == want  # exact doubles, closing vertex dropped
+
+
+def test_geojson_layer_roundtrip_exact(spark):
+    from scidbgeo_spark.sources import vector
+
+    rows = [
+        (int(z), vector.ring_to_geojson(ring)) for z, ring in fixtures.GEO_POLYGONS
+    ]
+    df = spark.createDataFrame(rows, "zone_id int, geometry string")
+    got = {
+        r.zone_id: (r.xs, r.ys)
+        for r in vector.polygons_from_geojson(df).collect()
+    }
+    want = {
+        r.zone_id: (r.xs, r.ys)
+        for r in pip.polygons_df(spark, fixtures.GEO_POLYGONS).collect()
+    }
+    assert got == want
+
+
+def test_pip_poly_wkt_matches_driver_list_path(spark, sf_correct, tmp_path):
+    """End-to-end: PIP over the file-read WKT layer == PIP over the
+    driver-list layer (the vector reader must not change join rows)."""
+    from scidbgeo_spark.sources import vector
+
+    p = str(tmp_path / "layer.parquet")
+    vector.write_wkt_fixture(p, fixtures.GEO_POLYGONS)
+    poly = vector.polygons_from_wkt(spark.read.parquet(p))
+    pts = model.points(spark, sf_correct)
+    got = sorted(
+        (r.doc_id, r.zone_id)
+        for r in pip.pip_join_df(spark, pts, poly).select("doc_id", "zone_id").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.zone_id)
+        for r in pip.pip_join(spark, pts, fixtures.GEO_POLYGONS).collect()
+    )
+    assert got == want
