@@ -201,6 +201,34 @@ def q_geotiff_ingest(spark, sf_dir):
     return geotiff.geotiff_coo(spark, d)
 
 
+def q_geotiff_ingest_3d(spark, sf_dir):
+    """Multiband raster ingest end-to-end: serialize the deterministic
+    3-D raster as a REAL pixel-interleaved multiband GeoTIFF, ingest it
+    through binaryFile -> strip-windowed parse -> (band, y, x, value)
+    (the reference's 3-D [band;y;x] load,
+    GDALtoSciDB_multiprocessing.py:145-148).  Oracle: the plain 3-D COO
+    derivation — the multiband byte layout must round-trip exactly."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from scidbgeo_spark.model import VALUE_MOD, VALUE_MULT
+    from scidbgeo_spark.sources import geotiff
+
+    bands, h3, w3 = model.raster3_dims(spark, sf_dir)
+    if bands * h3 * w3 > 50_000_000:
+        raise ValueError("fixture writer is driver-side; raster too large")
+    # raster3_coo: band = e % bands, (y, x) = divmod(e DIV bands, w3)
+    e = np.arange(bands * h3 * w3, dtype=np.int64)
+    arr = np.zeros((bands, h3, w3), dtype=np.int32)
+    arr[e % bands, (e // bands) // w3, (e // bands) % w3] = (e * VALUE_MULT) % VALUE_MOD
+    d = tempfile.mkdtemp(prefix="scidbgeo_tiff3_")
+    with open(os.path.join(d, "raster3.tif"), "wb") as f:
+        f.write(geotiff.write_tiff(arr))
+    return geotiff.geotiff_coo_3d(spark, d)
+
+
 def q_redimension_roundtrip(spark, sf_dir):
     tiles, _, _ = _raster_tiles(spark, sf_dir)
     return tiling.tiles_to_coo(tiles, "value")
@@ -712,6 +740,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "between_window": q_between_window,
     "raster_add": q_raster_add,
     "geotiff_ingest": q_geotiff_ingest,
+    "geotiff_ingest_3d": q_geotiff_ingest_3d,
     "redimension_roundtrip_3d": q_redimension_roundtrip_3d,
     "zonal_stats_rect": q_zonal_stats_rect,
     "zonal_stats_poly": q_zonal_stats_poly,

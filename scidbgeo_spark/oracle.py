@@ -137,6 +137,9 @@ SELECT y, x, value FROM coo""",
 SELECT y, x, value FROM coo""",
     "redimension_roundtrip_3d": f"""WITH {COO3}
 SELECT band, y, x, value FROM coo3""",
+    # multiband-file byte layout must round-trip exactly
+    "geotiff_ingest_3d": f"""WITH {COO3}
+SELECT band, y, x, value FROM coo3""",
     "zonal_stats_rect": f"""WITH {COO}
 SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
        {ZONAL_AGG}

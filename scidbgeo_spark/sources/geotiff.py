@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 T_WIDTH, T_HEIGHT = 256, 257
 T_BITS, T_COMPRESSION, T_PHOTOMETRIC = 258, 259, 262
 T_STRIP_OFFSETS, T_SAMPLES_PER_PX, T_ROWS_PER_STRIP = 273, 277, 278
-T_STRIP_BYTES, T_SAMPLE_FORMAT = 279, 339
+T_STRIP_BYTES, T_PLANAR_CONFIG, T_SAMPLE_FORMAT = 279, 284, 339
 T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT = 33550, 33922
 
 _TYPE_SIZES = {3: 2, 4: 4, 12: 8}  # SHORT, LONG, DOUBLE
@@ -42,26 +42,37 @@ def write_tiff(
     origin: tuple[float, float] = (0.0, 0.0),
     pixel_size: tuple[float, float] = (1.0, 1.0),
 ) -> bytes:
-    """Serialize a 2-D int32 array as an uncompressed striped
-    little-endian GeoTIFF (one strip per row), with
-    ModelPixelScale/ModelTiepoint geo tags — the layout GDAL's GTiff
-    driver produces for CreateCopy without compression
-    (SciDBGDAL.py:12-56 consumes exactly these tags)."""
+    """Serialize a 2-D int32 array — or a 3-D (bands, h, w) array as a
+    pixel-interleaved multiband image (PlanarConfiguration=1, GDAL's
+    GTiff default) — as an uncompressed striped little-endian GeoTIFF
+    (one strip per row), with ModelPixelScale/ModelTiepoint geo tags —
+    the layout GDAL's GTiff driver produces for CreateCopy without
+    compression (SciDBGDAL.py:12-56 consumes exactly these tags;
+    GDALtoSciDB_multiprocessing.py:145-148 loads such multiband files as
+    3-D [band;y;x] arrays)."""
     a = np.ascontiguousarray(arr, dtype="<i4")
-    h, w = a.shape
-    row_bytes = w * 4
+    if a.ndim == 2:
+        bands, (h, w) = 1, a.shape
+    elif a.ndim == 3:
+        bands, h, w = a.shape
+        # pixel-interleaved: row y = [x0:b0..bN, x1:b0..bN, ...]
+        a = np.ascontiguousarray(a.transpose(1, 2, 0))
+    else:
+        raise ValueError(f"write_tiff expects 2-D or 3-D array, got {a.ndim}-D")
+    row_bytes = w * 4 * bands
 
     entries = []  # (tag, type, count, values)
     entries.append((T_WIDTH, 4, 1, [w]))
     entries.append((T_HEIGHT, 4, 1, [h]))
-    entries.append((T_BITS, 3, 1, [32]))
+    entries.append((T_BITS, 3, bands, [32] * bands))
     entries.append((T_COMPRESSION, 3, 1, [1]))
     entries.append((T_PHOTOMETRIC, 3, 1, [1]))
     entries.append((T_STRIP_OFFSETS, 4, h, None))  # filled below
-    entries.append((T_SAMPLES_PER_PX, 3, 1, [1]))
+    entries.append((T_SAMPLES_PER_PX, 3, 1, [bands]))
     entries.append((T_ROWS_PER_STRIP, 4, 1, [1]))
     entries.append((T_STRIP_BYTES, 4, h, [row_bytes] * h))
-    entries.append((T_SAMPLE_FORMAT, 3, 1, [2]))  # signed int
+    entries.append((T_PLANAR_CONFIG, 3, 1, [1]))
+    entries.append((T_SAMPLE_FORMAT, 3, bands, [2] * bands))  # signed int
     entries.append(
         (T_MODEL_PIXEL_SCALE, 12, 3, [pixel_size[0], pixel_size[1], 0.0])
     )
@@ -138,6 +149,9 @@ def parse_tiff(data: bytes) -> dict:
 
     if tags.get(T_COMPRESSION, [1])[0] != 1:
         raise ValueError("compressed TIFF not supported by the NumPy reader")
+    bands = tags.get(T_SAMPLES_PER_PX, [1])[0]
+    if bands > 1 and tags.get(T_PLANAR_CONFIG, [1])[0] != 1:
+        raise ValueError("planar (band-separate) multiband TIFF not supported")
     bits = tags.get(T_BITS, [8])[0]
     fmt = tags.get(T_SAMPLE_FORMAT, [1])[0]  # 1 unsigned, 2 signed
     kind = {1: "u", 2: "i"}.get(fmt)
@@ -147,6 +161,7 @@ def parse_tiff(data: bytes) -> dict:
     out = {
         "width": tags[T_WIDTH][0],
         "height": tags[T_HEIGHT][0],
+        "bands": bands,
         "dtype": dtype,
         "strip_offsets": tags[T_STRIP_OFFSETS],
         "strip_byte_counts": tags[T_STRIP_BYTES],
@@ -160,53 +175,143 @@ def parse_tiff(data: bytes) -> dict:
 
 
 def tiff_to_array(data: bytes) -> np.ndarray:
-    """Whole-file decode (test/driver-side helper)."""
+    """Whole-file decode (test/driver-side helper): (h, w) for a
+    single-band file, (bands, h, w) for pixel-interleaved multiband."""
     h = parse_tiff(data)
     rows = []
     for off, nbytes in zip(h["strip_offsets"], h["strip_byte_counts"]):
         rows.append(np.frombuffer(data, dtype=h["dtype"], count=nbytes // h["dtype"].itemsize, offset=off))
-    return np.concatenate(rows).reshape(h["height"], h["width"])
+    flat = np.concatenate(rows)
+    if h["bands"] == 1:
+        return flat.reshape(h["height"], h["width"])
+    return flat.reshape(h["height"], h["width"], h["bands"]).transpose(2, 0, 1)
 
 
-def geotiff_coo(spark: SparkSession, path: str, batch_rows: int = 256) -> DataFrame:
-    """Distributed GeoTIFF ingest: binaryFile scan -> per-strip NumPy
-    parse -> COO rows (y, x, value).  Each output batch covers at most
-    ``batch_rows`` raster rows, so executor memory is bounded by the
-    window size, not the file size — the mapInPandas analog of the
-    reference's per-instance ReadAsArray windows
-    (GDALtoSciDB_multiprocessing.py:300-320)."""
+def _file_row_offset(path: str, pattern) -> int:
+    """Starting raster row of a windowed file, derived from its name
+    (the reference writes one file per read window; the window origin is
+    encoded in the name, GDALtoSciDB_multiprocessing.py:300-320)."""
+    m = pattern.search(path)
+    if not m:
+        raise ValueError(f"row_offset_pattern matched nothing in {path!r}")
+    return int(m.group(1))
+
+
+def _scan_files(spark: SparkSession, path: str, row_offset_pattern: str | None):
+    """binaryFile scan + the multi-file policy: without an offset rule a
+    glob matching several files would overlay every raster at y=0
+    (duplicate cells silently corrupting downstream tiles), so fail fast;
+    with a rule, each file's rows shift by its name-derived offset.  The
+    guard is a file LISTING count (column-pruned, no content read)."""
+    files = spark.read.format("binaryFile").load(path)
+    if row_offset_pattern is None:
+        if files.select("path").limit(2).count() > 1:
+            raise ValueError(
+                f"glob {path!r} matches multiple GeoTIFFs; pass "
+                "row_offset_pattern (regex with the start-row group, e.g. "
+                r"r'_y(\d+)\.tif$') so each file's window lands at its own rows"
+            )
+        import re
+
+        return files.select("path", "content"), re.compile(r"$^")  # never used
+    import re
+
+    return files.select("path", "content"), re.compile(row_offset_pattern)
+
+
+def _strip_batches(data: bytes, hdr: dict, batch_rows: int):
+    """Yield (y_start, n_rows, flat_values) windows of <= batch_rows
+    raster rows each — executor memory is bounded by the window size, not
+    the file size (the mapInPandas analog of the reference's per-instance
+    ReadAsArray windows)."""
+    w, bands = hdr["width"], hdr["bands"]
+    rps = hdr["rows_per_strip"]
+    n_strips = len(hdr["strip_offsets"])
+    step = max(1, batch_rows // max(1, rps))
+    for s0 in range(0, n_strips, step):
+        s1 = min(n_strips, s0 + step)
+        chunks = [
+            np.frombuffer(
+                data,
+                dtype=hdr["dtype"],
+                count=hdr["strip_byte_counts"][s] // hdr["dtype"].itemsize,
+                offset=hdr["strip_offsets"][s],
+            )
+            for s in range(s0, s1)
+        ]
+        vals = np.concatenate(chunks)
+        yield s0 * rps, len(vals) // (w * bands), vals
+
+
+def geotiff_coo(
+    spark: SparkSession,
+    path: str,
+    batch_rows: int = 256,
+    row_offset_pattern: str | None = None,
+) -> DataFrame:
+    """Distributed single-band GeoTIFF ingest: binaryFile scan ->
+    per-strip NumPy parse -> COO rows (y, x, value).  Multi-file globs
+    require ``row_offset_pattern`` (see :func:`_scan_files`)."""
     import pandas as pd
 
-    files = spark.read.format("binaryFile").load(path).select("content")
+    files, pat = _scan_files(spark, path, row_offset_pattern)
+    offsets = row_offset_pattern is not None
 
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            for data in pdf["content"]:
+            for pth, data in zip(pdf["path"], pdf["content"]):
                 hdr = parse_tiff(bytes(data))
+                if hdr["bands"] != 1:
+                    raise ValueError(
+                        f"{pth}: {hdr['bands']}-band file; use geotiff_coo_3d"
+                    )
                 w = hdr["width"]
-                rps = hdr["rows_per_strip"]
-                n_strips = len(hdr["strip_offsets"])
-                for s0 in range(0, n_strips, max(1, batch_rows // max(1, rps))):
-                    s1 = min(n_strips, s0 + max(1, batch_rows // max(1, rps)))
-                    chunks = []
-                    for s in range(s0, s1):
-                        off = hdr["strip_offsets"][s]
-                        nb = hdr["strip_byte_counts"][s]
-                        chunks.append(
-                            np.frombuffer(
-                                data,
-                                dtype=hdr["dtype"],
-                                count=nb // hdr["dtype"].itemsize,
-                                offset=off,
-                            )
-                        )
-                    vals = np.concatenate(chunks)
-                    y_start = s0 * rps
-                    n_rows = len(vals) // w
-                    ys = np.repeat(np.arange(y_start, y_start + n_rows, dtype=np.int64), w)
+                y_off = _file_row_offset(pth, pat) if offsets else 0
+                for y0, n_rows, vals in _strip_batches(bytes(data), hdr, batch_rows):
+                    ys = np.repeat(
+                        np.arange(y_off + y0, y_off + y0 + n_rows, dtype=np.int64), w
+                    )
                     xs = np.tile(np.arange(w, dtype=np.int64), n_rows)
                     yield pd.DataFrame(
                         {"y": ys, "x": xs, "value": vals.astype(np.int64)}
                     )
 
     return files.mapInPandas(_parse, schema="y long, x long, value long")
+
+
+def geotiff_coo_3d(
+    spark: SparkSession,
+    path: str,
+    batch_rows: int = 256,
+    row_offset_pattern: str | None = None,
+) -> DataFrame:
+    """Distributed MULTIBAND GeoTIFF ingest (pixel-interleaved striped,
+    SamplesPerPixel > 1): binaryFile scan -> per-strip parse -> 3-D COO
+    rows (band, y, x, value) — the reference's [band;y;x] array load
+    (GDALtoSciDB_multiprocessing.py:145-148) feeding pack_tiles_3d."""
+    import pandas as pd
+
+    files, pat = _scan_files(spark, path, row_offset_pattern)
+    offsets = row_offset_pattern is not None
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for pth, data in zip(pdf["path"], pdf["content"]):
+                hdr = parse_tiff(bytes(data))
+                w, bands = hdr["width"], hdr["bands"]
+                y_off = _file_row_offset(pth, pat) if offsets else 0
+                for y0, n_rows, vals in _strip_batches(bytes(data), hdr, batch_rows):
+                    # interleaved order is (y, x, band) fastest-last
+                    ys = np.repeat(
+                        np.arange(y_off + y0, y_off + y0 + n_rows, dtype=np.int64),
+                        w * bands,
+                    )
+                    xs = np.tile(
+                        np.repeat(np.arange(w, dtype=np.int64), bands), n_rows
+                    )
+                    bs = np.tile(np.arange(bands, dtype=np.int64), n_rows * w)
+                    yield pd.DataFrame(
+                        {"band": bs, "y": ys, "x": xs, "value": vals.astype(np.int64)}
+                    )
+
+    return files.mapInPandas(_parse, schema="band long, y long, x long, value long")

@@ -94,3 +94,67 @@ def test_write_geotiff_roundtrips_through_ingest(spark, sf_correct, tmp_path):
     got = sorted((r.y, r.x, r.value) for r in back.collect())
     want = sorted((r.y, r.x, r.value) for r in coo.collect())
     assert got == want
+
+
+def _arr3(bands=3, h=11, w=17):
+    eid = np.arange(bands * h * w, dtype=np.int64)
+    return (((eid * 2654435761) % 251).astype(np.int32) - 7).reshape(bands, h, w)
+
+
+def test_multiband_write_parse_roundtrip():
+    a = _arr3()
+    data = geotiff.write_tiff(a, origin=(10.0, 20.0))
+    hdr = geotiff.parse_tiff(data)
+    assert hdr["bands"] == 3
+    assert (hdr["height"], hdr["width"]) == a.shape[1:]
+    back = geotiff.tiff_to_array(data)
+    assert back.shape == a.shape
+    assert np.array_equal(back, a)
+
+
+def test_geotiff_coo_3d_matches_array(spark, tmp_path):
+    a = _arr3(4, 25, 10)
+    (tmp_path / "m.tif").write_bytes(geotiff.write_tiff(a))
+    rows = geotiff.geotiff_coo_3d(spark, str(tmp_path), batch_rows=6).collect()
+    assert len(rows) == a.size
+    got = np.zeros_like(a)
+    for r in rows:
+        got[r.band, r.y, r.x] = r.value
+    assert np.array_equal(got, a)
+    # feeds the 3-D chunk path
+    tiles3 = tiling.pack_tiles_3d(
+        geotiff.geotiff_coo_3d(spark, str(tmp_path)), 5, 25, 10
+    )
+    assert tiles3.count() == 4 * 5 * 2
+
+
+def test_single_band_reader_rejects_multiband(spark, tmp_path):
+    (tmp_path / "m.tif").write_bytes(geotiff.write_tiff(_arr3()))
+    with pytest.raises(Exception, match="geotiff_coo_3d"):
+        geotiff.geotiff_coo(spark, str(tmp_path)).collect()
+
+
+def test_multifile_glob_fails_fast_without_offsets(spark, tmp_path):
+    """Two files with no window-offset rule would silently overlay both
+    rasters at y=0 — must refuse instead."""
+    (tmp_path / "a.tif").write_bytes(geotiff.write_tiff(_arr(4, 5)))
+    (tmp_path / "b.tif").write_bytes(geotiff.write_tiff(_arr(4, 5)))
+    with pytest.raises(ValueError, match="row_offset_pattern"):
+        geotiff.geotiff_coo(spark, str(tmp_path))
+
+
+def test_multifile_windowed_ingest_with_offsets(spark, tmp_path):
+    """Reference-style windowed load: one file per row window, start row
+    encoded in the name; the merged COO equals the unsplit raster."""
+    a = _arr(12, 9)
+    (tmp_path / "win_y0000.tif").write_bytes(geotiff.write_tiff(a[:5]))
+    (tmp_path / "win_y0005.tif").write_bytes(geotiff.write_tiff(a[5:]))
+    coo = geotiff.geotiff_coo(
+        spark, str(tmp_path), row_offset_pattern=r"_y(\d+)\.tif$"
+    )
+    rows = coo.collect()
+    assert len(rows) == a.size
+    got = np.zeros_like(a)
+    for r in rows:
+        got[r.y, r.x] = r.value
+    assert np.array_equal(got, a)
