@@ -240,12 +240,20 @@ class SnapshotCatalog:
                 if existing_touched is not None
                 else updates
             )
+            data_dir = os.path.join(self._dir(name), f"data/v{version:06d}")
+            if os.path.exists(data_dir):
+                # a concurrent writer is ahead — re-read current and retry
+                continue
             try:
                 new_parts = self._write_partitions(name, version, merged)
-            except Exception:
-                # data dir for this version already exists: a concurrent
-                # writer is ahead — re-read the new current and retry
-                continue
+            except Exception as exc:
+                if "PATH_ALREADY_EXISTS" in str(exc) or "already exists" in str(exc):
+                    continue  # lost the TOCTOU race on the data dir
+                # genuine write failure (disk, schema): reclaim the partial
+                # dir so retries/other writers see a clean slate, and
+                # surface the real error instead of a bogus lost-race one
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise
             parts = dict(parent["partitions"])
             parts.update(new_parts)
             manifest = {

@@ -155,10 +155,13 @@ def run_ingest(spark, tiff_path: str, chunk: int, run: int, warehouse: str | Non
 
     t0 = time.time()
     tiles = tiling.pack_tiles(coo, chunk, hdr["height"], hdr["width"])
+    # one table per (chunk, run): repeated runs / chunk sweeps must not
+    # collide with an existing snapshot 1 (create is create-if-absent)
+    table = f"ingested_{chunk}_r{run}"
     if warehouse:
         from scidbgeo_spark.catalog import SnapshotCatalog
 
-        SnapshotCatalog(spark, warehouse).create("ingested", tiles)
+        SnapshotCatalog(spark, warehouse).create(table, tiles)
     else:
         tiles.count()
     redimension_time = time.time() - t0
@@ -166,7 +169,7 @@ def run_ingest(spark, tiff_path: str, chunk: int, run: int, warehouse: str | Non
         [
             ("run", run),
             ("analytic", "ingest"),
-            ("array_table", f"ingested_{chunk}"),
+            ("array_table", table),
             ("loadTime", load_time),
             ("redimensionTime", redimension_time),
             ("n_cells", n_cells),

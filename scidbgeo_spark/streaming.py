@@ -80,6 +80,12 @@ def sessionize_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     are time-ordered across micro-batches (file streams deliver files in
     discovery order; a production feed would pair this with a watermark
     + event-time reorder buffer).  Pinned by tests against q_sessionize.
+
+    The contract is OBSERVABLE: ``n_out_of_order`` counts this user's
+    arrivals whose event time precedes the previous batch's last processed
+    event — any nonzero value means the ordering assumption was violated
+    and the session counts are suspect for that user (the silent-wrong-
+    answer failure mode a file added with older timestamps would cause).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -92,29 +98,34 @@ def sessionize_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     def fold(key, pdfs, state: GroupState):
         import pandas as pd
 
-        n_sessions, n_events, last_us = (
-            state.get if state.exists else (0, 0, None)
+        n_sessions, n_events, last_us, n_ooo = (
+            state.get if state.exists else (0, 0, None, 0)
         )
         rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
-        for ts in rows["ts"]:
-            us = ts.value // 1000  # pandas ns -> us
+        us_all = rows["ts"].astype("int64") // 1000  # pandas ns -> us
+        if last_us is not None:
+            n_ooo += int((us_all < last_us).sum())
+        for us in us_all:
             if last_us is None or us - last_us > SESSION_GAP_US:
                 n_sessions += 1
             n_events += 1
-            last_us = us
-        state.update((n_sessions, n_events, last_us))
+            last_us = int(us)
+        state.update((n_sessions, n_events, last_us, n_ooo))
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_sessions": [n_sessions],
                 "n_events": [n_events],
+                "n_out_of_order": [n_ooo],
             }
         )
 
     return events.groupBy("user_id").applyInPandasWithState(
         fold,
-        outputStructType="user_id long, n_sessions long, n_events long",
-        stateStructType="n_sessions long, n_events long, last_us long",
+        outputStructType=(
+            "user_id long, n_sessions long, n_events long, n_out_of_order long"
+        ),
+        stateStructType="n_sessions long, n_events long, last_us long, n_ooo long",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -211,18 +211,56 @@ def test_stateful_sessionize_stream_equals_batch(spark, sf_smoke, tmp_path):
 
     t = spark.table("sess_stream")
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
-    got = {
-        (r.user_id, r.n_sessions, r.n_events)
-        for r in t.withColumn("rn", F.row_number().over(w))
+    final = (
+        t.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("user_id", "n_sessions", "n_events")
         .collect()
-    }
+    )
+    got = {(r.user_id, r.n_sessions, r.n_events) for r in final}
     want = {
         (r.user_id, r.n_sessions, r.n_events)
         for r in e.q_sessionize(spark, sf_smoke).collect()
     }
     assert got == want
+    # time-ordered feed: the exactness contract held and says so
+    assert all(r.n_out_of_order == 0 for r in final)
+
+
+def test_sessionize_stream_flags_out_of_order_arrivals(spark, sf_smoke, tmp_path):
+    """A file arriving with OLDER timestamps than an already-processed
+    batch violates the exactness contract — n_out_of_order must expose
+    it instead of silently producing wrong session counts."""
+    import __spark_entry__  # noqa: F401  (package path side effect)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark import streaming
+
+    ev = spark.read.parquet(f"{sf_smoke}/events.parquet").orderBy("ts", "event_id")
+    n = ev.count()
+    newer, older = ev.subtract(ev.limit(n // 2)), ev.limit(n // 2)
+    d = str(tmp_path / "ev_ooo")
+    newer.coalesce(1).write.mode("overwrite").parquet(d)
+
+    q = (
+        streaming.sessionize_stream(spark, d)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("sess_ooo")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        older.coalesce(1).write.mode("append").parquet(d)  # late, older data
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    t = spark.table("sess_ooo")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    final = (
+        t.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).collect()
+    )
+    assert sum(r.n_out_of_order for r in final) > 0
 
 
 def test_cli_ingest_geotiff(spark, sf_correct, tmp_path):
@@ -244,14 +282,21 @@ def test_cli_ingest_geotiff(spark, sf_correct, tmp_path):
     assert timed["n_cells"] == h * w
     assert (timed["height"], timed["width"]) == (h, w)
     cat = SnapshotCatalog(spark, wh)
-    assert cat.current_version("ingested") == 1
+    table = timed["array_table"]
+    assert cat.current_version(table) == 1
     from scidbgeo_spark import tiling
 
     got = sorted(
         (r.y, r.x, r.value)
-        for r in tiling.tiles_to_coo(cat.read("ingested"), "value").collect()
+        for r in tiling.tiles_to_coo(cat.read(table), "value").collect()
     )
     want = sorted(
         (r.y, r.x, r.value) for r in model.raster_coo(spark, sf_correct).collect()
     )
     assert got == want
+    # repeated runs / chunk sweeps land in distinct tables — no
+    # snapshot-1 collision (the docstring's own '--chunks 50 100' case)
+    t2 = cli.run_ingest(spark, str(tdir), 50, 2, wh)
+    t3 = cli.run_ingest(spark, str(tdir), 100, 1, wh)
+    assert len({table, t2["array_table"], t3["array_table"]}) == 3
+    assert cat.current_version(t3["array_table"]) == 1

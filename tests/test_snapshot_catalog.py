@@ -130,3 +130,62 @@ def test_expire_snapshots_gc(spark, sf_correct, tmp_path):
     data = os.listdir(os.path.join(str(tmp_path), "a", "data"))
     assert data == [f"v{full:06d}"]
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_merge_race_across_processes(spark, tmp_path):
+    """REAL cross-process optimistic-commit race: two separate Spark
+    JVMs merge disjoint x-bands of the SAME copy-on-write partition
+    concurrently.  The hard-link create-if-absent commit must serialize
+    them — final version 3, both updates present, no lost write."""
+    import subprocess
+    import sys
+    import textwrap
+
+    sf = "/root/testdata/sf0.001"
+    coo = model.raster_coo(spark, sf)
+    h, w = model.raster_dims(spark, sf)
+    tiles = tiling.pack_tiles(coo, CHUNK, h, w)
+    wh = str(tmp_path / "wh")
+    SnapshotCatalog(spark, wh).create("a", tiles)
+
+    worker = textwrap.dedent(
+        """
+        import sys
+        from pyspark.sql import functions as F
+        from scidbgeo_spark.session import get_spark
+        from scidbgeo_spark import model, tiling
+        from scidbgeo_spark.catalog import SnapshotCatalog
+        from scidbgeo_spark.model import CHUNK
+        wh, band = sys.argv[1], int(sys.argv[2])
+        spark = get_spark(f"race{band}", cores=2, shuffle_partitions=4)
+        sf = "/root/testdata/sf0.001"
+        coo = model.raster_coo(spark, sf)
+        h, w = model.raster_dims(spark, sf)
+        upd = coo.filter(
+            (F.col("x") >= band * CHUNK) & (F.col("x") < (band + 1) * CHUNK)
+        ).withColumn("value", F.lit(1000 + band).cast("long"))
+        SnapshotCatalog(spark, wh).merge("a", tiling.pack_tiles(upd, CHUNK, h, w))
+        spark.stop()
+        """
+    )
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", worker, wh, str(b)],
+            env=env,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        for b in (0, 1)
+    ]
+    for p in procs:
+        assert p.wait(timeout=300) == 0
+
+    cat = SnapshotCatalog(spark, wh)
+    assert cat.current_version("a") == 3
+    assert cat._read_manifest("a", 3)["parent"] == 2
+    got = _content(cat, "a")
+    want = sorted(
+        (y, x, 1000 + x // CHUNK) for y in range(h) for x in range(w)
+    )
+    assert got == want  # neither concurrent update was lost
