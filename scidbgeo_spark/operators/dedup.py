@@ -182,6 +182,20 @@ def minhash_dup_pairs(
     )
 
 
+def near_dup_drop_ids(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """Near-duplicate DROP set for curation pipelines: the higher doc_id
+    of every minhash near-dup pair.  This is THE production near-dup
+    route — always MinHash+LSH (bucketed, never all-pairs); the exploded
+    ngram_jaccard_pairs self-join is a verification baseline only and
+    must never sit on a curation path (pinned by
+    tests/test_text_dedup.py::test_corpus_curation_never_uses_ngram_selfjoin)."""
+    return (
+        minhash_dup_pairs(corpus, threshold)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+
+
 NGRAM_DF_CAP = 500  # shingles present in more docs than this are dropped
 
 
@@ -190,8 +204,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exhaustive candidate generation by shared shingle (no MinHash
     approximation): explode distinct shingle hashes, self-join, exact
-    Jaccard.  The scale path is minhash_dup_pairs; this is the exact
-    baseline.
+    Jaccard.  BASELINE / VERIFICATION ONLY — the f^2 exploded self-join
+    makes it ~8x the cost of the LSH path even df-capped, so it must
+    never be the production near-dup route at scale; curation pipelines
+    go through :func:`near_dup_drop_ids` (MinHash+LSH).
 
     Document-frequency cap: a natural-language hot shingle appearing in f
     documents contributes f^2 join rows, so shingles with df > ``df_cap``

@@ -612,10 +612,12 @@ SQL["top_events_per_user"] = """SELECT user_id, event_id, CAST(rank AS INT) AS r
 
 SQL["corpus_curation"] = f"""WITH {CORPUS},
 keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
+neardrop AS (SELECT DISTINCT b AS doc_id FROM ({SQL["minhash_dup_pairs"]})),
 kept AS (
   SELECT c.doc_id, c.text, d.lang
   FROM corpus c JOIN keep k ON c.doc_id = k.doc_id
   LEFT JOIN documents d ON d.doc_id = c.doc_id
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM neardrop)
 )
 SELECT coalesce(lang, 'unk') AS lang,
        CAST(count(*) AS BIGINT) AS n_docs,

@@ -157,3 +157,43 @@ def test_lang_id_deterministic_labels(spark, sf_smoke):
     assert res.count() == docs.count()
     langs = {r.lang_pred for r in res.collect()}
     assert langs <= {lang for lang, _ in text.LANG_MARKERS}
+
+
+def test_corpus_curation_never_uses_ngram_selfjoin(spark, sf_smoke, monkeypatch):
+    """The curation composite must route near-dup removal through
+    MinHash+LSH only — constructing OR running it may never touch the
+    exploded ngram self-join (baseline/verification-only operator)."""
+    import __spark_entry__ as e
+
+    def _forbidden(*a, **kw):
+        raise AssertionError("curation path built the exploded ngram self-join")
+
+    monkeypatch.setattr(dedup, "ngram_jaccard_pairs", _forbidden)
+    out = e.q_corpus_curation(spark, sf_smoke)
+    assert out.count() > 0
+
+
+def test_corpus_curation_drops_near_dups(spark, sf_smoke):
+    """The injected 'mutated' near-copies (doc_id+100000) must be gone
+    from the curated corpus while their originals survive curation's
+    dedup stages (quality filtering aside)."""
+    import __spark_entry__ as e
+
+    docs = _docs(spark, sf_smoke)
+    corpus = dedup.dup_corpus(docs)
+    keep = dedup.dedup_exact(corpus).selectExpr("keep_id AS doc_id")
+    kept_ids = {
+        r.doc_id
+        for r in corpus.join(keep, "doc_id")
+        .join(dedup.near_dup_drop_ids(corpus), "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    near_sources = {
+        r.doc_id for r in docs.filter(F.col("doc_id") % 7 == 0).collect()
+    }
+    assert not any(d + 100000 in kept_ids for d in near_sources)
+    # originals survive unless they are themselves the b-side of a
+    # genuine (naturally occurring) near-dup pair
+    dropped = {r.doc_id for r in dedup.near_dup_drop_ids(corpus).collect()}
+    assert near_sources - dropped <= kept_ids
