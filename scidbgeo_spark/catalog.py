@@ -225,7 +225,7 @@ class SnapshotCatalog:
         touched = sorted(
             r.tile_y for r in updates.select("tile_y").distinct().collect()
         )
-        for _ in range(max_retries):
+        for attempt in range(max_retries):
             parent_v = self.current_version(name)
             parent = self._read_manifest(name, parent_v)
             version = parent_v + 1
@@ -242,12 +242,17 @@ class SnapshotCatalog:
             )
             data_dir = os.path.join(self._dir(name), f"data/v{version:06d}")
             if os.path.exists(data_dir):
-                # a concurrent writer is ahead — re-read current and retry
+                # a concurrent writer is ahead but has not committed its
+                # manifest yet: WAIT (growing backoff) instead of spinning
+                # through the retry budget faster than its parquet write —
+                # current_version only advances once it commits
+                time.sleep(0.5 * (attempt + 1))
                 continue
             try:
                 new_parts = self._write_partitions(name, version, merged)
             except Exception as exc:
                 if "PATH_ALREADY_EXISTS" in str(exc) or "already exists" in str(exc):
+                    time.sleep(0.5 * (attempt + 1))
                     continue  # lost the TOCTOU race on the data dir
                 # genuine write failure (disk, schema): reclaim the partial
                 # dir so retries/other writers see a clean slate, and

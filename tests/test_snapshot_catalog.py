@@ -174,12 +174,16 @@ def test_merge_race_across_processes(spark, tmp_path):
             [sys.executable, "-c", worker, wh, str(b)],
             env=env,
             stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+            text=True,
         )
         for b in (0, 1)
     ]
-    for p in procs:
-        assert p.wait(timeout=300) == 0
+    for b, p in zip((0, 1), procs):
+        # communicate() drains stderr (Spark logs heavily — a raw wait()
+        # on a PIPE would deadlock when the pipe buffer fills)
+        _out, err = p.communicate(timeout=300)
+        assert p.returncode == 0, f"worker {b} rc={p.returncode}: {err[-2000:]}"
 
     cat = SnapshotCatalog(spark, wh)
     assert cat.current_version("a") == 3
