@@ -523,6 +523,40 @@ def q_pip_grid_salted(spark, sf_dir):
     return counts.select("zone_id", F.col("count").alias("n_points"))
 
 
+def q_pages_geo_rollup(spark, sf_dir):
+    """NORTH-STAR composite, end-to-end: html pages -> byte-identical
+    text extraction -> geotag point features -> PIP join against the
+    polygon layer (DataFrame path, plan-metadata strategy pick) ->
+    per-zone page counts + token totals.  The exact pipeline
+    BASELINE.json's north_star describes, as ONE query with an exact
+    oracle (every stage is deterministic integer arithmetic)."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.operators.text import HTML_PREFIX, HTML_SUFFIX
+    from scidbgeo_spark.sources import pages as pages_src
+
+    docs = _docs(spark, sf_dir)
+    lat_m, lon_m = pages_src._lat_lon_milli(F.col("doc_id"))
+    body = F.concat(
+        F.col("text"), F.lit(" geo:"), lat_m.cast("string"), F.lit(","), lon_m.cast("string")
+    )
+    html = F.encode(F.concat(F.lit(HTML_PREFIX), body, F.lit(HTML_SUFFIX)), "utf-8")
+    pts = pages_src.extract_geotags(
+        docs.select("doc_id", html.alias("html")), id_col="doc_id"
+    )
+    poly = pip.polygons_df(spark, fixtures.GEO_POLYGONS)
+    hits = pip.pip_join_df(spark, pts, poly).select("doc_id", "zone_id")
+    toks = text.token_count(docs)
+    return (
+        hits.join(toks, "doc_id")
+        .groupBy("zone_id")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+        )
+    )
+
+
 def q_knn(spark, sf_dir):
     pts = model.points(spark, sf_dir)
     queries = knn_mod.knn_queries_from_nation(spark, sf_dir)
@@ -761,6 +795,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_poly_df": q_pip_poly_df,
     "pip_poly_wkt": q_pip_poly_wkt,
     "pip_grid_salted": q_pip_grid_salted,
+    "pages_geo_rollup": q_pages_geo_rollup,
     "knn": q_knn,
     "knn_bulk": q_knn_bulk,
     # --- text / LLM pipeline ---
@@ -772,7 +807,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta": q_multimodal_meta,
     "media_features": q_media_features,
     "events_hourly": q_events_hourly,
-    "events_cube": q_events_cube,
     "sessionize": q_sessionize,
     "top_events_per_user": q_top_events_per_user,
     # --- dedup / similarity family ---
@@ -791,6 +825,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     # --- tail: variants whose operator class already has 2 green driver
     # rows; exact oracles retained, checked via tools/check_oracle.py ---
+    "events_cube": q_events_cube,
     "count_pixels_tiles": q_count_pixels_tiles,
     "count_pixels_true": q_count_pixels_true,
     "count_pixels_sql": q_count_pixels_sql,

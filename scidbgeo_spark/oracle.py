@@ -244,6 +244,19 @@ SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
 SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
   SELECT doc_id, {GEO_ZONE} AS zone_id FROM pts
 ) WHERE zone_id IS NOT NULL""",
+    # north-star composite: pages -> text -> geotags -> PIP -> rollup.
+    # The html/extraction stages are byte-exact inverses, so the oracle
+    # reduces to the point arithmetic + zone function + token counts.
+    "pages_geo_rollup": f"""WITH {PTS},
+hits AS (
+  SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
+    SELECT doc_id, {GEO_ZONE} AS zone_id FROM pts
+  ) WHERE zone_id IS NOT NULL
+),
+tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents)
+SELECT zone_id, CAST(count(*) AS BIGINT) AS n_pages,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM hits JOIN tok USING (doc_id) GROUP BY 1""",
     "extract_text": """SELECT doc_id, text AS extracted FROM documents""",
     "token_count": """SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents""",
