@@ -100,12 +100,47 @@ class SciDBGeoEngine:
         from scidbgeo_spark.sources.geotiff import geotiff_coo, parse_tiff
 
         coo = geotiff_coo(self.spark, path)
-        # dims from the first file's header (driver-side metadata read)
+        # dims from the first file's header (driver-side metadata read;
+        # geotiff_coo fails fast on multi-file globs without offsets, so
+        # "first file" is THE file)
         row = (
             self.spark.read.format("binaryFile").load(path).select("content").first()
         )
         hdr = parse_tiff(bytes(row.content))
         return self.create_array(name, coo, hdr["height"], hdr["width"], chunk)
+
+    def load_geotiff_3d(self, path: str) -> DataFrame:
+        """Multiband ingest: pixel-interleaved GeoTIFF -> 3-D chunk table
+        (band, tile) keyed — the reference's [band;y;x] array load."""
+        from scidbgeo_spark.sources.geotiff import geotiff_coo_3d, parse_tiff
+
+        coo3 = geotiff_coo_3d(self.spark, path)
+        row = (
+            self.spark.read.format("binaryFile").load(path).select("content").first()
+        )
+        hdr = parse_tiff(bytes(row.content))
+        return tiling.pack_tiles_3d(coo3, 50, hdr["height"], hdr["width"])
+
+    def load_vector_layer(
+        self, path: str, fmt: str = "wkt", geom_col: str | None = None
+    ) -> DataFrame:
+        """Vector layer file -> (zone_id, xs, ys) polygon DataFrame,
+        parsed distributed (the OGR shapefile-load analog).  ``fmt`` is
+        'wkt' or 'geojson'; the layer feeds pip_join_layer."""
+        from scidbgeo_spark.sources import vector
+
+        df = self.spark.read.parquet(path)
+        if fmt == "wkt":
+            return vector.polygons_from_wkt(df, wkt_col=geom_col or "wkt")
+        if fmt == "geojson":
+            return vector.polygons_from_geojson(df, json_col=geom_col or "geometry")
+        raise ValueError(f"unknown vector format {fmt!r}")
+
+    def pip_join_layer(self, points: DataFrame, layer: DataFrame, mode: str = "auto") -> DataFrame:
+        """Point-in-polygon join against a loaded vector layer."""
+        from scidbgeo_spark.operators import pip
+
+        return pip.pip_join_df(self.spark, points, layer, mode=mode)
 
     # -- export ---------------------------------------------------------------
     def save_csv(self, name: str, path: str) -> None:

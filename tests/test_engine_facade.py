@@ -38,3 +38,38 @@ def test_engine_facade_workflow(spark, sf_smoke):
 
     eng.remove("r")
     assert "r" not in eng.versions()
+
+
+def test_facade_multiband_and_vector_layer(spark, tmp_path):
+    """load_geotiff_3d + load_vector_layer + pip_join_layer: the facade
+    covers the round-3 sources end-to-end."""
+    import numpy as np
+
+    from scidbgeo_spark import fixtures, model
+    from scidbgeo_spark.engine import SciDBGeoEngine
+    from scidbgeo_spark.operators import pip
+    from scidbgeo_spark.sources import geotiff, vector
+
+    eng = SciDBGeoEngine(spark)
+
+    eid = np.arange(3 * 10 * 8, dtype=np.int64)
+    arr = (((eid * 2654435761) % 251).astype(np.int32)).reshape(3, 10, 8)
+    td = tmp_path / "t3"
+    td.mkdir()
+    (td / "m.tif").write_bytes(geotiff.write_tiff(arr))
+    tiles3 = eng.load_geotiff_3d(str(td))
+    assert tiles3.count() == 3  # one 50px-span tile row per band
+
+    p = str(tmp_path / "layer.parquet")
+    vector.write_wkt_fixture(p, fixtures.GEO_POLYGONS)
+    layer = eng.load_vector_layer(p, fmt="wkt")
+    pts = model.points(spark, "/root/testdata/sf0.001")
+    got = sorted(
+        (r.doc_id, r.zone_id)
+        for r in eng.pip_join_layer(pts, layer).select("doc_id", "zone_id").collect()
+    )
+    want = sorted(
+        (r.doc_id, r.zone_id)
+        for r in pip.pip_join(spark, pts, fixtures.GEO_POLYGONS).collect()
+    )
+    assert got == want
