@@ -718,6 +718,10 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash(dedup.dup_corpus(_docs(spark, sf_dir)))
 
 
+def q_simhash_dup_pairs(spark, sf_dir):
+    return dedup.simhash_dup_pairs(dedup.dup_corpus(_docs(spark, sf_dir)))
+
+
 def _emb(spark, sf_dir):
     return model.load_table(spark, sf_dir, "embeddings")
 
@@ -774,7 +778,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_insert_catalog": q_merge_insert_catalog,
     "reclassify_persist": q_reclassify_persist,
     "downsample": q_downsample,
-    "raster_histogram": q_raster_histogram,
     "between_window": q_between_window,
     "raster_add": q_raster_add,
     "geotiff_ingest": q_geotiff_ingest,
@@ -817,6 +820,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_dup_pairs": q_minhash_dup_pairs,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash": q_simhash,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
@@ -826,6 +830,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tail: variants whose operator class already has 2 green driver
     # rows; exact oracles retained, checked via tools/check_oracle.py ---
     "events_cube": q_events_cube,
+    "raster_histogram": q_raster_histogram,
     "count_pixels_tiles": q_count_pixels_tiles,
     "count_pixels_true": q_count_pixels_true,
     "count_pixels_sql": q_count_pixels_sql,

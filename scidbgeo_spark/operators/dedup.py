@@ -239,6 +239,8 @@ def ngram_jaccard_pairs(
 
 
 SIMHASH_BITS = 16
+SIMHASH_BLOCKS = 4  # hamming <= BLOCKS-1 guarantees one equal block
+SIM_BUCKET_CAP = 500  # block buckets larger than this are skipped
 
 
 def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
@@ -263,4 +265,57 @@ def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
         hashed_shingles(corpus)
         .select("doc_id", hsP.alias("hs"))
         .select("doc_id", acc.alias("simhash"))
+    )
+
+
+def simhash_dup_pairs(
+    corpus: DataFrame, max_hamming: int = 3, bucket_cap: int = SIM_BUCKET_CAP
+) -> DataFrame:
+    """SimHash near-dup PAIRS via block banding (the Google-style dedup
+    path): split the fingerprint into SIMHASH_BLOCKS blocks — two
+    fingerprints within Hamming distance SIMHASH_BLOCKS-1 must agree on
+    at least one whole block (pigeonhole), so an equi-join per block
+    yields a complete candidate set for ``max_hamming <= BLOCKS-1``;
+    exact ``bit_count(xor)`` verifies.  Output (a, b, hamming), a < b.
+
+    Scale notes: at production scale the fingerprint is 64-bit with
+    16-bit blocks (65k buckets/block); the 16-bit/4-bit parameters here
+    keep the DuckDB oracle tractable while the PLAN — band, bucket join,
+    verify-on-candidates, hot-bucket cap mirrored in the oracle — is the
+    scale shape.  A block bucket larger than ``bucket_cap`` (saturated
+    boilerplate) is dropped per block, like minhash_dup_pairs."""
+    fp = simhash(corpus)
+    bits = SIMHASH_BITS // SIMHASH_BLOCKS
+    blocks = [
+        F.struct(
+            F.lit(b).alias("blk"),
+            F.shiftright("simhash", b * bits).bitwiseAND(F.lit((1 << bits) - 1)).alias("bv"),
+        )
+        for b in range(SIMHASH_BLOCKS)
+    ]
+    ex = fp.select(
+        "doc_id", "simhash", F.explode(F.array(*blocks)).alias("bb")
+    ).select("doc_id", "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bv").alias("bv"))
+    bw = Window.partitionBy("blk", "bv")
+    capped = ex.withColumn("bsz", F.count("*").over(bw)).filter(F.col("bsz") <= bucket_cap)
+    cand = (
+        capped.alias("l")
+        .join(
+            capped.alias("r"),
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("a"),
+            F.col("r.doc_id").alias("b"),
+            F.col("l.simhash").alias("sa"),
+            F.col("r.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
     )

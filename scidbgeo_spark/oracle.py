@@ -435,6 +435,31 @@ SQL["simhash"] = f"""WITH {CORPUS}, {SHINGLES},
 hv AS (SELECT doc_id, list_transform(sh, s -> {_MD5INT.format(x='s')} % {P}) AS hs FROM sh)
 SELECT doc_id, CAST({_sim_bits} AS BIGINT) AS simhash FROM hv"""
 
+# SimHash block-banded near-dup pairs: exact algorithm twin (blocks,
+# hot-bucket QUALIFY cap, bit_count(xor) verify)
+from scidbgeo_spark.operators.dedup import SIM_BUCKET_CAP, SIMHASH_BLOCKS  # noqa: E402
+
+_SIM_BBITS = 16 // SIMHASH_BLOCKS
+SQL["simhash_dup_pairs"] = f"""WITH {CORPUS}, {SHINGLES},
+hv AS (SELECT doc_id, list_transform(sh, s -> {_MD5INT.format(x='s')} % {P}) AS hs FROM sh),
+fp AS (SELECT doc_id, CAST({_sim_bits} AS BIGINT) AS simhash FROM hv),
+blocks AS (
+  SELECT doc_id, simhash, bb.b AS blk,
+         (simhash >> (bb.b * {_SIM_BBITS})) & {(1 << _SIM_BBITS) - 1} AS bv
+  FROM fp, (SELECT unnest(generate_series(0, {SIMHASH_BLOCKS - 1})) AS b) bb
+),
+blocks_c AS (
+  SELECT * FROM blocks
+  QUALIFY count(*) OVER (PARTITION BY blk, bv) <= {SIM_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b, l.simhash AS sa, r.simhash AS sb
+  FROM blocks_c l JOIN blocks_c r
+    ON l.blk = r.blk AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
+
 SQL["ann_bruteforce_topk"] = """WITH q AS (
   SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8
 ),

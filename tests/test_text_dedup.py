@@ -197,3 +197,17 @@ def test_corpus_curation_drops_near_dups(spark, sf_smoke):
     # genuine (naturally occurring) near-dup pair
     dropped = {r.doc_id for r in dedup.near_dup_drop_ids(corpus).collect()}
     assert near_sources - dropped <= kept_ids
+
+
+def test_simhash_dup_pairs_complete_for_exact_dups(spark, sf_smoke):
+    """Pigeonhole completeness: hamming(a, b) <= BLOCKS-1 implies one
+    equal block, so every exact duplicate (hamming 0) must be a pair."""
+    docs = _docs(spark, sf_smoke)
+    pairs = {
+        (r.a, r.b): r.hamming
+        for r in dedup.simhash_dup_pairs(dedup.dup_corpus(docs)).collect()
+    }
+    for r in docs.filter(F.col("doc_id") % 11 == 0).select("doc_id").collect():
+        assert pairs.get((r.doc_id, r.doc_id + 200000)) == 0
+    # verify is exact: no reported pair exceeds the threshold
+    assert all(h <= 3 for h in pairs.values())
