@@ -51,20 +51,32 @@ def token_count(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
 
 
+# small fixed stopword list (quality heuristics use dozens; the ratio's
+# plumbing and oracle are list-size-agnostic)
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "as"]
+
+
 def text_quality(docs: DataFrame) -> DataFrame:
     """Quality-scoring features: length, tokens, chars/token, lexical
-    diversity (distinct-token share).  Single exact divisions so the
-    DuckDB twin is bitwise identical."""
+    diversity (distinct-token share), punctuation ratio, stopword ratio.
+    Single exact divisions so the DuckDB twin is bitwise identical."""
     toks = F.split("text", " ")
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     n_chars = F.length("text").cast("long")
+    n_punct = n_chars - F.length(
+        F.regexp_replace("text", r"[^A-Za-z0-9 ]", "")
+    ).cast("long")
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
     return docs.select(
         "doc_id",
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         (n_chars / n_tokens).alias("chars_per_token"),
         (n_distinct / n_tokens).alias("lexical_diversity"),
+        (n_punct / n_chars).alias("punct_ratio"),
+        (n_stop / n_tokens).alias("stopword_ratio"),
     )
 
 

@@ -265,7 +265,13 @@ FROM hits JOIN tok USING (doc_id) GROUP BY 1""",
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
        CAST(length(text) AS BIGINT) / len(string_split(text, ' ')) AS chars_per_token,
        len(list_distinct(string_split(text, ' '))) / len(string_split(text, ' '))
-         AS lexical_diversity
+         AS lexical_diversity,
+       (CAST(length(text) AS BIGINT)
+          - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+         / CAST(length(text) AS BIGINT) AS punct_ratio,
+       len(list_filter(string_split(text, ' '),
+                       t -> list_contains(['the','a','of','and','to','in','is','it','that','as'], t)))
+         / len(string_split(text, ' ')) AS stopword_ratio
 FROM documents""",
     "doc_fingerprint": """SELECT doc_id,
        list_reduce(list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT)),
