@@ -158,6 +158,19 @@ def q_raster_histogram(spark, sf_dir):
     return pixel.histogram(model.raster_coo(spark, sf_dir))
 
 
+def q_region_label(spark, sf_dir):
+    """Distributed connected-component labeling (raster -> vector region
+    extraction): per-tile NumPy label kernel + cross-tile boundary merge
+    + iterative label-graph min-propagation.  Oracle: DuckDB recursive
+    min-propagation CTE over the adjacency graph — exact, because region
+    ids are deterministic component minima."""
+    from scidbgeo_spark.operators import regions
+
+    coo = model.raster_coo(spark, sf_dir)
+    h, w = model.raster_dims(spark, sf_dir)
+    return regions.region_label(spark, coo, h, w, CHUNK)
+
+
 def q_between_window(spark, sf_dir):
     return pixel.between(model.raster_coo(spark, sf_dir), 25, 10, 75, 60)
 
@@ -777,7 +790,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "count_pixels": q_count_pixels,
     "merge_insert_catalog": q_merge_insert_catalog,
     "reclassify_persist": q_reclassify_persist,
-    "downsample": q_downsample,
+    "region_label": q_region_label,
     "between_window": q_between_window,
     "raster_add": q_raster_add,
     "geotiff_ingest": q_geotiff_ingest,
@@ -830,6 +843,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- tail: variants whose operator class already has 2 green driver
     # rows; exact oracles retained, checked via tools/check_oracle.py ---
     "events_cube": q_events_cube,
+    "downsample": q_downsample,
     "raster_histogram": q_raster_histogram,
     "count_pixels_tiles": q_count_pixels_tiles,
     "count_pixels_true": q_count_pixels_true,

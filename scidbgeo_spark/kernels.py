@@ -208,3 +208,35 @@ def rolling_fingerprint(texts) -> np.ndarray:
         live = lens > j
         acc[live] = (acc[live] * FP_BASE + mat[live, j]) % FP_MOD
     return acc
+
+
+def label_tile(cls_arr: np.ndarray, y0: int, x0: int, width: int) -> np.ndarray:
+    """Per-tile connected-component labels, 4-connectivity over equal
+    class values: each cell's label is the MIN global linear id
+    (y * width + x) within its tile-local component.  Vectorized Jacobi
+    min-propagation to fixpoint — O(tile area) per sweep, sweeps bounded
+    by the largest in-tile component diameter.  Global ids make labels
+    directly mergeable across tiles (regions.region_label)."""
+    h, w = cls_arr.shape
+    ys = (np.arange(h, dtype=np.int64) + y0)[:, None]
+    xs = (np.arange(w, dtype=np.int64) + x0)[None, :]
+    lab = ys * width + xs
+    same_v = cls_arr[1:, :] == cls_arr[:-1, :]
+    same_h = cls_arr[:, 1:] == cls_arr[:, :-1]
+    while True:
+        new = lab.copy()
+        np.minimum(
+            new[1:, :], np.where(same_v, lab[:-1, :], lab[1:, :]), out=new[1:, :]
+        )
+        np.minimum(
+            new[:-1, :], np.where(same_v, lab[1:, :], lab[:-1, :]), out=new[:-1, :]
+        )
+        np.minimum(
+            new[:, 1:], np.where(same_h, lab[:, :-1], lab[:, 1:]), out=new[:, 1:]
+        )
+        np.minimum(
+            new[:, :-1], np.where(same_h, lab[:, 1:], lab[:, :-1]), out=new[:, :-1]
+        )
+        if np.array_equal(new, lab):
+            return lab
+        lab = new

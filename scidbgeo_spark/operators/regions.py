@@ -1,0 +1,156 @@
+"""Distributed connected-component labeling over the chunked raster —
+the raster -> vector "region" direction of the reference's
+rasterize/vectorize pair (SURVEY §2.3; zonal layers go vector -> raster
+via zonal.rasterize_polygons, this operator extracts contiguous
+equal-class regions back out of a raster).
+
+Textbook block-wise CC, 100-TB-shaped:
+
+1. per-tile labeling (NumPy min-propagation kernel, one pass over each
+   chunk row — ``kernels.label_tile``; labels are global min linear ids
+   so they merge without renumbering);
+2. cross-tile label-adjacency edges from tile-BORDER pixels only (the
+   shuffle moves perimeters, not areas);
+3. iterative distributed min-propagation over the small label graph
+   (DataFrame joins + localCheckpoint, one boolean to the driver per
+   round — the same certification-loop shape as operators/knn);
+4. one final join maps pixels to their global region root.
+
+No driver-side unions: at 10^12 cells the label graph is still only the
+tile-boundary components (perimeter-scale, not area-scale).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from scidbgeo_spark import tiling
+from scidbgeo_spark.kernels import label_tile
+
+CLASS_DIV = 86  # value DIV 86 -> 3 classes (a plaque-forming reclass)
+
+
+def region_classes(coo: DataFrame, class_div: int = CLASS_DIV) -> DataFrame:
+    """(y, x, cls): the class raster whose equal-valued plaques are the
+    regions to label."""
+    return coo.select(
+        "y", "x", F.expr(f"value DIV {class_div}").alias("cls")
+    )
+
+
+def _local_labels(tiles: DataFrame, width: int) -> DataFrame:
+    """Per-tile kernel pass: (y, x, cls, label) for every cell, label =
+    min global id within the tile-local component."""
+    import pandas as pd
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for r in pdf.itertuples():
+                arr = np.asarray(r.px, dtype=np.int64).reshape(r.h, r.w)
+                lab = label_tile(arr, int(r.y0), int(r.x0), width)
+                ys = np.repeat(np.arange(r.h, dtype=np.int64) + r.y0, r.w)
+                xs = np.tile(np.arange(r.w, dtype=np.int64) + r.x0, r.h)
+                yield pd.DataFrame(
+                    {"y": ys, "x": xs, "cls": arr.ravel(), "label": lab.ravel()}
+                )
+
+    return tiles.mapInPandas(_run, "y long, x long, cls long, label long")
+
+
+def _boundary_edges(labeled: DataFrame, chunk: int) -> DataFrame:
+    """(la, lb) label pairs of 4-adjacent same-class pixels that sit on
+    OPPOSITE sides of a tile border — the only places tile-local labels
+    can disagree within one region."""
+    near_x = (F.col("x") % chunk == 0) | (F.col("x") % chunk == chunk - 1)
+    near_y = (F.col("y") % chunk == 0) | (F.col("y") % chunk == chunk - 1)
+    b = labeled.filter(near_x | near_y).select("y", "x", "cls", "label")
+    a, c = b.alias("a"), b.alias("c")
+    right = a.join(
+        c,
+        (F.col("c.y") == F.col("a.y"))
+        & (F.col("c.x") == F.col("a.x") + 1)
+        & (F.col("c.cls") == F.col("a.cls"))
+        & ((F.col("a.x") + 1) % chunk == 0),
+    )
+    down = a.join(
+        c,
+        (F.col("c.x") == F.col("a.x"))
+        & (F.col("c.y") == F.col("a.y") + 1)
+        & (F.col("c.cls") == F.col("a.cls"))
+        & ((F.col("a.y") + 1) % chunk == 0),
+    )
+    pairs = right.unionAll(down).select(
+        F.col("a.label").alias("la"), F.col("c.label").alias("lb")
+    )
+    return pairs.filter(F.col("la") != F.col("lb")).distinct()
+
+
+def _resolve_roots(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Connected components of the (small) label graph by min-root
+    propagation: root(l) <- min(root(l), min over neighbors' roots).
+    Pointer-jumping through roots converges in <= diameter rounds; each
+    round is one shuffle over the label graph, the driver sees one
+    emptiness boolean (no collect of the graph)."""
+    both = edges.unionAll(
+        edges.select(F.col("lb").alias("la"), F.col("la").alias("lb"))
+    ).localCheckpoint()
+    m = (
+        both.select(F.col("la").alias("l"))
+        .distinct()
+        .withColumn("root", F.col("l"))
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        nb = (
+            both.join(m, both.la == m.l)
+            .groupBy(F.col("lb").alias("l2"))
+            .agg(F.min("root").alias("nb_root"))
+        )
+        m2 = (
+            m.join(nb, m.l == nb.l2, "left")
+            .select(
+                "l",
+                F.least(
+                    F.col("root"), F.coalesce(F.col("nb_root"), F.col("root"))
+                ).alias("root"),
+            )
+            .localCheckpoint()
+        )
+        changed = m2.alias("n").join(m.alias("o"), "l").filter(
+            F.col("n.root") != F.col("o.root")
+        )
+        m = m2
+        if changed.isEmpty():
+            return m
+    raise RuntimeError(f"label graph did not converge in {max_rounds} rounds")
+
+
+def region_label(
+    spark: SparkSession,
+    coo: DataFrame,
+    height: int,
+    width: int,
+    chunk: int,
+    class_div: int = CLASS_DIV,
+) -> DataFrame:
+    """(y, x, cls, region): 4-connected equal-class components of the
+    raster; region = MIN global linear id (y*width + x) in the component
+    — deterministic, so the DuckDB oracle (recursive min-propagation CTE)
+    is exact."""
+    cls = region_classes(coo, class_div)
+    tiles = tiling.pack_tiles(cls, chunk, height, width, value_col="cls")
+    labeled = _local_labels(tiles, width)
+    edges = _boundary_edges(labeled, chunk)
+    roots = _resolve_roots(edges)
+    out = labeled.join(
+        roots.withColumnRenamed("l", "label").withColumnRenamed("root", "region"),
+        "label",
+        "left",
+    )
+    return out.select(
+        "y", "x", "cls", F.coalesce("region", "label").alias("region")
+    )

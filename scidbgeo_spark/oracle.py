@@ -348,6 +348,34 @@ SQL["lang_id"] = (
     + " FROM documents)"
 )
 
+# Connected-component labeling: exact recursive min-propagation twin of
+# regions.region_label (4-connectivity over cls = value DIV CLASS_DIV;
+# region = component-min linear id).  adj0 is equi-joinable (hash keys
+# (y, x+1)/(y+1, x)); the WHERE prunes propagation to descending labels,
+# which the true component min always satisfies.
+from scidbgeo_spark.operators.regions import CLASS_DIV  # noqa: E402
+
+SQL["region_label"] = f"""WITH RECURSIVE {COO},
+clsv AS (SELECT y, x, value // {CLASS_DIV} AS cls, y*{RASTER_W}+x AS id FROM coo),
+adj0 AS (
+  SELECT a.id AS src, b.id AS dst FROM clsv a JOIN clsv b
+    ON b.y = a.y AND b.x = a.x + 1 AND b.cls = a.cls
+  UNION ALL
+  SELECT a.id, b.id FROM clsv a JOIN clsv b
+    ON b.y = a.y + 1 AND b.x = a.x AND b.cls = a.cls
+),
+adj AS (SELECT src, dst FROM adj0 UNION ALL SELECT dst, src FROM adj0),
+lbl AS (
+  SELECT id, id AS region FROM clsv
+  UNION
+  SELECT e.dst AS id, l.region
+  FROM lbl l JOIN adj e ON e.src = l.id
+  WHERE l.region < e.dst
+)
+SELECT c.y, c.x, CAST(c.cls AS BIGINT) AS cls,
+       CAST(min(l.region) AS BIGINT) AS region
+FROM lbl l JOIN clsv c ON c.id = l.id GROUP BY 1, 2, 3"""
+
 CORPUS = """
 corpus AS (
   SELECT doc_id, text FROM documents

@@ -158,3 +158,65 @@ def test_pack_tiles_multi_attrs_share_cell_order(spark, sf_correct):
     from scidbgeo_spark.model import VALUE_MOD_B, VALUE_MULT_B
 
     assert t.px_vb[0] == (eid * VALUE_MULT_B) % VALUE_MOD_B
+
+
+def test_region_label_matches_union_find(spark, sf_correct):
+    """Distributed block-wise CC == driver union-find ground truth."""
+    import numpy as np
+
+    from scidbgeo_spark import model
+    from scidbgeo_spark.model import CHUNK
+    from scidbgeo_spark.operators import regions
+
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    got = {
+        (r.y, r.x): (r.cls, r.region)
+        for r in regions.region_label(spark, coo, h, w, CHUNK).collect()
+    }
+    n = h * w
+    cls = (((np.arange(n) * model.VALUE_MULT) % model.VALUE_MOD) // regions.CLASS_DIV).reshape(h, w)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for y in range(h):
+        for x in range(w):
+            if x + 1 < w and cls[y, x] == cls[y, x + 1]:
+                union(y * w + x, y * w + x + 1)
+            if y + 1 < h and cls[y, x] == cls[y + 1, x]:
+                union(y * w + x, (y + 1) * w + x)
+    want = {
+        (y, x): (int(cls[y, x]), find(y * w + x))
+        for y in range(h)
+        for x in range(w)
+    }
+    assert got == want
+
+
+def test_region_label_chunk_invariant(spark, sf_correct):
+    """Region ids must not depend on the chunking (tiny chunks maximize
+    cross-tile merges; the label graph does the work)."""
+    from scidbgeo_spark import model
+    from scidbgeo_spark.operators import regions
+
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    a = sorted(
+        (r.y, r.x, r.region)
+        for r in regions.region_label(spark, coo, h, w, 13).collect()
+    )
+    b = sorted(
+        (r.y, r.x, r.region)
+        for r in regions.region_label(spark, coo, h, w, 50).collect()
+    )
+    assert a == b
