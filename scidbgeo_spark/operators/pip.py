@@ -207,7 +207,13 @@ def pip_join_df(
       exchange rather than through every join stage.
 
     Exact ray-cast refinement runs on candidate rows only, with ring
-    coordinates converted once per zone per Arrow batch."""
+    coordinates converted once per zone per Arrow batch.
+
+    A layer whose plan stats are UNKNOWN (Catalyst's Long.Max sentinel,
+    e.g. a parallelized createDataFrame) routes to shuffle: broadcasting
+    an unbounded layer risks executor OOM, a shuffled small one is merely
+    slower.  File-backed layers (the production shape) carry real scan
+    sizes and broadcast when small."""
     if mode == "auto":
         mode = "broadcast" if plan_size_bytes(poly_df) <= broadcast_bytes else "shuffle"
 
