@@ -171,6 +171,16 @@ def q_region_label(spark, sf_dir):
     return regions.region_label(spark, coo, h, w, CHUNK)
 
 
+def q_region_stats(spark, sf_dir):
+    """Vector-feature attribute table over the extracted regions (pixel
+    count + bbox per region) — the raster->vector conversion's output."""
+    from scidbgeo_spark.operators import regions
+
+    coo = model.raster_coo(spark, sf_dir)
+    h, w = model.raster_dims(spark, sf_dir)
+    return regions.region_stats(regions.region_label(spark, coo, h, w, CHUNK))
+
+
 def q_between_window(spark, sf_dir):
     return pixel.between(model.raster_coo(spark, sf_dir), 25, 10, 75, 60)
 
@@ -791,6 +801,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merge_insert_catalog": q_merge_insert_catalog,
     "reclassify_persist": q_reclassify_persist,
     "region_label": q_region_label,
+    "region_stats": q_region_stats,
     "between_window": q_between_window,
     "raster_add": q_raster_add,
     "geotiff_ingest": q_geotiff_ingest,
@@ -822,7 +833,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "media_features": q_media_features,
-    "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
     "top_events_per_user": q_top_events_per_user,
     # --- dedup / similarity family ---
@@ -842,6 +852,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     # --- tail: variants whose operator class already has 2 green driver
     # rows; exact oracles retained, checked via tools/check_oracle.py ---
+    "events_hourly": q_events_hourly,
     "events_cube": q_events_cube,
     "downsample": q_downsample,
     "raster_histogram": q_raster_histogram,

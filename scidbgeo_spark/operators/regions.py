@@ -154,3 +154,18 @@ def region_label(
     return out.select(
         "y", "x", "cls", F.coalesce("region", "label").alias("region")
     )
+
+
+def region_stats(labeled_regions: DataFrame) -> DataFrame:
+    """Vector-feature attributes per extracted region: pixel count and
+    bounding box — the attribute table a raster->vector conversion emits
+    (one codegen hash-agg over region_label's output)."""
+    return labeled_regions.groupBy("region").agg(
+        # cls is constant within a region; min() keeps the agg deterministic
+        F.min("cls").alias("cls"),
+        F.count("*").alias("n_pixels"),
+        F.min("y").alias("y_min"),
+        F.max("y").alias("y_max"),
+        F.min("x").alias("x_min"),
+        F.max("x").alias("x_max"),
+    )

@@ -376,6 +376,12 @@ SELECT c.y, c.x, CAST(c.cls AS BIGINT) AS cls,
        CAST(min(l.region) AS BIGINT) AS region
 FROM lbl l JOIN clsv c ON c.id = l.id GROUP BY 1, 2, 3"""
 
+SQL["region_stats"] = f"""WITH rl AS ({SQL["region_label"]})
+SELECT region, CAST(min(cls) AS BIGINT) AS cls,
+       CAST(count(*) AS BIGINT) AS n_pixels,
+       min(y) AS y_min, max(y) AS y_max, min(x) AS x_min, max(x) AS x_max
+FROM rl GROUP BY 1"""
+
 CORPUS = """
 corpus AS (
   SELECT doc_id, text FROM documents
