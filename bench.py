@@ -219,8 +219,13 @@ def run_scaling() -> dict:
     to every pair — a pair whose control shows a cratered host window
     (< MEMBW_SANE, i.e. the box itself could not even scale a pure
     memcpy) is EXCLUDED from the median and disclosed in
-    ``dropped_pairs``, never silently; (3) the headline is the MEDIAN of
-    the surviving pair efficiencies over >= SCALE_PAIRS pairs.  The
+    ``dropped_pairs``, never silently; (3) SYMMETRIC physical-consistency
+    bounds drop pairs the control can miss (a stall inside one side's
+    timed trials): efficiency > 1.25 is super-linear, and a 4N run
+    absolutely slower than the N run is impossible for this workload —
+    both tails excluded and disclosed with reasons; (4) the headline is
+    the MEDIAN of the surviving pair efficiencies over >= SCALE_PAIRS
+    pairs.  The
     per-pair ``vs_ceiling`` ratio is reported as host-contention CONTEXT
     (how the engine's mixed compute/streaming job compares to the box's
     pure-streaming 1->4-process ceiling in the same window), NOT as an
@@ -259,8 +264,21 @@ def run_scaling() -> dict:
     t_start = time.time()
     pair_cost = 0.0  # measured duration of the last pair (budget predictor)
 
+    def _physical(p) -> bool:
+        """Symmetric physical-consistency filter: 4 cores cannot give a
+        super-linear >1.25 efficiency, and cannot be ABSOLUTELY slower
+        than 1 core on this embarrassingly parallel workload — either
+        tail means a host stall landed inside one side's timed trials
+        (the adjacent triad control can miss those)."""
+        return (
+            p["efficiency"] <= 1.25
+            and p["4n"]["phases"]["full_time"] <= p["n"]["phases"]["full_time"]
+        )
+
     def sane():
-        return [p for p in pairs if p["membw_efficiency"] >= MEMBW_SANE]
+        return [
+            p for p in pairs if p["membw_efficiency"] >= MEMBW_SANE and _physical(p)
+        ]
 
     def median_eff() -> float:
         use = sane() or pairs  # all-insane fallback is disclosed below
@@ -296,7 +314,20 @@ def run_scaling() -> dict:
         if time.time() - t_start + pair_cost > SCALE_BUDGET_S:
             break  # next pair would blow the driver's wall-clock budget
     med = round(median_eff(), 3)
-    kept, dropped = sane(), [p for p in pairs if p["membw_efficiency"] < MEMBW_SANE]
+    kept = sane()
+    dropped = [
+        dict(
+            efficiency=p["efficiency"],
+            membw_efficiency=p["membw_efficiency"],
+            reason=(
+                "cratered host window (control < sane threshold)"
+                if p["membw_efficiency"] < MEMBW_SANE
+                else "physically impossible ratio (stall inside one side)"
+            ),
+        )
+        for p in pairs
+        if p not in kept
+    ]
     use = kept or pairs
     # representative pair for the throughput fields: the one closest to
     # the median efficiency
@@ -311,12 +342,9 @@ def run_scaling() -> dict:
         "median_efficiency": med,
         "best_efficiency": max(p["efficiency"] for p in use),
         "membw_efficiencies": [p["membw_efficiency"] for p in use],
-        # disclosure: pairs measured inside a cratered host window
-        # (control < MEMBW_SANE) — excluded from the median, never hidden
-        "dropped_pairs": [
-            {"efficiency": p["efficiency"], "membw_efficiency": p["membw_efficiency"]}
-            for p in dropped
-        ],
+        # disclosure: pairs excluded from the median (cratered-control
+        # window or physically impossible ratio) — never hidden
+        "dropped_pairs": dropped,
         "all_pairs_insane": not kept,
         # host-contention CONTEXT, not an engine headline: the job is
         # partly compute-bound, so beating the pure-streaming ceiling is
