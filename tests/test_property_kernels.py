@@ -151,3 +151,52 @@ def test_zorder_block_range_equals_box_property(k, bx, by, seed):
     # the block's own corners are always inside
     assert z0 <= interleave(cx0, cy0) < z1
     assert z0 <= interleave(cx0 + (1 << k) - 1, cy0 + (1 << k) - 1) < z1
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    n_cls=st.integers(1, 3),
+    y0=st.integers(0, 50),
+    x0=st.integers(0, 50),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_label_tile_equals_union_find_property(h, w, n_cls, y0, x0, seed):
+    """Per-tile labeling kernel == union-find ground truth on random
+    class rasters of every shape, including 1-row/1-column tiles."""
+    from scidbgeo_spark.kernels import label_tile
+
+    width = x0 + w + 5
+    rng = np.random.default_rng(seed)
+    cls = rng.integers(0, n_cls, size=(h, w))
+    lab = label_tile(cls, y0, x0, width)
+
+    n = h * w
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for y in range(h):
+        for x in range(w):
+            if x + 1 < w and cls[y, x] == cls[y, x + 1]:
+                union(y * w + x, y * w + x + 1)
+            if y + 1 < h and cls[y, x] == cls[y + 1, x]:
+                union(y * w + x, (y + 1) * w + x)
+
+    def gid(local):
+        ly, lx = divmod(local, w)
+        return (y0 + ly) * width + (x0 + lx)
+
+    for y in range(h):
+        for x in range(w):
+            assert lab[y, x] == gid(find(y * w + x)), (y, x, cls.tolist())
