@@ -430,6 +430,20 @@ def q_zonal_median(spark, sf_dir):
     )
 
 
+def q_zonal_histogram(spark, sf_dir):
+    """Per-zone pixel-value HISTOGRAM (grouped_aggregate over (zone,
+    value) — the distribution view of zonal statistics)."""
+    from pyspark.sql import functions as F
+
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    j = tiles.join(zt.select("tile_y", "tile_x", "zid"), ["tile_y", "tile_x"])
+    flat = j.select(F.explode(F.arrays_zip("zid", "px")).alias("c")).select(
+        F.col("c.zid").cast("long").alias("id"), F.col("c.px").alias("value")
+    )
+    return flat.groupBy("id", "value").agg(F.count("*").alias("n"))
+
+
 def q_zonal_stats_multi(spark, sf_dir):
     """Zonal statistics over a MULTI-ATTRIBUTE array (reference
     arrayType == 2, SciDBParallel.py:55-83): one chunk table carrying two
@@ -872,6 +886,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_cell": q_zorder_cell,
     "between_tiles": q_between_tiles,
     "cell_index": q_cell_index,
+    "zonal_histogram": q_zonal_histogram,
 }
 
 

@@ -163,6 +163,9 @@ SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
        min(value) AS min_value, max(value) AS max_value,
        CAST(count(*) AS BIGINT) AS count_value
 FROM coof GROUP BY 1""",
+    "zonal_histogram": f"""WITH {COO}
+SELECT CAST({RECT_ZONE} AS BIGINT) AS id, value, CAST(count(*) AS BIGINT) AS n
+FROM coo GROUP BY 1, 2""",
     "zonal_median": f"""WITH {COO}
 SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
        quantile_cont(value, 0.5) AS median_value,
