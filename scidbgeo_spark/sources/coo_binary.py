@@ -25,24 +25,33 @@ COO_DTYPE = np.dtype([("y", "<i8"), ("x", "<i8"), ("value", "<i8")])
 
 def write_coo_binary(coo: DataFrame, out_dir: str) -> int:
     """Write (y, x, value) rows as one reference-format binary file per
-    partition.  Returns the number of files written.  Executors write
-    directly (no driver collect) — on a cluster ``out_dir`` is shared
-    storage, exactly like the reference's per-instance binary folders."""
+    partition (Arrow-batched — no per-row Python, no RDD).  Returns the
+    number of files written.  Executors write directly (no driver
+    collect of data; only the written paths return) — on a cluster
+    ``out_dir`` is shared storage, exactly like the reference's
+    per-instance binary folders."""
+    import pandas as pd
+
     os.makedirs(out_dir, exist_ok=True)
 
-    def _dump(it):
-        rows = list(it)
-        if not rows:
-            return iter(())
-        rec = np.empty(len(rows), dtype=COO_DTYPE)
-        rec["y"] = [r[0] for r in rows]
-        rec["x"] = [r[1] for r in rows]
-        rec["value"] = [r[2] for r in rows]
+    def _dump(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunks = [p for p in batches if len(p)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks)
+        rec = np.empty(len(pdf), dtype=COO_DTYPE)
+        rec["y"] = pdf["y"].to_numpy(dtype=np.int64)
+        rec["x"] = pdf["x"].to_numpy(dtype=np.int64)
+        rec["value"] = pdf["value"].to_numpy(dtype=np.int64)
         path = os.path.join(out_dir, f"p_{uuid.uuid4().hex}.scidb")
         rec.tofile(path)
-        return iter([path])
+        yield pd.DataFrame({"path": [path]})
 
-    files = coo.select("y", "x", "value").rdd.mapPartitions(_dump).collect()
+    files = (
+        coo.select("y", "x", "value")
+        .mapInPandas(_dump, schema="path string")
+        .collect()
+    )
     return len(files)
 
 
