@@ -45,15 +45,16 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     sc = spark.sparkContext
     if getattr(sc, "_scidbgeo_pyfiles", False):
         return
+    # always rebuild: a recycled pid (or an edited package) must never
+    # ship a stale zip to the workers
     zpath = os.path.join("/tmp", f"scidbgeo_spark_pyfiles_{os.getpid()}.zip")
-    if not os.path.exists(zpath):
-        pkg = os.path.join(_REPO, "scidbgeo_spark")
-        with zipfile.ZipFile(zpath, "w") as z:
-            for root, _dirs, files in os.walk(pkg):
-                for f in files:
-                    if f.endswith(".py"):
-                        full = os.path.join(root, f)
-                        z.write(full, os.path.relpath(full, _REPO))
+    pkg = os.path.join(_REPO, "scidbgeo_spark")
+    with zipfile.ZipFile(zpath, "w") as z:
+        for root, _dirs, files in os.walk(pkg):
+            for f in sorted(files):
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, _REPO))
     sc.addPyFile(zpath)
     sc._scidbgeo_pyfiles = True
 
