@@ -59,6 +59,23 @@ def _ensure_pyfiles(spark: SparkSession) -> None:
     sc._scidbgeo_pyfiles = True
 
 
+def _fixture_dir(kind: str, sf_dir: str, fresh: bool = False) -> str:
+    """Deterministic per-(kind, sf_dir) scratch dir, OVERWRITTEN on every
+    call — repeated driver/bench invocations must not accumulate temp
+    dirs (the 3-D raster fixture alone can be 200 MB).  ``fresh`` wipes
+    the dir first (for catalog fixtures whose create() is create-if-
+    absent)."""
+    import hashlib
+    import shutil
+
+    h = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = f"/tmp/scidbgeo_fixture_{kind}_{h}"
+    if fresh:
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
 def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ensure_pyfiles(spark)
@@ -132,15 +149,13 @@ def q_merge_insert_catalog(spark, sf_dir):
     oracle as merge_insert — the catalog layer must not change results.
     Exercises the real write path: copy-on-write parquet partitions, an
     atomic manifest commit, then a snapshot read."""
-    import tempfile
-
     from scidbgeo_spark.catalog import SnapshotCatalog
 
     tiles, h, w = _raster_tiles(spark, sf_dir)
     window = pixel.between(model.raster_coo(spark, sf_dir), 0, 0, 49, 99)
     updated = pixel.reclassify(window, 87, 1000, other=-99)
     up_tiles = tiling.pack_tiles(updated, CHUNK, h, w, value_col="newvalue")
-    cat = SnapshotCatalog(spark, tempfile.mkdtemp(prefix="scidbgeo_snapcat_"))
+    cat = SnapshotCatalog(spark, _fixture_dir("snapcat", sf_dir, fresh=True))
     cat.create("raster", tiles)
     cat.merge("raster", up_tiles)
     return tiling.tiles_to_coo(cat.read("raster"), "value")
@@ -207,7 +222,6 @@ def q_geotiff_ingest(spark, sf_dir):
     (GDALtoSciDB_multiprocessing.py:300-320 analog).  Oracle: the plain
     COO derivation — bytes on disk must round-trip exactly."""
     import os
-    import tempfile
 
     import numpy as np
 
@@ -219,7 +233,7 @@ def q_geotiff_ingest(spark, sf_dir):
         raise ValueError("fixture writer is driver-side; raster too large")
     eid = np.arange(h * w, dtype=np.int64)
     arr = ((eid * VALUE_MULT) % VALUE_MOD).astype(np.int32).reshape(h, w)
-    d = tempfile.mkdtemp(prefix="scidbgeo_tiff_")
+    d = _fixture_dir("tiff", sf_dir)
     with open(os.path.join(d, "raster.tif"), "wb") as f:
         f.write(geotiff.write_tiff(arr))
     return geotiff.geotiff_coo(spark, d)
@@ -233,7 +247,6 @@ def q_geotiff_ingest_3d(spark, sf_dir):
     GDALtoSciDB_multiprocessing.py:145-148).  Oracle: the plain 3-D COO
     derivation — the multiband byte layout must round-trip exactly."""
     import os
-    import tempfile
 
     import numpy as np
 
@@ -247,7 +260,7 @@ def q_geotiff_ingest_3d(spark, sf_dir):
     e = np.arange(bands * h3 * w3, dtype=np.int64)
     arr = np.zeros((bands, h3, w3), dtype=np.int32)
     arr[e % bands, (e // bands) // w3, (e // bands) % w3] = (e * VALUE_MULT) % VALUE_MOD
-    d = tempfile.mkdtemp(prefix="scidbgeo_tiff3_")
+    d = _fixture_dir("tiff3", sf_dir)
     with open(os.path.join(d, "raster3.tif"), "wb") as f:
         f.write(geotiff.write_tiff(arr))
     return geotiff.geotiff_coo_3d(spark, d)
@@ -537,11 +550,10 @@ def q_pip_poly_wkt(spark, sf_dir):
     layer, so the oracle is pip_poly's: the serialization round-trip must
     not change results."""
     import os
-    import tempfile
 
     from scidbgeo_spark.sources import vector
 
-    d = tempfile.mkdtemp(prefix="scidbgeo_wkt_")
+    d = _fixture_dir("wkt", sf_dir)
     vector.write_wkt_fixture(os.path.join(d, "layer.parquet"), fixtures.GEO_POLYGONS)
     poly = vector.polygons_from_wkt(spark.read.parquet(d))
     pts = model.points(spark, sf_dir)

@@ -159,15 +159,36 @@ class SnapshotCatalog:
     def _write_partitions(self, name: str, version: int, tiles: DataFrame) -> dict[str, str]:
         """Write one immutable data dir for this snapshot, hive-split by
         tile_y (``pt_y`` is a throwaway copy so ``tile_y`` itself stays a
-        data column and per-partition dirs are self-contained).  Returns
+        data column and per-partition dirs are self-contained).
+
+        The write lands in a writer-unique STAGING dir and publishes via
+        atomic ``os.rename`` — concurrent writers can never mix files in
+        one version dir, and exactly one rename wins (the loser raises
+        FileExistsError and retries on top of the winner).  A genuine
+        write failure cleans its own staging and re-raises.  Returns
         {tile_y: relative_path}."""
         rel = f"data/v{version:06d}"
-        path = os.path.join(self._dir(name), rel)
-        tiles.withColumn("pt_y", F.col("tile_y")).write.mode("error").partitionBy(
-            "pt_y"
-        ).parquet(path)
+        final = os.path.join(self._dir(name), rel)
+        staging = final + f".staging-{os.getpid()}-{time.monotonic_ns()}"
+        try:
+            tiles.withColumn("pt_y", F.col("tile_y")).write.mode("error").partitionBy(
+                "pt_y"
+            ).parquet(staging)
+            os.rename(staging, final)
+        except OSError as exc:
+            import errno
+
+            shutil.rmtree(staging, ignore_errors=True)
+            if exc.errno in (errno.EEXIST, errno.ENOTEMPTY):
+                raise FileExistsError(
+                    f"data dir {rel} already exists (concurrent writer)"
+                ) from exc
+            raise
+        except Exception:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         parts = {}
-        for d in os.listdir(path):
+        for d in os.listdir(final):
             if d.startswith("pt_y="):
                 parts[d.split("=", 1)[1]] = f"{rel}/{d}"
         return parts
@@ -212,23 +233,43 @@ class SnapshotCatalog:
         paths = [os.path.join(self._dir(name), p) for p in m["partitions"].values()]
         return self.spark.read.parquet(*paths).drop("pt_y")
 
-    def merge(self, name: str, updates: DataFrame, max_retries: int = 5) -> int:
+    def merge(
+        self,
+        name: str,
+        updates: DataFrame,
+        max_retries: int = 5,
+        wait_s: float = 60.0,
+        orphan_grace_s: float = 300.0,
+    ) -> int:
         """MERGE INTO: chunk-level upsert (``insert(redimension(...), A)``
         semantics — updated (tile_y, tile_x) chunks replace existing ones,
         everything else survives).  Copy-on-write: only tile_y partitions
         that contain updated chunks are rewritten; the rest are inherited
         by reference.  The touched-partition list is the only driver-side
         state (partition metadata, not data — the same list Iceberg's
-        planner holds)."""
+        planner holds).
+
+        Concurrency: data dirs publish via atomic staging->rename
+        (exactly one writer per version), the manifest commits via atomic
+        create-if-absent.  When another writer's data dir exists without
+        its manifest yet, this writer WAITS up to ``wait_s`` for that
+        commit (polling, not burning the retry budget at write speed);
+        a dir that stays manifest-less past ``orphan_grace_s`` since its
+        last modification is a crashed writer's orphan and is reclaimed
+        so the table never wedges."""
         from scidbgeo_spark.tiling import merge_into_tiles
 
         touched = sorted(
             r.tile_y for r in updates.select("tile_y").distinct().collect()
         )
-        for attempt in range(max_retries):
+        for _attempt in range(max_retries):
             parent_v = self.current_version(name)
             parent = self._read_manifest(name, parent_v)
             version = parent_v + 1
+            data_dir = os.path.join(self._dir(name), f"data/v{version:06d}")
+            if os.path.exists(data_dir):
+                self._await_commit_or_reclaim(name, version, data_dir, wait_s, orphan_grace_s)
+                continue  # re-read current and retry on top of the winner
             overlap = [str(y) for y in touched if str(y) in parent["partitions"]]
             existing_touched = (
                 self.read(name, parent_v).filter(F.col("tile_y").isin(touched))
@@ -240,25 +281,10 @@ class SnapshotCatalog:
                 if existing_touched is not None
                 else updates
             )
-            data_dir = os.path.join(self._dir(name), f"data/v{version:06d}")
-            if os.path.exists(data_dir):
-                # a concurrent writer is ahead but has not committed its
-                # manifest yet: WAIT (growing backoff) instead of spinning
-                # through the retry budget faster than its parquet write —
-                # current_version only advances once it commits
-                time.sleep(0.5 * (attempt + 1))
-                continue
             try:
                 new_parts = self._write_partitions(name, version, merged)
-            except Exception as exc:
-                if "PATH_ALREADY_EXISTS" in str(exc) or "already exists" in str(exc):
-                    time.sleep(0.5 * (attempt + 1))
-                    continue  # lost the TOCTOU race on the data dir
-                # genuine write failure (disk, schema): reclaim the partial
-                # dir so retries/other writers see a clean slate, and
-                # surface the real error instead of a bogus lost-race one
-                shutil.rmtree(data_dir, ignore_errors=True)
-                raise
+            except FileExistsError:
+                continue  # lost the rename race — a writer is ahead
             parts = dict(parent["partitions"])
             parts.update(new_parts)
             manifest = {
@@ -270,12 +296,30 @@ class SnapshotCatalog:
             }
             if self._commit(name, manifest):
                 return version
-            # lost the race after writing data: clean our orphan data dir
-            shutil.rmtree(
-                os.path.join(self._dir(name), f"data/v{version:06d}"),
-                ignore_errors=True,
-            )
+            # a foreign manifest for this version appeared without the
+            # data rename (only possible via external interference):
+            # clean our own published-but-uncommitted data dir
+            shutil.rmtree(data_dir, ignore_errors=True)
         raise RuntimeError(f"merge into {name} lost {max_retries} commit races")
+
+    def _await_commit_or_reclaim(
+        self, name: str, version: int, data_dir: str, wait_s: float, orphan_grace_s: float
+    ) -> None:
+        """A data dir for ``version`` exists but its manifest does not:
+        poll for the concurrent writer's commit; reclaim the dir if it is
+        an orphan (no manifest, untouched past the grace period)."""
+        t0 = time.time()
+        while time.time() - t0 < wait_s:
+            if os.path.exists(self._manifest_path(name, version)):
+                return  # winner committed; caller re-reads current
+            try:
+                age = time.time() - os.path.getmtime(data_dir)
+            except OSError:
+                return  # dir vanished (reclaimed elsewhere)
+            if age > orphan_grace_s:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                return
+            time.sleep(0.2)
 
     # -- maintenance -----------------------------------------------------------
     def expire_snapshots(self, name: str, keep_last: int = 1) -> list[int]:

@@ -240,6 +240,7 @@ def ngram_jaccard_pairs(
 
 SIMHASH_BITS = 16
 SIMHASH_BLOCKS = 4  # hamming <= BLOCKS-1 guarantees one equal block
+SIM_MAX_HAMMING = SIMHASH_BLOCKS - 1  # pigeonhole completeness bound
 SIM_BUCKET_CAP = 500  # block buckets larger than this are skipped
 
 
@@ -269,7 +270,9 @@ def simhash(corpus: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 
 def simhash_dup_pairs(
-    corpus: DataFrame, max_hamming: int = 3, bucket_cap: int = SIM_BUCKET_CAP
+    corpus: DataFrame,
+    max_hamming: int = SIM_MAX_HAMMING,
+    bucket_cap: int = SIM_BUCKET_CAP,
 ) -> DataFrame:
     """SimHash near-dup PAIRS via block banding (the Google-style dedup
     path): split the fingerprint into SIMHASH_BLOCKS blocks — two

@@ -134,16 +134,14 @@ def polygons_df(spark: SparkSession, polygons: list[tuple[int, np.ndarray]]) -> 
     )
 
 
-def _covering_cand(poly_df: DataFrame, with_rings: bool) -> DataFrame:
-    """Distributed covering-cell candidate table: each polygon's bbox
-    expands to its coarse cells via sequence+explode (pure column
-    algebra).  ``with_rings`` controls whether the ring arrays ride along
-    (broadcast mode) or the table stays a bare (zone_id, ccell) pair set
-    (shuffle mode — rings attach later)."""
-    carry = ["xs", "ys"] if with_rings else []
+def _covering_cand(poly_df: DataFrame) -> DataFrame:
+    """Distributed BARE covering-cell candidate table (zone_id, ccell):
+    each polygon's bbox expands to its coarse cells via sequence+explode
+    (pure column algebra).  Ring arrays never ride the expansion — the
+    cell fan-out multiplies rows, and rings attach in a later zone-keyed
+    join in both strategies."""
     bbox = poly_df.select(
         "zone_id",
-        *carry,
         F.array_min("xs").alias("x0"),
         F.array_max("xs").alias("x1"),
         F.array_min("ys").alias("y0"),
@@ -156,10 +154,9 @@ def _covering_cand(poly_df: DataFrame, with_rings: bool) -> DataFrame:
         )
     ).alias("cy")
     return (
-        bbox.select("zone_id", *carry, "x1", "x0", cy)
+        bbox.select("zone_id", "x1", "x0", cy)
         .select(
             "zone_id",
-            *carry,
             "cy",
             F.explode(
                 F.sequence(
@@ -170,7 +167,6 @@ def _covering_cand(poly_df: DataFrame, with_rings: bool) -> DataFrame:
         )
         .select(
             "zone_id",
-            *carry,
             (F.col("cy") * CAND_NX + F.col("cx")).cast("long").alias("ccell"),
         )
     )
@@ -188,7 +184,7 @@ def pip_join_df(
     points: DataFrame,
     poly_df: DataFrame,
     mode: str = "auto",
-    broadcast_bytes: int = 64 << 20,
+    broadcast_bytes: int = 8 << 20,
 ) -> DataFrame:
     """Points x polygons PIP join with the polygon layer as a DATAFRAME —
     no driver-side polygon loop, so it holds for millions of polygons.
@@ -197,14 +193,15 @@ def pip_join_df(
     (SciDB_ZonalStats_CL.py:290-360) and is picked from the layer's
     Catalyst size estimate — plan metadata only, NO extra job:
 
-    - ``broadcast`` (small layer): candidate cells carry the ring arrays
-      and replicate to every task (hash_replicate_right analog) — the
-      whole join runs without any shuffle.
-    - ``shuffle`` (huge layer): the candidate table is a bare
-      (zone_id, ccell) pair set, so the candidate shuffle moves 16-byte
-      rows — ring arrays attach in a SECOND zone-keyed join immediately
-      before refinement, shipping each ring once per surviving candidate
-      exchange rather than through every join stage.
+    - ``broadcast`` (small layer): two broadcast joins, zero shuffles —
+      a BARE (zone_id, ccell) candidate table (the covering-cell
+      expansion multiplies ROWS, so rings must not ride it: a
+      continent-bbox polygon expands to hundreds of cells), then the
+      ring arrays broadcast-attach on zone_id just before refinement.
+      Broadcast payload is bounded by poly_size (rings, measured) plus
+      ~16 bytes per covering cell.
+    - ``shuffle`` (huge layer): same bare-candidate shape but shuffled;
+      rings attach in a zone-keyed shuffle join before refinement.
 
     Exact ray-cast refinement runs on candidate rows only, with ring
     coordinates converted once per zone per Arrow batch.
@@ -233,16 +230,16 @@ def pip_join_df(
         return pd.Series(out)
 
     pts = points.withColumn("ccell", cell_col(res=CAND_RES, nx=CAND_NX))
+    rings = poly_df.select("zone_id", "xs", "ys")
     if mode == "broadcast":
-        candidates = pts.join(F.broadcast(_covering_cand(poly_df, with_rings=True)), "ccell")
+        hits = pts.join(F.broadcast(_covering_cand(poly_df)), "ccell")
+        candidates = hits.join(F.broadcast(rings), "zone_id")
     elif mode == "shuffle":
         # explicit: a layer too big to replicate must not be broadcast
         # even if Catalyst's size estimate would allow it
-        cand = _covering_cand(poly_df, with_rings=False).hint("shuffle_hash")
+        cand = _covering_cand(poly_df).hint("shuffle_hash")
         hits = pts.join(cand, "ccell")
-        candidates = hits.join(
-            poly_df.select("zone_id", "xs", "ys").hint("shuffle_hash"), "zone_id"
-        )
+        candidates = hits.join(rings.hint("shuffle_hash"), "zone_id")
     else:
         raise ValueError(f"unknown pip mode {mode!r}")
     return candidates.filter(

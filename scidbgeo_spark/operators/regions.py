@@ -90,11 +90,13 @@ def _boundary_edges(labeled: DataFrame, chunk: int) -> DataFrame:
 
 
 def _resolve_roots(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
-    """Connected components of the (small) label graph by min-root
-    propagation: root(l) <- min(root(l), min over neighbors' roots).
-    Pointer-jumping through roots converges in <= diameter rounds; each
-    round is one shuffle over the label graph, the driver sees one
-    emptiness boolean (no collect of the graph)."""
+    """Connected components of the (small) label graph: each round does
+    (1) an edge relaxation — root(l) <- min over neighbors' roots — and
+    (2) a POINTER-JUMP — root(l) <- root(root(l)) — so chain depth halves
+    every round and convergence is O(log diameter), not O(diameter)
+    (64 rounds covers any graph a 2^63-cell raster could produce).  Each
+    round is two shuffles over the label graph; the driver sees one
+    emptiness boolean per round (no collect of the graph)."""
     both = edges.unionAll(
         edges.select(F.col("lb").alias("la"), F.col("la").alias("lb"))
     ).localCheckpoint()
@@ -110,12 +112,20 @@ def _resolve_roots(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
             .groupBy(F.col("lb").alias("l2"))
             .agg(F.min("root").alias("nb_root"))
         )
+        relaxed = m.join(nb, m.l == nb.l2, "left").select(
+            "l",
+            F.least(
+                F.col("root"), F.coalesce(F.col("nb_root"), F.col("root"))
+            ).alias("root"),
+        )
+        # pointer jump: follow root -> root(root) (halves chain depth)
+        r2 = relaxed.select(F.col("l").alias("rl"), F.col("root").alias("rroot"))
         m2 = (
-            m.join(nb, m.l == nb.l2, "left")
+            relaxed.join(r2, relaxed.root == r2.rl, "left")
             .select(
                 "l",
                 F.least(
-                    F.col("root"), F.coalesce(F.col("nb_root"), F.col("root"))
+                    F.col("root"), F.coalesce(F.col("rroot"), F.col("root"))
                 ).alias("root"),
             )
             .localCheckpoint()
@@ -143,7 +153,10 @@ def region_label(
     is exact."""
     cls = region_classes(coo, class_div)
     tiles = tiling.pack_tiles(cls, chunk, height, width, value_col="cls")
-    labeled = _local_labels(tiles, width)
+    # persist: the label-kernel pass feeds three consumers (both sides of
+    # the boundary self-join + the final pixel->root join) on different
+    # keys — without it the mapInPandas kernel runs three times
+    labeled = _local_labels(tiles, width).persist()
     edges = _boundary_edges(labeled, chunk)
     roots = _resolve_roots(edges)
     out = labeled.join(

@@ -273,7 +273,7 @@ FROM hits JOIN tok USING (doc_id) GROUP BY 1""",
           - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
          / CAST(length(text) AS BIGINT) AS punct_ratio,
        len(list_filter(string_split(text, ' '),
-                       t -> list_contains(['the','a','of','and','to','in','is','it','that','as'], t)))
+                       t -> list_contains([{stopwords}], t)))
          / len(string_split(text, ' ')) AS stopword_ratio
 FROM documents""",
     "doc_fingerprint": """SELECT doc_id,
@@ -334,7 +334,12 @@ SELECT q_id, doc_id, CAST(rank AS INT) AS rank FROM (
 # ---------------------------------------------------------------------------
 
 from scidbgeo_spark.operators.dedup import A as MH_A, B as MH_B, N_BANDS, N_HASHES, P, SHINGLE_K, SIMHASH_BITS  # noqa: E402
-from scidbgeo_spark.operators.text import LANG_MARKERS  # noqa: E402
+from scidbgeo_spark.operators.text import LANG_MARKERS, STOPWORDS  # noqa: E402
+
+# stopword list injected from the operator's constant (cannot desync)
+SQL["text_quality"] = SQL["text_quality"].replace(
+    "{stopwords}", ", ".join(f"'{w}'" for w in STOPWORDS)
+)
 
 _n = len(LANG_MARKERS)
 _enc = {
@@ -479,10 +484,15 @@ hv AS (SELECT doc_id, list_transform(sh, s -> {_MD5INT.format(x='s')} % {P}) AS 
 SELECT doc_id, CAST({_sim_bits} AS BIGINT) AS simhash FROM hv"""
 
 # SimHash block-banded near-dup pairs: exact algorithm twin (blocks,
-# hot-bucket QUALIFY cap, bit_count(xor) verify)
-from scidbgeo_spark.operators.dedup import SIM_BUCKET_CAP, SIMHASH_BLOCKS  # noqa: E402
+# hot-bucket QUALIFY cap, bit_count(xor) verify) — every parameter
+# derives from the operator's constants so they cannot desync
+from scidbgeo_spark.operators.dedup import (  # noqa: E402
+    SIM_BUCKET_CAP,
+    SIM_MAX_HAMMING,
+    SIMHASH_BLOCKS,
+)
 
-_SIM_BBITS = 16 // SIMHASH_BLOCKS
+_SIM_BBITS = SIMHASH_BITS // SIMHASH_BLOCKS
 SQL["simhash_dup_pairs"] = f"""WITH {CORPUS}, {SHINGLES},
 hv AS (SELECT doc_id, list_transform(sh, s -> {_MD5INT.format(x='s')} % {P}) AS hs FROM sh),
 fp AS (SELECT doc_id, CAST({_sim_bits} AS BIGINT) AS simhash FROM hv),
@@ -501,7 +511,7 @@ cand AS (
     ON l.blk = r.blk AND l.bv = r.bv AND l.doc_id < r.doc_id
 )
 SELECT a, b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
-FROM cand WHERE bit_count(xor(sa, sb)) <= 3"""
+FROM cand WHERE bit_count(xor(sa, sb)) <= {SIM_MAX_HAMMING}"""
 
 SQL["ann_bruteforce_topk"] = """WITH q AS (
   SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 8
