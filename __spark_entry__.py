@@ -217,9 +217,11 @@ def q_raster_add(spark, sf_dir):
 
 def q_geotiff_ingest(spark, sf_dir):
     """REAL raster ingest end-to-end: serialize the deterministic raster
-    as an actual GeoTIFF file (pure-NumPy writer), then ingest it through
-    the binaryFile -> strip-windowed parse path
-    (GDALtoSciDB_multiprocessing.py:300-320 analog).  Oracle: the plain
+    as an actual GeoTIFF file (pure-NumPy writer) in GDAL's production
+    layout — TILED=YES 64x64, COMPRESS=DEFLATE, PREDICTOR=2 — then ingest
+    it through the binaryFile -> tile-windowed parse path
+    (GDALtoSciDB_multiprocessing.py:300-320 analog; the striped layout is
+    driver-covered by geotiff_ingest_3d and pytest).  Oracle: the plain
     COO derivation — bytes on disk must round-trip exactly."""
     import os
 
@@ -235,7 +237,9 @@ def q_geotiff_ingest(spark, sf_dir):
     arr = ((eid * VALUE_MULT) % VALUE_MOD).astype(np.int32).reshape(h, w)
     d = _fixture_dir("tiff", sf_dir)
     with open(os.path.join(d, "raster.tif"), "wb") as f:
-        f.write(geotiff.write_tiff(arr))
+        f.write(
+            geotiff.write_tiff(arr, tile=(64, 64), compression="deflate", predictor=2)
+        )
     return geotiff.geotiff_coo(spark, d)
 
 
@@ -829,7 +833,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reclassify_persist": q_reclassify_persist,
     "region_label": q_region_label,
     "region_stats": q_region_stats,
-    "between_window": q_between_window,
+    "zonal_histogram": q_zonal_histogram,
     "raster_add": q_raster_add,
     "geotiff_ingest": q_geotiff_ingest,
     "geotiff_ingest_3d": q_geotiff_ingest_3d,
@@ -897,9 +901,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "focal_mean_sum_overlap": q_focal_mean_sum_overlap,
     "focal_mean_cells": q_focal_mean_cells,
     "zorder_cell": q_zorder_cell,
+    "between_window": q_between_window,
     "between_tiles": q_between_tiles,
     "cell_index": q_cell_index,
-    "zonal_histogram": q_zonal_histogram,
 }
 
 

@@ -3,24 +3,31 @@
 The reference ingests rasters by windowed ``band.ReadAsArray`` over a
 GDAL dataset, one window per SciDB instance
 (GDALtoSciDB_multiprocessing.py:89-120, 300-320; SciDBParallel.py:125-160).
-This container has no GDAL, so the engine ships its own reader for the
-uncompressed/striped little- or big-endian single-band case — enough to
-make ingest END-TO-END real (bytes on disk -> COO -> pack_tiles), with
-the same windowed semantics: each strip is a read window.
+This container has no GDAL, so the engine ships its own reader covering
+the layouts GDAL's GTiff driver actually produces:
+
+- striped or tiled (TileWidth/TileLength/TileOffsets) organisation,
+- uncompressed or Deflate (COMPRESS=DEFLATE, tag 8 / legacy 32946),
+- horizontal-differencing predictor (PREDICTOR=2),
+- little- or big-endian, single-band or pixel-interleaved multiband.
+
+Each strip group / tile is a read window — the same windowed semantics
+as the reference's per-instance ReadAsArray.
 
 Scale shape: files arrive through Spark's ``binaryFile`` source (one
 row per file, processed inside ``mapInPandas`` — partition-streaming,
 no driver I/O).  At 100 TB a production deployment swaps the whole-file
-read for strip-range requests in a custom DataSource; the parse and the
-downstream pipeline are unchanged.
+read for strip/tile-range requests in a custom DataSource; the parse and
+the downstream pipeline are unchanged.
 
-A tiny writer (:func:`write_tiff`) generates real TIFF bytes for tests
-and for the ingest-roundtrip query — also NumPy-only.
+A writer (:func:`write_tiff`) generates real TIFF bytes for tests and
+for the ingest-roundtrip query — also NumPy-only.
 """
 
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -30,71 +37,141 @@ from pyspark.sql import DataFrame, SparkSession
 T_WIDTH, T_HEIGHT = 256, 257
 T_BITS, T_COMPRESSION, T_PHOTOMETRIC = 258, 259, 262
 T_STRIP_OFFSETS, T_SAMPLES_PER_PX, T_ROWS_PER_STRIP = 273, 277, 278
-T_STRIP_BYTES, T_PLANAR_CONFIG, T_SAMPLE_FORMAT = 279, 284, 339
+T_STRIP_BYTES, T_PLANAR_CONFIG, T_PREDICTOR = 279, 284, 317
+T_TILE_WIDTH, T_TILE_LENGTH, T_TILE_OFFSETS, T_TILE_BYTES = 322, 323, 324, 325
+T_SAMPLE_FORMAT = 339
 T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT = 33550, 33922
 
 _TYPE_SIZES = {3: 2, 4: 4, 12: 8}  # SHORT, LONG, DOUBLE
 _TYPE_FMT = {3: "H", 4: "I", 12: "d"}
+
+# Compression tag values this reader handles
+C_NONE, C_DEFLATE, C_DEFLATE_OLD = 1, 8, 32946
+
+
+def _predict2(block: np.ndarray) -> np.ndarray:
+    """Apply horizontal differencing (TIFF Predictor=2) to a
+    (rows, cols, bands) block — each sample stores its delta from the
+    previous sample of the same band in the row, with wraparound."""
+    u = block.astype("<u4", copy=True)
+    u[:, 1:, :] -= u[:, :-1, :].copy()
+    return u
+
+
+def _unpredict2(block: np.ndarray) -> np.ndarray:
+    """Undo Predictor=2 on a (rows, cols, bands) block: cumulative sum
+    along the row axis with 32-bit wraparound."""
+    acc = np.cumsum(block.astype(np.uint64), axis=1, dtype=np.uint64)
+    return (acc & 0xFFFFFFFF).astype(np.uint32)
 
 
 def write_tiff(
     arr: np.ndarray,
     origin: tuple[float, float] = (0.0, 0.0),
     pixel_size: tuple[float, float] = (1.0, 1.0),
+    compression: str = "none",
+    tile: tuple[int, int] | None = None,
+    predictor: int = 1,
 ) -> bytes:
     """Serialize a 2-D int32 array — or a 3-D (bands, h, w) array as a
     pixel-interleaved multiband image (PlanarConfiguration=1, GDAL's
-    GTiff default) — as an uncompressed striped little-endian GeoTIFF
-    (one strip per row), with ModelPixelScale/ModelTiepoint geo tags —
-    the layout GDAL's GTiff driver produces for CreateCopy without
-    compression (SciDBGDAL.py:12-56 consumes exactly these tags;
-    GDALtoSciDB_multiprocessing.py:145-148 loads such multiband files as
-    3-D [band;y;x] arrays)."""
+    GTiff default) — as a little-endian GeoTIFF with
+    ModelPixelScale/ModelTiepoint geo tags (SciDBGDAL.py:12-56 consumes
+    exactly these tags; GDALtoSciDB_multiprocessing.py:145-148 loads such
+    multiband files as 3-D [band;y;x] arrays).
+
+    ``compression``: "none" or "deflate" (GDAL COMPRESS=DEFLATE, tag 8).
+    ``tile``: None for one-strip-per-row, or (tile_width, tile_length)
+    (multiples of 16, per the TIFF spec) for a tiled layout — GDAL's
+    TILED=YES.  ``predictor``: 1 (none) or 2 (horizontal differencing,
+    GDAL PREDICTOR=2)."""
     a = np.ascontiguousarray(arr, dtype="<i4")
     if a.ndim == 2:
         bands, (h, w) = 1, a.shape
+        a = a[:, :, None]
     elif a.ndim == 3:
         bands, h, w = a.shape
         # pixel-interleaved: row y = [x0:b0..bN, x1:b0..bN, ...]
         a = np.ascontiguousarray(a.transpose(1, 2, 0))
     else:
         raise ValueError(f"write_tiff expects 2-D or 3-D array, got {a.ndim}-D")
-    row_bytes = w * 4 * bands
+    comp = {"none": C_NONE, "deflate": C_DEFLATE}.get(compression)
+    if comp is None:
+        raise ValueError(f"unsupported compression {compression!r}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
 
+    def _encode(block: np.ndarray) -> bytes:
+        # block: (rows, cols, bands) contiguous window
+        if predictor == 2:
+            block = _predict2(block)
+        raw = np.ascontiguousarray(block.astype("<u4", copy=False)).tobytes()
+        return zlib.compress(raw, 6) if comp == C_DEFLATE else raw
+
+    segments: list[bytes] = []
     entries = []  # (tag, type, count, values)
     entries.append((T_WIDTH, 4, 1, [w]))
     entries.append((T_HEIGHT, 4, 1, [h]))
     entries.append((T_BITS, 3, bands, [32] * bands))
-    entries.append((T_COMPRESSION, 3, 1, [1]))
+    entries.append((T_COMPRESSION, 3, 1, [comp]))
     entries.append((T_PHOTOMETRIC, 3, 1, [1]))
-    entries.append((T_STRIP_OFFSETS, 4, h, None))  # filled below
     entries.append((T_SAMPLES_PER_PX, 3, 1, [bands]))
-    entries.append((T_ROWS_PER_STRIP, 4, 1, [1]))
-    entries.append((T_STRIP_BYTES, 4, h, [row_bytes] * h))
     entries.append((T_PLANAR_CONFIG, 3, 1, [1]))
+    if predictor == 2:
+        entries.append((T_PREDICTOR, 3, 1, [2]))
     entries.append((T_SAMPLE_FORMAT, 3, bands, [2] * bands))  # signed int
+
+    if tile is None:
+        for y in range(h):
+            segments.append(_encode(a[y : y + 1]))
+        entries.append((T_STRIP_OFFSETS, 4, h, None))  # filled below
+        entries.append((T_ROWS_PER_STRIP, 4, 1, [1]))
+        entries.append((T_STRIP_BYTES, 4, h, [len(s) for s in segments]))
+        off_tag = T_STRIP_OFFSETS
+    else:
+        tw, tl = tile
+        if tw % 16 or tl % 16 or tw <= 0 or tl <= 0:
+            raise ValueError("tile dims must be positive multiples of 16")
+        # pad to whole tiles (TIFF tiles are always full-size)
+        ph, pw = -(-h // tl) * tl, -(-w // tw) * tw
+        padded = np.zeros((ph, pw, bands), dtype="<i4")
+        padded[:h, :w, :] = a
+        for ty in range(0, ph, tl):
+            for tx in range(0, pw, tw):
+                segments.append(_encode(padded[ty : ty + tl, tx : tx + tw]))
+        n_tiles = len(segments)
+        entries.append((T_TILE_WIDTH, 4, 1, [tw]))
+        entries.append((T_TILE_LENGTH, 4, 1, [tl]))
+        entries.append((T_TILE_OFFSETS, 4, n_tiles, None))  # filled below
+        entries.append((T_TILE_BYTES, 4, n_tiles, [len(s) for s in segments]))
+        off_tag = T_TILE_OFFSETS
+
     entries.append(
         (T_MODEL_PIXEL_SCALE, 12, 3, [pixel_size[0], pixel_size[1], 0.0])
     )
     entries.append(
         (T_MODEL_TIEPOINT, 12, 6, [0.0, 0.0, 0.0, origin[0], origin[1], 0.0])
     )
+    entries.sort(key=lambda e: e[0])  # IFD entries must be tag-ordered
 
     ifd_offset = 8
     ifd_size = 2 + len(entries) * 12 + 4
     ext_offset = ifd_offset + ifd_size  # external value arrays start here
 
-    # first pass: compute where pixel data lands, so strip offsets (which
-    # may be inline when h == 1) are known before serializing anything
+    # first pass: compute where pixel data lands, so segment offsets
+    # (which may be inline for tiny images) are known before serializing
     total_ext = sum(
         _TYPE_SIZES[typ] * count
         for _tag, typ, count, _v in entries
         if _TYPE_SIZES[typ] * count > 4
     )
     data_off = ext_offset + total_ext
-    strip_offsets = [data_off + i * row_bytes for i in range(h)]
+    seg_offsets, pos = [], data_off
+    for s in segments:
+        seg_offsets.append(pos)
+        pos += len(s)
     entries = [
-        (tag, typ, count, strip_offsets if tag == T_STRIP_OFFSETS else values)
+        (tag, typ, count, seg_offsets if tag == off_tag else values)
         for tag, typ, count, values in entries
     ]
 
@@ -119,15 +196,17 @@ def write_tiff(
             out += struct.pack("<HHII", tag, typ, count, ext_offsets[tag])
     out += struct.pack("<I", 0)  # no next IFD
     out += ext
-    out += a.tobytes()
+    for s in segments:
+        out += s
     return bytes(out)
 
 
 def parse_tiff(data: bytes) -> dict:
-    """Parse the first IFD of a TIFF byte string into
-    {width, height, dtype, strip_offsets, strip_byte_counts,
-    rows_per_strip, origin, pixel_size}.  Supports uncompressed striped
-    single-band II/MM files — the reference's ingest case."""
+    """Parse the first IFD of a TIFF byte string into a header dict:
+    {width, height, bands, dtype, layout ("strips"|"tiles"), offsets,
+    byte_counts, rows_per_strip | tile_width/tile_length, compression,
+    predictor, origin, pixel_size}.  Supports striped and tiled
+    organisation, uncompressed and Deflate, predictor 1/2, II/MM."""
     bo = {b"II": "<", b"MM": ">"}.get(data[:2])
     if bo is None or struct.unpack(bo + "H", data[2:4])[0] != 42:
         raise ValueError("not a TIFF file")
@@ -147,8 +226,15 @@ def parse_tiff(data: bytes) -> dict:
             raw = data[voff : voff + size]
         tags[tag] = list(struct.unpack(bo + _TYPE_FMT[typ] * count, raw))
 
-    if tags.get(T_COMPRESSION, [1])[0] != 1:
-        raise ValueError("compressed TIFF not supported by the NumPy reader")
+    comp = tags.get(T_COMPRESSION, [C_NONE])[0]
+    if comp not in (C_NONE, C_DEFLATE, C_DEFLATE_OLD):
+        raise ValueError(
+            f"compressed TIFF variant {comp} not supported "
+            "(only 1/none and 8/32946 Deflate)"
+        )
+    predictor = tags.get(T_PREDICTOR, [1])[0]
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported TIFF predictor {predictor}")
     bands = tags.get(T_SAMPLES_PER_PX, [1])[0]
     if bands > 1 and tags.get(T_PLANAR_CONFIG, [1])[0] != 1:
         raise ValueError("planar (band-separate) multiband TIFF not supported")
@@ -157,16 +243,32 @@ def parse_tiff(data: bytes) -> dict:
     kind = {1: "u", 2: "i"}.get(fmt)
     if kind is None:
         raise ValueError(f"unsupported SampleFormat {fmt}")
+    if predictor == 2 and bits != 32:
+        raise ValueError("predictor=2 supported for 32-bit samples only")
     dtype = np.dtype(f"{bo}{kind}{bits // 8}")
     out = {
         "width": tags[T_WIDTH][0],
         "height": tags[T_HEIGHT][0],
         "bands": bands,
         "dtype": dtype,
-        "strip_offsets": tags[T_STRIP_OFFSETS],
-        "strip_byte_counts": tags[T_STRIP_BYTES],
-        "rows_per_strip": tags.get(T_ROWS_PER_STRIP, [tags[T_HEIGHT][0]])[0],
+        "compression": comp,
+        "predictor": predictor,
     }
+    if T_TILE_OFFSETS in tags:
+        out["layout"] = "tiles"
+        out["tile_width"] = tags[T_TILE_WIDTH][0]
+        out["tile_length"] = tags[T_TILE_LENGTH][0]
+        out["offsets"] = tags[T_TILE_OFFSETS]
+        out["byte_counts"] = tags[T_TILE_BYTES]
+    else:
+        out["layout"] = "strips"
+        out["offsets"] = tags[T_STRIP_OFFSETS]
+        out["byte_counts"] = tags[T_STRIP_BYTES]
+        out["rows_per_strip"] = tags.get(T_ROWS_PER_STRIP, [tags[T_HEIGHT][0]])[0]
+    # legacy aliases (strip layout) kept for external callers
+    if out["layout"] == "strips":
+        out["strip_offsets"] = out["offsets"]
+        out["strip_byte_counts"] = out["byte_counts"]
     if T_MODEL_TIEPOINT in tags and T_MODEL_PIXEL_SCALE in tags:
         tp, ps = tags[T_MODEL_TIEPOINT], tags[T_MODEL_PIXEL_SCALE]
         out["origin"] = (tp[3], tp[4])
@@ -174,17 +276,68 @@ def parse_tiff(data: bytes) -> dict:
     return out
 
 
+def _decode_segment(data: bytes, hdr: dict, idx: int, rows: int, cols: int):
+    """Decode segment ``idx`` (a strip or a tile) to a (rows, cols, bands)
+    array in the file's sample dtype, undoing Deflate and Predictor=2."""
+    off, cnt = hdr["offsets"][idx], hdr["byte_counts"][idx]
+    bands = hdr["bands"]
+    if hdr["compression"] in (C_DEFLATE, C_DEFLATE_OLD):
+        raw = zlib.decompress(data[off : off + cnt])
+        vals = np.frombuffer(raw, dtype=hdr["dtype"])
+    else:
+        vals = np.frombuffer(
+            data, dtype=hdr["dtype"], count=cnt // hdr["dtype"].itemsize, offset=off
+        )
+    block = vals[: rows * cols * bands].reshape(rows, cols, bands)
+    if hdr["predictor"] == 2:
+        u = _unpredict2(block)  # native-endian uint32, wraparound-correct
+        block = u.view(np.int32) if hdr["dtype"].kind == "i" else u
+    return block
+
+
+def _windows(data: bytes, hdr: dict, batch_rows: int):
+    """Yield ``(y0, x0, rows, cols, block)`` read windows where ``block``
+    is a (rows, cols, bands) array — executor memory is bounded by the
+    window size, not the file size (the mapInPandas analog of the
+    reference's per-instance ReadAsArray windows).  Striped files batch
+    up to ``batch_rows`` rows per window; tiled files yield one window
+    per tile (already bounded by tile_length × tile_width)."""
+    h, w = hdr["height"], hdr["width"]
+    if hdr["layout"] == "tiles":
+        tw, tl = hdr["tile_width"], hdr["tile_length"]
+        tiles_across = -(-w // tw)
+        for idx in range(len(hdr["offsets"])):
+            ty, tx = divmod(idx, tiles_across)
+            y0, x0 = ty * tl, tx * tw
+            rows, cols = min(tl, h - y0), min(tw, w - x0)
+            block = _decode_segment(data, hdr, idx, tl, tw)[:rows, :cols, :]
+            yield y0, x0, rows, cols, block
+        return
+    rps = hdr["rows_per_strip"]
+    n_strips = len(hdr["offsets"])
+    step = max(1, batch_rows // max(1, rps))
+    for s0 in range(0, n_strips, step):
+        s1 = min(n_strips, s0 + step)
+        chunks = [
+            _decode_segment(
+                data, hdr, s, min(rps, h - s * rps), w
+            )
+            for s in range(s0, s1)
+        ]
+        block = chunks[0] if len(chunks) == 1 else np.concatenate(chunks, axis=0)
+        yield s0 * rps, 0, block.shape[0], w, block
+
+
 def tiff_to_array(data: bytes) -> np.ndarray:
     """Whole-file decode (test/driver-side helper): (h, w) for a
     single-band file, (bands, h, w) for pixel-interleaved multiband."""
     h = parse_tiff(data)
-    rows = []
-    for off, nbytes in zip(h["strip_offsets"], h["strip_byte_counts"]):
-        rows.append(np.frombuffer(data, dtype=h["dtype"], count=nbytes // h["dtype"].itemsize, offset=off))
-    flat = np.concatenate(rows)
+    out = np.zeros((h["height"], h["width"], h["bands"]), dtype=h["dtype"].newbyteorder("="))
+    for y0, x0, rows, cols, block in _windows(data, h, batch_rows=256):
+        out[y0 : y0 + rows, x0 : x0 + cols, :] = block
     if h["bands"] == 1:
-        return flat.reshape(h["height"], h["width"])
-    return flat.reshape(h["height"], h["width"], h["bands"]).transpose(2, 0, 1)
+        return out[:, :, 0]
+    return out.transpose(2, 0, 1)
 
 
 def _file_row_offset(path: str, pattern) -> int:
@@ -219,30 +372,6 @@ def _scan_files(spark: SparkSession, path: str, row_offset_pattern: str | None):
     return files.select("path", "content"), re.compile(row_offset_pattern)
 
 
-def _strip_batches(data: bytes, hdr: dict, batch_rows: int):
-    """Yield (y_start, n_rows, flat_values) windows of <= batch_rows
-    raster rows each — executor memory is bounded by the window size, not
-    the file size (the mapInPandas analog of the reference's per-instance
-    ReadAsArray windows)."""
-    w, bands = hdr["width"], hdr["bands"]
-    rps = hdr["rows_per_strip"]
-    n_strips = len(hdr["strip_offsets"])
-    step = max(1, batch_rows // max(1, rps))
-    for s0 in range(0, n_strips, step):
-        s1 = min(n_strips, s0 + step)
-        chunks = [
-            np.frombuffer(
-                data,
-                dtype=hdr["dtype"],
-                count=hdr["strip_byte_counts"][s] // hdr["dtype"].itemsize,
-                offset=hdr["strip_offsets"][s],
-            )
-            for s in range(s0, s1)
-        ]
-        vals = np.concatenate(chunks)
-        yield s0 * rps, len(vals) // (w * bands), vals
-
-
 def geotiff_coo(
     spark: SparkSession,
     path: str,
@@ -250,8 +379,9 @@ def geotiff_coo(
     row_offset_pattern: str | None = None,
 ) -> DataFrame:
     """Distributed single-band GeoTIFF ingest: binaryFile scan ->
-    per-strip NumPy parse -> COO rows (y, x, value).  Multi-file globs
-    require ``row_offset_pattern`` (see :func:`_scan_files`)."""
+    per-window NumPy parse (strips or tiles, Deflate-aware) -> COO rows
+    (y, x, value).  Multi-file globs require ``row_offset_pattern``
+    (see :func:`_scan_files`)."""
     import pandas as pd
 
     files, pat = _scan_files(spark, path, row_offset_pattern)
@@ -260,20 +390,25 @@ def geotiff_coo(
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for pth, data in zip(pdf["path"], pdf["content"]):
-                hdr = parse_tiff(bytes(data))
+                raw = bytes(data)
+                hdr = parse_tiff(raw)
                 if hdr["bands"] != 1:
                     raise ValueError(
                         f"{pth}: {hdr['bands']}-band file; use geotiff_coo_3d"
                     )
-                w = hdr["width"]
                 y_off = _file_row_offset(pth, pat) if offsets else 0
-                for y0, n_rows, vals in _strip_batches(bytes(data), hdr, batch_rows):
+                for y0, x0, rows, cols, block in _windows(raw, hdr, batch_rows):
                     ys = np.repeat(
-                        np.arange(y_off + y0, y_off + y0 + n_rows, dtype=np.int64), w
+                        np.arange(y_off + y0, y_off + y0 + rows, dtype=np.int64),
+                        cols,
                     )
-                    xs = np.tile(np.arange(w, dtype=np.int64), n_rows)
+                    xs = np.tile(np.arange(x0, x0 + cols, dtype=np.int64), rows)
                     yield pd.DataFrame(
-                        {"y": ys, "x": xs, "value": vals.astype(np.int64)}
+                        {
+                            "y": ys,
+                            "x": xs,
+                            "value": block[:, :, 0].ravel().astype(np.int64),
+                        }
                     )
 
     return files.mapInPandas(_parse, schema="y long, x long, value long")
@@ -285,10 +420,11 @@ def geotiff_coo_3d(
     batch_rows: int = 256,
     row_offset_pattern: str | None = None,
 ) -> DataFrame:
-    """Distributed MULTIBAND GeoTIFF ingest (pixel-interleaved striped,
-    SamplesPerPixel > 1): binaryFile scan -> per-strip parse -> 3-D COO
-    rows (band, y, x, value) — the reference's [band;y;x] array load
-    (GDALtoSciDB_multiprocessing.py:145-148) feeding pack_tiles_3d."""
+    """Distributed MULTIBAND GeoTIFF ingest (pixel-interleaved,
+    SamplesPerPixel > 1, strips or tiles): binaryFile scan -> per-window
+    parse -> 3-D COO rows (band, y, x, value) — the reference's
+    [band;y;x] array load (GDALtoSciDB_multiprocessing.py:145-148)
+    feeding pack_tiles_3d."""
     import pandas as pd
 
     files, pat = _scan_files(spark, path, row_offset_pattern)
@@ -297,21 +433,28 @@ def geotiff_coo_3d(
     def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for pth, data in zip(pdf["path"], pdf["content"]):
-                hdr = parse_tiff(bytes(data))
-                w, bands = hdr["width"], hdr["bands"]
+                raw = bytes(data)
+                hdr = parse_tiff(raw)
+                bands = hdr["bands"]
                 y_off = _file_row_offset(pth, pat) if offsets else 0
-                for y0, n_rows, vals in _strip_batches(bytes(data), hdr, batch_rows):
+                for y0, x0, rows, cols, block in _windows(raw, hdr, batch_rows):
                     # interleaved order is (y, x, band) fastest-last
                     ys = np.repeat(
-                        np.arange(y_off + y0, y_off + y0 + n_rows, dtype=np.int64),
-                        w * bands,
+                        np.arange(y_off + y0, y_off + y0 + rows, dtype=np.int64),
+                        cols * bands,
                     )
                     xs = np.tile(
-                        np.repeat(np.arange(w, dtype=np.int64), bands), n_rows
+                        np.repeat(np.arange(x0, x0 + cols, dtype=np.int64), bands),
+                        rows,
                     )
-                    bs = np.tile(np.arange(bands, dtype=np.int64), n_rows * w)
+                    bs = np.tile(np.arange(bands, dtype=np.int64), rows * cols)
                     yield pd.DataFrame(
-                        {"band": bs, "y": ys, "x": xs, "value": vals.astype(np.int64)}
+                        {
+                            "band": bs,
+                            "y": ys,
+                            "x": xs,
+                            "value": block.ravel().astype(np.int64),
+                        }
                     )
 
     return files.mapInPandas(_parse, schema="band long, y long, x long, value long")

@@ -158,3 +158,71 @@ def test_multifile_windowed_ingest_with_offsets(spark, tmp_path):
     for r in rows:
         got[r.y, r.x] = r.value
     assert np.array_equal(got, a)
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"compression": "deflate"},
+        {"tile": (16, 16)},
+        {"tile": (32, 16), "compression": "deflate"},
+        {"compression": "deflate", "predictor": 2},
+        {"tile": (16, 32), "compression": "deflate", "predictor": 2},
+    ],
+    ids=["deflate", "tiled", "tiled-deflate", "deflate-pred2", "tiled-deflate-pred2"],
+)
+def test_write_parse_roundtrip_layouts(kwargs):
+    """Tiled / Deflate / Predictor=2 layouts (GDAL TILED=YES,
+    COMPRESS=DEFLATE, PREDICTOR=2) round-trip bit-exactly, including
+    edge tiles on non-multiple-of-16 dims and negative values."""
+    a = _arr(29, 41)
+    data = geotiff.write_tiff(a, origin=(-5.0, 7.5), **kwargs)
+    hdr = geotiff.parse_tiff(data)
+    assert (hdr["height"], hdr["width"]) == a.shape
+    assert hdr["origin"] == (-5.0, 7.5)
+    assert np.array_equal(geotiff.tiff_to_array(data), a)
+    if kwargs.get("compression") == "deflate":
+        assert len(data) < a.nbytes  # actually compressed
+
+
+def test_multiband_tiled_deflate_roundtrip():
+    a = _arr3(3, 23, 37)
+    data = geotiff.write_tiff(a, tile=(16, 16), compression="deflate", predictor=2)
+    assert np.array_equal(geotiff.tiff_to_array(data), a)
+
+
+def test_geotiff_coo_tiled_deflate_matches(spark, tmp_path):
+    """Distributed ingest of a tiled Deflate file equals the plain
+    striped ingest — the window iterator covers tile windows too."""
+    a = _arr(50, 33)
+    (tmp_path / "t.tif").write_bytes(
+        geotiff.write_tiff(a, tile=(16, 16), compression="deflate", predictor=2)
+    )
+    rows = geotiff.geotiff_coo(spark, str(tmp_path)).collect()
+    assert len(rows) == a.size
+    got = np.zeros_like(a)
+    for r in rows:
+        got[r.y, r.x] = r.value
+    assert np.array_equal(got, a)
+
+
+def test_geotiff_coo_3d_tiled_matches(spark, tmp_path):
+    a = _arr3(2, 20, 18)
+    (tmp_path / "t3.tif").write_bytes(geotiff.write_tiff(a, tile=(16, 16)))
+    rows = geotiff.geotiff_coo_3d(spark, str(tmp_path)).collect()
+    assert len(rows) == a.size
+    got = np.zeros_like(a)
+    for r in rows:
+        got[r.band, r.y, r.x] = r.value
+    assert np.array_equal(got, a)
+
+
+def test_predictor_wraparound_exact():
+    """Predictor=2 differencing wraps mod 2^32; extreme int32 values
+    (INT_MIN/INT_MAX adjacencies) must survive the round-trip."""
+    a = np.array(
+        [[-(2**31), 2**31 - 1, -1, 0, 1], [7, -(2**31), 2**31 - 1, 5, -5]],
+        dtype=np.int32,
+    )
+    data = geotiff.write_tiff(a, compression="deflate", predictor=2)
+    assert np.array_equal(geotiff.tiff_to_array(data), a)
