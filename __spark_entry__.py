@@ -197,6 +197,19 @@ def q_region_stats(spark, sf_dir):
     return regions.region_stats(regions.region_label(spark, coo, h, w, CHUNK))
 
 
+def q_region_vectorize(spark, sf_dir):
+    """Raster -> vector FEATURES: each labeled region becomes its
+    world-coordinate envelope polygon (WKT) under an integer affine
+    geotransform — the vectorize half of the reference's rasterize /
+    vectorize pair (SciDBGDAL.py:12-56 affine; output ring format is the
+    one pip_poly_wkt ingests)."""
+    from scidbgeo_spark.operators import regions
+
+    coo = model.raster_coo(spark, sf_dir)
+    h, w = model.raster_dims(spark, sf_dir)
+    return regions.region_vectorize(regions.region_label(spark, coo, h, w, CHUNK))
+
+
 def q_between_window(spark, sf_dir):
     return pixel.between(model.raster_coo(spark, sf_dir), 25, 10, 75, 60)
 
@@ -833,6 +846,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "reclassify_persist": q_reclassify_persist,
     "region_label": q_region_label,
     "region_stats": q_region_stats,
+    "region_vectorize": q_region_vectorize,
     "zonal_histogram": q_zonal_histogram,
     "raster_add": q_raster_add,
     "geotiff_ingest": q_geotiff_ingest,
@@ -843,7 +857,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats_multi": q_zonal_stats_multi,
     "zonal_median": q_zonal_median,
     "extract_geotags": q_extract_geotags,
-    "join_reclass": q_join_reclass,
     "focal_mean_sum": q_focal_mean_sum,
     "zorder_range_count": q_zorder_range_count,
     "overlay_add_bands": q_overlay_add_bands,
@@ -901,6 +914,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "focal_mean_sum_overlap": q_focal_mean_sum_overlap,
     "focal_mean_cells": q_focal_mean_cells,
     "zorder_cell": q_zorder_cell,
+    "join_reclass": q_join_reclass,
     "between_window": q_between_window,
     "between_tiles": q_between_tiles,
     "cell_index": q_cell_index,

@@ -169,6 +169,48 @@ def region_label(
     )
 
 
+# Registered-query vectorize transform (integer-valued so the WKT
+# coordinate strings are bitwise-identical between Spark and DuckDB)
+VEC_UL_X, VEC_UL_Y, VEC_X_DIST, VEC_Y_DIST = -180, 90, 2, -2
+
+
+def region_vectorize(
+    labeled_regions: DataFrame,
+    ul_x: int = VEC_UL_X,
+    ul_y: int = VEC_UL_Y,
+    x_dist: int = VEC_X_DIST,
+    y_dist: int = VEC_Y_DIST,
+) -> DataFrame:
+    """(region, cls, n_pixels, wkt): vector FEATURES from the labeled
+    raster — each extracted region becomes its world-coordinate envelope
+    polygon under the affine geotransform (pixel-corner bbox, GDAL
+    Polygonize-to-envelopes analog; the inverse of
+    zonal.rasterize_polygons, closing the reference's raster<->vector
+    pair, SciDBGDAL.py:12-56 for the affine).  The WKT is the same ring
+    format sources/vector.parse_wkt_polygons consumes, so extracted
+    features feed straight back into the PIP joins.  One hash-agg over
+    region_label output + JVM string algebra — no Python in the plan."""
+    stats = region_stats(labeled_regions)
+    west = F.lit(ul_x) + F.lit(x_dist) * F.col("x_min")
+    east = F.lit(ul_x) + F.lit(x_dist) * (F.col("x_max") + F.lit(1))
+    north = F.lit(ul_y) + F.lit(y_dist) * F.col("y_min")
+    south = F.lit(ul_y) + F.lit(y_dist) * (F.col("y_max") + F.lit(1))
+
+    def s(c):
+        return c.cast("long").cast("string")
+
+    wkt = F.concat(
+        F.lit("POLYGON(("),
+        s(west), F.lit(" "), s(north), F.lit(","),
+        s(east), F.lit(" "), s(north), F.lit(","),
+        s(east), F.lit(" "), s(south), F.lit(","),
+        s(west), F.lit(" "), s(south), F.lit(","),
+        s(west), F.lit(" "), s(north),
+        F.lit("))"),
+    )
+    return stats.select("region", "cls", "n_pixels", wkt.alias("wkt"))
+
+
 def region_stats(labeled_regions: DataFrame) -> DataFrame:
     """Vector-feature attributes per extracted region: pixel count and
     bounding box — the attribute table a raster->vector conversion emits

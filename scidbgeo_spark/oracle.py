@@ -390,6 +390,32 @@ SELECT region, CAST(min(cls) AS BIGINT) AS cls,
        min(y) AS y_min, max(y) AS y_max, min(x) AS x_min, max(x) AS x_max
 FROM rl GROUP BY 1"""
 
+# regions.region_vectorize: envelope-polygon WKT per region under the
+# integer affine transform — coordinate strings are BIGINT casts, so the
+# concat is bitwise-identical between Spark and DuckDB.
+from scidbgeo_spark.operators.regions import (  # noqa: E402
+    VEC_UL_X,
+    VEC_UL_Y,
+    VEC_X_DIST,
+    VEC_Y_DIST,
+)
+
+SQL["region_vectorize"] = f"""WITH rs AS ({SQL["region_stats"]})
+SELECT region, cls, n_pixels,
+  'POLYGON((' ||
+  CAST({VEC_UL_X} + {VEC_X_DIST}*x_min AS VARCHAR) || ' ' ||
+  CAST({VEC_UL_Y} + {VEC_Y_DIST}*y_min AS VARCHAR) || ',' ||
+  CAST({VEC_UL_X} + {VEC_X_DIST}*(x_max+1) AS VARCHAR) || ' ' ||
+  CAST({VEC_UL_Y} + {VEC_Y_DIST}*y_min AS VARCHAR) || ',' ||
+  CAST({VEC_UL_X} + {VEC_X_DIST}*(x_max+1) AS VARCHAR) || ' ' ||
+  CAST({VEC_UL_Y} + {VEC_Y_DIST}*(y_max+1) AS VARCHAR) || ',' ||
+  CAST({VEC_UL_X} + {VEC_X_DIST}*x_min AS VARCHAR) || ' ' ||
+  CAST({VEC_UL_Y} + {VEC_Y_DIST}*(y_max+1) AS VARCHAR) || ',' ||
+  CAST({VEC_UL_X} + {VEC_X_DIST}*x_min AS VARCHAR) || ' ' ||
+  CAST({VEC_UL_Y} + {VEC_Y_DIST}*y_min AS VARCHAR) ||
+  '))' AS wkt
+FROM rs"""
+
 CORPUS = """
 corpus AS (
   SELECT doc_id, text FROM documents

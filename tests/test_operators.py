@@ -220,3 +220,39 @@ def test_region_label_chunk_invariant(spark, sf_correct):
         for r in regions.region_label(spark, coo, h, w, 50).collect()
     )
     assert a == b
+
+
+def test_region_vectorize_envelopes_cover_regions(spark, sf_correct):
+    """region_vectorize emits world-coordinate WKT envelopes that (a)
+    parse back through the vector-layer reader (the raster->vector->PIP
+    loop) and (b) exactly cover their region's pixel bbox under the
+    integer geotransform."""
+    import numpy as np
+
+    from scidbgeo_spark import model
+    from scidbgeo_spark.model import CHUNK
+    from scidbgeo_spark.operators import regions
+    from scidbgeo_spark.sources import vector
+
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    labeled = regions.region_label(spark, coo, h, w, CHUNK)
+    feats = regions.region_vectorize(labeled)
+    stats = {r.region: r for r in regions.region_stats(labeled).collect()}
+    rows = feats.collect()
+    assert len(rows) == len(stats)
+    layer = vector.polygons_from_wkt(
+        feats.select(F.col("region").alias("zone_id"), "wkt")
+    ).collect()
+    assert len(layer) == len(stats)
+    by_zone = {r.zone_id: r for r in layer}
+    for r in rows:
+        s = stats[r.region]
+        ring = by_zone[r.region]
+        xs, ys = np.array(ring.xs), np.array(ring.ys)
+        assert xs.min() == regions.VEC_UL_X + regions.VEC_X_DIST * s.x_min
+        assert xs.max() == regions.VEC_UL_X + regions.VEC_X_DIST * (s.x_max + 1)
+        # y_dist negative: max world y at y_min
+        assert ys.max() == regions.VEC_UL_Y + regions.VEC_Y_DIST * s.y_min
+        assert ys.min() == regions.VEC_UL_Y + regions.VEC_Y_DIST * (s.y_max + 1)
+        assert len(xs) == 4  # closed ring stored open: 4 corners
