@@ -470,7 +470,8 @@ def q_zonal_histogram(spark, sf_dir):
     zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
     j = tiles.join(zt.select("tile_y", "tile_x", "zid"), ["tile_y", "tile_x"])
     flat = j.select(F.explode(F.arrays_zip("zid", "px")).alias("c")).select(
-        F.col("c.zid").cast("long").alias("id"), F.col("c.px").alias("value")
+        F.col("c.zid").cast("long").alias("id"),
+        F.col("c.px").cast("long").alias("value"),
     )
     return flat.groupBy("id", "value").agg(F.count("*").alias("n"))
 

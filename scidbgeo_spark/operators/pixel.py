@@ -138,7 +138,8 @@ def overlay_add_tiles(a: DataFrame, b: DataFrame) -> DataFrame:
     not join work)."""
     bb = b.select(*TILE_KEYS, F.col("px").alias("px_b"))
     return a.join(bb, TILE_KEYS).withColumn(
-        "px", F.zip_with("px", "px_b", lambda u, v: u + v)
+        # widen before adding: two int32 payloads can overflow int32
+        "px", F.zip_with("px", "px_b", lambda u, v: u.cast("long") + v)
     ).drop("px_b")
 
 

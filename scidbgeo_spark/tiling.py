@@ -67,7 +67,13 @@ def pack_tiles(
         g = t.select("tile_y", "tile_x", enc).groupBy(*TILE_KEYS).agg(
             F.array_sort(F.collect_list("enc")).alias("cells")
         )
-        px = F.transform(F.col("cells"), lambda e: e % 4294967296 - bias)
+        # store the payload as array<int>: the int_values contract bounds
+        # every cell to int32, so the narrow type is lossless and HALVES
+        # the bytes every downstream cache/shuffle/parquet moves — at
+        # 100 TB the px payload dominates all storage and network
+        px = F.transform(F.col("cells"), lambda e: e % 4294967296 - bias).cast(
+            "array<int>"
+        )
     else:
         cell = F.struct(F.col("y"), F.col("x"), F.col(value_col).alias("v"))
         g = t.groupBy(*TILE_KEYS).agg(
@@ -100,10 +106,18 @@ def tiles_to_coo(tiles: DataFrame, value_name: str = "value") -> DataFrame:
     e = tiles.select(
         "y0", "x0", "w", F.posexplode("px").alias("pos", value_name)
     )
+    # integral payloads surface as BIGINT regardless of the narrow
+    # array<int> storage type, keeping the public COO schema stable
+    elem = tiles.schema["px"].dataType.elementType.simpleString()
+    val = (
+        F.col(value_name).cast("long").alias(value_name)
+        if elem in ("tinyint", "smallint", "int", "bigint")
+        else F.col(value_name)
+    )
     return e.select(
         (F.col("y0") + F.expr("pos DIV w")).alias("y"),
         (F.col("x0") + (F.col("pos") % F.col("w"))).alias("x"),
-        value_name,
+        val,
     )
 
 
@@ -183,7 +197,9 @@ def pack_tiles_3d(
         (F.col("tile_x").cast("long") * chunk).alias("x0"),
         F.least(F.lit(chunk), F.lit(height) - F.col("tile_y") * chunk).cast("int").alias("h"),
         F.least(F.lit(chunk), F.lit(width) - F.col("tile_x") * chunk).cast("int").alias("w"),
-        F.transform(F.col("cells"), lambda e: e % 4294967296 - bias).alias("px"),
+        F.transform(F.col("cells"), lambda e: e % 4294967296 - bias)
+        .cast("array<int>")
+        .alias("px"),
     )
 
 
