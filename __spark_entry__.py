@@ -778,6 +778,14 @@ def q_minhash_dup_pairs(spark, sf_dir):
     return dedup.minhash_dup_pairs(dedup.dup_corpus(_docs(spark, sf_dir)))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup CLUSTER extraction: transitive closure over the verified
+    MinHash pair graph (cluster = min doc_id = canonical representative,
+    singletons included) — the distributed min-propagation engine shared
+    with region_label, here on text instead of raster adjacency."""
+    return dedup.dedup_clusters(dedup.dup_corpus(_docs(spark, sf_dir)))
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(dedup.dup_corpus(_docs(spark, sf_dir)))
 
@@ -863,7 +871,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "overlay_add_bands": q_overlay_add_bands,
     # --- vector / spatial join ---
     "pip_grid": q_pip_grid,
-    "pip_poly": q_pip_poly,
     "pip_poly_df": q_pip_poly_df,
     "pip_poly_wkt": q_pip_poly_wkt,
     "pip_grid_salted": q_pip_grid_salted,
@@ -886,6 +893,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_signatures": q_minhash_signatures,
     "minhash_bands": q_minhash_bands,
     "minhash_dup_pairs": q_minhash_dup_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
     "simhash": q_simhash,
     "simhash_dup_pairs": q_simhash_dup_pairs,
@@ -915,6 +923,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "focal_mean_sum_overlap": q_focal_mean_sum_overlap,
     "focal_mean_cells": q_focal_mean_cells,
     "zorder_cell": q_zorder_cell,
+    "pip_poly": q_pip_poly,
     "join_reclass": q_join_reclass,
     "between_window": q_between_window,
     "between_tiles": q_between_tiles,

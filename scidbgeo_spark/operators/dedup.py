@@ -196,6 +196,30 @@ def near_dup_drop_ids(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def dedup_clusters(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(doc_id, cluster): connected components over the verified MinHash
+    near-dup pair graph; cluster = MIN doc_id in the component — the
+    canonical representative a curation pipeline keeps (transitive
+    closure, so A~B and B~C land in ONE cluster even when A~C itself
+    missed the Jaccard bar).  Docs in no pair are their own singleton
+    cluster.
+
+    Scale shape: the pair graph is pair-scale (a small fraction of the
+    corpus), and component resolution reuses the regions label-graph
+    engine — edge relaxation + pointer jumping, O(log diameter) rounds,
+    one emptiness boolean to the driver per round, never a collected
+    edge list."""
+    from scidbgeo_spark.operators.regions import resolve_roots
+
+    pairs = minhash_dup_pairs(corpus, threshold).select(
+        F.col("a").alias("la"), F.col("b").alias("lb")
+    )
+    roots = resolve_roots(pairs).withColumnRenamed("l", "doc_id")
+    return corpus.select("doc_id").join(roots, "doc_id", "left").select(
+        "doc_id", F.coalesce("root", "doc_id").alias("cluster")
+    )
+
+
 NGRAM_DF_CAP = 500  # shingles present in more docs than this are dropped
 
 

@@ -139,6 +139,11 @@ def _resolve_roots(edges: DataFrame, max_rounds: int = 64) -> DataFrame:
     raise RuntimeError(f"label graph did not converge in {max_rounds} rounds")
 
 
+# public alias: the same distributed min-propagation engine also powers
+# dedup.dedup_clusters (near-dup component extraction over pair edges)
+resolve_roots = _resolve_roots
+
+
 def region_label(
     spark: SparkSession,
     coo: DataFrame,

@@ -491,6 +491,23 @@ cand AS (
 )
 {_JACCARD_TAIL}"""
 
+# dedup.dedup_clusters: connected components over the verified near-dup
+# pair graph (cluster = component-min doc_id, singletons included) — the
+# same recursive min-propagation shape as SQL["region_label"]
+SQL["dedup_clusters"] = f"""WITH RECURSIVE {CORPUS},
+pairs AS (SELECT a, b FROM ({SQL["minhash_dup_pairs"]})),
+adj AS (SELECT a AS src, b AS dst FROM pairs
+        UNION ALL SELECT b, a FROM pairs),
+lbl AS (
+  SELECT doc_id AS id, doc_id AS cluster FROM corpus
+  UNION
+  SELECT e.dst AS id, l.cluster
+  FROM lbl l JOIN adj e ON e.src = l.id
+  WHERE l.cluster < e.dst
+)
+SELECT id AS doc_id, CAST(min(cluster) AS BIGINT) AS cluster
+FROM lbl GROUP BY 1"""
+
 SQL["ngram_jaccard_pairs"] = f"""WITH {CORPUS}, {SHINGLES}, {HV64},
 ex AS (SELECT doc_id, unnest(hs) AS s FROM hv64),
 rare AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= {NGRAM_DF_CAP}),

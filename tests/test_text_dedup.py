@@ -211,3 +211,29 @@ def test_simhash_dup_pairs_complete_for_exact_dups(spark, sf_smoke):
         assert pairs.get((r.doc_id, r.doc_id + 200000)) == 0
     # verify is exact: no reported pair exceeds the threshold
     assert all(h <= 3 for h in pairs.values())
+
+
+def test_dedup_clusters_match_union_find(spark, sf_correct):
+    """dedup_clusters equals an independent union-find over the verified
+    pair graph: transitive closure (A~B, B~C -> one cluster even without
+    A~C), cluster id = component min, singletons present."""
+    corpus = dedup.dup_corpus(_docs(spark, sf_correct))
+    pairs = [(r.a, r.b) for r in dedup.minhash_dup_pairs(corpus).collect()]
+    docs = [r.doc_id for r in corpus.select("doc_id").collect()]
+    parent = {d: d for d in docs}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in docs}
+    got = {r.doc_id: r.cluster for r in dedup.dedup_clusters(corpus).collect()}
+    assert got == want
+    # the fixture corpus genuinely contains non-trivial clusters
+    assert any(v != k for k, v in got.items())
