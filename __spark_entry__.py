@@ -515,6 +515,14 @@ def q_zorder_cell(spark, sf_dir):
     return pts.select("doc_id", pip.zorder_cell_col().alias("zcell"))
 
 
+def q_cell_rollup(spark, sf_dir):
+    """Zoom-pyramid cell rollup: point counts at quadkey resolutions
+    16/8/4 in one GROUPING SETS pass (single shuffle, map-side partials)
+    — the multi-resolution density surface a web-scale tile pipeline
+    derives from page geotags."""
+    return pip.cell_rollup(model.points(spark, sf_dir))
+
+
 def q_zorder_range_count(spark, sf_dir):
     """Quadkey/Z-order RANGE PRUNING: a quadkey-aligned 2^k x 2^k block
     of 0.01-deg cells is one contiguous zcell interval, so the spatial
@@ -868,7 +876,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "extract_geotags": q_extract_geotags,
     "focal_mean_sum": q_focal_mean_sum,
     "zorder_range_count": q_zorder_range_count,
-    "overlay_add_bands": q_overlay_add_bands,
+    "cell_rollup": q_cell_rollup,
     # --- vector / spatial join ---
     "pip_grid": q_pip_grid,
     "pip_poly_df": q_pip_poly_df,
@@ -923,6 +931,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "focal_mean_sum_overlap": q_focal_mean_sum_overlap,
     "focal_mean_cells": q_focal_mean_cells,
     "zorder_cell": q_zorder_cell,
+    "overlay_add_bands": q_overlay_add_bands,
     "pip_poly": q_pip_poly,
     "join_reclass": q_join_reclass,
     "between_window": q_between_window,

@@ -59,6 +59,36 @@ def zorder_cell_col(lon: str = "lon", lat: str = "lat"):
     return z
 
 
+def cell_rollup(pts: DataFrame) -> DataFrame:
+    """(res, cell, n_points): point counts at three quadkey resolutions
+    (res 16 = the full 0.01-deg Z-order cell, res 8 / res 4 = its 16- and
+    24-bit-truncated quadtree ancestors) in ONE pass — GROUPING SETS give
+    the zoom-pyramid rollup a tile server or density map needs with a
+    single shuffle and map-side partials, instead of three scans.
+    Prefix truncation is the H3/S2 parent-cell operation on Z-order ids
+    (see :func:`zorder_block_range` for why ancestors are contiguous)."""
+    z = zorder_cell_col()
+    base = pts.select(
+        z.alias("z16"),
+        F.shiftright(z, 16).alias("z8"),
+        F.shiftright(z, 24).alias("z4"),
+    )
+    g = base.groupingSets([["z16"], ["z8"], ["z4"]], "z16", "z8", "z4").agg(
+        F.count("*").alias("n_points")
+    )
+    res = (
+        F.when(F.col("z16").isNotNull(), 16)
+        .when(F.col("z8").isNotNull(), 8)
+        .otherwise(4)
+        .cast("long")
+    )
+    return g.select(
+        res.alias("res"),
+        F.coalesce("z16", "z8", "z4").alias("cell"),
+        "n_points",
+    )
+
+
 def zorder_block_range(cx0: int, cy0: int, k: int) -> tuple[int, int]:
     """[z0, z1) of the quadkey-aligned block ``cx in [cx0, cx0+2^k), cy
     in [cy0, cy0+2^k)``: because Z-order interleaves bits, an aligned

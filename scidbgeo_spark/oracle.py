@@ -719,6 +719,18 @@ SQL["zorder_cell"] = f"WITH {PTS}\nSELECT doc_id, CAST({_zbits} AS BIGINT) AS zc
 
 SQL["focal_mean_sum_overlap"] = SQL["focal_mean_sum"]
 
+# pip.cell_rollup: quadkey zoom pyramid via GROUPING SETS (res column is
+# derived from which grouping column is non-NULL — identical CASE on
+# both engines, no grouping_id needed)
+SQL["cell_rollup"] = f"""WITH {PTS},
+zc AS (SELECT CAST({_zbits} AS BIGINT) AS z16 FROM pts),
+zs AS (SELECT z16, z16 >> 16 AS z8, z16 >> 24 AS z4 FROM zc)
+SELECT CAST(CASE WHEN z16 IS NOT NULL THEN 16
+            WHEN z8 IS NOT NULL THEN 8 ELSE 4 END AS BIGINT) AS res,
+       coalesce(z16, z8, z4) AS cell,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM zs GROUP BY GROUPING SETS ((z16), (z8), (z4))"""
+
 # Z-order range semantics: the engine filters ONE contiguous zcell range;
 # the oracle counts the equivalent lon/lat box directly (independent
 # derivation — verifies range == box, not just that both sides share code)

@@ -278,3 +278,31 @@ def test_pip_poly_wkt_matches_driver_list_path(spark, sf_correct, tmp_path):
         for r in pip.pip_join(spark, pts, fixtures.GEO_POLYGONS).collect()
     )
     assert got == want
+
+
+def test_cell_rollup_pyramid_consistent(spark, sf_correct):
+    """Parent-cell counts equal the sum of their children: the rollup is
+    a true zoom pyramid, and every level sums to the point total."""
+    from scidbgeo_spark import model
+    from scidbgeo_spark.operators import pip
+
+    pts = model.points(spark, sf_correct)
+    n = pts.count()
+    rows = pip.cell_rollup(pts).collect()
+    by_res = {}
+    for r in rows:
+        by_res.setdefault(r.res, {})[r.cell] = r.n_points
+    assert set(by_res) == {4, 8, 16}
+    for res in (4, 8, 16):
+        assert sum(by_res[res].values()) == n
+    # each res-16 cell's ancestor at res 8 accumulates exactly its count
+    for cell, cnt in by_res[16].items():
+        assert by_res[8][cell >> 16] >= cnt
+    agg8 = {}
+    for cell, cnt in by_res[16].items():
+        agg8[cell >> 16] = agg8.get(cell >> 16, 0) + cnt
+    assert agg8 == by_res[8]
+    agg4 = {}
+    for cell, cnt in by_res[8].items():
+        agg4[cell >> 8] = agg4.get(cell >> 8, 0) + cnt
+    assert agg4 == by_res[4]
