@@ -62,6 +62,47 @@ def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def zone_page_stream(
+    spark: SparkSession, pages_dir: str, polygons
+) -> DataFrame:
+    """STREAMING GEO PIPELINE: readStream over a directory of pages
+    parquet -> byte-identical text extraction -> geotag point features ->
+    point-in-polygon join (broadcast candidate cells + vectorized
+    ray-cast refine — all stateless, so the batch operator composes onto
+    the stream unchanged) -> watermarked DAILY windowed per-zone page
+    counts.  The incremental twin of the pages_geo_rollup composite: a
+    Common-Crawl-style feed lands as files and every micro-batch advances
+    the per-zone density surface, late pages honored within the 1-hour
+    watermark."""
+    from scidbgeo_spark.operators import pip
+    from scidbgeo_spark.sources import pages as pages_src
+
+    schema = spark.read.parquet(pages_dir).schema
+    pg = spark.readStream.schema(schema).parquet(pages_dir)
+    # parquet TIMESTAMP_NTZ is not a valid event-time column
+    pg = pg.withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
+    text = pages_src.extract_text_col(F.col("html"))
+    lat_m = F.regexp_extract(text, pages_src.GEO_RE, 1).cast("long")
+    lon_m = F.regexp_extract(text, pages_src.GEO_RE, 2).cast("long")
+    pts = pg.select(
+        "url",
+        "warc_ts",
+        (F.lit(-180.0) + lon_m / F.lit(1000.0)).alias("lon"),
+        (F.lit(-90.0) + lat_m / F.lit(1000.0)).alias("lat"),
+    )
+    hits = pip.pip_join(spark, pts, polygons)
+    return (
+        hits.withWatermark("warc_ts", "1 hour")
+        .groupBy(F.window("warc_ts", "1 day").alias("win"), "zone_id")
+        .agg(F.count("*").alias("n_pages"))
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("day"),
+            "zone_id",
+            "n_pages",
+        )
+    )
+
+
 SESSION_GAP_US = 3600 * 1_000_000  # 1-hour inactivity gap, microsecond-exact
 
 

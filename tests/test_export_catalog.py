@@ -300,3 +300,48 @@ def test_cli_ingest_geotiff(spark, sf_correct, tmp_path):
     t3 = cli.run_ingest(spark, str(tdir), 100, 1, wh)
     assert len({table, t2["array_table"], t3["array_table"]}) == 3
     assert cat.current_version(t3["array_table"]) == 1
+
+
+def test_zone_page_stream_equals_batch(spark, tmp_path):
+    """The streaming pages->geotags->PIP->daily-zone-counts pipeline
+    converges to the batch result, including files that arrive after the
+    stream starts (the batch PIP operator composes onto the stream
+    unchanged because every pre-aggregation stage is stateless)."""
+    from scidbgeo_spark import fixtures, streaming
+    from scidbgeo_spark.operators import pip
+    from scidbgeo_spark.sources import pages as pages_src
+
+    pg = pages_src.generate_pages(spark, 1500)
+    d = str(tmp_path / "pages_stream")
+    pg.filter(F.col("url").endswith("0")).write.parquet(d)
+    stream = streaming.zone_page_stream(spark, d, fixtures.GEO_POLYGONS)
+    q = (
+        stream.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("zps_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        pg.filter(~F.col("url").endswith("0")).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        got = {
+            (r.day, r.zone_id): r.n_pages
+            for r in spark.sql("SELECT * FROM zps_test").collect()
+        }
+    finally:
+        q.stop()
+    pts = pages_src.extract_geotags(pg, id_col="url").join(
+        pg.select("url", F.col("warc_ts").cast("timestamp").alias("warc_ts")), "url"
+    )
+    batch = (
+        pip.pip_join(spark, pts, fixtures.GEO_POLYGONS)
+        .groupBy(
+            F.date_format(F.date_trunc("day", "warc_ts"), "yyyy-MM-dd").alias("day"),
+            "zone_id",
+        )
+        .agg(F.count("*").alias("n_pages"))
+    )
+    want = {(r.day, r.zone_id): r.n_pages for r in batch.collect()}
+    assert got == want
+    assert len(want) > 10  # non-trivial coverage across days and zones
