@@ -174,6 +174,17 @@ def q_raster_histogram(spark, sf_dir):
     return pixel.histogram(model.raster_coo(spark, sf_dir))
 
 
+def q_upsample(spark, sf_dir):
+    """xgrid(A, 2, 2): shuffle-free cell expansion (SciDB upsample)."""
+    return pixel.upsample(model.raster_coo(spark, sf_dir))
+
+
+def q_bernoulli_sample(spark, sf_dir):
+    """bernoulli(A, 0.25, seed): deterministic seeded cell sampling —
+    reproducible across runs, executors, and partitionings."""
+    return pixel.bernoulli_sample(model.raster_coo(spark, sf_dir))
+
+
 def q_region_label(spark, sf_dir):
     """Distributed connected-component labeling (raster -> vector region
     extraction): per-tile NumPy label kernel + cross-tile boundary merge
@@ -860,12 +871,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- raster core (one representative per operator class) ---
     "count_pixels": q_count_pixels,
     "merge_insert_catalog": q_merge_insert_catalog,
-    "reclassify_persist": q_reclassify_persist,
+    "upsample": q_upsample,
+    "bernoulli_sample": q_bernoulli_sample,
     "region_label": q_region_label,
     "region_stats": q_region_stats,
     "region_vectorize": q_region_vectorize,
     "zonal_histogram": q_zonal_histogram,
-    "raster_add": q_raster_add,
     "geotiff_ingest": q_geotiff_ingest,
     "geotiff_ingest_3d": q_geotiff_ingest_3d,
     "redimension_roundtrip_3d": q_redimension_roundtrip_3d,
@@ -931,6 +942,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "focal_mean_sum_overlap": q_focal_mean_sum_overlap,
     "focal_mean_cells": q_focal_mean_cells,
     "zorder_cell": q_zorder_cell,
+    "raster_add": q_raster_add,
+    "reclassify_persist": q_reclassify_persist,
     "overlay_add_bands": q_overlay_add_bands,
     "pip_poly": q_pip_poly,
     "join_reclass": q_join_reclass,

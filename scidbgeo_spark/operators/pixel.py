@@ -167,6 +167,35 @@ def downsample(coo: DataFrame, factor: int = 2) -> DataFrame:
     )
 
 
+def upsample(coo: DataFrame, ry: int = 2, rx: int = 2) -> DataFrame:
+    """``xgrid(A, ry, rx)``: each cell expands to an ry x rx block of its
+    value (SciDB's upsample operator — the inverse direction of
+    :func:`downsample`).  A single generate per input row (posexplode of
+    a constant-length sequence) — no shuffle at all; output cardinality
+    ry*rx times the input, exactly SciDB's xgrid dimensionality."""
+    d = F.explode(F.sequence(F.lit(0), F.lit(ry * rx - 1))).alias("d")
+    e = coo.select("y", "x", "value", d)
+    return e.select(
+        (F.col("y") * ry + F.expr(f"d DIV {rx}")).alias("y"),
+        (F.col("x") * rx + F.col("d") % rx).alias("x"),
+        "value",
+    )
+
+
+def bernoulli_sample(coo: DataFrame, permille: int = 250, seed: int = 42) -> DataFrame:
+    """``bernoulli(A, p, seed)``: deterministic cell sampling — a cell
+    survives iff a seeded md5 hash of its linear id lands under the
+    ``permille``/1000 threshold.  Reproducible across runs, executors,
+    and partitionings (the property SciDB's seeded bernoulli guarantees
+    and a training-data pipeline needs for stable corpus subsets);
+    integer arithmetic end-to-end so the DuckDB oracle is bitwise."""
+    lin = (F.col("y") * F.lit(1_000_000) + F.col("x")).cast("string")
+    h = F.conv(
+        F.substring(F.md5(F.concat(lin, F.lit(f":{seed}"))), 1, 15), 16, 10
+    ).cast("long")
+    return coo.filter(h % 1000 < permille)
+
+
 def histogram(coo: DataFrame) -> DataFrame:
     """Pixel-value histogram (the classification QA companion of
     count_pixels): one row per distinct value with its frequency."""

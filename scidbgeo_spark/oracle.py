@@ -120,6 +120,13 @@ SELECT y // 2 AS y, x // 2 AS x, avg(value) AS value_avg
 FROM coo GROUP BY 1, 2""",
     "raster_histogram": f"""WITH {COO}
 SELECT value, CAST(count(*) AS BIGINT) AS n_pixels FROM coo GROUP BY 1""",
+    "upsample": f"""WITH {COO}
+SELECT y * 2 + g.d // 2 AS y, x * 2 + g.d % 2 AS x, value
+FROM coo, (SELECT unnest(generate_series(0, 3)) AS d) g""",
+    "bernoulli_sample": f"""WITH {COO}
+SELECT y, x, value FROM coo
+WHERE ('0x' || substr(md5((y * 1000000 + x)::VARCHAR || ':42'), 1, 15))::BIGINT
+      % 1000 < 250""",
     "between_window": f"""WITH {COO}
 SELECT y, x, value FROM coo
 WHERE y BETWEEN 25 AND 75 AND x BETWEEN 10 AND 60""",

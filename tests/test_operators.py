@@ -256,3 +256,31 @@ def test_region_vectorize_envelopes_cover_regions(spark, sf_correct):
         assert ys.max() == regions.VEC_UL_Y + regions.VEC_Y_DIST * s.y_min
         assert ys.min() == regions.VEC_UL_Y + regions.VEC_Y_DIST * (s.y_max + 1)
         assert len(xs) == 4  # closed ring stored open: 4 corners
+
+
+def test_upsample_inverts_through_downsample(spark, sf_correct):
+    """xgrid then regrid(avg) is the identity on the original grid (each
+    2x2 block holds one constant value), and cardinality is exactly 4x."""
+    coo = model.raster_coo(spark, sf_correct)
+    up = pixel.upsample(coo, 2, 2)
+    assert up.count() == coo.count() * 4
+    back = pixel.downsample(up, 2)
+    got = {(r.y, r.x): r.value_avg for r in back.collect()}
+    want = {(r.y, r.x): float(r.value) for r in coo.collect()}
+    assert got == want
+
+
+def test_bernoulli_sample_deterministic_and_partition_invariant(spark, sf_correct):
+    """The seeded sample is identical across partitionings and repeated
+    runs, disjoint across seeds ~ at the expected rate."""
+    coo = model.raster_coo(spark, sf_correct)
+    a = sorted((r.y, r.x) for r in pixel.bernoulli_sample(coo).collect())
+    b = sorted(
+        (r.y, r.x)
+        for r in pixel.bernoulli_sample(coo.repartition(7, "x")).collect()
+    )
+    assert a == b
+    n = coo.count()
+    assert 0.2 * n < len(a) < 0.3 * n  # permille=250
+    other = sorted((r.y, r.x) for r in pixel.bernoulli_sample(coo, seed=7).collect())
+    assert other != a
