@@ -91,6 +91,32 @@ class SciDBGeoEngine:
             tiling.tiles_to_coo(self._tiles(name), "value"), y_min, x_min, y_max, x_max
         )
 
+    def upsample(self, name: str, ry: int = 2, rx: int = 2) -> DataFrame:
+        """xgrid(A, ry, rx): shuffle-free cell expansion."""
+        return pixel.upsample(tiling.tiles_to_coo(self._tiles(name), "value"), ry, rx)
+
+    def sample(self, name: str, permille: int = 250, seed: int = 42) -> DataFrame:
+        """bernoulli(A, p, seed): deterministic seeded cell sampling."""
+        return pixel.bernoulli_sample(
+            tiling.tiles_to_coo(self._tiles(name), "value"), permille, seed
+        )
+
+    # -- raster -> vector -----------------------------------------------------
+    def extract_regions(self, name: str, class_div: int | None = None) -> DataFrame:
+        """Connected-component region labeling over the stored array."""
+        from scidbgeo_spark.operators import regions
+
+        h, w, chunk = self._dims(name)
+        coo = tiling.tiles_to_coo(self._tiles(name), "value")
+        kw = {} if class_div is None else {"class_div": class_div}
+        return regions.region_label(self.spark, coo, h, w, chunk, **kw)
+
+    def vectorize(self, name: str, **transform) -> DataFrame:
+        """Region envelope features as WKT under the affine transform."""
+        from scidbgeo_spark.operators import regions
+
+        return regions.region_vectorize(self.extract_regions(name), **transform)
+
     # -- ingest (GDALtoSciDB_multiprocessing.py driver analog) ---------------
     def load_geotiff(
         self, name: str, path: str, chunk: int = 50

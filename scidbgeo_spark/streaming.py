@@ -103,6 +103,61 @@ def zone_page_stream(
     )
 
 
+def merge_stream_to_catalog(
+    spark: SparkSession,
+    coo_dir: str,
+    catalog,
+    table: str,
+    height: int,
+    width: int,
+    chunk: int,
+    checkpoint_dir: str,
+):
+    """EXACTLY-ONCE streaming raster ingest: readStream of COO parquet
+    file arrivals -> per-micro-batch redimension (pack_tiles) ->
+    transactional ``SnapshotCatalog.merge`` via ``foreachBatch``.
+
+    Exactly-once argument (the north rule's resumable-ingest shape):
+    Spark's checkpoint replays a failed micro-batch with the SAME
+    batch_id and the SAME files; an ``applied-<batch_id>`` marker
+    (atomic create) skips batches whose merge already committed, and a
+    crash BETWEEN commit and marker only re-merges byte-identical
+    chunks — the chunk-level upsert is content-idempotent, so table
+    state is unchanged (pinned by the rerun-idempotence catalog test).
+    Returns the started StreamingQuery; callers drive it with
+    ``processAllAvailable``/``awaitTermination``."""
+    import os
+
+    from scidbgeo_spark.tiling import pack_tiles
+
+    marker_dir = os.path.join(checkpoint_dir, "applied")
+    os.makedirs(marker_dir, exist_ok=True)
+    schema = spark.read.parquet(coo_dir).schema
+    stream = spark.readStream.schema(schema).parquet(coo_dir)
+
+    def _merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        marker = os.path.join(marker_dir, f"applied-{batch_id}")
+        if os.path.exists(marker):
+            return  # replayed batch whose merge already committed
+        if batch_df.isEmpty():
+            return
+        tiles = pack_tiles(batch_df, chunk, height, width)
+        try:
+            catalog.current_version(table)
+        except FileNotFoundError:
+            catalog.create(table, tiles)
+        else:
+            catalog.merge(table, tiles)
+        with open(marker, "x") as fh:
+            fh.write(str(batch_id))
+
+    return (
+        stream.writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", os.path.join(checkpoint_dir, "ckpt"))
+        .start()
+    )
+
+
 SESSION_GAP_US = 3600 * 1_000_000  # 1-hour inactivity gap, microsecond-exact
 
 

@@ -115,3 +115,26 @@ def test_spark_submit_pyfiles_launch(tmp_path):
     assert proc.returncode == 0, proc.stderr[-2000:]
     res = json.loads(proc.stdout.strip().splitlines()[-1])
     assert res["rows"] > 0 and res["query"] == "pip_poly"
+
+
+def test_facade_sampling_upsample_vectorize(spark, sf_smoke):
+    """The late-r3 verbs work through the stored-array facade: seeded
+    sampling, xgrid upsample, region extraction + WKT vectorize."""
+    eng = SciDBGeoEngine(spark)
+    coo = model.raster_coo(spark, sf_smoke)
+    n = coo.count()
+    h, w = n // RASTER_W, RASTER_W
+    eng.create_array("rv", coo, height=h, width=w, chunk=50)
+
+    up = eng.upsample("rv")
+    assert up.count() == 4 * n
+    samp = eng.sample("rv")
+    assert 0.15 * n < samp.count() < 0.35 * n
+    assert samp.collect() == eng.sample("rv").collect()  # deterministic
+
+    regions_df = eng.extract_regions("rv")
+    assert regions_df.count() == n
+    feats = eng.vectorize("rv")
+    rows = feats.collect()
+    assert len(rows) == regions_df.select("region").distinct().count()
+    assert all(r.wkt.startswith("POLYGON((") for r in rows)

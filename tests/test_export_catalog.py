@@ -345,3 +345,51 @@ def test_zone_page_stream_equals_batch(spark, tmp_path):
     want = {(r.day, r.zone_id): r.n_pages for r in batch.collect()}
     assert got == want
     assert len(want) > 10  # non-trivial coverage across days and zones
+
+
+def test_streaming_merge_to_catalog_exactly_once(spark, sf_correct, tmp_path):
+    """Streaming COO file arrivals merge into the SnapshotCatalog; the
+    final table equals the batch pack over everything, and a replayed
+    micro-batch (simulated retry) leaves the table state unchanged."""
+    from scidbgeo_spark import streaming
+    from scidbgeo_spark.catalog import SnapshotCatalog
+
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    d = str(tmp_path / "coo_stream")
+    ck = str(tmp_path / "ck")
+    coo.filter(F.col("y") < h // 2).write.parquet(d)
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    q = streaming.merge_stream_to_catalog(spark, d, cat, "stream_r", h, w, 25, ck)
+    try:
+        q.processAllAvailable()
+        v1 = cat.current_version("stream_r")
+        coo.filter(F.col("y") >= h // 2).write.mode("append").parquet(d)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r.y, r.x, r.value)
+        for r in tiling.tiles_to_coo(cat.read("stream_r"), "value").collect()
+    )
+    want = sorted((r.y, r.x, r.value) for r in coo.collect())
+    assert got == want
+    assert cat.current_version("stream_r") > v1
+    # simulated replay of an already-applied batch: marker short-circuits
+    import os
+
+    markers = os.listdir(os.path.join(ck, "applied"))
+    assert len(markers) >= 2
+    v_before = cat.current_version("stream_r")
+    # re-running the whole stream from the same checkpoint replays nothing new
+    q2 = streaming.merge_stream_to_catalog(spark, d, cat, "stream_r", h, w, 25, ck)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    assert cat.current_version("stream_r") == v_before
+    got2 = sorted(
+        (r.y, r.x, r.value)
+        for r in tiling.tiles_to_coo(cat.read("stream_r"), "value").collect()
+    )
+    assert got2 == want
