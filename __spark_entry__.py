@@ -362,6 +362,15 @@ def q_focal_mean_cells(spark, sf_dir):
     return tiling.tiles_to_coo(means, "value_avg")
 
 
+def q_focal_mean_r2(spark, sf_dir):
+    """window(A, 2, 2, 2, 2, avg(value)): ARBITRARY-radius focal window
+    (5x5 shrinking box; 2-cell halo strips in the same 9-message JVM
+    exchange)."""
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    means = focal.focal_mean_tiles(tiles, h, w, CHUNK, radius=2)
+    return tiling.tiles_to_coo(means, "value_avg")
+
+
 def q_between_tiles(spark, sf_dir):
     """between via two-level pruning: chunk-key range filter (partition
     pruning analog) + exact cell filter on the cropped remainder."""
@@ -884,8 +893,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats_poly": q_zonal_stats_poly,
     "zonal_stats_multi": q_zonal_stats_multi,
     "zonal_median": q_zonal_median,
-    "extract_geotags": q_extract_geotags,
     "focal_mean_sum": q_focal_mean_sum,
+    "focal_mean_r2": q_focal_mean_r2,
     "zorder_range_count": q_zorder_range_count,
     "cell_rollup": q_cell_rollup,
     # --- vector / spatial join ---
@@ -942,6 +951,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "focal_mean_sum_overlap": q_focal_mean_sum_overlap,
     "focal_mean_cells": q_focal_mean_cells,
     "zorder_cell": q_zorder_cell,
+    "extract_geotags": q_extract_geotags,
     "raster_add": q_raster_add,
     "reclassify_persist": q_reclassify_persist,
     "overlay_add_bands": q_overlay_add_bands,

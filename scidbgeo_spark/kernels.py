@@ -16,8 +16,11 @@ NODATA_ZONE = -999  # pixels outside all polygons (SciDB_ZonalStats_CL.py:74-77)
 # focal / moving window  (AFL window(A,1,1,1,1,avg(value)) — SciDB_analysis.py:81)
 # ---------------------------------------------------------------------------
 
-def box3_sum_count(vals: np.ndarray, mask: np.ndarray | None = None):
-    """3×3 neighborhood sum and valid-cell count with *shrinking* windows.
+def box_sum_count(
+    vals: np.ndarray, mask: np.ndarray | None = None, radius: int = 1
+):
+    """(2r+1)x(2r+1) neighborhood sum and valid-cell count with
+    *shrinking* windows (AFL ``window(A, r, r, r, r, ...)``).
 
     ``vals`` is a 2-D array that may include halo rows/cols from neighbor
     tiles; ``mask`` marks valid cells (False = outside the raster — SciDB
@@ -29,15 +32,22 @@ def box3_sum_count(vals: np.ndarray, mask: np.ndarray | None = None):
         mask = np.ones_like(v, dtype=bool)
     v = np.where(mask, v, 0)
     m = mask.astype(np.int64)
+    k = 2 * radius + 1
 
     def box(a):
-        # 3x3 box sums via a zero-prefixed 2-D cumsum (inclusion-exclusion)
-        p = np.pad(a, 1)
+        # box sums via a zero-prefixed 2-D cumsum (inclusion-exclusion)
+        p = np.pad(a, radius)
         s = np.zeros((p.shape[0] + 1, p.shape[1] + 1), dtype=np.int64)
         s[1:, 1:] = p.cumsum(0).cumsum(1)
-        return s[3:, 3:] - s[:-3, 3:] - s[3:, :-3] + s[:-3, :-3]
+        return s[k:, k:] - s[:-k, k:] - s[k:, :-k] + s[:-k, :-k]
 
     return box(v), box(m)
+
+
+def box3_sum_count(vals: np.ndarray, mask: np.ndarray | None = None):
+    """3×3 case of :func:`box_sum_count` (kept as the named fast path the
+    sum36 exact encoding is defined over)."""
+    return box_sum_count(vals, mask, radius=1)
 
 
 def focal_sum36(vals: np.ndarray, mask: np.ndarray, interior: tuple[slice, slice]):
@@ -55,9 +65,14 @@ def focal_sum36(vals: np.ndarray, mask: np.ndarray, interior: tuple[slice, slice
     return int(np.sum(np.where(mi, si * (36 // ci), 0)))
 
 
-def focal_mean(vals: np.ndarray, mask: np.ndarray, interior: tuple[slice, slice]):
-    """Float 3×3 shrinking-window mean over the interior region."""
-    s, c = box3_sum_count(vals, mask)
+def focal_mean(
+    vals: np.ndarray,
+    mask: np.ndarray,
+    interior: tuple[slice, slice],
+    radius: int = 1,
+):
+    """Float (2r+1)x(2r+1) shrinking-window mean over the interior."""
+    s, c = box_sum_count(vals, mask, radius)
     si, ci = s[interior].astype(np.float64), c[interior]
     return np.where(ci > 0, si / np.maximum(ci, 1), np.nan)
 

@@ -28,13 +28,15 @@ from scidbgeo_spark.kernels import focal_mean, focal_sum36
 _OFFSETS = [(oy, ox) for oy in (-1, 0, 1) for ox in (-1, 0, 1)]
 
 
-def _message_expr(oy: int, ox: int, nty: int, ntx: int) -> str:
+def _message_expr(oy: int, ox: int, nty: int, ntx: int, r: int = 1) -> str:
     """SQL expression for the halo message a chunk sends to neighbor
-    (tile_y+oy, tile_x+ox): the border strip of px adjacent to it."""
-    ry0 = "(h-1)" if oy == 1 else "0"
-    nr = "1" if oy != 0 else "h"
-    cx0 = "(w-1)" if ox == 1 else "0"
-    nc = "1" if ox != 0 else "w"
+    (tile_y+oy, tile_x+ox): the r-cell border strip of px adjacent to
+    it (r = window radius; the 8-neighbor scheme needs every tile to be
+    >= r cells in each dimension, validated by the caller)."""
+    ry0 = f"(h-{r})" if oy == 1 else "0"
+    nr = str(r) if oy != 0 else "h"
+    cx0 = f"(w-{r})" if ox == 1 else "0"
+    nc = str(r) if ox != 0 else "w"
     if oy == 0 and ox == 0:
         frag = "px"
     else:
@@ -53,10 +55,28 @@ def _message_expr(oy: int, ox: int, nty: int, ntx: int) -> str:
     return f"CASE WHEN {cond} THEN {s} END"
 
 
-def _halo_messages(tiles: DataFrame, height: int, width: int, chunk: int) -> DataFrame:
+def _check_radius(height: int, width: int, chunk: int, r: int) -> None:
+    """The 8-neighbor halo exchange sends strips from ADJACENT tiles
+    only, so every tile (incl. ragged edges) must span >= r cells."""
+    if r < 1 or r > chunk:
+        raise ValueError(f"radius {r} must be in [1, chunk={chunk}]")
+    for dim in (height, width):
+        rag = dim % chunk
+        if rag and rag < r:
+            raise ValueError(
+                f"radius {r} > ragged edge tile span {rag} "
+                f"(dim {dim}, chunk {chunk}): pick a chunk that divides "
+                "the raster or leaves an edge >= radius"
+            )
+
+
+def _halo_messages(
+    tiles: DataFrame, height: int, width: int, chunk: int, r: int = 1
+) -> DataFrame:
+    _check_radius(height, width, chunk, r)
     nty = -(-height // chunk)
     ntx = -(-width // chunk)
-    msgs = ", ".join(_message_expr(oy, ox, nty, ntx) for oy, ox in _OFFSETS)
+    msgs = ", ".join(_message_expr(oy, ox, nty, ntx, r) for oy, ox in _OFFSETS)
     return (
         tiles.select(F.expr(f"filter(array({msgs}), m -> m IS NOT NULL)").alias("ms"))
         .select(F.explode("ms").alias("m"))
@@ -64,21 +84,21 @@ def _halo_messages(tiles: DataFrame, height: int, width: int, chunk: int) -> Dat
     )
 
 
-def _assemble(pdf: pd.DataFrame):
-    """Paste center + halo fragments into a padded array; returns
+def _assemble(pdf: pd.DataFrame, r: int = 1):
+    """Paste center + halo fragments into an r-padded array; returns
     (vals, mask, interior) for the kernel."""
     center = pdf[(pdf.sy == 0) & (pdf.sx == 0)].iloc[0]
     h, w = int(center.fh), int(center.fw)
-    vals = np.zeros((h + 2, w + 2), dtype=np.int64)
-    mask = np.zeros((h + 2, w + 2), dtype=bool)
+    vals = np.zeros((h + 2 * r, w + 2 * r), dtype=np.int64)
+    mask = np.zeros((h + 2 * r, w + 2 * r), dtype=bool)
     for row in pdf.itertuples():
         fh, fw = int(row.fh), int(row.fw)
-        r0 = 0 if row.sy == -1 else (1 if row.sy == 0 else 1 + h)
-        c0 = 0 if row.sx == -1 else (1 if row.sx == 0 else 1 + w)
+        r0 = 0 if row.sy == -1 else (r if row.sy == 0 else r + h)
+        c0 = 0 if row.sx == -1 else (r if row.sx == 0 else r + w)
         frag = np.asarray(row.frag, dtype=np.int64).reshape(fh, fw)
         vals[r0 : r0 + fh, c0 : c0 + fw] = frag
         mask[r0 : r0 + fh, c0 : c0 + fw] = True
-    return vals, mask, (slice(1, 1 + h), slice(1, 1 + w))
+    return vals, mask, (slice(r, r + h), slice(r, r + w))
 
 
 def focal_mean_sum36(
@@ -165,14 +185,19 @@ def focal_mean_sum36_overlap(
     return partials.agg(F.sum("ps").alias("focal_sum36"))
 
 
-def focal_mean_tiles(tiles: DataFrame, height: int, width: int, chunk: int) -> DataFrame:
+def focal_mean_tiles(
+    tiles: DataFrame, height: int, width: int, chunk: int, radius: int = 1
+) -> DataFrame:
     """Full focal-mean raster as chunk rows (float payload) — the
-    materialized form of window(...avg(value))."""
-    msgs = _halo_messages(tiles, height, width, chunk)
+    materialized form of ``window(A, r, r, r, r, avg(value))`` for any
+    window radius (the reference's AFL window op takes arbitrary bounds;
+    the halo exchange sends r-cell strips, the kernel slides a
+    (2r+1)^2 shrinking box)."""
+    msgs = _halo_messages(tiles, height, width, chunk, radius)
 
     def _tile(key, pdf):
-        vals, mask, interior = _assemble(pdf)
-        m = focal_mean(vals, mask, interior)
+        vals, mask, interior = _assemble(pdf, radius)
+        m = focal_mean(vals, mask, interior, radius)
         th, tw = m.shape
         return pd.DataFrame(
             {

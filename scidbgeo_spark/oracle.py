@@ -220,6 +220,16 @@ nb AS (
   GROUP BY a.y, a.x
 )
 SELECT y, x, CAST(s AS DOUBLE) / c AS value_avg FROM nb""",
+    "focal_mean_r2": f"""WITH {COO},
+nb AS (
+  SELECT a.y AS y, a.x AS x,
+         CAST(sum(b.value) AS BIGINT) AS s, count(*) AS c
+  FROM coo a JOIN coo b
+    ON b.y BETWEEN a.y - 2 AND a.y + 2
+   AND b.x BETWEEN a.x - 2 AND a.x + 2
+  GROUP BY a.y, a.x
+)
+SELECT y, x, CAST(s AS DOUBLE) / c AS value_avg FROM nb""",
     "between_tiles": f"""WITH {COO}
 SELECT y, x, value FROM coo
 WHERE y BETWEEN 25 AND 75 AND x BETWEEN 10 AND 60""",

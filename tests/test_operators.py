@@ -284,3 +284,31 @@ def test_bernoulli_sample_deterministic_and_partition_invariant(spark, sf_correc
     assert 0.2 * n < len(a) < 0.3 * n  # permille=250
     other = sorted((r.y, r.x) for r in pixel.bernoulli_sample(coo, seed=7).collect())
     assert other != a
+
+
+def test_focal_radius2_vs_numpy_and_chunk_invariance(spark, sf_correct):
+    """Arbitrary-radius window op: r=2 equals the NumPy 5x5 shrinking-
+    window mean, identically across chunkings; undersized ragged edge
+    tiles are rejected up front."""
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    n = h * w
+    dense = ((np.arange(n, dtype=np.int64) * VALUE_MULT) % VALUE_MOD).reshape(h, w)
+    from scidbgeo_spark.kernels import focal_mean
+
+    pad = np.pad(dense, 2)
+    mask = np.pad(np.ones_like(dense, bool), 2)
+    want = focal_mean(pad, mask, (slice(2, h + 2), slice(2, w + 2)), radius=2)
+    outs = []
+    for chunk in (25, 50):
+        t = tiling.pack_tiles(coo, chunk, h, w)
+        means = focal.focal_mean_tiles(t, h, w, chunk, radius=2)
+        got = {(r.y, r.x): r.value_avg for r in tiling.tiles_to_coo(means, "value_avg").collect()}
+        outs.append(got)
+    assert outs[0] == outs[1]
+    for (y, x), v in outs[0].items():
+        assert abs(v - want[y, x]) < 1e-12
+    # h=100, chunk=33 -> ragged edge tile spans 1 cell < radius 2
+    t = tiling.pack_tiles(coo, 33, h, w)
+    with pytest.raises(ValueError, match="ragged edge"):
+        focal.focal_mean_tiles(t, h, w, 33, radius=2)
