@@ -687,6 +687,12 @@ def q_lang_id(spark, sf_dir):
     return text.lang_id(_docs(spark, sf_dir))
 
 
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-language top-5 corpus TF-IDF terms (two hash aggs + window —
+    the term dictionary shuffles as counts, never token streams)."""
+    return text.tfidf_top_terms(_docs(spark, sf_dir))
+
+
 def q_doc_fingerprint(spark, sf_dir):
     return text.doc_fingerprint(_docs(spark, sf_dir))
 
@@ -904,12 +910,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_grid_salted": q_pip_grid_salted,
     "pages_geo_rollup": q_pages_geo_rollup,
     "knn": q_knn,
-    "knn_bulk": q_knn_bulk,
     # --- text / LLM pipeline ---
     "extract_text": q_extract_text,
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "media_features": q_media_features,
@@ -951,6 +957,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "focal_mean_sum_overlap": q_focal_mean_sum_overlap,
     "focal_mean_cells": q_focal_mean_cells,
     "zorder_cell": q_zorder_cell,
+    "knn_bulk": q_knn_bulk,
     "extract_geotags": q_extract_geotags,
     "raster_add": q_raster_add,
     "reclassify_persist": q_reclassify_persist,

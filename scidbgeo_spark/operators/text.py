@@ -11,7 +11,7 @@ the vectorized fingerprint fallback used for very long documents.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 HTML_PREFIX = "<html><body>"
@@ -93,6 +93,37 @@ LANG_MARKERS: list[tuple[str, str]] = [
 
 def _occurrences(col: Column, needle: str) -> Column:
     return (F.length(col) - F.length(F.replace(col, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Per-language top-k terms by corpus TF-IDF: score = (term count in
+    the language) * N_docs / (global document frequency), ties broken by
+    term.  The corpus-statistics view a curation pipeline uses to spot
+    boilerplate vocabularies.  Two hash aggregates + one broadcast-sized
+    join + one per-lang window — the term dictionary shuffles as (term,
+    count) pairs, never token streams; counts are integers and the score
+    is a single exact division, so the DuckDB twin is bitwise."""
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
+    )
+    n_docs = docs.count()
+    tf = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
+    df_ = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("doc_freq")
+    )
+    scored = tf.join(df_, "term").select(
+        "lang",
+        "term",
+        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("doc_freq")).alias(
+            "score"
+        ),
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= k)
+        .select("lang", "term", "score", F.col("rank").cast("long").alias("rank"))
+    )
 
 
 def lang_id(docs: DataFrame) -> DataFrame:

