@@ -103,9 +103,13 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     join + one per-lang window — the term dictionary shuffles as (term,
     count) pairs, never token streams; counts are integers and the score
     is a single exact division, so the DuckDB twin is bitwise."""
+    # one term-partitioned exchange feeds BOTH aggregates (Spark reuses
+    # exchanges, not projections): the corpus is exploded and shuffled
+    # once; partitioning on term satisfies clustering for (lang, term)
+    # and for term, so neither aggregate nor the join shuffles again
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
-    )
+    ).repartition("term")
     n_docs = docs.count()
     tf = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("term").agg(
