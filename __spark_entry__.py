@@ -481,6 +481,14 @@ def q_zonal_median(spark, sf_dir):
     )
 
 
+def q_zonal_mode(spark, sf_dir):
+    """Zonal MAJORITY (mode) per zone — the (zone, value) histogram
+    shuffles as counts, one window picks the argmax."""
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    return zonal.zonal_mode(tiles, zt)
+
+
 def q_zonal_histogram(spark, sf_dir):
     """Per-zone pixel-value HISTOGRAM (grouped_aggregate over (zone,
     value) — the distribution view of zonal statistics)."""
@@ -899,6 +907,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats_poly": q_zonal_stats_poly,
     "zonal_stats_multi": q_zonal_stats_multi,
     "zonal_median": q_zonal_median,
+    "zonal_mode": q_zonal_mode,
     "focal_mean_sum": q_focal_mean_sum,
     "focal_mean_r2": q_focal_mean_r2,
     "zorder_range_count": q_zorder_range_count,
@@ -919,7 +928,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_fingerprint": q_doc_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "media_features": q_media_features,
-    "sessionize": q_sessionize,
     "top_events_per_user": q_top_events_per_user,
     # --- dedup / similarity family ---
     "dedup_exact": q_dedup_exact,
@@ -939,6 +947,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     # --- tail: variants whose operator class already has 2 green driver
     # rows; exact oracles retained, checked via tools/check_oracle.py ---
+    "sessionize": q_sessionize,
     "events_hourly": q_events_hourly,
     "events_cube": q_events_cube,
     "downsample": q_downsample,

@@ -29,7 +29,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from scidbgeo_spark import tiling
@@ -120,6 +120,29 @@ def zonal_stats_tiles(raster_tiles: DataFrame, zone_tiles: DataFrame) -> DataFra
             (F.col("_s") / F.col("count_value")).alias("avg_value"),
             "count_value",
         )
+    )
+
+
+def zonal_mode(raster_tiles: DataFrame, zone_tiles: DataFrame) -> DataFrame:
+    """(id, mode_value, n_pixels): the MAJORITY pixel value per zone (the
+    GIS "zonal majority" statistic), deterministic ties broken toward the
+    smaller value.  Same chunk-join + posexplode front end as
+    zonal_stats_tiles; the (zone, value) histogram shuffles as counts
+    (map-side partials), then one per-zone window picks the argmax — the
+    full pixel stream never reaches the window."""
+    zt = zone_tiles.select(*TILE_KEYS, "zid")
+    j = raster_tiles.join(zt, TILE_KEYS)
+    e = j.select("zid", F.posexplode("px").alias("pos", "v"))
+    flat = e.select(
+        F.element_at("zid", F.col("pos") + 1).cast("long").alias("id"),
+        F.col("v").cast("long").alias("v"),
+    )
+    counts = flat.groupBy("id", "v").agg(F.count("*").alias("n"))
+    win = Window.partitionBy("id").orderBy(F.desc("n"), F.asc("v"))
+    return (
+        counts.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") == 1)
+        .select("id", F.col("v").alias("mode_value"), F.col("n").alias("n_pixels"))
     )
 
 

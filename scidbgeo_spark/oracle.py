@@ -173,6 +173,14 @@ FROM coof GROUP BY 1""",
     "zonal_histogram": f"""WITH {COO}
 SELECT CAST({RECT_ZONE} AS BIGINT) AS id, value, CAST(count(*) AS BIGINT) AS n
 FROM coo GROUP BY 1, 2""",
+    "zonal_mode": f"""WITH {COO},
+hist AS (
+  SELECT CAST({RECT_ZONE} AS BIGINT) AS id, value AS v,
+         CAST(count(*) AS BIGINT) AS n
+  FROM coo GROUP BY 1, 2
+)
+SELECT id, v AS mode_value, n AS n_pixels
+FROM hist QUALIFY row_number() OVER (PARTITION BY id ORDER BY n DESC, v) = 1""",
     "zonal_median": f"""WITH {COO}
 SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
        quantile_cont(value, 0.5) AS median_value,

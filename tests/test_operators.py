@@ -312,3 +312,22 @@ def test_focal_radius2_vs_numpy_and_chunk_invariance(spark, sf_correct):
     t = tiling.pack_tiles(coo, 33, h, w)
     with pytest.raises(ValueError, match="ragged edge"):
         focal.focal_mean_tiles(t, h, w, 33, radius=2)
+
+
+def test_zonal_mode_vs_numpy(spark, sf_correct):
+    """Majority value per zone equals the NumPy bincount argmax, with
+    ties broken toward the smaller value."""
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    tiles = tiling.pack_tiles(coo, CHUNK, h, w)
+    zt = zonal.rasterize_polygons(spark, fixtures.MIXED_POLYGONS, h, w, CHUNK)
+    got = {r.id: (r.mode_value, r.n_pixels) for r in zonal.zonal_mode(tiles, zt).collect()}
+    n = h * w
+    dense = ((np.arange(n, dtype=np.int64) * VALUE_MULT) % VALUE_MOD).reshape(h, w)
+    zones = fixtures.mixed_zone_numpy(h, w)
+    for zid in np.unique(zones):
+        sel = dense[zones == zid]
+        vals, counts = np.unique(sel, return_counts=True)
+        best = counts.max()
+        want_v = vals[counts == best].min()  # tie -> smaller value
+        assert got[int(zid)] == (int(want_v), int(best))
