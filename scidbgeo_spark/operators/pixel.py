@@ -189,7 +189,9 @@ def bernoulli_sample(coo: DataFrame, permille: int = 250, seed: int = 42) -> Dat
     and partitionings (the property SciDB's seeded bernoulli guarantees
     and a training-data pipeline needs for stable corpus subsets);
     integer arithmetic end-to-end so the DuckDB oracle is bitwise."""
-    lin = (F.col("y") * F.lit(1_000_000) + F.col("x")).cast("string")
+    # hash the coordinate STRING "y_x" — no linear-id arithmetic, so no
+    # collision cap on raster width at any scale
+    lin = F.concat_ws("_", F.col("y").cast("string"), F.col("x").cast("string"))
     h = F.conv(
         F.substring(F.md5(F.concat(lin, F.lit(f":{seed}"))), 1, 15), 16, 10
     ).cast("long")

@@ -125,7 +125,7 @@ SELECT y * 2 + g.d // 2 AS y, x * 2 + g.d % 2 AS x, value
 FROM coo, (SELECT unnest(generate_series(0, 3)) AS d) g""",
     "bernoulli_sample": f"""WITH {COO}
 SELECT y, x, value FROM coo
-WHERE ('0x' || substr(md5((y * 1000000 + x)::VARCHAR || ':42'), 1, 15))::BIGINT
+WHERE ('0x' || substr(md5(y::VARCHAR || '_' || x::VARCHAR || ':42'), 1, 15))::BIGINT
       % 1000 < 250""",
     "between_window": f"""WITH {COO}
 SELECT y, x, value FROM coo
