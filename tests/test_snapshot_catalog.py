@@ -193,3 +193,34 @@ def test_merge_race_across_processes(spark, tmp_path):
         (y, x, 1000 + x // CHUNK) for y in range(h) for x in range(w)
     )
     assert got == want  # neither concurrent update was lost
+
+
+def test_diff_extracts_exactly_changed_cells(spark, sf_correct, tmp_path):
+    """Snapshot diff reads only changed partitions and emits exactly the
+    cells whose value differs between versions (changelog-scan shape)."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark import model, tiling
+
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    tiles = tiling.pack_tiles(coo, 25, h, w)
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.create("d", tiles)
+    # update: negate values in one 25x25 chunk
+    upd_coo = coo.filter((F.col("y") < 25) & (F.col("x") < 25)).select(
+        "y", "x", (-F.col("value") - 1).alias("value")
+    )
+    cat.merge("d", tiling.pack_tiles(upd_coo, 25, 25, 25, int_values=True))
+    d = cat.diff("d", 1, 2).collect()
+    changed = {(r.y, r.x): (r.old_value, r.new_value) for r in d}
+    # every diff row is inside the updated chunk and shows the negation
+    assert changed
+    for (y, x), (ov, nv) in changed.items():
+        assert y < 25 and x < 25
+        assert nv == -ov - 1
+    # cells whose value was already equal (none here: -v-1 != v always
+    # since values >= 0) -> diff cardinality == chunk size
+    assert len(changed) == 25 * 25
+    # identical versions diff to empty
+    assert cat.diff("d", 2, 2).count() == 0
