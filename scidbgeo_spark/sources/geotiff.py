@@ -46,7 +46,101 @@ _TYPE_SIZES = {3: 2, 4: 4, 12: 8}  # SHORT, LONG, DOUBLE
 _TYPE_FMT = {3: "H", 4: "I", 12: "d"}
 
 # Compression tag values this reader handles
-C_NONE, C_DEFLATE, C_DEFLATE_OLD = 1, 8, 32946
+C_NONE, C_LZW, C_DEFLATE, C_DEFLATE_OLD = 1, 5, 8, 32946
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """TIFF-variant LZW (compression 5): MSB-first bit packing, 9->12-bit
+    codes with the spec's EARLY code-width change (width bumps when the
+    table reaches 2^width - 1 entries, one entry before a power of two)."""
+    out = bytearray()
+    nbits = len(data) * 8
+    bitpos, width = 0, 9
+    table: list[bytes] = []
+    prev = b""
+
+    def read_code() -> int:
+        nonlocal bitpos
+        if bitpos + width > nbits:
+            return _LZW_EOI
+        b0 = bitpos >> 3
+        chunk = int.from_bytes(data[b0 : b0 + 3].ljust(3, b"\0"), "big")
+        code = (chunk >> (24 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        return code
+
+    base = [bytes([i]) for i in range(256)] + [b"", b""]
+    while True:
+        code = read_code()
+        if code == _LZW_EOI:
+            return bytes(out)
+        if code == _LZW_CLEAR:
+            table = []
+            width = 9
+            prev = b""
+            continue
+        if code < 258:
+            entry = base[code]
+        elif code - 258 < len(table):
+            entry = table[code - 258]
+        elif code - 258 == len(table) and prev:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW stream")
+        if prev:
+            table.append(prev + entry[:1])
+        out += entry
+        prev = entry
+        # EARLY change, one entry before the encoder's own threshold:
+        # the decoder's table lags the encoder's by exactly one entry
+        # (the encoder adds at emit k, the decoder at read k+1), so it
+        # must widen one entry sooner to read the next code correctly
+        if 258 + len(table) == (1 << width) - 2 and width < 12:
+            width += 1
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF-variant LZW encoder (writer/tests counterpart of
+    :func:`_lzw_decode`; same early-change width schedule)."""
+    out = bytearray()
+    acc = acc_bits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, acc_bits
+        acc = (acc << width) | code
+        acc_bits += width
+        while acc_bits >= 8:
+            out.append((acc >> (acc_bits - 8)) & 0xFF)
+            acc_bits -= 8
+
+    table: dict[bytes, int] = {}
+    width = 9
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for byte in data:
+        c = bytes([byte])
+        wc = w + c
+        if len(wc) == 1 or wc in table:
+            w = wc
+            continue
+        emit(table[w] if len(w) > 1 else w[0], width)
+        table[wc] = 258 + len(table)
+        if 258 + len(table) == (1 << width) - 1:
+            if width < 12:
+                width += 1
+            else:
+                emit(_LZW_CLEAR, width)
+                table = {}
+                width = 9
+        w = c
+    if w:
+        emit(table[w] if len(w) > 1 else w[0], width)
+    emit(_LZW_EOI, width)
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
 
 
 def _predict2(block: np.ndarray) -> np.ndarray:
@@ -95,7 +189,7 @@ def write_tiff(
         a = np.ascontiguousarray(a.transpose(1, 2, 0))
     else:
         raise ValueError(f"write_tiff expects 2-D or 3-D array, got {a.ndim}-D")
-    comp = {"none": C_NONE, "deflate": C_DEFLATE}.get(compression)
+    comp = {"none": C_NONE, "deflate": C_DEFLATE, "lzw": C_LZW}.get(compression)
     if comp is None:
         raise ValueError(f"unsupported compression {compression!r}")
     if predictor not in (1, 2):
@@ -106,7 +200,11 @@ def write_tiff(
         if predictor == 2:
             block = _predict2(block)
         raw = np.ascontiguousarray(block.astype("<u4", copy=False)).tobytes()
-        return zlib.compress(raw, 6) if comp == C_DEFLATE else raw
+        if comp == C_DEFLATE:
+            return zlib.compress(raw, 6)
+        if comp == C_LZW:
+            return _lzw_encode(raw)
+        return raw
 
     segments: list[bytes] = []
     entries = []  # (tag, type, count, values)
@@ -227,10 +325,10 @@ def parse_tiff(data: bytes) -> dict:
         tags[tag] = list(struct.unpack(bo + _TYPE_FMT[typ] * count, raw))
 
     comp = tags.get(T_COMPRESSION, [C_NONE])[0]
-    if comp not in (C_NONE, C_DEFLATE, C_DEFLATE_OLD):
+    if comp not in (C_NONE, C_LZW, C_DEFLATE, C_DEFLATE_OLD):
         raise ValueError(
             f"compressed TIFF variant {comp} not supported "
-            "(only 1/none and 8/32946 Deflate)"
+            "(only 1/none, 5/LZW, and 8/32946 Deflate)"
         )
     predictor = tags.get(T_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
@@ -281,8 +379,13 @@ def _decode_segment(data: bytes, hdr: dict, idx: int, rows: int, cols: int):
     array in the file's sample dtype, undoing Deflate and Predictor=2."""
     off, cnt = hdr["offsets"][idx], hdr["byte_counts"][idx]
     bands = hdr["bands"]
-    if hdr["compression"] in (C_DEFLATE, C_DEFLATE_OLD):
-        raw = zlib.decompress(data[off : off + cnt])
+    if hdr["compression"] in (C_DEFLATE, C_DEFLATE_OLD, C_LZW):
+        seg = data[off : off + cnt]
+        raw = (
+            _lzw_decode(seg)
+            if hdr["compression"] == C_LZW
+            else zlib.decompress(seg)
+        )
         vals = np.frombuffer(raw, dtype=hdr["dtype"])
     else:
         vals = np.frombuffer(

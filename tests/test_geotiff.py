@@ -33,9 +33,9 @@ def test_parse_rejects_non_tiff_and_compressed():
     with pytest.raises(ValueError, match="not a TIFF"):
         geotiff.parse_tiff(b"PK\x03\x04 not a tiff")
     data = bytearray(geotiff.write_tiff(_arr(4, 4)))
-    # flip the Compression tag value (1 -> 5/LZW) in place
+    # flip the Compression tag value (1 -> 7/JPEG, unsupported) in place
     idx = data.find((259).to_bytes(2, "little") + (3).to_bytes(2, "little"))
-    data[idx + 8] = 5
+    data[idx + 8] = 7
     with pytest.raises(ValueError, match="compressed"):
         geotiff.parse_tiff(bytes(data))
 
@@ -168,8 +168,11 @@ def test_multifile_windowed_ingest_with_offsets(spark, tmp_path):
         {"tile": (32, 16), "compression": "deflate"},
         {"compression": "deflate", "predictor": 2},
         {"tile": (16, 32), "compression": "deflate", "predictor": 2},
+        {"compression": "lzw"},
+        {"tile": (16, 16), "compression": "lzw", "predictor": 2},
     ],
-    ids=["deflate", "tiled", "tiled-deflate", "deflate-pred2", "tiled-deflate-pred2"],
+    ids=["deflate", "tiled", "tiled-deflate", "deflate-pred2",
+         "tiled-deflate-pred2", "lzw", "tiled-lzw-pred2"],
 )
 def test_write_parse_roundtrip_layouts(kwargs):
     """Tiled / Deflate / Predictor=2 layouts (GDAL TILED=YES,
@@ -181,7 +184,7 @@ def test_write_parse_roundtrip_layouts(kwargs):
     assert (hdr["height"], hdr["width"]) == a.shape
     assert hdr["origin"] == (-5.0, 7.5)
     assert np.array_equal(geotiff.tiff_to_array(data), a)
-    if kwargs.get("compression") == "deflate":
+    if kwargs.get("compression") in ("deflate", "lzw"):
         assert len(data) < a.nbytes  # actually compressed
 
 

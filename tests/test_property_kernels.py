@@ -200,3 +200,15 @@ def test_label_tile_equals_union_find_property(h, w, n_cls, y0, x0, seed):
     for y in range(h):
         for x in range(w):
             assert lab[y, x] == gid(find(y * w + x)), (y, x, cls.tolist())
+
+
+@given(
+    st.binary(max_size=4096),
+)
+@settings(max_examples=200, deadline=None)
+def test_lzw_roundtrip_any_bytes(data):
+    """TIFF-variant LZW encode->decode is the identity on arbitrary
+    byte strings (early-change width schedule, 12-bit table resets)."""
+    from scidbgeo_spark.sources.geotiff import _lzw_decode, _lzw_encode
+
+    assert _lzw_decode(_lzw_encode(data)) == data
