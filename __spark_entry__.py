@@ -143,6 +143,28 @@ def q_merge_insert(spark, sf_dir):
     return tiling.tiles_to_coo(merged, "value")
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """Incremental CHANGELOG SCAN between two catalog snapshots
+    (Iceberg changed-data analog / raster change detection): create v1
+    from the raster, merge a negated chunk (0,0) as v2, then diff —
+    only partitions whose data file changed between the manifests are
+    read at all.  Oracle: the update rule re-derived arithmetically."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.catalog import SnapshotCatalog
+
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    cat = SnapshotCatalog(spark, _fixture_dir("snapdiff", sf_dir, fresh=True))
+    cat.create("d", tiles)
+    upd = (
+        model.raster_coo(spark, sf_dir)
+        .filter((F.col("y") < CHUNK) & (F.col("x") < CHUNK))
+        .select("y", "x", (-F.col("value") - 1).alias("value"))
+    )
+    cat.merge("d", tiling.pack_tiles(upd, CHUNK, CHUNK, CHUNK))
+    return cat.diff("d", 1, 2)
+
+
 def q_merge_insert_catalog(spark, sf_dir):
     """The merge_insert upsert routed through the transactional
     SnapshotCatalog (MERGE INTO + snapshot commit + read-back): same
@@ -894,6 +916,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- raster core (one representative per operator class) ---
     "count_pixels": q_count_pixels,
     "merge_insert_catalog": q_merge_insert_catalog,
+    "snapshot_diff": q_snapshot_diff,
     "upsample": q_upsample,
     "bernoulli_sample": q_bernoulli_sample,
     "region_label": q_region_label,
@@ -905,7 +928,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redimension_roundtrip_3d": q_redimension_roundtrip_3d,
     "zonal_stats_rect": q_zonal_stats_rect,
     "zonal_stats_poly": q_zonal_stats_poly,
-    "zonal_stats_multi": q_zonal_stats_multi,
     "zonal_median": q_zonal_median,
     "zonal_mode": q_zonal_mode,
     "focal_mean_sum": q_focal_mean_sum,
@@ -963,6 +985,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats_broadcast": q_zonal_stats_broadcast,
     "zonal_stats_sortmerge": q_zonal_stats_sortmerge,
     "zonal_stats_float": q_zonal_stats_float,
+    "zonal_stats_multi": q_zonal_stats_multi,
     "focal_mean_sum_overlap": q_focal_mean_sum_overlap,
     "focal_mean_cells": q_focal_mean_cells,
     "zorder_cell": q_zorder_cell,

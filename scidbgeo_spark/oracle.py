@@ -14,6 +14,7 @@ from __future__ import annotations
 from scidbgeo_spark.fixtures import ZONE_H, ZONE_W
 from scidbgeo_spark.model import (
     BANDS,
+    CHUNK,
     HOT_MOD,
     LAT_MULT,
     LON_MULT,
@@ -115,6 +116,10 @@ SELECT y, x,
                  THEN CASE WHEN value = 87 THEN 1000 ELSE -99 END
                  ELSE value END AS BIGINT) AS value
 FROM coo""",
+    "snapshot_diff": f"""WITH {COO}
+SELECT y, x, CAST(value AS BIGINT) AS old_value,
+       CAST(-value - 1 AS BIGINT) AS new_value
+FROM coo WHERE y < {CHUNK} AND x < {CHUNK}""",
     "downsample": f"""WITH {COO}
 SELECT y // 2 AS y, x // 2 AS x, avg(value) AS value_avg
 FROM coo GROUP BY 1, 2""",
