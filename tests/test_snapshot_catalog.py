@@ -224,3 +224,25 @@ def test_diff_extracts_exactly_changed_cells(spark, sf_correct, tmp_path):
     assert len(changed) == 25 * 25
     # identical versions diff to empty
     assert cat.diff("d", 2, 2).count() == 0
+
+
+def test_diff_appearing_partition_reports_null_old(spark, sf_correct, tmp_path):
+    """A merge that ADDS a new chunk (new tile_y partition) diffs as
+    appearing cells: old_value NULL, new_value set, nothing else read."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark import model, tiling
+
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh2"))
+    cat.create("a", tiling.pack_tiles(coo, 25, h, w))
+    # new rows BELOW the existing raster: tile_y outside any v1 partition
+    extra = coo.filter(F.col("y") < 25).select(
+        (F.col("y") + h).alias("y"), "x", "value"
+    )
+    cat.merge("a", tiling.pack_tiles(extra, 25, h + 25, w))
+    d = cat.diff("a", 1, 2).collect()
+    assert len(d) == 25 * w
+    for r in d:
+        assert r.old_value is None and r.new_value is not None and r.y >= h
