@@ -341,6 +341,39 @@ class SnapshotCatalog:
                 shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
         return expired
 
+    def compact(self, name: str) -> int:
+        """Table maintenance: rewrite the CURRENT snapshot's data into
+        one file per partition (the Iceberg ``rewrite_data_files``
+        analog).  Many incremental merges leave each partition scattered
+        across several small parquet files — the classic small-file debt
+        that slows every scan; compaction repartitions by the partition
+        key before the partitioned write, so each ``pt_y`` dir lands as
+        a single file.  Content is IDENTICAL by construction —
+        ``diff(v, v+1)`` returns empty (pinned by test) — and the commit
+        uses the same optimistic machinery as merge, so a concurrent
+        merge winning the version simply makes this compaction retry's
+        caller re-run on the new current."""
+        v = self.current_version(name)
+        tiles = self.read(name, v).repartition("tile_y")
+        new_v = v + 1
+        parts = self._write_partitions(name, new_v, tiles)
+        ok = self._commit(
+            name,
+            {
+                "version": new_v,
+                "parent": v,
+                "operation": "compact",
+                "ts": time.time(),
+                "partitions": parts,
+            },
+        )
+        if not ok:
+            raise RuntimeError(
+                f"compaction of {name} v{v} lost the commit race for "
+                f"v{new_v}; re-run against the new current snapshot"
+            )
+        return new_v
+
     def diff(self, name: str, v_old: int, v_new: int) -> DataFrame:
         """Incremental CHANGE extraction between two snapshots (the
         Iceberg changelog-scan analog, and the raster-analysis "change

@@ -246,3 +246,38 @@ def test_diff_appearing_partition_reports_null_old(spark, sf_correct, tmp_path):
     assert len(d) == 25 * w
     for r in d:
         assert r.old_value is None and r.new_value is not None and r.y >= h
+
+
+def test_compact_rewrites_small_files_content_identical(spark, sf_correct, tmp_path):
+    """Compaction coalesces each partition to one file, preserves content
+    exactly (diff of the two snapshots is EMPTY), and commits a
+    'compact' snapshot with the old one still time-travelable."""
+    import glob
+    import os
+
+    from scidbgeo_spark import model, tiling
+
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    # scatter rows so every pt_y dir gets several small files
+    tiles = tiling.pack_tiles(coo, 25, h, w).repartition(8)
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.create("c", tiles)
+
+    def files_per_part(version):
+        m = cat._read_manifest("c", version)
+        return {
+            k: len(glob.glob(os.path.join(cat._dir("c"), p, "*.parquet")))
+            for k, p in m["partitions"].items()
+        }
+
+    before = files_per_part(1)
+    assert any(n > 1 for n in before.values())  # genuinely fragmented
+    v2 = cat.compact("c")
+    after = files_per_part(v2)
+    assert set(after) == set(before) and all(n == 1 for n in after.values())
+    assert cat.diff("c", 1, v2).count() == 0  # content-identical
+    a = sorted(tuple(r) for r in tiling.tiles_to_coo(cat.read("c", 1), "value").collect())
+    b = sorted(tuple(r) for r in tiling.tiles_to_coo(cat.read("c", v2), "value").collect())
+    assert a == b
+    assert cat.versions("c")[-1]["operation"] == "compact"
