@@ -384,6 +384,13 @@ def q_focal_mean_cells(spark, sf_dir):
     return tiling.tiles_to_coo(means, "value_avg")
 
 
+def q_focal_minmax(spark, sf_dir):
+    """window(A,1,1,1,1,min/max): per-cell shrinking-window extrema in
+    one halo-exchange pass (separable sliding-extreme kernel)."""
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    return focal.focal_extrema_coo(tiles, h, w, CHUNK)
+
+
 def q_focal_mean_r2(spark, sf_dir):
     """window(A, 2, 2, 2, 2, avg(value)): ARBITRARY-radius focal window
     (5x5 shrinking box; 2-cell halo strips in the same 9-message JVM
@@ -501,6 +508,15 @@ def q_zonal_median(spark, sf_dir):
         F.expr("percentile(v, 0.5)").alias("median_value"),
         F.expr("percentile(v, 0.9)").alias("p90_value"),
     )
+
+
+def q_zonal_var(spark, sf_dir):
+    """Per-zone exact population variance + stddev — all-integer sums
+    with one closing division (and IEEE-exact sqrt), so the float
+    results are bitwise across engines."""
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    return zonal.zonal_variance(tiles, zt)
 
 
 def q_zonal_mode(spark, sf_dir):
@@ -928,11 +944,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "redimension_roundtrip_3d": q_redimension_roundtrip_3d,
     "zonal_stats_rect": q_zonal_stats_rect,
     "zonal_stats_poly": q_zonal_stats_poly,
-    "zonal_median": q_zonal_median,
     "zonal_mode": q_zonal_mode,
+    "zonal_var": q_zonal_var,
     "focal_mean_sum": q_focal_mean_sum,
     "focal_mean_r2": q_focal_mean_r2,
-    "zorder_range_count": q_zorder_range_count,
+    "focal_minmax": q_focal_minmax,
     "cell_rollup": q_cell_rollup,
     # --- vector / spatial join ---
     "pip_grid": q_pip_grid,
@@ -986,9 +1002,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats_sortmerge": q_zonal_stats_sortmerge,
     "zonal_stats_float": q_zonal_stats_float,
     "zonal_stats_multi": q_zonal_stats_multi,
+    "zonal_median": q_zonal_median,
     "focal_mean_sum_overlap": q_focal_mean_sum_overlap,
     "focal_mean_cells": q_focal_mean_cells,
     "zorder_cell": q_zorder_cell,
+    "zorder_range_count": q_zorder_range_count,
     "knn_bulk": q_knn_bulk,
     "extract_geotags": q_extract_geotags,
     "raster_add": q_raster_add,

@@ -65,6 +65,43 @@ def focal_sum36(vals: np.ndarray, mask: np.ndarray, interior: tuple[slice, slice
     return int(np.sum(np.where(mi, si * (36 // ci), 0)))
 
 
+def _slide_extreme(a: np.ndarray, r: int, axis: int, fn, fill) -> np.ndarray:
+    """Sliding (2r+1)-window extreme along one axis via shifted slices —
+    min/max are separable, so a 2-D box extreme is two 1-D passes
+    (2*(2r+1) vectorized ops, never a per-cell loop)."""
+    pad = [(0, 0), (0, 0)]
+    pad[axis] = (r, r)
+    p = np.pad(a, pad, constant_values=fill)
+    n = a.shape[axis]
+    out = None
+    for off in range(2 * r + 1):
+        sl: list = [slice(None), slice(None)]
+        sl[axis] = slice(off, off + n)
+        win = p[tuple(sl)]
+        out = win.copy() if out is None else fn(out, win, out=out)
+    return out
+
+
+def box_extrema(
+    vals: np.ndarray,
+    mask: np.ndarray,
+    interior: tuple[slice, slice],
+    radius: int = 1,
+):
+    """(min, max) over the (2r+1)x(2r+1) shrinking window for every
+    interior cell (AFL ``window(A, r..., min/max)``).  Masked/outside
+    cells are neutral-element filled so borders shrink exactly like the
+    sum/count kernel."""
+    neg, pos = np.iinfo(np.int64).min, np.iinfo(np.int64).max
+    v = vals.astype(np.int64, copy=False)
+    vmax = np.where(mask, v, neg)
+    vmin = np.where(mask, v, pos)
+    for axis in (0, 1):
+        vmax = _slide_extreme(vmax, radius, axis, np.maximum, neg)
+        vmin = _slide_extreme(vmin, radius, axis, np.minimum, pos)
+    return vmin[interior], vmax[interior]
+
+
 def focal_mean(
     vals: np.ndarray,
     mask: np.ndarray,

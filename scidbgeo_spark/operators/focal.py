@@ -185,6 +185,37 @@ def focal_mean_sum36_overlap(
     return partials.agg(F.sum("ps").alias("focal_sum36"))
 
 
+def focal_extrema_coo(
+    tiles: DataFrame, height: int, width: int, chunk: int, radius: int = 1
+) -> DataFrame:
+    """``window(A, r, r, r, r, min(value)) / max(value)`` in ONE pass:
+    per-cell shrinking-window min and max as COO rows
+    (y, x, min_value, max_value) — same halo exchange as the mean, a
+    separable sliding-extreme kernel instead of the cumsum."""
+    from scidbgeo_spark.kernels import box_extrema
+
+    msgs = _halo_messages(tiles, height, width, chunk, radius)
+
+    def _tile(key, pdf):
+        vals, mask, interior = _assemble(pdf, radius)
+        mn, mx = box_extrema(vals, mask, interior, radius)
+        th, tw = mx.shape
+        y0 = int(key[0]) * chunk
+        x0 = int(key[1]) * chunk
+        return pd.DataFrame(
+            {
+                "y": np.repeat(np.arange(th, dtype=np.int64) + y0, tw),
+                "x": np.tile(np.arange(tw, dtype=np.int64) + x0, th),
+                "min_value": mn.ravel(),
+                "max_value": mx.ravel(),
+            }
+        )
+
+    return msgs.groupBy("rty", "rtx").applyInPandas(
+        _tile, schema="y long, x long, min_value long, max_value long"
+    )
+
+
 def focal_mean_tiles(
     tiles: DataFrame, height: int, width: int, chunk: int, radius: int = 1
 ) -> DataFrame:

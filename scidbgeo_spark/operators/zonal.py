@@ -123,6 +123,35 @@ def zonal_stats_tiles(raster_tiles: DataFrame, zone_tiles: DataFrame) -> DataFra
     )
 
 
+def zonal_variance(raster_tiles: DataFrame, zone_tiles: DataFrame) -> DataFrame:
+    """(id, var_value, std_value, count_value): exact population variance
+    per zone via the all-integer identity (c*Σv² − (Σv)²) / c² — sums
+    and counts stay BIGINT through the aggregate, so the single closing
+    division (and IEEE-exact sqrt) is bitwise reproducible across
+    partitionings and engines.  Same single-shuffle shape as
+    zonal_stats_tiles."""
+    zt = zone_tiles.select(*TILE_KEYS, "zid")
+    j = raster_tiles.join(zt, TILE_KEYS)
+    e = j.select("zid", F.posexplode("px").alias("pos", "v"))
+    flat = e.select(
+        F.element_at("zid", F.col("pos") + 1).cast("long").alias("id"),
+        F.col("v").cast("long").alias("v"),
+    )
+    g = flat.groupBy("id").agg(
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+        F.count("v").alias("c"),
+    )
+    num = (F.col("c") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    var = num / (F.col("c") * F.col("c"))
+    return g.select(
+        "id",
+        var.alias("var_value"),
+        F.sqrt(var).alias("std_value"),
+        F.col("c").alias("count_value"),
+    )
+
+
 def zonal_mode(raster_tiles: DataFrame, zone_tiles: DataFrame) -> DataFrame:
     """(id, mode_value, n_pixels): the MAJORITY pixel value per zone (the
     GIS "zonal majority" statistic), deterministic ties broken toward the

@@ -186,6 +186,19 @@ hist AS (
 )
 SELECT id, v AS mode_value, n AS n_pixels
 FROM hist QUALIFY row_number() OVER (PARTITION BY id ORDER BY n DESC, v) = 1""",
+    "zonal_var": f"""WITH {COO},
+g AS (
+  SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
+         CAST(sum(value) AS BIGINT) AS s,
+         CAST(sum(value * value) AS BIGINT) AS ss,
+         CAST(count(*) AS BIGINT) AS c
+  FROM coo GROUP BY 1
+)
+SELECT id,
+       CAST(c * ss - s * s AS DOUBLE) / (c * c) AS var_value,
+       sqrt(CAST(c * ss - s * s AS DOUBLE) / (c * c)) AS std_value,
+       c AS count_value
+FROM g""",
     "zonal_median": f"""WITH {COO}
 SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
        quantile_cont(value, 0.5) AS median_value,
@@ -233,6 +246,14 @@ nb AS (
   GROUP BY a.y, a.x
 )
 SELECT y, x, CAST(s AS DOUBLE) / c AS value_avg FROM nb""",
+    "focal_minmax": f"""WITH {COO}
+SELECT a.y AS y, a.x AS x,
+       CAST(min(b.value) AS BIGINT) AS min_value,
+       CAST(max(b.value) AS BIGINT) AS max_value
+FROM coo a JOIN coo b
+  ON b.y BETWEEN a.y - 1 AND a.y + 1
+ AND b.x BETWEEN a.x - 1 AND a.x + 1
+GROUP BY a.y, a.x""",
     "focal_mean_r2": f"""WITH {COO},
 nb AS (
   SELECT a.y AS y, a.x AS x,

@@ -212,3 +212,29 @@ def test_lzw_roundtrip_any_bytes(data):
     from scidbgeo_spark.sources.geotiff import _lzw_decode, _lzw_encode
 
     assert _lzw_decode(_lzw_encode(data)) == data
+
+
+@given(
+    h=st.integers(2, 16),
+    w=st.integers(2, 16),
+    r=st.integers(1, 3),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_box_extrema_matches_bruteforce(h, w, r, seed):
+    """Separable sliding min/max == brute-force window scan for any
+    array, radius, and shrink-at-border geometry."""
+    from scidbgeo_spark.kernels import box_extrema
+
+    rng = np.random.default_rng(seed)
+    a = rng.integers(-(2**31), 2**31, size=(h, w), dtype=np.int64)
+    pad = np.pad(a, r)
+    mask = np.pad(np.ones((h, w), bool), r)
+    mn, mx = box_extrema(pad, mask, (slice(r, r + h), slice(r, r + w)), r)
+    for y in range(h):
+        for x in range(w):
+            y0, y1 = max(0, y - r), min(h, y + r + 1)
+            x0, x1 = max(0, x - r), min(w, x + r + 1)
+            win = a[y0:y1, x0:x1]
+            assert mn[y, x] == win.min()
+            assert mx[y, x] == win.max()
