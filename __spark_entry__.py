@@ -820,7 +820,8 @@ def q_events_hourly(spark, sf_dir):
 
 def q_corpus_curation(spark, sf_dir):
     """Composite training-data curation pipeline: dedup-exact keep-list ->
-    NEAR-dup removal (MinHash+LSH via dedup.near_dup_drop_ids — never the
+    NEAR-dup removal (MinHash+LSH pairs -> transitive clusters -> keep
+    one canonical per cluster, dedup.cluster_drop_ids — never the
     exploded ngram self-join) -> quality filter (lexical diversity +
     length band) -> per-language kept doc and token totals.  The shape of
     a real pretraining-data job."""
@@ -831,7 +832,7 @@ def q_corpus_curation(spark, sf_dir):
     keep = dedup.dedup_exact(corpus).select(F.col("keep_id").alias("doc_id"))
     kept = (
         corpus.join(keep, "doc_id")
-        .join(dedup.near_dup_drop_ids(corpus), "doc_id", "left_anti")
+        .join(dedup.cluster_drop_ids(corpus), "doc_id", "left_anti")
         .join(docs.select("doc_id", "lang"), "doc_id", "left")
     )
     toks = F.size(F.split("text", " "))

@@ -183,17 +183,30 @@ def minhash_dup_pairs(
 
 
 def near_dup_drop_ids(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
-    """Near-duplicate DROP set for curation pipelines: the higher doc_id
-    of every minhash near-dup pair.  This is THE production near-dup
-    route — always MinHash+LSH (bucketed, never all-pairs); the exploded
-    ngram_jaccard_pairs self-join is a verification baseline only and
-    must never sit on a curation path (pinned by
-    tests/test_text_dedup.py::test_corpus_curation_never_uses_ngram_selfjoin)."""
+    """PAIRWISE near-duplicate DROP set: the higher doc_id of every
+    minhash near-dup pair.  Always MinHash+LSH (bucketed, never
+    all-pairs); the exploded ngram_jaccard_pairs self-join is a
+    verification baseline only and must never sit on a curation path
+    (pinned by tests/test_text_dedup.py::
+    test_corpus_curation_never_uses_ngram_selfjoin).  For curation,
+    prefer :func:`cluster_drop_ids`: the pairwise b-drop misses
+    transitively-connected docs that only ever appear on the a-side
+    (pairs (2,9),(3,9): b-drop keeps BOTH 2 and 3 although 3~9~2)."""
     return (
         minhash_dup_pairs(corpus, threshold)
         .select(F.col("b").alias("doc_id"))
         .distinct()
     )
+
+
+def cluster_drop_ids(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """CLUSTER-CANONICAL near-dup DROP set — THE production curation
+    route: every doc that is not its connected component's minimum
+    (one canonical survivor per transitive near-dup cluster).  Catches
+    the chains the pairwise b-drop misses; superset of
+    :func:`near_dup_drop_ids` by construction."""
+    cl = dedup_clusters(corpus, threshold)
+    return cl.filter(F.col("doc_id") != F.col("cluster")).select("doc_id")
 
 
 def dedup_clusters(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:

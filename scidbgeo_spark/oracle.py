@@ -825,7 +825,7 @@ SQL["top_events_per_user"] = """SELECT user_id, event_id, CAST(rank AS INT) AS r
 
 SQL["corpus_curation"] = f"""WITH {CORPUS},
 keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY md5(text)),
-neardrop AS (SELECT DISTINCT b AS doc_id FROM ({SQL["minhash_dup_pairs"]})),
+neardrop AS (SELECT doc_id FROM ({SQL["dedup_clusters"]}) WHERE doc_id <> cluster),
 kept AS (
   SELECT c.doc_id, c.text, d.lang
   FROM corpus c JOIN keep k ON c.doc_id = k.doc_id

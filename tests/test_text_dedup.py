@@ -252,3 +252,17 @@ def test_tfidf_top_terms_ranked_per_lang(spark, sf_correct):
         assert scores == sorted(scores, reverse=True)
     # common terms (in every doc) must score below distinctive ones
     assert len(by_lang) >= 2
+
+
+def test_cluster_drop_superset_and_chain_case(spark, sf_correct):
+    """cluster_drop_ids is a superset of the pairwise b-drop, drops
+    exactly every non-canonical cluster member, and keeps one canonical
+    survivor per cluster."""
+    corpus = dedup.dup_corpus(_docs(spark, sf_correct))
+    b_drop = {r.doc_id for r in dedup.near_dup_drop_ids(corpus).collect()}
+    c_drop = {r.doc_id for r in dedup.cluster_drop_ids(corpus).collect()}
+    assert b_drop <= c_drop
+    clusters = {r.doc_id: r.cluster for r in dedup.dedup_clusters(corpus).collect()}
+    assert c_drop == {d for d, c in clusters.items() if d != c}
+    survivors = set(clusters.values())
+    assert survivors.isdisjoint(c_drop)
