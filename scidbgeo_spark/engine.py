@@ -77,6 +77,28 @@ class SciDBGeoEngine:
         h, w, chunk = self._dims(name)
         return focal.focal_mean_sum36(self._tiles(name), h, w, chunk)
 
+    def focal_mean(self, name: str, radius: int = 1) -> DataFrame:
+        """window(A, r, r, r, r, avg) as chunk rows, any radius."""
+        h, w, chunk = self._dims(name)
+        return focal.focal_mean_tiles(self._tiles(name), h, w, chunk, radius)
+
+    def focal_minmax(self, name: str, radius: int = 1) -> DataFrame:
+        """window(A, r, r, r, r, min/max) as COO rows, any radius."""
+        h, w, chunk = self._dims(name)
+        return focal.focal_extrema_coo(self._tiles(name), h, w, chunk, radius)
+
+    def zonal_mode(self, name: str, polygons) -> DataFrame:
+        """Majority pixel value per zone."""
+        h, w, chunk = self._dims(name)
+        zt = zonal.rasterize_polygons(self.spark, polygons, h, w, chunk)
+        return zonal.zonal_mode(self._tiles(name), zt)
+
+    def zonal_variance(self, name: str, polygons) -> DataFrame:
+        """Exact population variance + stddev per zone."""
+        h, w, chunk = self._dims(name)
+        zt = zonal.rasterize_polygons(self.spark, polygons, h, w, chunk)
+        return zonal.zonal_variance(self._tiles(name), zt)
+
     def raster_add(self, a: str, b: str) -> DataFrame:
         return pixel.overlay_add_tiles(self._tiles(a), self._tiles(b))
 

@@ -138,3 +138,33 @@ def test_facade_sampling_upsample_vectorize(spark, sf_smoke):
     rows = feats.collect()
     assert len(rows) == regions_df.select("region").distinct().count()
     assert all(r.wkt.startswith("POLYGON((") for r in rows)
+
+
+def test_facade_window_and_zonal_stat_verbs(spark, sf_smoke):
+    """focal_mean/focal_minmax/zonal_mode/zonal_variance through the
+    stored-array facade agree with NumPy ground truth."""
+    eng = SciDBGeoEngine(spark)
+    coo = model.raster_coo(spark, sf_smoke)
+    n = coo.count()
+    h, w = n // RASTER_W, RASTER_W
+    eng.create_array("rw", coo, height=h, width=w, chunk=50)
+    dense = ((np.arange(n, dtype=np.int64) * VALUE_MULT) % VALUE_MOD).reshape(h, w)
+
+    mm = {(r.y, r.x): (r.min_value, r.max_value) for r in eng.focal_minmax("rw").collect()}
+    assert len(mm) == n
+    y, x = 3, 7
+    win = dense[y - 1 : y + 2, x - 1 : x + 2]
+    assert mm[(y, x)] == (win.min(), win.max())
+
+    mode = {r.id: (r.mode_value, r.n_pixels) for r in eng.zonal_mode("rw", fixtures.MIXED_POLYGONS).collect()}
+    var = {r.id: r.var_value for r in eng.zonal_variance("rw", fixtures.MIXED_POLYGONS).collect()}
+    zones = fixtures.mixed_zone_numpy(h, w)
+    for zid in np.unique(zones):
+        sel = dense[zones == zid]
+        vals, counts = np.unique(sel, return_counts=True)
+        best = counts.max()
+        assert mode[int(zid)] == (int(vals[counts == best].min()), int(best))
+        assert abs(var[int(zid)] - sel.var()) < 1e-9
+
+    cells = eng.focal_mean("rw", radius=2)
+    assert cells.count() == (h // 50 + (1 if h % 50 else 0)) * (w // 50 + (1 if w % 50 else 0))
