@@ -196,6 +196,11 @@ def q_raster_histogram(spark, sf_dir):
     return pixel.histogram(model.raster_coo(spark, sf_dir))
 
 
+def q_transpose(spark, sf_dir):
+    """transpose(A): dimension swap, shuffle-free projection."""
+    return pixel.transpose(model.raster_coo(spark, sf_dir))
+
+
 def q_upsample(spark, sf_dir):
     """xgrid(A, 2, 2): shuffle-free cell expansion (SciDB upsample)."""
     return pixel.upsample(model.raster_coo(spark, sf_dir))
@@ -1018,6 +1023,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "between_window": q_between_window,
     "between_tiles": q_between_tiles,
     "cell_index": q_cell_index,
+    "transpose": q_transpose,
 }
 
 

@@ -167,6 +167,15 @@ def downsample(coo: DataFrame, factor: int = 2) -> DataFrame:
     )
 
 
+def transpose(coo: DataFrame) -> DataFrame:
+    """``transpose(A)``: swap the dimension order (SciDB core AFL op).
+    Pure projection — no shuffle; downstream re-chunking happens lazily
+    at the next pack_tiles if tile layout matters."""
+    return coo.select(
+        F.col("x").alias("y"), F.col("y").alias("x"), "value"
+    )
+
+
 def upsample(coo: DataFrame, ry: int = 2, rx: int = 2) -> DataFrame:
     """``xgrid(A, ry, rx)``: each cell expands to an ry x rx block of its
     value (SciDB's upsample operator — the inverse direction of

@@ -116,6 +116,8 @@ SELECT y, x,
                  THEN CASE WHEN value = 87 THEN 1000 ELSE -99 END
                  ELSE value END AS BIGINT) AS value
 FROM coo""",
+    "transpose": f"""WITH {COO}
+SELECT x AS y, y AS x, value FROM coo""",
     "snapshot_diff": f"""WITH {COO}
 SELECT y, x, CAST(value AS BIGINT) AS old_value,
        CAST(-value - 1 AS BIGINT) AS new_value
