@@ -362,13 +362,21 @@ def run_scaling() -> dict:
         # the adjacent control alone (host health), never by the pair's
         # own outcome, so it cannot cherry-pick the engine number: it
         # shows what the engine does when the shared-DRAM box is least
-        # contended (observed >= 0.9 in clean windows)
+        # contended (observed >= 0.9 in clean windows).  A control > 1.0
+        # is itself physically impossible for pure streaming (its own
+        # 1-process side was stalled), so such pairs are not "clean" —
+        # prefer the highest control at or below 1.0.
         "cleanest_pair": (
             lambda c: {
                 "efficiency": c["efficiency"],
                 "membw_efficiency": c["membw_efficiency"],
             }
-        )(max(use, key=lambda p: p["membw_efficiency"] or 0.0)),
+        )(
+            max(
+                [p for p in use if (p["membw_efficiency"] or 0.0) <= 1.0] or use,
+                key=lambda p: p["membw_efficiency"] or 0.0,
+            )
+        ),
     }
 
 
