@@ -331,3 +331,9 @@ def test_zonal_mode_vs_numpy(spark, sf_correct):
         best = counts.max()
         want_v = vals[counts == best].min()  # tie -> smaller value
         assert got[int(zid)] == (int(want_v), int(best))
+
+
+def test_transpose_involution(coo):
+    a = sorted(tuple(r) for r in pixel.transpose(pixel.transpose(coo)).collect())
+    b = sorted(tuple(r) for r in coo.collect())
+    assert a == b
