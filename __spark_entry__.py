@@ -657,6 +657,44 @@ def q_pip_poly_wkt(spark, sf_dir):
     return pip.pip_join_df(spark, pts, poly).select("doc_id", "zone_id")
 
 
+def q_pip_poly_shp(spark, sf_dir):
+    """pip_poly with the layer read from a binary ESRI shapefile
+    (.shp + .dbf) parsed by the pure-NumPy distributed reader
+    (sources/shapefile.py) — the reference's ACTUAL vector format
+    (SciDB_ZonalStats_CL.py:443-445 OGR driver.Open) without OGR.  Same
+    oracle as pip_poly: the binary round-trip must not change results."""
+    import os
+
+    from scidbgeo_spark.sources import shapefile
+
+    d = _fixture_dir("shp", sf_dir)
+    shapefile.write_shp_fixture(
+        os.path.join(d, "layer.shp"),
+        [(zid, [ring]) for zid, ring in fixtures.GEO_POLYGONS],
+    )
+    poly = shapefile.polygons_from_shp(spark, os.path.join(d, "layer.shp"))
+    pts = model.points(spark, sf_dir)
+    return pip.pip_join_df(spark, pts, poly).select("doc_id", "zone_id")
+
+
+def q_pip_poly_holes(spark, sf_dir):
+    """Multi-ring PIP: a POLYGON with a hole and a two-part MULTIPOLYGON,
+    written as WKT, parsed distributed into (zone_id, ring_no, xs, ys)
+    rows and recombined under even-odd semantics in the refinement
+    (holes subtract, disjoint parts union)."""
+    import os
+
+    from scidbgeo_spark.sources import vector
+
+    d = _fixture_dir("wktrings", sf_dir)
+    vector.write_wkt_rings_fixture(
+        os.path.join(d, "layer.parquet"), fixtures.GEO_POLYGONS_HOLED
+    )
+    poly = vector.rings_from_wkt(spark.read.parquet(d))
+    pts = model.points(spark, sf_dir)
+    return pip.pip_join_df(spark, pts, poly).select("doc_id", "zone_id")
+
+
 def q_pip_grid_salted(spark, sf_dir):
     """pip_grid with explicit two-phase salted aggregation over the hot
     cell (oracle identical to pip_grid: salting must not change results)."""
@@ -928,69 +966,18 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     return similarity.embedding_neardup_pairs(_emb(spark, sf_dir))
 
 
-# Ordered so one representative per operator class sits in the FIRST 50
-# entries (the driver's per-round correctness window): the dedup / ANN /
-# top-k family and every round-3 addition come before redundant variants
-# of operators that already hold two green CORRECTNESS rows (r1 + r2).
-# The tail section still has exact oracles and is covered by
-# tools/check_oracle.py + pytest each round.
+# Ordered so the driver's per-round correctness window (the FIRST 50
+# entries) always holds the queries with the FEWEST driver rows: any
+# query with zero rows outranks any query with >= 1 (round-3 verdict
+# policy).  r4 rotation: `transpose` (never driver-verified) leads, the
+# 33 queries that sat in the r3 tail follow, then the r4 additions, then
+# representative fillers from the r3 window.  The demoted tail still has
+# exact oracles, checked each round by tools/check_oracle.py (artifact:
+# TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- raster core (one representative per operator class) ---
-    "count_pixels": q_count_pixels,
-    "merge_insert_catalog": q_merge_insert_catalog,
-    "snapshot_diff": q_snapshot_diff,
-    "upsample": q_upsample,
-    "bernoulli_sample": q_bernoulli_sample,
-    "region_label": q_region_label,
-    "region_stats": q_region_stats,
-    "region_vectorize": q_region_vectorize,
-    "zonal_histogram": q_zonal_histogram,
-    "geotiff_ingest": q_geotiff_ingest,
-    "geotiff_ingest_3d": q_geotiff_ingest_3d,
-    "redimension_roundtrip_3d": q_redimension_roundtrip_3d,
-    "zonal_stats_rect": q_zonal_stats_rect,
-    "zonal_stats_poly": q_zonal_stats_poly,
-    "zonal_mode": q_zonal_mode,
-    "zonal_var": q_zonal_var,
-    "focal_mean_sum": q_focal_mean_sum,
-    "focal_mean_r2": q_focal_mean_r2,
-    "focal_minmax": q_focal_minmax,
-    "cell_rollup": q_cell_rollup,
-    # --- vector / spatial join ---
-    "pip_grid": q_pip_grid,
-    "pip_poly_df": q_pip_poly_df,
-    "pip_poly_wkt": q_pip_poly_wkt,
-    "pip_grid_salted": q_pip_grid_salted,
-    "pages_geo_rollup": q_pages_geo_rollup,
-    "knn": q_knn,
-    # --- text / LLM pipeline ---
-    "extract_text": q_extract_text,
-    "token_count": q_token_count,
-    "text_quality": q_text_quality,
-    "lang_id": q_lang_id,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "doc_fingerprint": q_doc_fingerprint,
-    "multimodal_meta": q_multimodal_meta,
-    "media_features": q_media_features,
-    "top_events_per_user": q_top_events_per_user,
-    # --- dedup / similarity family ---
-    "dedup_exact": q_dedup_exact,
-    "corpus_curation": q_corpus_curation,
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_bands": q_minhash_bands,
-    "minhash_dup_pairs": q_minhash_dup_pairs,
-    "dedup_clusters": q_dedup_clusters,
-    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-    "simhash": q_simhash,
-    "simhash_dup_pairs": q_simhash_dup_pairs,
-    "ann_bruteforce_topk": q_ann_bruteforce_topk,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_lsh_recall": q_ann_lsh_recall,
-    "ann_ivf_recall": q_ann_ivf_recall,
-    "embedding_neardup_pairs": q_embedding_neardup_pairs,
-    # --- tail: variants whose operator class already has 2 green driver
-    # rows; exact oracles retained, checked via tools/check_oracle.py ---
+    # --- zero driver rows before r4 ---
+    "transpose": q_transpose,
+    # --- r3 tail rotation (last driver rows: r1/r2) ---
     "sessionize": q_sessionize,
     "events_hourly": q_events_hourly,
     "events_cube": q_events_cube,
@@ -1023,7 +1010,63 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "between_window": q_between_window,
     "between_tiles": q_between_tiles,
     "cell_index": q_cell_index,
-    "transpose": q_transpose,
+    # --- r4 additions (new queries insert HERE, displacing fillers) ---
+    "pip_poly_shp": q_pip_poly_shp,
+    "pip_poly_holes": q_pip_poly_holes,
+    # --- fillers to 50: representatives re-verified from the r3 window
+    # (tfidf_top_terms carries the r4 de-action fix) ---
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "zonal_var": q_zonal_var,
+    "count_pixels": q_count_pixels,
+    "zonal_stats_rect": q_zonal_stats_rect,
+    "zonal_stats_poly": q_zonal_stats_poly,
+    "pip_grid": q_pip_grid,
+    "pip_poly_df": q_pip_poly_df,
+    "knn": q_knn,
+    "dedup_exact": q_dedup_exact,
+    "ann_bruteforce_topk": q_ann_bruteforce_topk,
+    "focal_mean_sum": q_focal_mean_sum,
+    "geotiff_ingest": q_geotiff_ingest,
+    "merge_insert_catalog": q_merge_insert_catalog,
+    "snapshot_diff": q_snapshot_diff,
+    "corpus_curation": q_corpus_curation,
+    "dedup_clusters": q_dedup_clusters,
+    # --- tail: every query below holds an r3 driver row; exact oracles
+    # retained, checked via tools/check_oracle.py each round ---
+    "upsample": q_upsample,
+    "bernoulli_sample": q_bernoulli_sample,
+    "region_label": q_region_label,
+    "region_stats": q_region_stats,
+    "region_vectorize": q_region_vectorize,
+    "zonal_histogram": q_zonal_histogram,
+    "geotiff_ingest_3d": q_geotiff_ingest_3d,
+    "redimension_roundtrip_3d": q_redimension_roundtrip_3d,
+    "zonal_mode": q_zonal_mode,
+    "focal_mean_r2": q_focal_mean_r2,
+    "focal_minmax": q_focal_minmax,
+    "cell_rollup": q_cell_rollup,
+    "pip_poly_wkt": q_pip_poly_wkt,
+    "pip_grid_salted": q_pip_grid_salted,
+    "pages_geo_rollup": q_pages_geo_rollup,
+    "extract_text": q_extract_text,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "media_features": q_media_features,
+    "top_events_per_user": q_top_events_per_user,
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_bands": q_minhash_bands,
+    "minhash_dup_pairs": q_minhash_dup_pairs,
+    "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+    "simhash": q_simhash,
+    "simhash_dup_pairs": q_simhash_dup_pairs,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_lsh_recall": q_ann_lsh_recall,
+    "ann_ivf_recall": q_ann_ivf_recall,
+    "embedding_neardup_pairs": q_embedding_neardup_pairs,
 }
 
 

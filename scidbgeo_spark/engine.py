@@ -145,29 +145,23 @@ class SciDBGeoEngine:
     ) -> DataFrame:
         """Real-file ingest: GeoTIFF bytes -> COO -> chunk table, all
         distributed (binaryFile + strip-window parse)."""
-        from scidbgeo_spark.sources.geotiff import geotiff_coo, parse_tiff
+        from scidbgeo_spark.sources.geotiff import geotiff_coo, tiff_dims
 
         coo = geotiff_coo(self.spark, path)
-        # dims from the first file's header (driver-side metadata read;
-        # geotiff_coo fails fast on multi-file globs without offsets, so
-        # "first file" is THE file)
-        row = (
-            self.spark.read.format("binaryFile").load(path).select("content").first()
-        )
-        hdr = parse_tiff(bytes(row.content))
-        return self.create_array(name, coo, hdr["height"], hdr["width"], chunk)
+        # dims via a BOUNDED header read (8-byte magic + one IFD), not a
+        # whole-file driver fetch — at production file sizes
+        # binaryFile + .first() is a driver OOM (r3 verdict)
+        h, w = tiff_dims(path)
+        return self.create_array(name, coo, h, w, chunk)
 
     def load_geotiff_3d(self, path: str) -> DataFrame:
         """Multiband ingest: pixel-interleaved GeoTIFF -> 3-D chunk table
         (band, tile) keyed — the reference's [band;y;x] array load."""
-        from scidbgeo_spark.sources.geotiff import geotiff_coo_3d, parse_tiff
+        from scidbgeo_spark.sources.geotiff import geotiff_coo_3d, tiff_dims
 
         coo3 = geotiff_coo_3d(self.spark, path)
-        row = (
-            self.spark.read.format("binaryFile").load(path).select("content").first()
-        )
-        hdr = parse_tiff(bytes(row.content))
-        return tiling.pack_tiles_3d(coo3, 50, hdr["height"], hdr["width"])
+        h, w = tiff_dims(path)
+        return tiling.pack_tiles_3d(coo3, 50, h, w)
 
     def load_vector_layer(
         self, path: str, fmt: str = "wkt", geom_col: str | None = None

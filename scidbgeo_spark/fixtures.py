@@ -118,3 +118,13 @@ GEO_POLYGONS: list[tuple[int, np.ndarray]] = [
     ),
     (12, _rect(90, 30, 180, 90)),
 ]
+
+# Multi-ring geo layer (even-odd semantics; oracle GEO_ZONE_HOLED):
+#   20 holed  : [0,60)x[-90,-30) MINUS hole [15,30)x[-75,-60)
+#   21 multi  : [-45,-15)x[30,60) UNION [60,90)x[-30,0)   (disjoint parts)
+# (zone_id, rings, is_multi): is_multi picks MULTIPOLYGON vs
+# POLYGON-with-holes WKT — both parse to the same ring rows.
+GEO_POLYGONS_HOLED: list[tuple[int, list[np.ndarray], bool]] = [
+    (20, [_rect(0, -90, 60, -30), _rect(15, -75, 30, -60)], False),
+    (21, [_rect(-45, 30, -15, 60), _rect(60, -30, 90, 0)], True),
+]

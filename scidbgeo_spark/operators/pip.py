@@ -117,13 +117,23 @@ def covering_cells(ring: np.ndarray, res: float = CAND_RES, nx: int = CAND_NX) -
     return cells
 
 
-def pip_join(
-    spark: SparkSession,
-    points: DataFrame,
-    polygons: list[tuple[int, np.ndarray]],
-) -> DataFrame:
-    """Points x polygons inner join -> one row per (point, containing
-    polygon).  Broadcast candidate join + exact ray-cast refinement."""
+class PreparedLayer:
+    """One-time spatial index over a SMALL polygon layer: the bare
+    ``(zone_id, ccell)`` covering-cell table plus the ring coordinates
+    broadcast to executors.  Build once per layer, join many point sets
+    against it — the analogue of zonal's rasterized zone layer, and of
+    the reference loading its shapefile once up front
+    (SciDB_ZonalStats_CL.py:443-445).  For layers too large to enumerate
+    driver-side, use :func:`pip_join_df` instead."""
+
+    def __init__(self, cand: DataFrame, bc_polys) -> None:
+        self.cand = cand
+        self.bc_polys = bc_polys
+
+
+def prepare_layer(
+    spark: SparkSession, polygons: list[tuple[int, np.ndarray]]
+) -> PreparedLayer:
     cand_rows = [
         (int(zid), int(c)) for zid, ring in polygons for c in covering_cells(ring)
     ]
@@ -131,6 +141,15 @@ def pip_join(
     bc_polys = spark.sparkContext.broadcast(
         {int(zid): np.asarray(ring, dtype=np.float64) for zid, ring in polygons}
     )
+    return PreparedLayer(cand, bc_polys)
+
+
+def pip_join_prepared(points: DataFrame, layer: PreparedLayer) -> DataFrame:
+    """Points x prepared-layer inner join -> one row per (point,
+    containing polygon).  Broadcast candidate join + exact ray-cast
+    refinement; only ``(lon, lat, zone_id)`` cross the Arrow boundary —
+    ring coordinates come from the layer broadcast, once per executor."""
+    bc_polys = layer.bc_polys
 
     @F.pandas_udf(T.BooleanType())
     def _refine(lon: pd.Series, lat: pd.Series, zone: pd.Series) -> pd.Series:
@@ -144,11 +163,22 @@ def pip_join(
         return pd.Series(out)
 
     pts = points.withColumn("ccell", cell_col(res=CAND_RES, nx=CAND_NX))
-    candidates = pts.join(F.broadcast(cand), "ccell")
+    candidates = pts.join(F.broadcast(layer.cand), "ccell")
     return (
         candidates.filter(_refine("lon", "lat", "zone_id"))
         .select(points["*"], F.col("zone_id").cast("long").alias("zone_id"))
     )
+
+
+def pip_join(
+    spark: SparkSession,
+    points: DataFrame,
+    polygons: list[tuple[int, np.ndarray]],
+) -> DataFrame:
+    """Points x polygons inner join -> one row per (point, containing
+    polygon).  One-shot convenience over prepare_layer +
+    pip_join_prepared."""
+    return pip_join_prepared(points, prepare_layer(spark, polygons))
 
 
 def polygons_df(spark: SparkSession, polygons: list[tuple[int, np.ndarray]]) -> DataFrame:
@@ -164,19 +194,56 @@ def polygons_df(spark: SparkSession, polygons: list[tuple[int, np.ndarray]]) -> 
     )
 
 
-def _covering_cand(poly_df: DataFrame) -> DataFrame:
-    """Distributed BARE covering-cell candidate table (zone_id, ccell):
-    each polygon's bbox expands to its coarse cells via sequence+explode
-    (pure column algebra).  Ring arrays never ride the expansion — the
-    cell fan-out multiplies rows, and rings attach in a later zone-keyed
-    join in both strategies."""
-    bbox = poly_df.select(
+def _layer_bbox(poly_df: DataFrame) -> DataFrame:
+    """Per-zone bbox (zone_id, x0, x1, y0, y1).  A multi-ring layer
+    (``ring_no`` column: holes / multipolygon parts as extra rows)
+    aggregates the bbox across its rings — one hash agg on the SMALL
+    side, no ring arrays in the output."""
+    per_ring = poly_df.select(
         "zone_id",
         F.array_min("xs").alias("x0"),
         F.array_max("xs").alias("x1"),
         F.array_min("ys").alias("y0"),
         F.array_max("ys").alias("y1"),
     )
+    if "ring_no" not in poly_df.columns:
+        return per_ring
+    return per_ring.groupBy("zone_id").agg(
+        F.min("x0").alias("x0"),
+        F.max("x1").alias("x1"),
+        F.min("y0").alias("y0"),
+        F.max("y1").alias("y1"),
+    )
+
+
+def covering_cell_estimate(poly_df: DataFrame) -> int:
+    """Total covering-cell CANDIDATE ROWS the layer would broadcast —
+    the bbox-derived fan-out that plan byte estimates cannot see (a
+    continent-extent polygon is a few ring bytes but hundreds of cells).
+    One cheap aggregate over the polygon layer only (never the points);
+    callers invoke it only once the layer is already known-small by plan
+    bytes, so the job it runs is bounded by the broadcast threshold."""
+    bbox = _layer_bbox(poly_df)
+    ncell = (
+        F.floor((F.col("x1") + 180.0) / CAND_RES)
+        - F.floor((F.col("x0") + 180.0) / CAND_RES)
+        + 1
+    ) * (
+        F.floor((F.col("y1") + 90.0) / CAND_RES)
+        - F.floor((F.col("y0") + 90.0) / CAND_RES)
+        + 1
+    )
+    row = bbox.agg(F.sum(ncell).alias("n")).first()
+    return int(row.n or 0)
+
+
+def _covering_cand(poly_df: DataFrame) -> DataFrame:
+    """Distributed BARE covering-cell candidate table (zone_id, ccell):
+    each polygon's bbox expands to its coarse cells via sequence+explode
+    (pure column algebra).  Ring arrays never ride the expansion — the
+    cell fan-out multiplies rows, and rings attach in a later zone-keyed
+    join in both strategies."""
+    bbox = _layer_bbox(poly_df)
     cy = F.explode(
         F.sequence(
             F.floor((F.col("y0") + 90.0) / CAND_RES),
@@ -215,6 +282,7 @@ def pip_join_df(
     poly_df: DataFrame,
     mode: str = "auto",
     broadcast_bytes: int = 8 << 20,
+    broadcast_cand_rows: int = 4_000_000,
 ) -> DataFrame:
     """Points x polygons PIP join with the polygon layer as a DATAFRAME —
     no driver-side polygon loop, so it holds for millions of polygons.
@@ -228,8 +296,9 @@ def pip_join_df(
       expansion multiplies ROWS, so rings must not ride it: a
       continent-bbox polygon expands to hundreds of cells), then the
       ring arrays broadcast-attach on zone_id just before refinement.
-      Broadcast payload is bounded by poly_size (rings, measured) plus
-      ~16 bytes per covering cell.
+      Broadcast payload is ring bytes (measured from plan stats) plus
+      ~16 bytes per covering cell — and the CELL COUNT is bounded by
+      the fan-out gate below, not by ring bytes.
     - ``shuffle`` (huge layer): same bare-candidate shape but shuffled;
       rings attach in a zone-keyed shuffle join before refinement.
 
@@ -240,9 +309,35 @@ def pip_join_df(
     e.g. a parallelized createDataFrame) routes to shuffle: broadcasting
     an unbounded layer risks executor OOM, a shuffled small one is merely
     slower.  File-backed layers (the production shape) carry real scan
-    sizes and broadcast when small."""
+    sizes and broadcast when small.
+
+    The broadcast gate is TWO-STAGE (r3 advice): ring bytes alone cannot
+    bound the candidate table — the covering-cell fan-out scales with
+    bbox AREA, not payload, so ~100k small-payload continent-extent
+    polygons under 8 MB could expand to tens of millions of broadcast
+    rows.  If plan bytes pass, a cheap aggregate over the (already
+    known-small) layer computes the exact bbox-derived candidate-row
+    count and must also pass ``broadcast_cand_rows`` (~16 bytes/row:
+    4M rows ~ 64 MB).  The big-layer path stays action-free: oversized
+    plan bytes route to shuffle without running anything.
+
+    A multi-ring layer (``ring_no`` column: holes / multipolygon parts
+    as extra (zone_id, ring_no, xs, ys) rows) joins under EVEN-ODD
+    semantics: a point is inside a zone iff it crosses an odd number of
+    that zone's rings — XOR across rings, which is exactly the crossing
+    test the single-ring kernel already implements, so holes subtract
+    and disjoint parts union with no orientation bookkeeping."""
     if mode == "auto":
-        mode = "broadcast" if plan_size_bytes(poly_df) <= broadcast_bytes else "shuffle"
+        if plan_size_bytes(poly_df) > broadcast_bytes:
+            mode = "shuffle"
+        else:
+            mode = (
+                "broadcast"
+                if covering_cell_estimate(poly_df) <= broadcast_cand_rows
+                else "shuffle"
+            )
+    if "ring_no" in poly_df.columns:
+        return _pip_join_rings(points, poly_df, mode)
 
     @F.pandas_udf(T.BooleanType())
     def _refine_arrays(
@@ -274,6 +369,56 @@ def pip_join_df(
         raise ValueError(f"unknown pip mode {mode!r}")
     return candidates.filter(
         _refine_arrays("lon", "lat", "zone_id", "xs", "ys")
+    ).select(points["*"], F.col("zone_id").cast("long").alias("zone_id"))
+
+
+def _pip_join_rings(points: DataFrame, poly_df: DataFrame, mode: str) -> DataFrame:
+    """Even-odd PIP join for multi-ring layers (holes / MULTIPOLYGON).
+
+    Rings arrive as (zone_id, ring_no, xs, ys) rows; they group to one
+    (zone_id, rings_xs, rings_ys) row per zone on the SMALL side before
+    attaching, so candidate expansion stays bare and each candidate row
+    carries its zone's rings exactly once into the Arrow batch.  The
+    refinement XORs the crossing test across rings: odd crossings =
+    inside (holes subtract, disjoint parts union)."""
+    grouped = poly_df.groupBy("zone_id").agg(
+        F.array_sort(F.collect_list(F.struct("ring_no", "xs", "ys"))).alias("rs")
+    )
+    rings = grouped.select(
+        "zone_id",
+        F.transform("rs", lambda r: r["xs"]).alias("rings_xs"),
+        F.transform("rs", lambda r: r["ys"]).alias("rings_ys"),
+    )
+
+    @F.pandas_udf(T.BooleanType())
+    def _refine_rings(
+        lon: pd.Series, lat: pd.Series, zone: pd.Series, rxs: pd.Series, rys: pd.Series
+    ) -> pd.Series:
+        out = np.zeros(len(lon), dtype=bool)
+        lo = lon.to_numpy(dtype=np.float64)
+        la = lat.to_numpy(dtype=np.float64)
+        for _zid, idx in zone.groupby(zone).groups.items():
+            ii = np.asarray(idx)
+            zxs, zys = rxs.iloc[ii[0]], rys.iloc[ii[0]]
+            acc = np.zeros(len(ii), dtype=bool)
+            for xs_, ys_ in zip(zxs, zys):
+                ring = np.column_stack((np.asarray(xs_), np.asarray(ys_)))
+                acc ^= points_in_ring(lo[ii], la[ii], ring)
+            out[ii] = acc
+        return pd.Series(out)
+
+    pts = points.withColumn("ccell", cell_col(res=CAND_RES, nx=CAND_NX))
+    if mode == "broadcast":
+        hits = pts.join(F.broadcast(_covering_cand(poly_df)), "ccell")
+        candidates = hits.join(F.broadcast(rings), "zone_id")
+    elif mode == "shuffle":
+        cand = _covering_cand(poly_df).hint("shuffle_hash")
+        hits = pts.join(cand, "ccell")
+        candidates = hits.join(rings.hint("shuffle_hash"), "zone_id")
+    else:
+        raise ValueError(f"unknown pip mode {mode!r}")
+    return candidates.filter(
+        _refine_rings("lon", "lat", "zone_id", "rings_xs", "rings_ys")
     ).select(points["*"], F.col("zone_id").cast("long").alias("zone_id"))
 
 

@@ -110,15 +110,19 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     tok = docs.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("term")
     ).repartition("term")
-    n_docs = docs.count()
+    # N_docs rides the plan as a 1-row aggregate broadcast-cross-joined
+    # in — NO driver action here: on a 100-TB filtered/derived corpus a
+    # .count() in the builder would run the whole upstream pipeline an
+    # extra time before the real query even starts (round-3 advice)
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
     tf = tok.groupBy("lang", "term").agg(F.count("*").alias("tf"))
     df_ = tok.groupBy("term").agg(
         F.countDistinct("doc_id").alias("doc_freq")
     )
-    scored = tf.join(df_, "term").select(
+    scored = tf.join(df_, "term").join(F.broadcast(n_docs)).select(
         "lang",
         "term",
-        ((F.col("tf") * F.lit(n_docs)).cast("double") / F.col("doc_freq")).alias(
+        ((F.col("tf") * F.col("n_docs")).cast("double") / F.col("doc_freq")).alias(
             "score"
         ),
     )

@@ -83,6 +83,17 @@ GEO_ZONE = """CASE
   WHEN lon >= 90   AND lon < 180 AND lat >= 30  AND lat < 90  THEN 12
   END"""
 
+# even-odd membership for fixtures.GEO_POLYGONS_HOLED: zone 20 is a
+# rect minus a hole rect, zone 21 a union of two disjoint rect parts —
+# the half-open [a,b)x[c,d) semantics of the crossing test make both
+# exact CASE arithmetic
+GEO_ZONE_HOLED = """CASE
+  WHEN (lon >= 0 AND lon < 60 AND lat >= -90 AND lat < -30)
+       AND NOT (lon >= 15 AND lon < 30 AND lat >= -75 AND lat < -60) THEN 20
+  WHEN (lon >= -45 AND lon < -15 AND lat >= 30 AND lat < 60)
+    OR (lon >= 60 AND lon < 90 AND lat >= -30 AND lat < 0) THEN 21
+  END"""
+
 ZONAL_AGG = """min(value) AS min_value,
        max(value) AS max_value,
        avg(value) AS avg_value,
@@ -299,6 +310,17 @@ SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
     "pip_poly_wkt": f"""WITH {PTS}
 SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
   SELECT doc_id, {GEO_ZONE} AS zone_id FROM pts
+) WHERE zone_id IS NOT NULL""",
+    # shapefile layer (pure-NumPy .shp/.dbf reader): the binary
+    # round-trip must not change results either
+    "pip_poly_shp": f"""WITH {PTS}
+SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
+  SELECT doc_id, {GEO_ZONE} AS zone_id FROM pts
+) WHERE zone_id IS NOT NULL""",
+    # multi-ring layer: POLYGON-with-hole + MULTIPOLYGON under even-odd
+    "pip_poly_holes": f"""WITH {PTS}
+SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
+  SELECT doc_id, {GEO_ZONE_HOLED} AS zone_id FROM pts
 ) WHERE zone_id IS NOT NULL""",
     # north-star composite: pages -> text -> geotags -> PIP -> rollup.
     # The html/extraction stages are byte-exact inverses, so the oracle

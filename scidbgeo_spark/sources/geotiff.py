@@ -299,6 +299,58 @@ def write_tiff(
     return bytes(out)
 
 
+def tiff_dims(path: str) -> tuple[int, int]:
+    """(height, width) from the first IFD via BOUNDED driver-side range
+    reads — 8-byte header, one seek, one ~12*n-byte IFD — never the file
+    body.  Fetching whole content to the driver just to read a ~1 KB
+    header (binaryFile + .first()) is a driver OOM at production file
+    sizes; ImageWidth/ImageLength are count-1 SHORT/LONG tags whose
+    values sit INLINE in the IFD entry, so no value-area reads are
+    needed.  Local/posix paths (optionally file:-prefixed); a glob must
+    resolve to exactly one file, mirroring geotiff_coo's fail-fast."""
+    import os as _os
+
+    p = path[7:] if path.startswith("file://") else path
+    if any(ch in p for ch in "*?["):
+        import glob as _glob
+
+        matches = sorted(_glob.glob(p))
+        if len(matches) != 1:
+            raise ValueError(
+                f"tiff_dims needs exactly one file, glob matched {len(matches)}"
+            )
+        p = matches[0]
+    if _os.path.isdir(p):  # binaryFile-style directory source
+        entries = sorted(
+            _os.path.join(p, e) for e in _os.listdir(p) if not e.startswith(".")
+        )
+        if len(entries) != 1:
+            raise ValueError(
+                f"tiff_dims needs exactly one file, directory holds {len(entries)}"
+            )
+        p = entries[0]
+    with open(p, "rb") as f:
+        head = f.read(8)
+        bo = {b"II": "<", b"MM": ">"}.get(head[:2])
+        if bo is None or struct.unpack(bo + "H", head[2:4])[0] != 42:
+            raise ValueError("not a TIFF file")
+        (ifd,) = struct.unpack(bo + "I", head[4:8])
+        f.seek(ifd)
+        (n,) = struct.unpack(bo + "H", f.read(2))
+        entries = f.read(n * 12)
+    dims: dict[int, int] = {}
+    for i in range(n):
+        tag, typ, count = struct.unpack(bo + "HHI", entries[i * 12 : i * 12 + 8])
+        if tag in (T_WIDTH, T_HEIGHT) and count == 1 and typ in (3, 4):
+            fmt = "H" if typ == 3 else "I"
+            size = _TYPE_SIZES[typ]
+            (val,) = struct.unpack(bo + fmt, entries[i * 12 + 8 : i * 12 + 8 + size])
+            dims[tag] = int(val)
+    if T_WIDTH not in dims or T_HEIGHT not in dims:
+        raise ValueError("TIFF IFD missing ImageWidth/ImageLength")
+    return dims[T_HEIGHT], dims[T_WIDTH]
+
+
 def parse_tiff(data: bytes) -> dict:
     """Parse the first IFD of a TIFF byte string into a header dict:
     {width, height, bands, dtype, layout ("strips"|"tiles"), offsets,

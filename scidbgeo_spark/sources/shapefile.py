@@ -1,0 +1,237 @@
+"""ESRI shapefile (.shp + .dbf) polygon reader — pure NumPy/struct, no
+OGR/GDAL — plus a byte-twin fixture writer.
+
+The reference loads its zone layer with OGR on the driver
+(SciDB_ZonalStats_CL.py:443-445 ``driver.Open(shapePath, 0)``); here the
+binary records parse EXECUTOR-side over ``binaryFile`` rows (the same
+pattern as the GeoTIFF reader): each .shp file and its sibling .dbf ride
+one task, so a layer sharded into many shapefiles parses in parallel and
+no file body ever visits the driver.  Within one file the record stream
+is sequential — shapefiles are not splittable without the .shx index,
+and vector layers are the engine's small dimension by design
+(pip.pip_join_df handles the join-side scale).
+
+Output layer shape is ``(zone_id, ring_no, xs, ys)``: one row per RING,
+multi-part polygons (holes, multipolygon parts) become consecutive
+``ring_no`` rows and recombine under even-odd semantics in
+``pip.pip_join_df``'s refinement.  Formats follow the public ESRI
+shapefile whitepaper and dBASE III layouts.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SHAPE_POLYGON = 5
+
+LAYER_SCHEMA = "zone_id int, ring_no int, xs array<double>, ys array<double>"
+
+
+# ---------------------------------------------------------------------------
+# parsing (runs executor-side on whole-file byte strings)
+# ---------------------------------------------------------------------------
+
+
+def parse_shp(data: bytes) -> list[list[np.ndarray]]:
+    """Polygon records of a .shp byte string -> list (per record) of
+    (k, 2) float64 OPEN rings (the spec stores rings closed; the closing
+    vertex is dropped to match the engine's ring convention)."""
+    if len(data) < 100 or struct.unpack(">i", data[:4])[0] != 9994:
+        raise ValueError("not a shapefile (.shp magic 9994 missing)")
+    (version, shape_type) = struct.unpack("<ii", data[28:36])
+    if version != 1000:
+        raise ValueError(f"unsupported shapefile version {version}")
+    if shape_type not in (0, SHAPE_POLYGON):
+        raise ValueError(f"unsupported shape type {shape_type} (Polygon only)")
+    file_len = struct.unpack(">i", data[24:28])[0] * 2
+    out: list[list[np.ndarray]] = []
+    pos = 100
+    while pos + 8 <= min(file_len, len(data)):
+        _recno, content_words = struct.unpack(">ii", data[pos : pos + 8])
+        pos += 8
+        end = pos + content_words * 2
+        (rec_type,) = struct.unpack("<i", data[pos : pos + 4])
+        if rec_type == 0:  # null shape: keeps record numbering aligned
+            out.append([])
+            pos = end
+            continue
+        if rec_type != SHAPE_POLYGON:
+            raise ValueError(f"record shape type {rec_type} != Polygon")
+        n_parts, n_points = struct.unpack("<ii", data[pos + 36 : pos + 44])
+        parts = np.frombuffer(data, dtype="<i4", count=n_parts, offset=pos + 44)
+        pts = np.frombuffer(
+            data, dtype="<f8", count=n_points * 2, offset=pos + 44 + 4 * n_parts
+        ).reshape(n_points, 2)
+        bounds = np.append(parts, n_points)
+        rings = []
+        for i in range(n_parts):
+            ring = pts[bounds[i] : bounds[i + 1]]
+            # spec stores rings closed; engine rings are open
+            if len(ring) > 1 and (ring[0] == ring[-1]).all():
+                ring = ring[:-1]
+            rings.append(np.array(ring, dtype=np.float64))
+        out.append(rings)
+        pos = end
+    return out
+
+
+def parse_dbf(data: bytes, field: str) -> list[int]:
+    """Integer values of ``field`` for every non-deleted .dbf record."""
+    if not data or data[0] not in (0x03, 0x83):
+        raise ValueError("not a dBASE III .dbf")
+    n_records = struct.unpack("<I", data[4:8])[0]
+    header_size, record_size = struct.unpack("<HH", data[8:12])
+    fields = []  # (name, length)
+    pos = 32
+    while pos < header_size - 1 and data[pos] != 0x0D:
+        name = data[pos : pos + 11].split(b"\x00")[0].decode("ascii")
+        length = data[pos + 16]
+        fields.append((name, length))
+        pos += 32
+    offsets = {}
+    off = 1  # skip the deletion flag
+    for name, length in fields:
+        offsets[name] = (off, length)
+        off += length
+    if field not in offsets:
+        raise KeyError(f"dbf field {field!r} not in {[f for f, _ in fields]}")
+    f_off, f_len = offsets[field]
+    vals = []
+    for r in range(n_records):
+        rec = data[header_size + r * record_size :][:record_size]
+        if rec[:1] == b"*":  # deleted
+            continue
+        vals.append(int(rec[f_off : f_off + f_len].decode("ascii").strip() or "0"))
+    return vals
+
+
+# ---------------------------------------------------------------------------
+# distributed reader
+# ---------------------------------------------------------------------------
+
+
+def polygons_from_shp(
+    spark: SparkSession, path: str, zone_field: str = "zone_id"
+) -> DataFrame:
+    """Shapefile layer -> ``(zone_id, ring_no, xs, ys)`` DataFrame.
+
+    ``path`` points at the .shp file(s) (glob ok); each sibling .dbf is
+    located by swapping the extension.  Both files load via binaryFile
+    and pair on their stem, then records parse inside mapInPandas —
+    per-FILE parallel, driver never touches bytes.  ``ring_no`` numbers a
+    polygon's parts in record order; zone ids come from the .dbf
+    ``zone_field`` column, aligned by record index per the spec."""
+    shp = (
+        spark.read.format("binaryFile")
+        .load(path)
+        .select(
+            F.regexp_replace(F.col("path"), r"\.shp$", "").alias("stem"),
+            F.col("content").alias("shp_bytes"),
+        )
+    )
+    dbf = (
+        spark.read.format("binaryFile")
+        .load(_dbf_glob(path))
+        .select(
+            F.regexp_replace(F.col("path"), r"\.dbf$", "").alias("stem"),
+            F.col("content").alias("dbf_bytes"),
+        )
+    )
+    paired = shp.join(dbf, "stem", "left")
+
+    def _parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"zone_id": [], "ring_no": [], "xs": [], "ys": []}
+            for _, row in pdf.iterrows():
+                recs = parse_shp(bytes(row["shp_bytes"]))
+                if row["dbf_bytes"] is None:
+                    raise ValueError(f"missing .dbf next to {row['stem']}.shp")
+                zids = parse_dbf(bytes(row["dbf_bytes"]), zone_field)
+                if len(zids) != len(recs):
+                    raise ValueError(
+                        f".dbf has {len(zids)} records, .shp has {len(recs)}"
+                    )
+                for zid, rings in zip(zids, recs):
+                    for rno, ring in enumerate(rings):
+                        rows["zone_id"].append(zid)
+                        rows["ring_no"].append(rno)
+                        rows["xs"].append(ring[:, 0].tolist())
+                        rows["ys"].append(ring[:, 1].tolist())
+            yield pd.DataFrame(rows)
+
+    return paired.mapInPandas(_parse, LAYER_SCHEMA)
+
+
+def _dbf_glob(path: str) -> str:
+    if path.endswith(".shp"):
+        return path[:-4] + ".dbf"
+    return path  # directory / glob without extension: caller's layout
+
+
+# ---------------------------------------------------------------------------
+# fixture writer (driver-side; fixture layers are tiny)
+# ---------------------------------------------------------------------------
+
+
+def write_shp_fixture(
+    path: str, polygons: list[tuple[int, list[np.ndarray]]], zone_field: str = "zone_id"
+) -> str:
+    """Write ``polygons`` — (zone_id, [rings...]) with OPEN rings — as
+    ``path``.shp + .dbf.  A NumPy twin of the reader: closed rings,
+    big-endian record headers, dBASE III numeric zone column."""
+    if path.endswith(".shp"):
+        path = path[:-4]
+    records = []
+    all_pts = []
+    for _zid, rings in polygons:
+        closed = [np.vstack([r, r[:1]]) for r in rings]
+        n_points = sum(len(r) for r in closed)
+        parts, acc = [], 0
+        for r in closed:
+            parts.append(acc)
+            acc += len(r)
+        pts = np.vstack(closed) if closed else np.zeros((0, 2))
+        all_pts.append(pts)
+        content = struct.pack("<i", SHAPE_POLYGON)
+        content += struct.pack(
+            "<4d", pts[:, 0].min(), pts[:, 1].min(), pts[:, 0].max(), pts[:, 1].max()
+        )
+        content += struct.pack("<ii", len(parts), n_points)
+        content += struct.pack(f"<{len(parts)}i", *parts)
+        content += np.ascontiguousarray(pts, dtype="<f8").tobytes()
+        records.append(content)
+
+    body = b""
+    for i, content in enumerate(records):
+        body += struct.pack(">ii", i + 1, len(content) // 2) + content
+    allp = np.vstack(all_pts)
+    header = struct.pack(">i", 9994) + b"\x00" * 20
+    header += struct.pack(">i", (100 + len(body)) // 2)
+    header += struct.pack("<ii", 1000, SHAPE_POLYGON)
+    header += struct.pack(
+        "<4d", allp[:, 0].min(), allp[:, 1].min(), allp[:, 0].max(), allp[:, 1].max()
+    )
+    header += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)
+    with open(path + ".shp", "wb") as f:
+        f.write(header + body)
+
+    # dBASE III: one numeric column holding the zone id
+    f_len = 10
+    n = len(polygons)
+    dbf_header = struct.pack(
+        "<B3BIHH", 0x03, 26, 8, 17, n, 32 + 32 + 1, 1 + f_len
+    ) + b"\x00" * 20
+    fld = zone_field.encode("ascii")[:11].ljust(11, b"\x00")
+    fld += b"N" + b"\x00" * 4 + bytes([f_len, 0]) + b"\x00" * 14
+    recs = b"".join(
+        b" " + str(int(zid)).rjust(f_len).encode("ascii") for zid, _ in polygons
+    )
+    with open(path + ".dbf", "wb") as f:
+        f.write(dbf_header + fld + b"\x0d" + recs + b"\x1a")
+    return path + ".shp"

@@ -8,10 +8,12 @@ layer is a parquet/JSON-lines column parsed DISTRIBUTED with pure column
 algebra (regexp + split + transform for WKT, from_json for GeoJSON), so a
 millions-of-polygons layer never touches the driver.
 
-Only single-ring POLYGON geometries are supported — the fixture layers
-and the reference's zonal workloads use simple rings.  MULTIPOLYGON /
-holes would add rings as extra rows keyed by (zone_id, ring_no); the
-refinement kernel already accepts any simple ring.
+``polygons_from_wkt`` / ``polygons_from_geojson`` parse single-ring
+POLYGON into (zone_id, xs, ys); ``rings_from_wkt`` parses POLYGON with
+holes and MULTIPOLYGON into the multi-ring (zone_id, ring_no, xs, ys)
+layer that ``pip.pip_join_df`` recombines under even-odd semantics —
+every innermost parenthesized ring becomes its own row, so both
+geometry kinds reduce to the same row shape.
 """
 
 from __future__ import annotations
@@ -77,6 +79,29 @@ def polygons_from_geojson(
     )
 
 
+def rings_from_wkt(
+    df: DataFrame, wkt_col: str = "wkt", id_col: str = "zone_id"
+) -> DataFrame:
+    """Parse POLYGON-with-holes / MULTIPOLYGON WKT into the multi-ring
+    ``(zone_id, ring_no, xs, ys)`` layer — regexp_extract_all over
+    innermost parenthesized groups + posexplode, fully distributed.
+    Under even-odd combination the POLYGON/MULTIPOLYGON distinction is
+    irrelevant: every ring is just a crossing-test term, so one pattern
+    handles both."""
+    rings = F.regexp_extract_all(F.col(wkt_col), F.lit(r"\(([^()]+)\)"), 1)
+    exploded = df.select(
+        F.col(id_col).cast("int").alias("zone_id"),
+        F.posexplode(rings).alias("ring_no", "body"),
+    )
+    pairs = F.split(F.trim(F.col("body")), r"\s*,\s*")
+    xs = F.transform(pairs, lambda p: F.split(p, r"\s+").getItem(0).cast("double"))
+    ys = F.transform(pairs, lambda p: F.split(p, r"\s+").getItem(1).cast("double"))
+    xs, ys = _drop_closing_vertex(xs, ys)
+    return exploded.select(
+        "zone_id", F.col("ring_no").cast("int"), xs.alias("xs"), ys.alias("ys")
+    )
+
+
 def ring_to_wkt(ring: np.ndarray) -> str:
     """Closed-ring WKT for a (k, 2) ring array.  ``repr`` emits the
     shortest round-trip decimal, so the distributed string->double cast
@@ -89,6 +114,45 @@ def ring_to_geojson(ring: np.ndarray) -> str:
     pts = [[float(x), float(y)] for x, y in ring] + [[float(ring[0, 0]), float(ring[0, 1])]]
     coords = ", ".join("[" + ", ".join(repr(v) for v in p) + "]" for p in pts)
     return f'{{"type": "Polygon", "coordinates": [[{coords}]]}}'
+
+
+def _closed(ring: np.ndarray) -> list[tuple[float, float]]:
+    return [(float(x), float(y)) for x, y in ring] + [
+        (float(ring[0, 0]), float(ring[0, 1]))
+    ]
+
+
+def geometry_to_wkt(rings: list[np.ndarray], multi: bool = False) -> str:
+    """WKT for a ring list: ``multi=False`` -> POLYGON with hole rings,
+    ``multi=True`` -> MULTIPOLYGON of single-ring parts.  ``repr``
+    decimals round-trip binary64 exactly (see ring_to_wkt)."""
+
+    def ring_body(r: np.ndarray) -> str:
+        return "(" + ", ".join(f"{x!r} {y!r}" for x, y in _closed(r)) + ")"
+
+    if multi:
+        return "MULTIPOLYGON (" + ", ".join(f"({ring_body(r)})" for r in rings) + ")"
+    return "POLYGON (" + ", ".join(ring_body(r) for r in rings) + ")"
+
+
+def write_wkt_rings_fixture(
+    path: str, polygons: list[tuple[int, list[np.ndarray], bool]]
+) -> str:
+    """Serialize (zone_id, rings, is_multi) fixtures as a WKT parquet —
+    POLYGON-with-holes or MULTIPOLYGON per row."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "zone_id": pa.array([int(z) for z, _, _ in polygons], pa.int32()),
+            "wkt": pa.array(
+                [geometry_to_wkt(rs, multi=m) for _, rs, m in polygons], pa.string()
+            ),
+        }
+    )
+    pq.write_table(table, path)
+    return path
 
 
 def write_wkt_fixture(path: str, polygons: list[tuple[int, np.ndarray]]) -> str:

@@ -29,6 +29,28 @@ def test_write_parse_roundtrip():
     assert np.array_equal(back, a)
 
 
+def test_tiff_dims_bounded_header_read(tmp_path):
+    """tiff_dims reads ONLY header + IFD (seek-based): correct dims even
+    when the file body after the IFD region is unreadable garbage of
+    arbitrary size — the property that makes it driver-safe at 100 TB."""
+    a = _arr(13, 37)
+    data = geotiff.write_tiff(a)
+    p = tmp_path / "d.tif"
+    p.write_bytes(data)
+    assert geotiff.tiff_dims(str(p)) == a.shape
+    assert geotiff.tiff_dims("file://" + str(p)) == a.shape
+    # glob resolving to exactly one file is accepted; two files fail fast
+    assert geotiff.tiff_dims(str(tmp_path / "*.tif")) == a.shape
+    (tmp_path / "e.tif").write_bytes(data)
+    with pytest.raises(ValueError, match="exactly one"):
+        geotiff.tiff_dims(str(tmp_path / "*.tif"))
+    # truncate everything after header+IFD, then pad with garbage: dims
+    # still parse because the body is never read
+    ifd_end = 8 + 2 + 1024  # generous IFD bound for this writer
+    (tmp_path / "g.tif").write_bytes(data[:ifd_end] + b"\xff" * (1 << 20))
+    assert geotiff.tiff_dims(str(tmp_path / "g.tif")) == a.shape
+
+
 def test_parse_rejects_non_tiff_and_compressed():
     with pytest.raises(ValueError, match="not a TIFF"):
         geotiff.parse_tiff(b"PK\x03\x04 not a tiff")

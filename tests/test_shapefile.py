@@ -1,0 +1,147 @@
+"""Pure-NumPy ESRI shapefile reader/writer + multi-ring (even-odd) PIP.
+
+Covers the reference's actual vector-layer format
+(SciDB_ZonalStats_CL.py:443-445 ``driver.Open(shapePath, 0)``) without
+OGR, and the MULTIPOLYGON/holes semantics the refinement kernel
+recombines by XOR across rings.
+"""
+
+import numpy as np
+import pytest
+
+from scidbgeo_spark import fixtures
+from scidbgeo_spark.kernels import points_in_ring
+from scidbgeo_spark.operators import pip
+from scidbgeo_spark.sources import shapefile, vector
+
+
+def _rect(x0, y0, x1, y1):
+    return np.array([(x0, y0), (x1, y0), (x1, y1), (x0, y1)], dtype=np.float64)
+
+
+def test_shp_write_parse_roundtrip(tmp_path):
+    polys = [(zid, [ring]) for zid, ring in fixtures.GEO_POLYGONS]
+    p = shapefile.write_shp_fixture(str(tmp_path / "layer.shp"), polys)
+    recs = shapefile.parse_shp(open(p, "rb").read())
+    assert len(recs) == len(polys)
+    for (zid, rings), got in zip(polys, recs):
+        assert len(got) == len(rings)
+        for want, r in zip(rings, got):
+            assert np.array_equal(want, r)
+    zids = shapefile.parse_dbf(open(p[:-4] + ".dbf", "rb").read(), "zone_id")
+    assert zids == [zid for zid, _ in polys]
+
+
+def test_shp_multipart_records_roundtrip(tmp_path):
+    polys = [(zid, rings) for zid, rings, _ in fixtures.GEO_POLYGONS_HOLED]
+    p = shapefile.write_shp_fixture(str(tmp_path / "holed.shp"), polys)
+    recs = shapefile.parse_shp(open(p, "rb").read())
+    assert [len(r) for r in recs] == [2, 2]
+    for (zid, rings), got in zip(polys, recs):
+        for want, r in zip(rings, got):
+            assert np.array_equal(want, r)
+
+
+def test_parse_shp_rejects_garbage():
+    with pytest.raises(ValueError, match="magic"):
+        shapefile.parse_shp(b"\x00" * 200)
+
+
+def test_polygons_from_shp_distributed(spark, tmp_path):
+    polys = [(zid, [ring]) for zid, ring in fixtures.GEO_POLYGONS]
+    shapefile.write_shp_fixture(str(tmp_path / "layer.shp"), polys)
+    df = shapefile.polygons_from_shp(spark, str(tmp_path / "layer.shp"))
+    rows = {r.zone_id: (r.xs, r.ys) for r in df.collect()}
+    assert set(rows) == {10, 11, 12}
+    xs, ys = rows[11]
+    assert np.array_equal(
+        np.column_stack((xs, ys)), fixtures.GEO_POLYGONS[1][1]
+    )
+
+
+def test_polygons_from_shp_missing_dbf_fails(spark, tmp_path):
+    polys = [(zid, [ring]) for zid, ring in fixtures.GEO_POLYGONS]
+    p = shapefile.write_shp_fixture(str(tmp_path / "layer.shp"), polys)
+    import os
+
+    os.remove(p[:-4] + ".dbf")
+    with pytest.raises(Exception, match="dbf"):
+        shapefile.polygons_from_shp(spark, p).collect()
+
+
+def test_even_odd_hole_and_multipart_membership():
+    """Kernel-level even-odd: XOR of ring crossing tests subtracts the
+    hole and unions disjoint parts, with half-open [a,b)x[c,d) edges."""
+    outer, hole = _rect(0, -90, 60, -30), _rect(15, -75, 30, -60)
+    px = np.array([5.0, 20.0, 20.0, 15.0, 30.0, 60.0, 0.0])
+    py = np.array([-80.0, -70.0, -40.0, -75.0, -70.0, -60.0, -90.0])
+    got = points_in_ring(px, py, outer) ^ points_in_ring(px, py, hole)
+    #         in    hole  in    hole-edge(in hole) hole-right-edge(out of hole->in)
+    want = [True, False, True, False, True, False, True]
+    assert got.tolist() == want
+
+
+def test_rings_from_wkt_parses_holes_and_multi(spark):
+    rows = [
+        (zid, vector.geometry_to_wkt(rs, multi=m))
+        for zid, rs, m in fixtures.GEO_POLYGONS_HOLED
+    ]
+    df = spark.createDataFrame(rows, "zone_id int, wkt string")
+    got = vector.rings_from_wkt(df).collect()
+    assert {(r.zone_id, r.ring_no) for r in got} == {
+        (20, 0),
+        (20, 1),
+        (21, 0),
+        (21, 1),
+    }
+    by_key = {(r.zone_id, r.ring_no): r for r in got}
+    hole = by_key[(20, 1)]
+    assert np.array_equal(
+        np.column_stack((hole.xs, hole.ys)), fixtures.GEO_POLYGONS_HOLED[0][1][1]
+    )
+
+
+def test_pip_join_df_rings_even_odd(spark):
+    """End-to-end multi-ring PIP: points in the hole get NO row for zone
+    20; points in either disjoint part get zone 21."""
+    pts = spark.createDataFrame(
+        [
+            (0, 5.0, -80.0),  # zone 20 (outer, not hole)
+            (1, 20.0, -70.0),  # in the hole -> no row
+            (2, -30.0, 45.0),  # zone 21 part A
+            (3, 75.0, -15.0),  # zone 21 part B
+            (4, 100.0, 50.0),  # outside everything
+        ],
+        "doc_id long, lon double, lat double",
+    )
+    layer_rows = [
+        (zid, rno, ring[:, 0].tolist(), ring[:, 1].tolist())
+        for zid, rings, _ in fixtures.GEO_POLYGONS_HOLED
+        for rno, ring in enumerate(rings)
+    ]
+    poly = spark.createDataFrame(layer_rows, shapefile.LAYER_SCHEMA)
+    got = {
+        (r.doc_id, r.zone_id)
+        for r in pip.pip_join_df(spark, pts, poly, mode="broadcast").collect()
+    }
+    assert got == {(0, 20), (2, 21), (3, 21)}
+
+
+def test_covering_cell_estimate_gates_broadcast(spark):
+    """Fan-out gate (r3 advice): a layer tiny in ring BYTES but huge in
+    bbox AREA must not broadcast — candidate rows scale with area."""
+    # one world-spanning polygon: 24 cells x 12 cells = 288 candidates
+    world = [(0, _rect(-179.0, -89.0, 179.0, 89.0))]
+    df = pip.polygons_df(spark, world)
+    assert pip.covering_cell_estimate(df) == 288
+    small = pip.polygons_df(spark, [(1, _rect(0, 0, 10, 10))])
+    assert pip.covering_cell_estimate(small) == 1
+    # multi-ring layers aggregate the bbox across rings per zone
+    ringed = spark.createDataFrame(
+        [
+            (2, 0, [0.0, 10.0, 10.0, 0.0], [0.0, 0.0, 10.0, 10.0]),
+            (2, 1, [100.0, 110.0, 110.0, 100.0], [0.0, 0.0, 10.0, 10.0]),
+        ],
+        shapefile.LAYER_SCHEMA,
+    )
+    assert pip.covering_cell_estimate(ringed) == 8  # spans 100 deg of lon

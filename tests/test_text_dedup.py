@@ -254,6 +254,24 @@ def test_tfidf_top_terms_ranked_per_lang(spark, sf_correct):
     assert len(by_lang) >= 2
 
 
+def test_tfidf_builder_runs_no_job(spark, sf_correct):
+    """Building the tfidf plan must be pure plan construction: N_docs is
+    a 1-row aggregate cross-joined into the plan, not a driver-side
+    .count() (which would execute the whole upstream corpus pipeline an
+    extra time per invocation at 100 TB)."""
+    docs = _docs(spark, sf_correct)  # source loading may read footers
+    group = "tfidf-build-probe"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "plan-only probe")
+    try:
+        df = text.tfidf_top_terms(docs)
+        assert sc.statusTracker().getJobIdsForGroup(group) == []
+    finally:
+        sc.setJobGroup(None, None)
+    # and the plan still executes correctly after the de-action change
+    assert df.count() > 0
+
+
 def test_cluster_drop_superset_and_chain_case(spark, sf_correct):
     """cluster_drop_ids is a superset of the pairwise b-drop, drops
     exactly every non-canonical cluster member, and keeps one canonical
