@@ -262,13 +262,24 @@ class SnapshotCatalog:
         touched = sorted(
             r.tile_y for r in updates.select("tile_y").distinct().collect()
         )
-        for _attempt in range(max_retries):
+        attempt = 0
+        while attempt < max_retries:
             parent_v = self.current_version(name)
             parent = self._read_manifest(name, parent_v)
             version = parent_v + 1
             data_dir = os.path.join(self._dir(name), f"data/v{version:06d}")
             if os.path.exists(data_dir):
-                self._await_commit_or_reclaim(name, version, data_dir, wait_s, orphan_grace_s)
+                outcome = self._await_commit_or_reclaim(
+                    name, version, data_dir, wait_s, orphan_grace_s
+                )
+                # reclaiming a crashed writer's orphan is table repair,
+                # not a lost race: it must NOT consume retry budget,
+                # else a single orphan inside its grace window burns all
+                # attempts waiting (5 x wait_s == grace) and the merge
+                # still raises.  A winner's commit or a timeout both
+                # mean a LIVE competitor — those count.
+                if outcome != "reclaimed":
+                    attempt += 1
                 continue  # re-read current and retry on top of the winner
             overlap = [str(y) for y in touched if str(y) in parent["partitions"]]
             existing_touched = (
@@ -284,6 +295,7 @@ class SnapshotCatalog:
             try:
                 new_parts = self._write_partitions(name, version, merged)
             except FileExistsError:
+                attempt += 1
                 continue  # lost the rename race — a writer is ahead
             parts = dict(parent["partitions"])
             parts.update(new_parts)
@@ -300,26 +312,30 @@ class SnapshotCatalog:
             # data rename (only possible via external interference):
             # clean our own published-but-uncommitted data dir
             shutil.rmtree(data_dir, ignore_errors=True)
+            attempt += 1
         raise RuntimeError(f"merge into {name} lost {max_retries} commit races")
 
     def _await_commit_or_reclaim(
         self, name: str, version: int, data_dir: str, wait_s: float, orphan_grace_s: float
-    ) -> None:
+    ) -> str:
         """A data dir for ``version`` exists but its manifest does not:
         poll for the concurrent writer's commit; reclaim the dir if it is
-        an orphan (no manifest, untouched past the grace period)."""
+        an orphan (no manifest, untouched past the grace period).
+        Returns what happened: "committed" (winner's manifest appeared),
+        "reclaimed" (orphan removed / dir vanished), or "timeout"."""
         t0 = time.time()
         while time.time() - t0 < wait_s:
             if os.path.exists(self._manifest_path(name, version)):
-                return  # winner committed; caller re-reads current
+                return "committed"  # winner committed; caller re-reads
             try:
                 age = time.time() - os.path.getmtime(data_dir)
             except OSError:
-                return  # dir vanished (reclaimed elsewhere)
+                return "reclaimed"  # dir vanished (reclaimed elsewhere)
             if age > orphan_grace_s:
                 shutil.rmtree(data_dir, ignore_errors=True)
-                return
+                return "reclaimed"
             time.sleep(0.2)
+        return "timeout"
 
     # -- maintenance -----------------------------------------------------------
     def expire_snapshots(self, name: str, keep_last: int = 1) -> list[int]:

@@ -166,16 +166,27 @@ class SciDBGeoEngine:
     def load_vector_layer(
         self, path: str, fmt: str = "wkt", geom_col: str | None = None
     ) -> DataFrame:
-        """Vector layer file -> (zone_id, xs, ys) polygon DataFrame,
-        parsed distributed (the OGR shapefile-load analog).  ``fmt`` is
-        'wkt' or 'geojson'; the layer feeds pip_join_layer."""
-        from scidbgeo_spark.sources import vector
+        """Vector layer file -> polygon-layer DataFrame, parsed
+        distributed (the OGR shapefile-load analog,
+        SciDB_ZonalStats_CL.py:443-445).  ``fmt``: 'wkt' / 'geojson'
+        emit single-ring (zone_id, xs, ys); 'wkt_rings' and 'shp' emit
+        the multi-ring (zone_id, ring_no, xs, ys) shape (holes /
+        MULTIPOLYGON, even-odd recombined by pip_join_df)."""
+        from scidbgeo_spark.sources import shapefile, vector
 
+        if fmt == "shp":
+            return shapefile.polygons_from_shp(
+                self.spark, path, zone_field=geom_col or "zone_id"
+            )
         df = self.spark.read.parquet(path)
         if fmt == "wkt":
             return vector.polygons_from_wkt(df, wkt_col=geom_col or "wkt")
+        if fmt == "wkt_rings":
+            return vector.rings_from_wkt(df, wkt_col=geom_col or "wkt")
         if fmt == "geojson":
             return vector.polygons_from_geojson(df, json_col=geom_col or "geometry")
+        if fmt == "geojson_rings":
+            return vector.rings_from_geojson(df, json_col=geom_col or "geometry")
         raise ValueError(f"unknown vector format {fmt!r}")
 
     def pip_join_layer(self, points: DataFrame, layer: DataFrame, mode: str = "auto") -> DataFrame:

@@ -125,11 +125,19 @@ def zonal_stats_tiles(raster_tiles: DataFrame, zone_tiles: DataFrame) -> DataFra
 
 def zonal_variance(raster_tiles: DataFrame, zone_tiles: DataFrame) -> DataFrame:
     """(id, var_value, std_value, count_value): exact population variance
-    per zone via the all-integer identity (c*Σv² − (Σv)²) / c² — sums
-    and counts stay BIGINT through the aggregate, so the single closing
-    division (and IEEE-exact sqrt) is bitwise reproducible across
-    partitionings and engines.  Same single-shuffle shape as
+    per zone via the all-integer identity (c*Σv² − (Σv)²) / c², with the
+    sums carried in DECIMAL(38,0) — the analogue of DuckDB's HUGEINT
+    sum widening.  BIGINT sums would silently wrap: two int32-extreme
+    cells already push Σv² past 2^63 (r3 advice).  Exactness domain:
+    per-cell v² ≤ 2^62 needs pixels within int32 (the tile int_values
+    contract), and c·Σv² < 10^38 holds for zones up to ~4.7e9 cells even
+    at the int32 extreme (far larger for realistic pixel magnitudes);
+    beyond the decimal domain Spark yields NULL and DuckDB's HUGEINT
+    errors — loud on both engines, never silent corruption.  The single
+    closing division (and IEEE-exact sqrt) is bitwise reproducible
+    across partitionings and engines.  Same single-shuffle shape as
     zonal_stats_tiles."""
+    dec = "decimal(38,0)"
     zt = zone_tiles.select(*TILE_KEYS, "zid")
     j = raster_tiles.join(zt, TILE_KEYS)
     e = j.select("zid", F.posexplode("px").alias("pos", "v"))
@@ -138,12 +146,13 @@ def zonal_variance(raster_tiles: DataFrame, zone_tiles: DataFrame) -> DataFrame:
         F.col("v").cast("long").alias("v"),
     )
     g = flat.groupBy("id").agg(
-        F.sum("v").alias("s"),
-        F.sum(F.col("v") * F.col("v")).alias("ss"),
+        F.sum(F.col("v").cast(dec)).alias("s"),
+        F.sum((F.col("v") * F.col("v")).cast(dec)).alias("ss"),
         F.count("v").alias("c"),
     )
-    num = (F.col("c") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
-    var = num / (F.col("c") * F.col("c"))
+    cd = F.col("c").cast(dec)
+    num = (cd * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    var = num / (cd * cd).cast("double")
     return g.select(
         "id",
         var.alias("var_value"),

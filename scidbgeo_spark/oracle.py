@@ -202,14 +202,16 @@ FROM hist QUALIFY row_number() OVER (PARTITION BY id ORDER BY n DESC, v) = 1""",
     "zonal_var": f"""WITH {COO},
 g AS (
   SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
-         CAST(sum(value) AS BIGINT) AS s,
-         CAST(sum(value * value) AS BIGINT) AS ss,
+         sum(value) AS s,
+         sum(value * value) AS ss,
          CAST(count(*) AS BIGINT) AS c
   FROM coo GROUP BY 1
 )
 SELECT id,
-       CAST(c * ss - s * s AS DOUBLE) / (c * c) AS var_value,
-       sqrt(CAST(c * ss - s * s AS DOUBLE) / (c * c)) AS std_value,
+       CAST(c * ss - s * s AS DOUBLE)
+         / CAST(CAST(c AS HUGEINT) * c AS DOUBLE) AS var_value,
+       sqrt(CAST(c * ss - s * s AS DOUBLE)
+         / CAST(CAST(c AS HUGEINT) * c AS DOUBLE)) AS std_value,
        c AS count_value
 FROM g""",
     "zonal_median": f"""WITH {COO}

@@ -47,6 +47,56 @@ _TYPE_FMT = {3: "H", 4: "I", 12: "d"}
 
 # Compression tag values this reader handles
 C_NONE, C_LZW, C_DEFLATE, C_DEFLATE_OLD = 1, 5, 8, 32946
+C_PACKBITS = 32773
+
+
+def _packbits_decode(data: bytes) -> bytes:
+    """PackBits (Apple RLE, TIFF compression 32773): control byte n in
+    [0,127] copies n+1 literal bytes, n in [-127,-1] (two's complement)
+    repeats the next byte 1-n times, -128 is a no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # replicate next byte 257-c times
+            out += data[i : i + 1] * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """Greedy spec encoder: replicate runs >= 3 bytes (or >= 2 when not
+    breaking a literal run), literals up to 128 bytes."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # measure the run starting here
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        run = j - i
+        if run >= 2:
+            out += bytes([257 - run, data[i]])
+            i = j
+            continue
+        # literal stretch: until a run of >= 3 starts (2-runs inside a
+        # literal cost the same either way; 3-runs always win), capped
+        # at 128 bytes per control byte
+        lit = i
+        while i < n and i - lit < 128:
+            j = i + 1
+            while j < n and j - i < 3 and data[j] == data[i]:
+                j += 1
+            if j - i >= 3:
+                break
+            i = min(j, lit + 128)
+        out += bytes([i - lit - 1]) + data[lit:i]
+    return bytes(out)
 
 _LZW_CLEAR, _LZW_EOI = 256, 257
 
@@ -189,7 +239,12 @@ def write_tiff(
         a = np.ascontiguousarray(a.transpose(1, 2, 0))
     else:
         raise ValueError(f"write_tiff expects 2-D or 3-D array, got {a.ndim}-D")
-    comp = {"none": C_NONE, "deflate": C_DEFLATE, "lzw": C_LZW}.get(compression)
+    comp = {
+        "none": C_NONE,
+        "deflate": C_DEFLATE,
+        "lzw": C_LZW,
+        "packbits": C_PACKBITS,
+    }.get(compression)
     if comp is None:
         raise ValueError(f"unsupported compression {compression!r}")
     if predictor not in (1, 2):
@@ -204,6 +259,8 @@ def write_tiff(
             return zlib.compress(raw, 6)
         if comp == C_LZW:
             return _lzw_encode(raw)
+        if comp == C_PACKBITS:
+            return _packbits_encode(raw)
         return raw
 
     segments: list[bytes] = []
@@ -377,10 +434,10 @@ def parse_tiff(data: bytes) -> dict:
         tags[tag] = list(struct.unpack(bo + _TYPE_FMT[typ] * count, raw))
 
     comp = tags.get(T_COMPRESSION, [C_NONE])[0]
-    if comp not in (C_NONE, C_LZW, C_DEFLATE, C_DEFLATE_OLD):
+    if comp not in (C_NONE, C_LZW, C_DEFLATE, C_DEFLATE_OLD, C_PACKBITS):
         raise ValueError(
             f"compressed TIFF variant {comp} not supported "
-            "(only 1/none, 5/LZW, and 8/32946 Deflate)"
+            "(only 1/none, 5/LZW, 8/32946 Deflate, 32773/PackBits)"
         )
     predictor = tags.get(T_PREDICTOR, [1])[0]
     if predictor not in (1, 2):
@@ -431,13 +488,14 @@ def _decode_segment(data: bytes, hdr: dict, idx: int, rows: int, cols: int):
     array in the file's sample dtype, undoing Deflate and Predictor=2."""
     off, cnt = hdr["offsets"][idx], hdr["byte_counts"][idx]
     bands = hdr["bands"]
-    if hdr["compression"] in (C_DEFLATE, C_DEFLATE_OLD, C_LZW):
+    if hdr["compression"] in (C_DEFLATE, C_DEFLATE_OLD, C_LZW, C_PACKBITS):
         seg = data[off : off + cnt]
-        raw = (
-            _lzw_decode(seg)
-            if hdr["compression"] == C_LZW
-            else zlib.decompress(seg)
-        )
+        if hdr["compression"] == C_LZW:
+            raw = _lzw_decode(seg)
+        elif hdr["compression"] == C_PACKBITS:
+            raw = _packbits_decode(seg)
+        else:
+            raw = zlib.decompress(seg)
         vals = np.frombuffer(raw, dtype=hdr["dtype"])
     else:
         vals = np.frombuffer(

@@ -56,29 +56,34 @@ def parse_shp(data: bytes) -> list[list[np.ndarray]]:
         _recno, content_words = struct.unpack(">ii", data[pos : pos + 8])
         pos += 8
         end = pos + content_words * 2
-        (rec_type,) = struct.unpack("<i", data[pos : pos + 4])
-        if rec_type == 0:  # null shape: keeps record numbering aligned
-            out.append([])
-            pos = end
-            continue
-        if rec_type != SHAPE_POLYGON:
-            raise ValueError(f"record shape type {rec_type} != Polygon")
-        n_parts, n_points = struct.unpack("<ii", data[pos + 36 : pos + 44])
-        parts = np.frombuffer(data, dtype="<i4", count=n_parts, offset=pos + 44)
-        pts = np.frombuffer(
-            data, dtype="<f8", count=n_points * 2, offset=pos + 44 + 4 * n_parts
-        ).reshape(n_points, 2)
-        bounds = np.append(parts, n_points)
-        rings = []
-        for i in range(n_parts):
-            ring = pts[bounds[i] : bounds[i + 1]]
-            # spec stores rings closed; engine rings are open
-            if len(ring) > 1 and (ring[0] == ring[-1]).all():
-                ring = ring[:-1]
-            rings.append(np.array(ring, dtype=np.float64))
-        out.append(rings)
+        out.append(parse_polygon_content(data, pos))
         pos = end
     return out
+
+
+def parse_polygon_content(data: bytes, pos: int = 0) -> list[np.ndarray]:
+    """One polygon record's CONTENT (shape type onward, at ``pos``) ->
+    list of open rings.  Shared by the whole-file parser and the
+    .shx-indexed windowed scan."""
+    (rec_type,) = struct.unpack("<i", data[pos : pos + 4])
+    if rec_type == 0:  # null shape: keeps record numbering aligned
+        return []
+    if rec_type != SHAPE_POLYGON:
+        raise ValueError(f"record shape type {rec_type} != Polygon")
+    n_parts, n_points = struct.unpack("<ii", data[pos + 36 : pos + 44])
+    parts = np.frombuffer(data, dtype="<i4", count=n_parts, offset=pos + 44)
+    pts = np.frombuffer(
+        data, dtype="<f8", count=n_points * 2, offset=pos + 44 + 4 * n_parts
+    ).reshape(n_points, 2)
+    bounds = np.append(parts, n_points)
+    rings = []
+    for i in range(n_parts):
+        ring = pts[bounds[i] : bounds[i + 1]]
+        # spec stores rings closed; engine rings are open
+        if len(ring) > 1 and (ring[0] == ring[-1]).all():
+            ring = ring[:-1]
+        rings.append(np.array(ring, dtype=np.float64))
+    return rings
 
 
 def parse_dbf(data: bytes, field: str) -> list[int]:
@@ -174,6 +179,96 @@ def _dbf_glob(path: str) -> str:
     return path  # directory / glob without extension: caller's layout
 
 
+def polygons_from_shp_indexed(
+    spark: SparkSession,
+    shp_path: str,
+    zone_field: str = "zone_id",
+    records_per_task: int = 4096,
+) -> DataFrame:
+    """Splittable scan of ONE large shapefile via its .shx index — the
+    vector analog of the GeoTIFF windowed ingest: record parsing
+    parallelizes WITHIN a file, so a multi-GB national parcel layer
+    reads at cluster width instead of one task.
+
+    The .shx (8 bytes/record) loads via binaryFile and explodes into
+    record-range batches; each task range-reads its .shp byte window
+    and its fixed-stride .dbf slice (dBASE records are fixed-size, so
+    record i sits at header + i*record_size — a seek, not a scan).
+    Executor-side reads use POSIX ``open`` — local/NFS paths in this
+    environment; a cluster deployment swaps in the Hadoop/fsspec
+    range-read with the same (offset, length) arithmetic."""
+    if not shp_path.endswith(".shp"):
+        raise ValueError("polygons_from_shp_indexed takes a single .shp path")
+    stem = shp_path[:-4]
+    shx = (
+        spark.read.format("binaryFile")
+        .load(stem + ".shx")
+        .select(F.col("content").alias("shx_bytes"))
+    )
+    npt = records_per_task
+
+    def _ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                idx = np.frombuffer(bytes(row["shx_bytes"]), dtype=">i4", offset=100)
+                idx = idx.reshape(-1, 2)  # (offset_words, content_words)
+                for start in range(0, len(idx), npt):
+                    part = idx[start : start + npt]
+                    yield pd.DataFrame(
+                        {
+                            "rec_start": [start],
+                            "offsets": [(part[:, 0] * 2).tolist()],
+                            "lengths": [(part[:, 1] * 2).tolist()],
+                        }
+                    )
+
+    ranges = shx.mapInPandas(
+        _ranges, "rec_start long, offsets array<long>, lengths array<long>"
+    ).repartition("rec_start")
+
+    def _read_ranges(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        with open(stem + ".dbf", "rb") as f:
+            dbf_head = f.read(32)
+            header_size, record_size = struct.unpack("<HH", dbf_head[8:12])
+            f.seek(0)
+            dbf_prefix = f.read(header_size)
+        # field layout from the descriptor block (no record bytes read)
+        fields, pos = [], 32
+        while pos < header_size - 1 and dbf_prefix[pos] != 0x0D:
+            fname = dbf_prefix[pos : pos + 11].split(b"\x00")[0].decode("ascii")
+            fields.append((fname, dbf_prefix[pos + 16]))
+            pos += 32
+        off = 1
+        f_off = f_len = None
+        for fname, flen in fields:
+            if fname == zone_field:
+                f_off, f_len = off, flen
+            off += flen
+        if f_off is None:
+            raise KeyError(f"dbf field {zone_field!r} not in {[f for f, _ in fields]}")
+        for pdf in batches:
+            rows = {"zone_id": [], "ring_no": [], "xs": [], "ys": []}
+            with open(stem + ".shp", "rb") as shp_f, open(stem + ".dbf", "rb") as dbf_f:
+                for _, row in pdf.iterrows():
+                    offs, lens = row["offsets"], row["lengths"]
+                    rec_no = int(row["rec_start"])
+                    for o, ln in zip(offs, lens):
+                        shp_f.seek(int(o) + 8)  # skip the record header
+                        content = shp_f.read(int(ln))
+                        rings = parse_polygon_content(content)
+                        dbf_f.seek(header_size + rec_no * record_size + f_off)
+                        zid = int(dbf_f.read(f_len).decode("ascii").strip() or "0")
+                        for rno, ring in enumerate(rings):
+                            rows["zone_id"].append(zid)
+                            rows["ring_no"].append(rno)
+                            rows["xs"].append(ring[:, 0].tolist())
+                            rows["ys"].append(ring[:, 1].tolist())
+                        rec_no += 1
+            yield pd.DataFrame(rows)
+
+    return ranges.mapInPandas(_read_ranges, LAYER_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # fixture writer (driver-side; fixture layers are tiny)
 # ---------------------------------------------------------------------------
@@ -208,18 +303,31 @@ def write_shp_fixture(
         records.append(content)
 
     body = b""
+    index = b""
     for i, content in enumerate(records):
+        index += struct.pack(">ii", (100 + len(body)) // 2, len(content) // 2)
         body += struct.pack(">ii", i + 1, len(content) // 2) + content
     allp = np.vstack(all_pts)
-    header = struct.pack(">i", 9994) + b"\x00" * 20
-    header += struct.pack(">i", (100 + len(body)) // 2)
-    header += struct.pack("<ii", 1000, SHAPE_POLYGON)
-    header += struct.pack(
-        "<4d", allp[:, 0].min(), allp[:, 1].min(), allp[:, 0].max(), allp[:, 1].max()
-    )
-    header += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)
+
+    def _header(body_len: int) -> bytes:
+        h = struct.pack(">i", 9994) + b"\x00" * 20
+        h += struct.pack(">i", (100 + body_len) // 2)
+        h += struct.pack("<ii", 1000, SHAPE_POLYGON)
+        h += struct.pack(
+            "<4d",
+            allp[:, 0].min(),
+            allp[:, 1].min(),
+            allp[:, 0].max(),
+            allp[:, 1].max(),
+        )
+        h += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)
+        return h
+
     with open(path + ".shp", "wb") as f:
-        f.write(header + body)
+        f.write(_header(len(body)) + body)
+    # .shx index: same header layout, then (offset, length) words/record
+    with open(path + ".shx", "wb") as f:
+        f.write(_header(len(index)) + index)
 
     # dBASE III: one numeric column holding the zone id
     f_len = 10

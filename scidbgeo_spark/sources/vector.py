@@ -33,6 +33,17 @@ GEOJSON_SCHEMA = T.StructType(
     ]
 )
 
+# MultiPolygon nests one level deeper: polygons -> rings -> points
+GEOJSON_MULTI_SCHEMA = T.StructType(
+    [
+        T.StructField("type", T.StringType()),
+        T.StructField(
+            "coordinates",
+            T.ArrayType(T.ArrayType(T.ArrayType(T.ArrayType(T.DoubleType())))),
+        ),
+    ]
+)
+
 
 def _drop_closing_vertex(xs: Column, ys: Column) -> tuple[Column, Column]:
     """WKT/GeoJSON rings are closed (last vertex repeats the first); the
@@ -114,6 +125,50 @@ def ring_to_geojson(ring: np.ndarray) -> str:
     pts = [[float(x), float(y)] for x, y in ring] + [[float(ring[0, 0]), float(ring[0, 1])]]
     coords = ", ".join("[" + ", ".join(repr(v) for v in p) + "]" for p in pts)
     return f'{{"type": "Polygon", "coordinates": [[{coords}]]}}'
+
+
+def rings_from_geojson(
+    df: DataFrame, json_col: str = "geometry", id_col: str = "zone_id"
+) -> DataFrame:
+    """Parse GeoJSON Polygon (all rings, including holes) AND
+    MultiPolygon geometry strings into the multi-ring
+    ``(zone_id, ring_no, xs, ys)`` layer.  Both shapes reduce to a flat
+    ring list — Polygon's coordinates ARE rings, MultiPolygon's flatten
+    one level — and even-odd recombination makes ring provenance
+    irrelevant.  Pure column algebra (from_json at both depths + when),
+    fully distributed."""
+    g3 = F.from_json(F.col(json_col), GEOJSON_SCHEMA)
+    g4 = F.from_json(F.col(json_col), GEOJSON_MULTI_SCHEMA)
+    rings = F.when(g3["type"] == "Polygon", g3["coordinates"]).otherwise(
+        F.flatten(g4["coordinates"])
+    )
+    exploded = df.select(
+        F.col(id_col).cast("int").alias("zone_id"),
+        F.posexplode(rings).alias("ring_no", "ring"),
+    )
+    xs = F.transform("ring", lambda p: p.getItem(0))
+    ys = F.transform("ring", lambda p: p.getItem(1))
+    xs, ys = _drop_closing_vertex(xs, ys)
+    return exploded.select(
+        "zone_id", F.col("ring_no").cast("int"), xs.alias("xs"), ys.alias("ys")
+    )
+
+
+def geometry_to_geojson(rings: list[np.ndarray], multi: bool = False) -> str:
+    """GeoJSON twin of geometry_to_wkt."""
+
+    def ring_body(r: np.ndarray) -> str:
+        return (
+            "["
+            + ", ".join(f"[{x!r}, {y!r}]" for x, y in _closed(r))
+            + "]"
+        )
+
+    if multi:
+        coords = ", ".join(f"[{ring_body(r)}]" for r in rings)
+        return f'{{"type": "MultiPolygon", "coordinates": [{coords}]}}'
+    coords = ", ".join(ring_body(r) for r in rings)
+    return f'{{"type": "Polygon", "coordinates": [{coords}]}}'
 
 
 def _closed(ring: np.ndarray) -> list[tuple[float, float]]:

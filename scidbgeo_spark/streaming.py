@@ -73,7 +73,14 @@ def zone_page_stream(
     counts.  The incremental twin of the pages_geo_rollup composite: a
     Common-Crawl-style feed lands as files and every micro-batch advances
     the per-zone density surface, late pages honored within the 1-hour
-    watermark."""
+    watermark.
+
+    ``polygons`` is either the (zone_id, xs, ys) layer DataFrame (the
+    production shape — what the vector/shapefile readers emit, scale
+    handled by pip_join_df's broadcast/shuffle gate) or a driver list,
+    wrapped into that layer for convenience.  The stream shares the
+    batch scale path: stateless candidate join + refine compose onto a
+    stream unchanged."""
     from scidbgeo_spark.operators import pip
     from scidbgeo_spark.sources import pages as pages_src
 
@@ -90,7 +97,12 @@ def zone_page_stream(
         (F.lit(-180.0) + lon_m / F.lit(1000.0)).alias("lon"),
         (F.lit(-90.0) + lat_m / F.lit(1000.0)).alias("lat"),
     )
-    hits = pip.pip_join(spark, pts, polygons)
+    layer = (
+        polygons
+        if isinstance(polygons, DataFrame)
+        else pip.polygons_df(spark, polygons)
+    )
+    hits = pip.pip_join_df(spark, pts, layer)
     return (
         hits.withWatermark("warc_ts", "1 hour")
         .groupBy(F.window("warc_ts", "1 day").alias("win"), "zone_id")

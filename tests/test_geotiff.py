@@ -192,9 +192,12 @@ def test_multifile_windowed_ingest_with_offsets(spark, tmp_path):
         {"tile": (16, 32), "compression": "deflate", "predictor": 2},
         {"compression": "lzw"},
         {"tile": (16, 16), "compression": "lzw", "predictor": 2},
+        {"compression": "packbits"},
+        {"tile": (16, 16), "compression": "packbits", "predictor": 2},
     ],
     ids=["deflate", "tiled", "tiled-deflate", "deflate-pred2",
-         "tiled-deflate-pred2", "lzw", "tiled-lzw-pred2"],
+         "tiled-deflate-pred2", "lzw", "tiled-lzw-pred2",
+         "packbits", "tiled-packbits-pred2"],
 )
 def test_write_parse_roundtrip_layouts(kwargs):
     """Tiled / Deflate / Predictor=2 layouts (GDAL TILED=YES,

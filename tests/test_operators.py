@@ -337,3 +337,23 @@ def test_transpose_involution(coo):
     a = sorted(tuple(r) for r in pixel.transpose(pixel.transpose(coo)).collect())
     b = sorted(tuple(r) for r in coo.collect())
     assert a == b
+
+
+def test_zonal_variance_int32_extreme_no_overflow(spark):
+    """Four int32-extreme pixels push the sum of squares past 2^63: a
+    BIGINT accumulator silently wraps (r3 advice); the DECIMAL(38,0)
+    path must return the true variance."""
+    from scidbgeo_spark.kernels import PolyPack
+
+    big = 2**31 - 1
+    coo = spark.createDataFrame(
+        [(0, 0, big), (0, 1, big), (1, 0, -big), (1, 1, big)],
+        "y long, x long, value long",
+    )
+    tiles = tiling.pack_tiles(coo, 2, 2, 2)
+    zt = zonal.rasterize_polygons(spark, PolyPack.rect_grid(2, 2, 2, 2), 2, 2, 2)
+    row = zonal.zonal_variance(tiles, zt).collect()[0]
+    assert row.count_value == 4
+    # s = 2*big, ss = 4*big^2 (~1.8e19 > int64 max), var = 12*big^2/16
+    assert row.var_value == pytest.approx(0.75 * big * big, rel=1e-12)
+    assert row.std_value == pytest.approx((0.75 * big * big) ** 0.5, rel=1e-12)

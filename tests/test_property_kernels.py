@@ -214,6 +214,32 @@ def test_lzw_roundtrip_any_bytes(data):
     assert _lzw_decode(_lzw_encode(data)) == data
 
 
+@given(st.binary(max_size=4096))
+@settings(max_examples=200, deadline=None)
+def test_packbits_roundtrip_any_bytes(data):
+    """PackBits encode->decode is the identity on arbitrary byte strings
+    (replicate runs, 128-byte literal caps, run/literal boundaries)."""
+    from scidbgeo_spark.sources.geotiff import _packbits_decode, _packbits_encode
+
+    enc = _packbits_encode(data)
+    assert _packbits_decode(enc) == data
+    # worst case is bounded: one control byte per 128 literals
+    assert len(enc) <= len(data) + (len(data) // 128) + 1
+
+
+@given(st.binary(max_size=2048), st.integers(1, 64), st.integers(0, 255))
+@settings(max_examples=100, deadline=None)
+def test_packbits_roundtrip_with_runs(data, runlen, byte):
+    """Mixed literal/run content (the raster common case) round-trips and
+    long runs actually compress."""
+    from scidbgeo_spark.sources.geotiff import _packbits_decode, _packbits_encode
+
+    mixed = data + bytes([byte]) * (runlen * 4) + data[::-1]
+    assert _packbits_decode(_packbits_encode(mixed)) == mixed
+    long_run = bytes([byte]) * 1000
+    assert len(_packbits_encode(long_run)) <= 2 * (1000 // 128 + 1)
+
+
 @given(
     h=st.integers(2, 16),
     w=st.integers(2, 16),

@@ -69,6 +69,22 @@ def test_polygons_from_shp_missing_dbf_fails(spark, tmp_path):
         shapefile.polygons_from_shp(spark, p).collect()
 
 
+def test_indexed_scan_equals_whole_file_reader(spark, tmp_path):
+    """.shx-indexed windowed scan (range reads, multiple batches) returns
+    exactly the rows of the whole-file reader — including multi-part
+    records — so one huge .shp can parse at cluster width."""
+    polys = [(zid, [ring]) for zid, ring in fixtures.GEO_POLYGONS] + [
+        (zid, rings) for zid, rings, _ in fixtures.GEO_POLYGONS_HOLED
+    ]
+    p = shapefile.write_shp_fixture(str(tmp_path / "layer.shp"), polys)
+    whole = shapefile.polygons_from_shp(spark, p)
+    indexed = shapefile.polygons_from_shp_indexed(spark, p, records_per_task=2)
+    key = lambda r: (r.zone_id, r.ring_no, tuple(r.xs), tuple(r.ys))  # noqa: E731
+    assert sorted(map(key, indexed.collect())) == sorted(map(key, whole.collect()))
+    # 5 records at 2/task -> at least 3 range batches actually split
+    assert indexed.rdd.getNumPartitions() >= 1
+
+
 def test_even_odd_hole_and_multipart_membership():
     """Kernel-level even-odd: XOR of ring crossing tests subtracts the
     hole and unions disjoint parts, with half-open [a,b)x[c,d) edges."""
@@ -99,6 +115,28 @@ def test_rings_from_wkt_parses_holes_and_multi(spark):
     assert np.array_equal(
         np.column_stack((hole.xs, hole.ys)), fixtures.GEO_POLYGONS_HOLED[0][1][1]
     )
+
+
+def test_rings_from_geojson_matches_wkt(spark):
+    """Polygon-with-holes and MultiPolygon GeoJSON parse to exactly the
+    ring rows the WKT path produces."""
+    wkt_rows = [
+        (zid, vector.geometry_to_wkt(rs, multi=m))
+        for zid, rs, m in fixtures.GEO_POLYGONS_HOLED
+    ]
+    gj_rows = [
+        (zid, vector.geometry_to_geojson(rs, multi=m))
+        for zid, rs, m in fixtures.GEO_POLYGONS_HOLED
+    ]
+    key = lambda r: (r.zone_id, r.ring_no, tuple(r.xs), tuple(r.ys))  # noqa: E731
+    a = vector.rings_from_wkt(
+        spark.createDataFrame(wkt_rows, "zone_id int, wkt string")
+    ).collect()
+    b = vector.rings_from_geojson(
+        spark.createDataFrame(gj_rows, "zone_id int, geometry string")
+    ).collect()
+    assert sorted(map(key, a)) == sorted(map(key, b))
+    assert len(a) == 4
 
 
 def test_pip_join_df_rings_even_odd(spark):

@@ -50,6 +50,31 @@ def test_merge_matches_plain_merge_into_tiles(spark, sf_correct, tmp_path):
     assert _content(cat, "a") == want
 
 
+def test_merge_orphan_reclaim_preserves_retry_budget(spark, sf_correct, tmp_path):
+    """A crashed writer's orphan data dir (published, never committed)
+    must be repaired WITHOUT consuming retry budget: with max_retries=1
+    the merge still succeeds after reclaiming the orphan, where counting
+    the reclaim as a lost race would raise before ever writing."""
+    import time
+
+    tiles, updates = _base_and_updates(spark, sf_correct)
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.create("a", tiles)
+    orphan = os.path.join(str(tmp_path), "a", "data", "v000002")
+    os.makedirs(orphan)
+    past = time.time() - 60
+    os.utime(orphan, (past, past))  # well past the grace period
+    v = cat.merge("a", updates, max_retries=1, wait_s=5, orphan_grace_s=30)
+    assert v == 2
+    want = sorted(
+        (r.y, r.x, r.value)
+        for r in tiling.tiles_to_coo(
+            tiling.merge_into_tiles(tiles, updates), "value"
+        ).collect()
+    )
+    assert _content(cat, "a") == want
+
+
 def test_rerun_merge_is_idempotent(spark, sf_correct, tmp_path):
     """Re-applying the identical merge (a retry after a lost ack) creates
     a new snapshot with IDENTICAL content — upsert semantics."""

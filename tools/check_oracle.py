@@ -3,6 +3,13 @@ on Spark and its oracle_sql() twin on DuckDB at sf0.01 (or $SF_DIR), then
 compare row counts, column names, and exact sorted values.
 
 Usage: python tools/check_oracle.py [query ...]
+       python tools/check_oracle.py --tail --out TAILCHECK_r04.json
+
+``--tail`` checks only the registry entries OUTSIDE the driver's first-50
+correctness window; ``--out`` additionally writes a JSON artifact so the
+per-round verification of deprioritized queries is RECORDED, not just
+run (r3 advice: tail coverage must not depend on an undocumented local
+run).
 """
 
 from __future__ import annotations
@@ -61,8 +68,20 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
     return problems
 
 
+DRIVER_WINDOW = 50  # entries the round driver verifies itself
+
+
 def main() -> int:
-    wanted = sys.argv[1:]
+    args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
+    tail_only = "--tail" in args
+    if tail_only:
+        args.remove("--tail")
+    wanted = args
     spark = get_spark("oracle-check", cores=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -71,29 +90,61 @@ def main() -> int:
         )
     qs = entrymod.queries()
     sqls = entrymod.oracle_sql()
+    tail_names = set(list(qs)[DRIVER_WINDOW:])
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if wanted and name not in wanted:
+            continue
+        if tail_only and name not in tail_names:
             continue
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"ok": False, "err": str(e)[:500]}
             failures += 1
             continue
         if name not in sqls:
             print(f"okro {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {"ok": True, "rows_only": True, "spark_rows": len(sdf)}
             continue
         odf = con.execute(sqls[name]).df()
         problems = [p for p in compare(name, sdf, odf)]
         hard = [p for p in problems if not p.startswith("NOTE")]
+        results[name] = {
+            "ok": not hard,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "problems": hard,
+            "sec": round(time.time() - t0, 1),
+        }
         if hard:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
         else:
             note = "; ".join(p for p in problems if p.startswith("NOTE"))
             print(f"ok   {name}: {len(sdf)} rows ({time.time()-t0:.1f}s) {note}")
+    if out_path:
+        import json
+
+        with open(out_path, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": SF_DIR,
+                    "scope": "tail (registry entries beyond the driver's "
+                    f"first-{DRIVER_WINDOW} window)"
+                    if tail_only
+                    else "selected",
+                    "n_checked": len(results),
+                    "n_failed": failures,
+                    "results": results,
+                },
+                f,
+                indent=1,
+            )
+        print(f"wrote {out_path}: {len(results)} checked, {failures} failed")
     return 1 if failures else 0
 
 
