@@ -210,11 +210,18 @@ def _scale_units() -> int:
 
 
 def _scale_once(cores: int, trials: int) -> dict:
-    """Run inside a fresh process: SMALL warm trial (codegen compile,
-    Python-worker spin-up — size-independent costs) + best-of-``trials``
-    full-size timed trials."""
+    """Run inside a fresh process: SMALL warm trial (Python-worker
+    spin-up, basic codegen), then ONE full-size warm pass, then the
+    timed trial(s).  The full-size warm matters for the RATIO: the
+    first full-size execution pays ~0.6 s of plan-specific
+    codegen/JIT (measured: join phase 0.68 -> 0.40 s run-over-run at 1
+    core) — a fixed cost identical at N and 4N that would otherwise
+    deflate the efficiency in every window.  Always discarding the
+    first full-size pass is a deterministic steady-state policy, not
+    best-of-k selection."""
     spark = _session(cores, shuffle=SCALE_SHUFFLE)
     scale_workload(spark, h=1024, n_pts=200_000)  # warm (cheap)
+    scale_workload(spark)  # full-size warm: steady-state codegen/JIT
     best = None
     for _ in range(trials):
         phases = scale_workload(spark)
