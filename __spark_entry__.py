@@ -677,6 +677,25 @@ def q_pip_poly_shp(spark, sf_dir):
     return pip.pip_join_df(spark, pts, poly).select("doc_id", "zone_id")
 
 
+def q_pip_poly_shp_indexed(spark, sf_dir):
+    """pip_poly via the .shx-indexed SPLITTABLE shapefile scan
+    (record-range batches -> per-task range reads), forced to split the
+    5-record fixture across batches.  Same oracle as pip_poly: the scan
+    strategy must not change results."""
+    import os
+
+    from scidbgeo_spark.sources import shapefile
+
+    d = _fixture_dir("shpix", sf_dir)
+    p = shapefile.write_shp_fixture(
+        os.path.join(d, "layer.shp"),
+        [(zid, [ring]) for zid, ring in fixtures.GEO_POLYGONS],
+    )
+    poly = shapefile.polygons_from_shp_indexed(spark, p, records_per_task=2)
+    pts = model.points(spark, sf_dir)
+    return pip.pip_join_df(spark, pts, poly).select("doc_id", "zone_id")
+
+
 def q_pip_poly_holes(spark, sf_dir):
     """Multi-ring PIP: a POLYGON with a hole and a two-part MULTIPOLYGON,
     written as WKT, parsed distributed into (zone_id, ring_no, xs, ys)
@@ -1012,6 +1031,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cell_index": q_cell_index,
     # --- r4 additions (new queries insert HERE, displacing fillers) ---
     "pip_poly_shp": q_pip_poly_shp,
+    "pip_poly_shp_indexed": q_pip_poly_shp_indexed,
     "pip_poly_holes": q_pip_poly_holes,
     # --- fillers to 50: representatives re-verified from the r3 window
     # (tfidf_top_terms carries the r4 de-action fix) ---

@@ -319,6 +319,12 @@ SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
 SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
   SELECT doc_id, {GEO_ZONE} AS zone_id FROM pts
 ) WHERE zone_id IS NOT NULL""",
+    # .shx-indexed splittable scan: the scan strategy must not change
+    # results either
+    "pip_poly_shp_indexed": f"""WITH {PTS}
+SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
+  SELECT doc_id, {GEO_ZONE} AS zone_id FROM pts
+) WHERE zone_id IS NOT NULL""",
     # multi-ring layer: POLYGON-with-hole + MULTIPOLYGON under even-odd
     "pip_poly_holes": f"""WITH {PTS}
 SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
