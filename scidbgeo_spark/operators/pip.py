@@ -132,15 +132,26 @@ class PreparedLayer:
 
 
 def prepare_layer(
-    spark: SparkSession, polygons: list[tuple[int, np.ndarray]]
+    spark: SparkSession, polygons: list
 ) -> PreparedLayer:
+    """``polygons``: list of (zone_id, ring) or (zone_id, [rings]) —
+    multi-ring entries (holes / multipolygon parts) recombine under
+    even-odd semantics in the refinement.  Candidate cells are the
+    UNION of each ring's bbox cells (tighter than the combined bbox for
+    disjoint parts)."""
+    norm = [
+        (int(zid), [np.asarray(r, dtype=np.float64) for r in rings]
+         if isinstance(rings, (list, tuple))
+         else [np.asarray(rings, dtype=np.float64)])
+        for zid, rings in polygons
+    ]
     cand_rows = [
-        (int(zid), int(c)) for zid, ring in polygons for c in covering_cells(ring)
+        (zid, int(c))
+        for zid, rings in norm
+        for c in sorted({c for ring in rings for c in covering_cells(ring)})
     ]
     cand = spark.createDataFrame(cand_rows, "zone_id int, ccell long")
-    bc_polys = spark.sparkContext.broadcast(
-        {int(zid): np.asarray(ring, dtype=np.float64) for zid, ring in polygons}
-    )
+    bc_polys = spark.sparkContext.broadcast({zid: rings for zid, rings in norm})
     return PreparedLayer(cand, bc_polys)
 
 
@@ -148,7 +159,8 @@ def pip_join_prepared(points: DataFrame, layer: PreparedLayer) -> DataFrame:
     """Points x prepared-layer inner join -> one row per (point,
     containing polygon).  Broadcast candidate join + exact ray-cast
     refinement; only ``(lon, lat, zone_id)`` cross the Arrow boundary —
-    ring coordinates come from the layer broadcast, once per executor."""
+    ring coordinates come from the layer broadcast, once per executor.
+    Multi-ring zones XOR the crossing test across rings (even-odd)."""
     bc_polys = layer.bc_polys
 
     @F.pandas_udf(T.BooleanType())
@@ -157,9 +169,11 @@ def pip_join_prepared(points: DataFrame, layer: PreparedLayer) -> DataFrame:
         lo = lon.to_numpy(dtype=np.float64)
         la = lat.to_numpy(dtype=np.float64)
         for zid, idx in zone.groupby(zone).groups.items():
-            ring = bc_polys.value[int(zid)]
             ii = np.asarray(idx)
-            out[ii] = points_in_ring(lo[ii], la[ii], ring)
+            acc = np.zeros(len(ii), dtype=bool)
+            for ring in bc_polys.value[int(zid)]:
+                acc ^= points_in_ring(lo[ii], la[ii], ring)
+            out[ii] = acc
         return pd.Series(out)
 
     pts = points.withColumn("ccell", cell_col(res=CAND_RES, nx=CAND_NX))
@@ -377,10 +391,16 @@ def _pip_join_rings(points: DataFrame, poly_df: DataFrame, mode: str) -> DataFra
 
     Rings arrive as (zone_id, ring_no, xs, ys) rows; they group to one
     (zone_id, rings_xs, rings_ys) row per zone on the SMALL side before
-    attaching, so candidate expansion stays bare and each candidate row
-    carries its zone's rings exactly once into the Arrow batch.  The
-    refinement XORs the crossing test across rings: odd crossings =
-    inside (holes subtract, disjoint parts union)."""
+    attaching, so the candidate EXPANSION stays bare (cells multiply
+    rows without ring payload).  After the zone-keyed attach each
+    candidate row does carry its zone's full ring set through the Arrow
+    boundary (the same trade as the single-ring _refine_arrays path —
+    coordinates convert once per zone per batch, but transfer is
+    per-row); for driver-enumerable layers where that dominates,
+    pip_join_prepared ships rings via broadcast instead (it accepts
+    multi-ring entries too).  The refinement XORs the crossing test
+    across rings: odd crossings = inside (holes subtract, disjoint
+    parts union)."""
     grouped = poly_df.groupBy("zone_id").agg(
         F.array_sort(F.collect_list(F.struct("ring_no", "xs", "ys"))).alias("rs")
     )

@@ -165,6 +165,29 @@ def test_pip_join_df_rings_even_odd(spark):
     assert got == {(0, 20), (2, 21), (3, 21)}
 
 
+def test_pip_join_prepared_multi_ring(spark):
+    """The prepared-layer (broadcast rings) path accepts multi-ring
+    entries and matches the DataFrame-layer even-odd result."""
+    pts = spark.createDataFrame(
+        [
+            (0, 5.0, -80.0),
+            (1, 20.0, -70.0),  # in the hole -> no row
+            (2, -30.0, 45.0),
+            (3, 75.0, -15.0),
+            (4, 100.0, 50.0),
+        ],
+        "doc_id long, lon double, lat double",
+    )
+    layer = pip.prepare_layer(
+        spark, [(zid, rings) for zid, rings, _ in fixtures.GEO_POLYGONS_HOLED]
+    )
+    got = {
+        (r.doc_id, r.zone_id)
+        for r in pip.pip_join_prepared(pts, layer).collect()
+    }
+    assert got == {(0, 20), (2, 21), (3, 21)}
+
+
 def test_covering_cell_estimate_gates_broadcast(spark):
     """Fan-out gate (r3 advice): a layer tiny in ring BYTES but huge in
     bbox AREA must not broadcast — candidate rows scale with area."""
