@@ -132,9 +132,13 @@ def polygons_from_shp(
     per-FILE parallel, driver never touches bytes.  ``ring_no`` numbers a
     polygon's parts in record order; zone ids come from the .dbf
     ``zone_field`` column, aligned by record index per the spec."""
+    # extension filters matter for directory paths: binaryFile on a dir
+    # loads EVERY sibling (.dbf/.shx/.prj included) and those bytes must
+    # not reach the wrong parser
     shp = (
         spark.read.format("binaryFile")
         .load(path)
+        .where(F.col("path").endswith(".shp"))
         .select(
             F.regexp_replace(F.col("path"), r"\.shp$", "").alias("stem"),
             F.col("content").alias("shp_bytes"),
@@ -143,6 +147,7 @@ def polygons_from_shp(
     dbf = (
         spark.read.format("binaryFile")
         .load(_dbf_glob(path))
+        .where(F.col("path").endswith(".dbf"))
         .select(
             F.regexp_replace(F.col("path"), r"\.dbf$", "").alias("stem"),
             F.col("content").alias("dbf_bytes"),

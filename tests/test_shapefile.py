@@ -59,6 +59,16 @@ def test_polygons_from_shp_distributed(spark, tmp_path):
     )
 
 
+def test_polygons_from_shp_directory_path(spark, tmp_path):
+    """A DIRECTORY path works: binaryFile loads every sibling (.shx,
+    .dbf included) and the extension filters keep them out of the wrong
+    parser."""
+    polys = [(zid, [ring]) for zid, ring in fixtures.GEO_POLYGONS]
+    shapefile.write_shp_fixture(str(tmp_path / "layer.shp"), polys)
+    df = shapefile.polygons_from_shp(spark, str(tmp_path))
+    assert {r.zone_id for r in df.collect()} == {10, 11, 12}
+
+
 def test_polygons_from_shp_missing_dbf_fails(spark, tmp_path):
     polys = [(zid, [ring]) for zid, ring in fixtures.GEO_POLYGONS]
     p = shapefile.write_shp_fixture(str(tmp_path / "layer.shp"), polys)
