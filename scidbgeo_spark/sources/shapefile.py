@@ -92,21 +92,28 @@ def parse_dbf(data: bytes, field: str) -> list[int]:
         raise ValueError("not a dBASE III .dbf")
     n_records = struct.unpack("<I", data[4:8])[0]
     header_size, record_size = struct.unpack("<HH", data[8:12])
-    fields = []  # (name, length)
+    fields = []  # (name, type, length)
     pos = 32
     while pos < header_size - 1 and data[pos] != 0x0D:
         name = data[pos : pos + 11].split(b"\x00")[0].decode("ascii")
+        ftype = chr(data[pos + 11])
         length = data[pos + 16]
-        fields.append((name, length))
+        fields.append((name, ftype, length))
         pos += 32
     offsets = {}
     off = 1  # skip the deletion flag
-    for name, length in fields:
-        offsets[name] = (off, length)
+    for name, ftype, length in fields:
+        offsets[name] = (off, ftype, length)
         off += length
     if field not in offsets:
-        raise KeyError(f"dbf field {field!r} not in {[f for f, _ in fields]}")
-    f_off, f_len = offsets[field]
+        raise KeyError(f"dbf field {field!r} not in {[f for f, _, _ in fields]}")
+    f_off, f_type, f_len = offsets[field]
+    if f_type not in ("N", "F"):
+        raise ValueError(
+            f"dbf zone field {field!r} has type {f_type!r}; zone ids must "
+            "be numeric (N/F) — map string zone names to integer ids "
+            "before export, or point zone_field at a numeric column"
+        )
     vals = []
     for r in range(n_records):
         rec = data[header_size + r * record_size :][:record_size]
@@ -241,16 +248,23 @@ def polygons_from_shp_indexed(
         fields, pos = [], 32
         while pos < header_size - 1 and dbf_prefix[pos] != 0x0D:
             fname = dbf_prefix[pos : pos + 11].split(b"\x00")[0].decode("ascii")
-            fields.append((fname, dbf_prefix[pos + 16]))
+            fields.append((fname, chr(dbf_prefix[pos + 11]), dbf_prefix[pos + 16]))
             pos += 32
         off = 1
         f_off = f_len = None
-        for fname, flen in fields:
+        for fname, ftype, flen in fields:
             if fname == zone_field:
+                if ftype not in ("N", "F"):
+                    raise ValueError(
+                        f"dbf zone field {zone_field!r} has type {ftype!r}; "
+                        "zone ids must be numeric (N/F)"
+                    )
                 f_off, f_len = off, flen
             off += flen
         if f_off is None:
-            raise KeyError(f"dbf field {zone_field!r} not in {[f for f, _ in fields]}")
+            raise KeyError(
+                f"dbf field {zone_field!r} not in {[f for f, _, _ in fields]}"
+            )
         for pdf in batches:
             rows = {"zone_id": [], "ring_no": [], "xs": [], "ys": []}
             with open(stem + ".shp", "rb") as shp_f, open(stem + ".dbf", "rb") as dbf_f:

@@ -47,6 +47,17 @@ def test_parse_shp_rejects_garbage():
         shapefile.parse_shp(b"\x00" * 200)
 
 
+def test_parse_dbf_rejects_character_zone_field(tmp_path):
+    """A string-typed zone column fails loudly (zone ids must be
+    numeric), instead of a bare int() crash."""
+    polys = [(zid, [ring]) for zid, ring in fixtures.GEO_POLYGONS]
+    p = shapefile.write_shp_fixture(str(tmp_path / "layer.shp"), polys)
+    data = bytearray(open(p[:-4] + ".dbf", "rb").read())
+    data[32 + 11] = ord("C")  # flip the field descriptor type to character
+    with pytest.raises(ValueError, match="numeric"):
+        shapefile.parse_dbf(bytes(data), "zone_id")
+
+
 def test_polygons_from_shp_distributed(spark, tmp_path):
     polys = [(zid, [ring]) for zid, ring in fixtures.GEO_POLYGONS]
     shapefile.write_shp_fixture(str(tmp_path / "layer.shp"), polys)
