@@ -452,6 +452,13 @@ def run_scaling() -> dict:
         "median_efficiency_vs_ceiling": round(
             statistics.median(p["vs_ceiling"] for p in use if p["vs_ceiling"]), 3
         ),
+        # the two ceilings BRACKET the host: pure streaming (shared
+        # DRAM — the per-run triad controls) vs pure compute
+        # (cache-resident ray-cast, scales with cores even under
+        # contention).  An engine efficiency between them, positioned
+        # by its compute/bandwidth mix, locates the shortfall in the
+        # shared memory bus, not serial engine code.
+        "compute_ceiling": compute_control(),
         # the pair from the HEALTHIEST host window this run — selected by
         # the adjacent control alone (host health), never by the pair's
         # own outcome, so it cannot cherry-pick the engine number: it
@@ -513,6 +520,54 @@ def membw_control() -> dict:
     return {
         "triad_1proc_sec": round(t1, 2),
         f"triad_{SCALE_4N}proc_wall_sec": round(wall, 2),
+        "efficiency": round(t1 / wall, 3),
+    }
+
+
+def compute_control() -> dict:
+    """The COMPUTE twin of membw_control: the same vectorized ray-cast
+    kernel the PIP refine runs, on cache-resident arrays (200k points x
+    a 64-gon ring ~ 4.8 MB working set), 1 process vs SCALE_4N
+    processes.  Pure-CPU work scales with cores even when DRAM is
+    contended, so together the two controls BRACKET the host: an
+    engine efficiency between them, positioned by the workload's
+    compute/bandwidth mix, means the shortfall is the shared memory
+    bus — not serial engine code."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    from scidbgeo_spark.kernels import points_in_ring
+
+    ang = np.linspace(0.0, 2.0 * np.pi, 64, endpoint=False)
+    ring = np.column_stack((25.0 * np.cos(ang), 25.0 * np.sin(ang)))
+
+    def raycast(n_iter=16, n=200_000):  # ~0.8 s: amortizes process spawn
+        rng = np.random.default_rng(7)
+        px = rng.uniform(-50, 50, n)
+        py = rng.uniform(-50, 50, n)
+        t0 = time.time()
+        for _ in range(n_iter):
+            points_in_ring(px, py, ring)
+        return time.time() - t0
+
+    def worker(q):
+        q.put(raycast())
+
+    t1 = raycast()
+    q = mp.Queue()
+    ps = [mp.Process(target=worker, args=(q,)) for _ in range(SCALE_4N)]
+    t0 = time.time()
+    for p in ps:
+        p.start()
+    for p in ps:
+        p.join()
+    wall = time.time() - t0
+    for _ in ps:
+        q.get()
+    return {
+        "raycast_1proc_sec": round(t1, 2),
+        f"raycast_{SCALE_4N}proc_wall_sec": round(wall, 2),
         "efficiency": round(t1 / wall, 3),
     }
 
