@@ -47,8 +47,32 @@ def extract_text(pages: DataFrame) -> DataFrame:
 
 
 def token_count(docs: DataFrame) -> DataFrame:
-    """Whitespace tokenization (BPE-ish regex variant in token_count_re)."""
+    """Whitespace tokenization (BPE-ish regex variant in
+    token_count_bpe)."""
     return docs.select("doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+
+
+# GPT-2-style pre-tokenizer word pattern: contraction suffixes,
+# space-prefixed letter runs / digit runs / punctuation runs, residual
+# whitespace runs.  No lookarounds, so the SAME pattern string runs on
+# Java regex (Spark) and RE2 (DuckDB) with identical matches — the
+# oracle twin is exact.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s']+|\s+"
+
+
+def token_count_bpe(docs: DataFrame) -> DataFrame:
+    """BPE-ish token counting: the GPT-2 pre-tokenizer's regex splits
+    (letter runs, digit runs, punctuation runs, contraction suffixes,
+    each optionally space-prefixed) — the unit a byte-pair encoder
+    would merge within.  Counting these (JVM regexp_extract_all, no
+    Python) gives the curation-pipeline token estimate ~proportional to
+    real BPE token counts without a vocabulary file."""
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), 0)).alias(
+            "n_tokens_bpe"
+        ),
+    )
 
 
 # small fixed stopword list (quality heuristics use dozens; the ratio's

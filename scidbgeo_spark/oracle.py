@@ -346,6 +346,12 @@ FROM hits JOIN tok USING (doc_id) GROUP BY 1""",
     "extract_text": """SELECT doc_id, text AS extracted FROM documents""",
     "token_count": """SELECT doc_id,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens FROM documents""",
+    # same pattern string as text.BPE_TOKEN_RE — no lookarounds, so
+    # Java regex (Spark) and RE2 (DuckDB) match identically
+    "token_count_bpe": """SELECT doc_id,
+       CAST(len(regexp_extract_all(text,
+         e'\\'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s\\']+|\\s+'))
+         AS INT) AS n_tokens_bpe FROM documents""",
     "text_quality": """SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

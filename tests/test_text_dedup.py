@@ -25,6 +25,32 @@ def test_extract_text_byte_identical(spark, sf_correct):
     assert joined.count() == 0
 
 
+def test_token_count_bpe_matches_python_re(spark):
+    """The JVM regexp count equals Python re.findall on the same pattern
+    for adversarial inputs (contractions, digit runs, punctuation runs,
+    multi-space, unicode-free edge strings)."""
+    import re
+
+    samples = [
+        "it's the 1990s, isn't it?  we'll see...",
+        "a  b   c\t\nd",
+        "don't stop!!! 123 456x7",
+        "word",
+        "--- ## @@@ 42",
+        "I'd've thought so",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.n_tokens_bpe for r in text.token_count_bpe(df).collect()}
+    pat = re.compile(text.BPE_TOKEN_RE)
+    want = {i: len(pat.findall(s)) for i, s in enumerate(samples)}
+    assert got == want
+    # the pattern is lossless: matches concatenate back to the input
+    for s in samples:
+        assert "".join(pat.findall(s)) == s
+
+
 def test_doc_fingerprint_matches_numpy_kernel(spark, sf_smoke):
     docs = _docs(spark, sf_smoke)
     got = {r.doc_id: r.fingerprint for r in text.doc_fingerprint(docs).collect()}
