@@ -791,6 +791,10 @@ def q_token_count_bpe(spark, sf_dir):
     return text.token_count_bpe(_docs(spark, sf_dir))
 
 
+def q_quality_filter(spark, sf_dir):
+    return text.quality_filter(_docs(spark, sf_dir))
+
+
 def q_text_quality(spark, sf_dir):
     return text.text_quality(_docs(spark, sf_dir))
 
@@ -1038,6 +1042,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_poly_shp_indexed": q_pip_poly_shp_indexed,
     "pip_poly_holes": q_pip_poly_holes,
     "token_count_bpe": q_token_count_bpe,
+    "quality_filter": q_quality_filter,
     # --- fillers to 50: representatives re-verified from the r3 window
     # (tfidf_top_terms carries the r4 de-action fix) ---
     "tfidf_top_terms": q_tfidf_top_terms,

@@ -554,17 +554,24 @@ def compute_control() -> dict:
     def worker(q):
         q.put(raycast())
 
-    t1 = raycast()
-    q = mp.Queue()
-    ps = [mp.Process(target=worker, args=(q,)) for _ in range(SCALE_4N)]
-    t0 = time.time()
-    for p in ps:
-        p.start()
-    for p in ps:
-        p.join()
-    wall = time.time() - t0
-    for _ in ps:
-        q.get()
+    def multi_wall() -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=worker, args=(q,)) for _ in range(SCALE_4N)]
+        t0 = time.time()
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        wall = time.time() - t0
+        for _ in ps:
+            q.get()
+        return wall
+
+    # best-of-2 per side: this is a host CAPABILITY control, and a stall
+    # inside a single ~1 s trial on either side fabricates an impossible
+    # ratio (a stalled 1-proc side once measured "efficiency" 1.29)
+    t1 = min(raycast(), raycast())
+    wall = min(multi_wall(), multi_wall())
     return {
         "raycast_1proc_sec": round(t1, 2),
         f"raycast_{SCALE_4N}proc_wall_sec": round(wall, 2),

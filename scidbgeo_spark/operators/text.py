@@ -104,6 +104,49 @@ def text_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+# C4-style curation rule bits (quality_filter's fail_mask)
+Q_FEW_TOKENS = 1  # n_tokens < min_tokens
+Q_CHARS_PER_TOKEN = 2  # chars/token outside [cpt_lo, cpt_hi]
+Q_PUNCT = 4  # punctuation ratio above punct_max
+Q_LEXDIV = 8  # lexical diversity below lex_min (boilerplate/repetition)
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int = 30,
+    cpt_lo: float = 3.0,
+    cpt_hi: float = 12.0,
+    punct_max: float = 0.2,
+    lex_min: float = 0.35,
+) -> DataFrame:
+    """C4-style heuristic curation filter: (doc_id, keep, fail_mask)
+    where ``fail_mask`` ORs a bit per failed rule (too few tokens,
+    words implausibly short/long, too much punctuation, low lexical
+    diversity).  Keeping the mask instead of dropping rows makes the
+    filter auditable — a curation pipeline reports WHY documents fell
+    out, then anti-joins on keep.  All features are the text_quality
+    expressions (single exact divisions), so threshold comparisons are
+    bitwise identical across engines and the DuckDB twin is exact."""
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text").cast("long")
+    cpt = n_chars / n_tokens
+    n_punct = n_chars - F.length(
+        F.regexp_replace("text", r"[^A-Za-z0-9 ]", "")
+    ).cast("long")
+    punct = n_punct / n_chars
+    lex = F.size(F.array_distinct(toks)) / n_tokens
+    mask = (
+        F.when(n_tokens < min_tokens, Q_FEW_TOKENS).otherwise(0)
+        + F.when((cpt < cpt_lo) | (cpt > cpt_hi), Q_CHARS_PER_TOKEN).otherwise(0)
+        + F.when(punct > punct_max, Q_PUNCT).otherwise(0)
+        + F.when(lex < lex_min, Q_LEXDIV).otherwise(0)
+    ).cast("int")
+    return docs.select(
+        "doc_id", (mask == 0).alias("keep"), mask.alias("fail_mask")
+    )
+
+
 # marker-word table: occurrence counts of distinctive words vote for a
 # language label (n-gram-heuristic shape; markers are configurable — the
 # fixture corpus has a synthetic vocabulary, so markers come from it).

@@ -352,6 +352,23 @@ FROM hits JOIN tok USING (doc_id) GROUP BY 1""",
        CAST(len(regexp_extract_all(text,
          e'\\'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s\\']+|\\s+'))
          AS INT) AS n_tokens_bpe FROM documents""",
+    # same rule thresholds/bits as text.quality_filter defaults
+    "quality_filter": """SELECT doc_id, fail_mask = 0 AS keep, fail_mask FROM (
+  SELECT doc_id,
+     CAST(CASE WHEN n_tokens < 30 THEN 1 ELSE 0 END
+        + CASE WHEN cpt < 3.0 OR cpt > 12.0 THEN 2 ELSE 0 END
+        + CASE WHEN punct > 0.2 THEN 4 ELSE 0 END
+        + CASE WHEN lex < 0.35 THEN 8 ELSE 0 END AS INT) AS fail_mask
+  FROM (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(text) AS BIGINT) / len(string_split(text, ' ')) AS cpt,
+           (CAST(length(text) AS BIGINT)
+              - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+             / CAST(length(text) AS BIGINT) AS punct,
+           len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' ')) AS lex
+    FROM documents))""",
     "text_quality": """SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,

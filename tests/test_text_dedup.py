@@ -51,6 +51,29 @@ def test_token_count_bpe_matches_python_re(spark):
         assert "".join(pat.findall(s)) == s
 
 
+def test_quality_filter_rule_bits(spark, sf_correct):
+    """Each curation rule fires its own mask bit on crafted rows, and
+    the fixture corpus splits nontrivially on the defaults."""
+    rows = [
+        (0, " ".join(f"w{i}" for i in range(40))),  # clean -> keep
+        (1, "only three words"),  # too few tokens (bit 1)
+        (2, " ".join("supercalifragilistic" for _ in range(40))),  # cpt>12 (2) + lex (8)
+        (3, " ".join("!!!" for _ in range(40))),  # punct (4) + lex (8); cpt ok (3.0+1... )
+        (4, " ".join(["dup"] * 40)),  # low lexical diversity (8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.keep, r.fail_mask) for r in text.quality_filter(df).collect()}
+    assert got[0] == (True, 0)
+    assert got[1][1] & text.Q_FEW_TOKENS
+    assert got[2][1] & text.Q_CHARS_PER_TOKEN and got[2][1] & text.Q_LEXDIV
+    assert got[3][1] & text.Q_PUNCT
+    assert got[4] == (False, text.Q_LEXDIV)
+    corpus = text.quality_filter(_docs(spark, sf_correct))
+    kept = corpus.filter("keep").count()
+    total = corpus.count()
+    assert 0 < kept < total  # defaults split the fixture corpus
+
+
 def test_doc_fingerprint_matches_numpy_kernel(spark, sf_smoke):
     docs = _docs(spark, sf_smoke)
     got = {r.doc_id: r.fingerprint for r in text.doc_fingerprint(docs).collect()}
