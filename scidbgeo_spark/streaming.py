@@ -45,6 +45,22 @@ def hourly_event_stream(spark: SparkSession, events_dir: str) -> DataFrame:
     )
 
 
+def run_append_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
+    """Drive an append-mode stream (dedup, stateless maps) to completion
+    synchronously and return the materialized rows."""
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return stream_df.sparkSession.sql(f"SELECT * FROM {name}")
+
+
 def run_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
     """Drive a streaming aggregation to completion synchronously and
     return the materialized result (test/demo harness)."""
@@ -112,6 +128,32 @@ def zone_page_stream(
             "zone_id",
             "n_pages",
         )
+    )
+
+
+def dedup_stream(
+    spark: SparkSession, docs_dir: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """STREAMING EXACT DEDUP: readStream over a directory of document
+    parquet -> content hash (md5, the batch dedup_exact key) ->
+    ``dropDuplicatesWithinWatermark`` on the hash.  The first arrival of
+    each distinct content passes; later copies inside the watermark
+    horizon are dropped, and state for hashes older than the watermark
+    is evicted — so state size is bounded by the dedup horizon, not the
+    stream's lifetime (the property that keeps a Common-Crawl-style
+    feed's dedup state from growing without bound).  Cross-horizon
+    duplicates are the batch layer's job (dedup_exact over the
+    accumulated table) — the standard streaming/batch split."""
+    schema = spark.read.parquet(docs_dir).schema
+    docs = spark.readStream.schema(schema).parquet(docs_dir)
+    docs = docs.withColumn("arrival_ts", F.col("ts").cast("timestamp")) if "ts" in [
+        f.name for f in schema.fields
+    ] else docs.withColumn("arrival_ts", F.current_timestamp())
+    return (
+        docs.withColumn("content_hash", F.md5("text"))
+        .withWatermark("arrival_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .select("doc_id", "content_hash")
     )
 
 

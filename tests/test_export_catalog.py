@@ -302,6 +302,36 @@ def test_cli_ingest_geotiff(spark, sf_correct, tmp_path):
     assert cat.current_version(t3["array_table"]) == 1
 
 
+def test_dedup_stream_drops_duplicates_within_horizon(spark, tmp_path):
+    """Streaming exact dedup: later copies of a content hash inside the
+    watermark horizon are dropped, across micro-batches, and the
+    survivor set equals batch dedup's distinct-hash set."""
+    from scidbgeo_spark import streaming
+
+    rows = [(i, f"text body {i % 4}") for i in range(12)]  # 4 distinct
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "docs_stream")
+    df.filter("doc_id < 6").write.parquet(d)
+    stream = streaming.dedup_stream(spark, d, watermark="1 hour")
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ds_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        df.filter("doc_id >= 6").write.mode("append").parquet(d)
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM ds_test").collect()
+    finally:
+        q.stop()
+    hashes = [r.content_hash for r in got]
+    assert len(hashes) == len(set(hashes)) == 4  # one survivor per content
+    # survivors are first arrivals: all from the first file batch
+    assert all(r.doc_id < 6 for r in got)
+
+
 def test_zone_page_stream_equals_batch(spark, tmp_path):
     """The streaming pages->geotags->PIP->daily-zone-counts pipeline
     converges to the batch result, including files that arrive after the
