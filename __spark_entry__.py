@@ -913,6 +913,36 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
+def q_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup: deterministic url variants (scheme
+    case, http/https, www., trailing slash) derive from doc_id so each
+    canonical url has exactly two variant spellings; normalization must
+    collapse them to one keep row each."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    scheme = F.element_at(
+        F.array(
+            F.lit("https://"),
+            F.lit("http://"),
+            F.lit("HTTPS://www."),
+            F.lit("https://www."),
+        ),
+        (i % 4 + 1).cast("int"),
+    )
+    p = F.floor(i / 2)
+    url = F.concat(
+        scheme,
+        F.lit("site"),
+        (p % 7).cast("string"),
+        F.lit(".example/p/"),
+        p.cast("string"),
+        F.when(i % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    return dedup.url_dedup(docs.select("doc_id", url.alias("url")))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(dedup.dup_corpus(_docs(spark, sf_dir)))
 
@@ -1043,6 +1073,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_poly_holes": q_pip_poly_holes,
     "token_count_bpe": q_token_count_bpe,
     "quality_filter": q_quality_filter,
+    "url_dedup": q_url_dedup,
     # --- fillers to 50: representatives re-verified from the r3 window
     # (tfidf_top_terms carries the r4 de-action fix) ---
     "tfidf_top_terms": q_tfidf_top_terms,

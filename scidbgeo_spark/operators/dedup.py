@@ -53,6 +53,33 @@ def dup_corpus(docs: DataFrame) -> DataFrame:
     return base.unionAll(near).unionAll(exact)
 
 
+def url_normalize(url) -> "F.Column":
+    """Crawl-side URL canonicalization: lowercase, strip scheme, strip a
+    leading www., drop the fragment, strip one trailing slash.  Pure
+    JVM regexp chain (identical patterns run on DuckDB's RE2 — no
+    lookarounds), so the oracle twin is exact."""
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"^https?://", "")
+    u = F.regexp_replace(u, r"^www\.", "")
+    u = F.regexp_replace(u, r"#.*$", "")
+    return F.regexp_replace(u, r"/$", "")
+
+
+def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> DataFrame:
+    """URL dedup: one row per CANONICAL url with the kept (minimum) id
+    and copy count — the crawl-curation step that collapses
+    http/https/www/trailing-slash/fragment variants of the same page
+    before any content hashing runs.  Hash-partitioned groupBy on the
+    normalized url: scale-safe (map-side partials, no skew beyond the
+    url distribution itself)."""
+    return (
+        df.select(F.col(id_col), url_normalize(F.col(url_col)).alias("url_norm"))
+        .groupBy("url_norm")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("url_norm", "keep_id", "n_copies")
+    )
+
+
 def dedup_exact(corpus: DataFrame) -> DataFrame:
     """Exact dedup by content hash: one row per distinct text with the
     kept (minimum) id and the group size."""

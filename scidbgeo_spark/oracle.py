@@ -352,6 +352,22 @@ FROM hits JOIN tok USING (doc_id) GROUP BY 1""",
        CAST(len(regexp_extract_all(text,
          e'\\'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s\\']+|\\s+'))
          AS INT) AS n_tokens_bpe FROM documents""",
+    # same variant construction as q_url_dedup and the same
+    # normalization regexp chain as dedup.url_normalize
+    "url_dedup": """WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 4 WHEN 0 THEN 'https://' WHEN 1 THEN 'http://'
+         WHEN 2 THEN 'HTTPS://www.' ELSE 'https://www.' END
+    || 'site' || CAST((doc_id // 2) % 7 AS VARCHAR)
+    || '.example/p/' || CAST(doc_id // 2 AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END AS url
+  FROM documents)
+SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         lower(url), '^https?://', ''), '^www\\.', ''), '#.*$', ''),
+         '/$', '') AS url_norm,
+       CAST(min(doc_id) AS BIGINT) AS keep_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM u GROUP BY 1""",
     # same rule thresholds/bits as text.quality_filter defaults
     "quality_filter": """SELECT doc_id, fail_mask = 0 AS keep, fail_mask FROM (
   SELECT doc_id,

@@ -83,6 +83,25 @@ def test_doc_fingerprint_matches_numpy_kernel(spark, sf_smoke):
         assert got[r.doc_id] == int(w)
 
 
+def test_url_normalize_variants_collapse(spark):
+    """Scheme case, http/https, www., fragments and one trailing slash
+    all normalize away; distinct pages stay distinct."""
+    variants = [
+        "https://Site0.example/p/1",
+        "HTTP://site0.example/p/1/",
+        "https://www.site0.example/p/1#frag",
+        "http://www.SITE0.example/p/1",
+    ]
+    other = ["https://site0.example/p/2", "https://wwwx.example/p/1"]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(variants + other)], "doc_id long, url string"
+    )
+    rows = {r.url_norm: (r.keep_id, r.n_copies) for r in dedup.url_dedup(df).collect()}
+    assert rows["site0.example/p/1"] == (0, 4)
+    assert rows["site0.example/p/2"][1] == 1
+    assert rows["wwwx.example/p/1"][1] == 1  # www. strips only as a label prefix
+
+
 def test_dedup_exact_finds_injected_dups(spark, sf_smoke):
     docs = _docs(spark, sf_smoke)
     n = docs.count()
