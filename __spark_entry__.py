@@ -795,6 +795,10 @@ def q_quality_filter(spark, sf_dir):
     return text.quality_filter(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    return text.repetition_stats(_docs(spark, sf_dir))
+
+
 def q_text_quality(spark, sf_dir):
     return text.text_quality(_docs(spark, sf_dir))
 
@@ -1073,6 +1077,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_poly_holes": q_pip_poly_holes,
     "token_count_bpe": q_token_count_bpe,
     "quality_filter": q_quality_filter,
+    "repetition_stats": q_repetition_stats,
     "url_dedup": q_url_dedup,
     # --- fillers to 50: representatives re-verified from the r3 window
     # (tfidf_top_terms carries the r4 de-action fix) ---

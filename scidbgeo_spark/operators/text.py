@@ -147,6 +147,30 @@ def quality_filter(
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Within-document repetition signal (the Gopher-rules shape): the
+    most frequent token BIGRAM's share of all bigrams, plus the
+    distinct-bigram ratio.  Boilerplate and template spam concentrate
+    probability mass on a few bigrams; natural text spreads it.  One
+    explode + one (doc_id, bigram) hash aggregate + one per-doc
+    aggregate — bigrams shuffle as counts, and integer counts with a
+    single closing division keep the DuckDB twin bitwise."""
+    toks = F.split("text", " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )
+    bg = docs.select("doc_id", F.explode(bigrams).alias("b"))
+    counts = bg.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
+    return counts.groupBy("doc_id").agg(
+        F.max("n").alias("top_bigram_n"),
+        F.sum("n").alias("n_bigrams"),
+        F.count("*").alias("n_distinct_bigrams"),
+        (F.max("n") / F.sum("n")).alias("top_bigram_frac"),
+        (F.count("*") / F.sum("n")).alias("distinct_bigram_ratio"),
+    )
+
+
 # marker-word table: occurrence counts of distinctive words vote for a
 # language label (n-gram-heuristic shape; markers are configurable — the
 # fixture corpus has a synthetic vocabulary, so markers come from it).

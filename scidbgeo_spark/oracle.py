@@ -352,6 +352,21 @@ FROM hits JOIN tok USING (doc_id) GROUP BY 1""",
        CAST(len(regexp_extract_all(text,
          e'\\'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s\\']+|\\s+'))
          AS INT) AS n_tokens_bpe FROM documents""",
+    "repetition_stats": """WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS b
+  FROM tok, lateral (SELECT unnest(generate_series(1, len(t)-1)) AS i)
+),
+counts AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS n
+           FROM bg GROUP BY 1, 2)
+SELECT doc_id,
+  CAST(max(n) AS BIGINT) AS top_bigram_n,
+  CAST(sum(n) AS BIGINT) AS n_bigrams,
+  CAST(count(*) AS BIGINT) AS n_distinct_bigrams,
+  max(n) / CAST(sum(n) AS BIGINT) AS top_bigram_frac,
+  count(*) / CAST(sum(n) AS BIGINT) AS distinct_bigram_ratio
+FROM counts GROUP BY 1""",
     # same variant construction as q_url_dedup and the same
     # normalization regexp chain as dedup.url_normalize
     "url_dedup": """WITH u AS (

@@ -83,6 +83,22 @@ def test_doc_fingerprint_matches_numpy_kernel(spark, sf_smoke):
         assert got[r.doc_id] == int(w)
 
 
+def test_repetition_stats_flags_boilerplate(spark):
+    """A templated doc concentrates bigram mass; natural-ish text
+    spreads it.  Counts verified by hand on a tiny doc."""
+    rows = [
+        (0, "a b a b a b"),  # bigrams: ab,ba,ab,ba,ab -> top 3/5
+        (1, "one two three four five six"),  # all distinct -> top 1/5
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    assert got[0].top_bigram_n == 3 and got[0].n_bigrams == 5
+    assert got[0].top_bigram_frac == 0.6
+    assert got[0].n_distinct_bigrams == 2
+    assert got[1].top_bigram_n == 1 and got[1].n_distinct_bigrams == 5
+    assert got[1].top_bigram_frac == 0.2
+
+
 def test_url_normalize_variants_collapse(spark):
     """Scheme case, http/https, www., fragments and one trailing slash
     all normalize away; distinct pages stay distinct."""
