@@ -767,6 +767,16 @@ def q_knn(spark, sf_dir):
     return knn_mod.knn(spark, pts, queries, k=10)
 
 
+def q_distance_join(spark, sf_dir):
+    """Within-radius spatial range join: points vs 10 nation-derived
+    POIs at 12-degree radius, via 3x3 cell-neighborhood replication +
+    exact distance filter (operators/knn.distance_join).  Oracle:
+    brute-force cross join with the same distance arithmetic."""
+    pts = model.points(spark, sf_dir)
+    pois = knn_mod.knn_queries_from_nation(spark, sf_dir, limit=10)
+    return knn_mod.distance_join(pts, pois, radius=12.0)
+
+
 def q_knn_bulk(spark, sf_dir):
     """Many-query kNN join (all 25 nation-derived query points, no
     broadcast/driver loop — the sort-merge path)."""
@@ -836,6 +846,32 @@ def q_events_cube(spark, sf_dir):
         ev.select("event_type", hour)
         .cube("event_type", "hour")
         .agg(F.count("*").alias("n"))
+    )
+
+
+def q_events_asof(spark, sf_dir):
+    """AS-OF join (custom operator Spark lacks natively): every event
+    picks up the user's most recent signup-state row at or before its
+    timestamp, via operators/temporal.asof_join's one-shuffle
+    union + last-non-null window plan.  Oracle: DuckDB's NATIVE
+    ASOF LEFT JOIN — the semantics are pinned engine-to-engine."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.operators import temporal
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.select("event_id", "user_id", "ts")
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("state_id"))
+    )
+    out = temporal.asof_join(left, right, on="user_id")
+    # events before any signup have no state row: -1 sentinel keeps the
+    # result column integral (a null BIGINT degrades to float NaN in
+    # arrow/pandas comparisons)
+    return out.select(
+        "event_id", "user_id", F.coalesce("state_id", F.lit(-1)).alias("state_id")
     )
 
 
@@ -1079,6 +1115,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "repetition_stats": q_repetition_stats,
     "url_dedup": q_url_dedup,
+    "events_asof": q_events_asof,
+    "distance_join": q_distance_join,
     # --- fillers to 50: representatives re-verified from the r3 window
     # (tfidf_top_terms carries the r4 de-action fix) ---
     "tfidf_top_terms": q_tfidf_top_terms,

@@ -221,6 +221,76 @@ def knn_join_bulk(
     return out
 
 
+def distance_join(
+    points: DataFrame, pois: DataFrame, radius: float, cell: float = CELL
+) -> DataFrame:
+    """RANGE (within-distance) join — the second custom spatial join
+    Spark lacks natively: one row per (point, POI) pair with squared
+    flat-plane distance <= radius^2.
+
+    Scale shape: each POI replicates to its grid cell's 3x3
+    neighborhood (requires radius <= cell, asserted — the disc then
+    cannot escape the neighborhood), points compute one cell id, and
+    the pair space collapses from |P| x |Q| to an equi-join on the cell
+    followed by the exact distance filter.  Replication is a constant
+    x9 on the POI side only; both sides stay fully distributed — no
+    driver loop, no cross join.  The exact filter makes candidate
+    over-coverage semantically invisible, so cell clamping at the world
+    edge needs no wraparound cases (flat-plane semantics, same as knn
+    and the oracle)."""
+    if radius > cell:
+        raise ValueError(f"distance_join requires radius <= cell ({radius} > {cell})")
+    ny, nx = NY, NX
+    p = pois.select(
+        "q_id",
+        "qlon",
+        "qlat",
+        F.floor((F.col("qlat") + 90.0) / cell).alias("cy"),
+        F.floor((F.col("qlon") + 180.0) / cell).alias("cx"),
+    )
+    p = p.select(
+        "q_id",
+        "qlon",
+        "qlat",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("cy") - 1, F.lit(0)),
+                F.least(F.col("cy") + 1, F.lit(ny - 1)),
+            )
+        ).alias("ncy"),
+        "cx",
+    ).select(
+        "q_id",
+        "qlon",
+        "qlat",
+        "ncy",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("cx") - 1, F.lit(0)),
+                F.least(F.col("cx") + 1, F.lit(nx - 1)),
+            )
+        ).alias("ncx"),
+    )
+    cand = p.select(
+        "q_id", "qlon", "qlat", (F.col("ncy") * nx + F.col("ncx")).cast("long").alias("cell")
+    )
+    pts = points.withColumn(
+        "cell",
+        (
+            F.floor((F.col("lat") + 90.0) / cell) * nx
+            + F.floor((F.col("lon") + 180.0) / cell)
+        ).cast("long"),
+    )
+    d2 = (F.col("lon") - F.col("qlon")) * (F.col("lon") - F.col("qlon")) + (
+        F.col("lat") - F.col("qlat")
+    ) * (F.col("lat") - F.col("qlat"))
+    return (
+        pts.join(F.broadcast(cand), "cell")
+        .filter(d2 <= radius * radius)
+        .select("doc_id", "q_id", d2.alias("dist2"))
+    )
+
+
 def knn_queries_from_nation(spark: SparkSession, sf_dir: str, limit: int = 5) -> DataFrame:
     """Deterministic query points derived from the nation table (oracle.py
     'knn' uses the identical arithmetic)."""

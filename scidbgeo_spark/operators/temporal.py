@@ -1,0 +1,64 @@
+"""Temporal joins Spark lacks natively: AS-OF join via the union +
+last-non-null window trick.
+
+No reference analog (the reference is strictly batch-spatial); this is
+the event-stream companion the north-star's web-page feed needs — "join
+each event to the most recent state row at or before its timestamp"
+(dimension snapshots, model-version rollouts, user-state changelogs).
+
+Scale shape: ONE shuffle (the window partition on the join key).  Right
+rows interleave with left rows in event-time order inside each key
+partition and a running ``last(..., ignorenulls=True)`` carries the
+state forward — no range expansion, no per-row lookup, skew bounded by
+the hottest key's row count like any keyed window.  DuckDB's native
+ASOF JOIN is the oracle twin, so the semantics are pinned exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+) -> DataFrame:
+    """For every left row, attach the right row with the greatest
+    ``right_ts <= left_ts`` within the same ``on`` key (LEFT semantics:
+    unmatched left rows keep nulls).
+
+    ``right`` must be unique per (on, right_ts) — pre-aggregate a
+    changelog first (the deterministic-tie contract DuckDB's ASOF JOIN
+    shares).  All right columns except the key and timestamp come back
+    state-carried."""
+    state_cols = [c for c in right.columns if c not in (on, right_ts)]
+    l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn(
+        "__is_left", F.lit(1)
+    )
+    for c in state_cols:
+        l_tagged = l_tagged.withColumn(c, F.lit(None).cast(right.schema[c].dataType))
+    r_tagged = right.withColumn("__t", F.col(right_ts)).withColumn(
+        "__is_left", F.lit(0)
+    )
+    for c in left.columns:
+        if c not in r_tagged.columns:
+            r_tagged = r_tagged.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
+    cols = [on, "__t", "__is_left", *state_cols] + [
+        c for c in left.columns if c != on
+    ]
+    u = l_tagged.select(*cols).unionByName(r_tagged.select(*cols))
+    # right rows sort BEFORE left rows at equal timestamps so
+    # right_ts == left_ts matches (the ASOF >= contract)
+    w = (
+        Window.partitionBy(on)
+        .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u
+    for c in state_cols:
+        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return carried.filter(F.col("__is_left") == 1).drop("__t", "__is_left")

@@ -352,6 +352,27 @@ FROM hits JOIN tok USING (doc_id) GROUP BY 1""",
        CAST(len(regexp_extract_all(text,
          e'\\'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s\\']+|\\s+'))
          AS INT) AS n_tokens_bpe FROM documents""",
+    "distance_join": f"""WITH {PTS},
+q AS (
+  SELECT n_nationkey AS q_id,
+         -180.0 + ((n_nationkey * 77777) % 360000) / 1000.0 AS qlon,
+         -90.0 + ((n_nationkey * 33333) % 180000) / 1000.0 AS qlat
+  FROM nation WHERE n_nationkey < 10
+)
+SELECT p.doc_id, q.q_id,
+       (p.lon - q.qlon) * (p.lon - q.qlon)
+     + (p.lat - q.qlat) * (p.lat - q.qlat) AS dist2
+FROM pts p CROSS JOIN q
+WHERE (p.lon - q.qlon) * (p.lon - q.qlon)
+    + (p.lat - q.qlat) * (p.lat - q.qlat) <= 144.0""",
+    # DuckDB's NATIVE ASOF JOIN pins the as-of semantics exactly
+    "events_asof": """WITH r AS (
+  SELECT user_id, ts, CAST(max(event_id) AS BIGINT) AS state_id
+  FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+SELECT e.event_id, e.user_id,
+       CAST(coalesce(r.state_id, -1) AS BIGINT) AS state_id
+FROM events e ASOF LEFT JOIN r
+  ON e.user_id = r.user_id AND e.ts >= r.ts""",
     "repetition_stats": """WITH tok AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents),
 bg AS (

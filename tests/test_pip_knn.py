@@ -306,3 +306,64 @@ def test_cell_rollup_pyramid_consistent(spark, sf_correct):
     for cell, cnt in by_res[8].items():
         agg4[cell >> 8] = agg4.get(cell >> 8, 0) + cnt
     assert agg4 == by_res[4]
+
+
+def test_asof_join_semantics(spark):
+    """As-of contract on crafted rows: equal timestamps MATCH
+    (right_ts <= left_ts), the latest prior state wins, keys without a
+    prior state stay null, and state does not leak across keys."""
+    from scidbgeo_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [
+            (1, 100, 5),  # after s1, before s2 -> s1
+            (2, 100, 10),  # exactly at s2 -> s2 (>= semantics)
+            (3, 100, 11),  # after s2 -> s2
+            (4, 100, 1),  # before any state -> null
+            (5, 200, 50),  # other key, no states at all -> null
+        ],
+        "event_id long, user_id long, ts long",
+    )
+    right = spark.createDataFrame(
+        [(100, 2, 901), (100, 10, 902)],
+        "user_id long, ts long, state_id long",
+    )
+    out = temporal.asof_join(left, right, on="user_id")
+    got = {r.event_id: r.state_id for r in out.collect()}
+    assert got == {1: 901, 2: 902, 3: 902, 4: None, 5: None}
+
+
+def test_distance_join_matches_bruteforce(spark):
+    """Cell-neighborhood range join equals brute force, including a pair
+    exactly AT the radius (<=) and POIs whose discs straddle cell
+    boundaries."""
+    import numpy as np
+    import pytest
+
+    from scidbgeo_spark.operators import knn as knn_mod
+
+    rng = np.random.default_rng(11)
+    pts_rows = [
+        (int(i), float(lo), float(la))
+        for i, (lo, la) in enumerate(
+            zip(rng.uniform(-179, 179, 300), rng.uniform(-89, 89, 300))
+        )
+    ] + [(1000, 30.0, 10.0)]  # exactly radius-12 below poi (30, 22)
+    pois_rows = [(0, 30.0, 22.0), (1, -14.9, 0.1), (2, 178.0, 88.0)]
+    pts = spark.createDataFrame(pts_rows, "doc_id long, lon double, lat double")
+    pois = spark.createDataFrame(pois_rows, "q_id long, qlon double, qlat double")
+    R = 12.0
+    got = {
+        (r.doc_id, r.q_id)
+        for r in knn_mod.distance_join(pts, pois, radius=R).collect()
+    }
+    want = {
+        (d, q)
+        for d, lo, la in pts_rows
+        for q, qlo, qla in pois_rows
+        if (lo - qlo) ** 2 + (la - qla) ** 2 <= R * R
+    }
+    assert got == want
+    assert (1000, 0) in got  # the exactly-at-radius pair is included
+    with pytest.raises(ValueError, match="radius <= cell"):
+        knn_mod.distance_join(pts, pois, radius=20.0)
