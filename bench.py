@@ -63,8 +63,10 @@ SCALE_TRIALS_4N = int(os.environ.get("BENCH_SCALE_TRIALS_4N", "1"))
 SCALE_BUDGET_S = int(os.environ.get("BENCH_SCALE_BUDGET_S", "360"))
 # absolute safety stop: the pair loop may overrun SCALE_BUDGET_S while
 # still short of SCALE_PAIRS sane pairs (collecting evidence beats an
-# under-powered median) but never past this hard wall
-SCALE_HARD_S = int(os.environ.get("BENCH_SCALE_HARD_S", "560"))
+# under-powered median) but never past this hard wall.  640 s covers a
+# storm where several pairs drop on cratered controls (measured: a
+# 560 s wall cut one run at 5 kept pairs, one short of quorum).
+SCALE_HARD_S = int(os.environ.get("BENCH_SCALE_HARD_S", "640"))
 # constant across core counts: same job, same partitioning.  8 (not 32):
 # 144 tiles / 9.4M rows need few reducers, and 32-way fan-out pays ~25%
 # task/scheduling overhead on BOTH sides (measured: N 10.5->8.2 s,
