@@ -240,7 +240,13 @@ def distance_join(
     and the oracle)."""
     if radius > cell:
         raise ValueError(f"distance_join requires radius <= cell ({radius} > {cell})")
-    ny, nx = NY, NX
+    # grid dims derive from THIS call's cell size — the module-level
+    # NY/NX belong to CELL and using them for a finer cell would let
+    # floor((coord+90)/cell) exceed ny-1, inverting the clamp bounds
+    # (descending sequence) and colliding cell ids across rows
+    if 360.0 % cell != 0.0 or 180.0 % cell != 0.0:
+        raise ValueError(f"cell size {cell} must divide 360 and 180 evenly")
+    ny, nx = int(round(180.0 / cell)), int(round(360.0 / cell))
     p = pois.select(
         "q_id",
         "qlon",

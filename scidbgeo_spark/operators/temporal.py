@@ -36,6 +36,14 @@ def asof_join(
     shares).  All right columns except the key and timestamp come back
     state-carried."""
     state_cols = [c for c in right.columns if c not in (on, right_ts)]
+    clash = set(state_cols) & set(left.columns)
+    if clash:
+        # silently nulling a shared-name left column and replacing it
+        # with the carried right value would corrupt data with no error
+        raise ValueError(
+            f"asof_join: right state columns {sorted(clash)} collide with "
+            "left columns — rename one side before joining"
+        )
     l_tagged = left.withColumn("__t", F.col(left_ts)).withColumn(
         "__is_left", F.lit(1)
     )

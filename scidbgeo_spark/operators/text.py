@@ -154,12 +154,21 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
     probability mass on a few bigrams; natural text spreads it.  One
     explode + one (doc_id, bigram) hash aggregate + one per-doc
     aggregate — bigrams shuffle as counts, and integer counts with a
-    single closing division keep the DuckDB twin bitwise."""
+    single closing division keep the DuckDB twin bitwise.
+
+    Docs with fewer than two tokens have NO bigrams and emit no row —
+    guarded explicitly because Spark's ``sequence(1, 0)`` is the
+    DESCENDING array [1, 0] (element_at(toks, 0) then throws), while
+    DuckDB's ``generate_series(1, 0)`` is empty; the guard pins the
+    empty-bigram semantics both engines can agree on."""
     toks = F.split("text", " ")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     bg = docs.select("doc_id", F.explode(bigrams).alias("b"))
     counts = bg.groupBy("doc_id", "b").agg(F.count("*").alias("n"))
     return counts.groupBy("doc_id").agg(

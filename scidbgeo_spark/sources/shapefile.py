@@ -86,8 +86,12 @@ def parse_polygon_content(data: bytes, pos: int = 0) -> list[np.ndarray]:
     return rings
 
 
-def parse_dbf(data: bytes, field: str) -> list[int]:
-    """Integer values of ``field`` for every non-deleted .dbf record."""
+def parse_dbf(data: bytes, field: str) -> list[int | None]:
+    """Integer values of ``field``, one slot per .dbf record in file
+    order; deleted records (flag ``*``) hold ``None`` so the list stays
+    index-aligned with the .shp record stream (both scan paths skip the
+    Nones, so a file with deleted rows reads identically whole-file and
+    .shx-indexed)."""
     if not data or data[0] not in (0x03, 0x83):
         raise ValueError("not a dBASE III .dbf")
     n_records = struct.unpack("<I", data[4:8])[0]
@@ -114,10 +118,11 @@ def parse_dbf(data: bytes, field: str) -> list[int]:
             "be numeric (N/F) — map string zone names to integer ids "
             "before export, or point zone_field at a numeric column"
         )
-    vals = []
+    vals: list[int | None] = []
     for r in range(n_records):
         rec = data[header_size + r * record_size :][:record_size]
-        if rec[:1] == b"*":  # deleted
+        if rec[:1] == b"*":  # deleted: placeholder keeps alignment
+            vals.append(None)
             continue
         vals.append(int(rec[f_off : f_off + f_len].decode("ascii").strip() or "0"))
     return vals
@@ -175,6 +180,8 @@ def polygons_from_shp(
                         f".dbf has {len(zids)} records, .shp has {len(recs)}"
                     )
                 for zid, rings in zip(zids, recs):
+                    if zid is None:  # deleted .dbf record
+                        continue
                     for rno, ring in enumerate(rings):
                         rows["zone_id"].append(zid)
                         rows["ring_no"].append(rno)
@@ -272,11 +279,19 @@ def polygons_from_shp_indexed(
                     offs, lens = row["offsets"], row["lengths"]
                     rec_no = int(row["rec_start"])
                     for o, ln in zip(offs, lens):
+                        # deletion flag first: a deleted record (flag
+                        # '*') is skipped BEFORE the .shp bytes are even
+                        # read, keeping rec_no aligned — matches the
+                        # whole-file reader's skip semantics
+                        dbf_f.seek(header_size + rec_no * record_size)
+                        if dbf_f.read(1) == b"*":
+                            rec_no += 1
+                            continue
+                        dbf_f.seek(header_size + rec_no * record_size + f_off)
+                        zid = int(dbf_f.read(f_len).decode("ascii").strip() or "0")
                         shp_f.seek(int(o) + 8)  # skip the record header
                         content = shp_f.read(int(ln))
                         rings = parse_polygon_content(content)
-                        dbf_f.seek(header_size + rec_no * record_size + f_off)
-                        zid = int(dbf_f.read(f_len).decode("ascii").strip() or "0")
                         for rno, ring in enumerate(rings):
                             rows["zone_id"].append(zid)
                             rows["ring_no"].append(rno)

@@ -367,3 +367,38 @@ def test_distance_join_matches_bruteforce(spark):
     assert (1000, 0) in got  # the exactly-at-radius pair is included
     with pytest.raises(ValueError, match="radius <= cell"):
         knn_mod.distance_join(pts, pois, radius=20.0)
+    # non-default (finer) cell: grid dims must derive from THIS cell, not
+    # the module-level CELL=15 constants — with NY/NX stale, edge clamps
+    # invert and cell ids collide, silently dropping/adding pairs
+    R2 = 4.0
+    got_fine = {
+        (r.doc_id, r.q_id)
+        for r in knn_mod.distance_join(pts, pois, radius=R2, cell=5.0).collect()
+    }
+    want_fine = {
+        (d, q)
+        for d, lo, la in pts_rows
+        for q, qlo, qla in pois_rows
+        if (lo - qlo) ** 2 + (la - qla) ** 2 <= R2 * R2
+    }
+    assert got_fine == want_fine
+    with pytest.raises(ValueError, match="divide"):
+        knn_mod.distance_join(pts, pois, radius=4.0, cell=7.0)
+
+
+def test_asof_join_rejects_state_column_collision(spark):
+    """A right state column sharing a name with a left column would be
+    silently nulled and overwritten by the carried value — the join must
+    refuse instead."""
+    import pytest
+
+    from scidbgeo_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, 100, 5, 7)], "event_id long, user_id long, ts long, state_id long"
+    )
+    right = spark.createDataFrame(
+        [(100, 2, 901)], "user_id long, ts long, state_id long"
+    )
+    with pytest.raises(ValueError, match="state_id"):
+        temporal.asof_join(left, right, on="user_id")

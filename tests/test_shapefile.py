@@ -6,6 +6,8 @@ OGR, and the MULTIPOLYGON/holes semantics the refinement kernel
 recombines by XOR across rings.
 """
 
+import struct
+
 import numpy as np
 import pytest
 
@@ -104,6 +106,26 @@ def test_indexed_scan_equals_whole_file_reader(spark, tmp_path):
     assert sorted(map(key, indexed.collect())) == sorted(map(key, whole.collect()))
     # 5 records at 2/task -> at least 3 range batches actually split
     assert indexed.rdd.getNumPartitions() >= 1
+
+
+def test_deleted_dbf_records_skipped_by_both_scan_paths(spark, tmp_path):
+    """A .dbf record flagged deleted ('*') is skipped — with rec_no
+    alignment preserved — by BOTH the whole-file reader and the
+    .shx-indexed scan, so the two paths agree on files containing
+    deletions (previously the indexed path emitted the stale zone while
+    the whole-file path raised a count mismatch)."""
+    polys = [(zid, [ring]) for zid, ring in fixtures.GEO_POLYGONS]
+    p = shapefile.write_shp_fixture(str(tmp_path / "layer.shp"), polys)
+    dbf = bytearray(open(p[:-4] + ".dbf", "rb").read())
+    header_size, record_size = struct.unpack("<HH", dbf[8:12])
+    dbf[header_size + 1 * record_size] = ord("*")  # delete the MIDDLE record
+    open(p[:-4] + ".dbf", "wb").write(bytes(dbf))
+
+    whole = shapefile.polygons_from_shp(spark, p)
+    indexed = shapefile.polygons_from_shp_indexed(spark, p, records_per_task=2)
+    want = {10, 12}  # zone 11 deleted; later records keep THEIR ids (alignment)
+    assert {r.zone_id for r in whole.collect()} == want
+    assert {r.zone_id for r in indexed.collect()} == want
 
 
 def test_even_odd_hole_and_multipart_membership():

@@ -99,6 +99,22 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert got[1].top_bigram_frac == 0.2
 
 
+def test_repetition_stats_short_docs_emit_no_row(spark):
+    """Docs with < 2 tokens have no bigrams: no row, no crash.  Unguarded,
+    Spark's sequence(1, 0) is the DESCENDING [1, 0] and element_at(toks, 0)
+    throws 'SQL array indices start at 1' — killing the whole query the
+    moment a real corpus contains a one-word or empty document."""
+    rows = [
+        (0, "solo"),  # single token -> sequence(1, 0) without the guard
+        (1, ""),  # empty text: split gives [''] (size 1)
+        (2, "a b"),  # exactly one bigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in text.repetition_stats(df).collect()}
+    assert set(got) == {2}
+    assert got[2].top_bigram_n == 1 and got[2].n_bigrams == 1
+
+
 def test_url_normalize_variants_collapse(spark):
     """Scheme case, http/https, www., fragments and one trailing slash
     all normalize away; distinct pages stay distinct."""
