@@ -1011,6 +1011,13 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     return dedup.ngram_jaccard_pairs(dedup.dup_corpus(_docs(spark, sf_dir)))
 
 
+def q_minhash_recall(spark, sf_dir):
+    """Quality gauge for the near-dup family: fraction of the exact
+    ngram-Jaccard baseline's pairs the capped MinHash+LSH route
+    recovers at the same threshold (ann_lsh_recall's shape on text)."""
+    return dedup.minhash_recall(dedup.dup_corpus(_docs(spark, sf_dir)))
+
+
 def q_simhash(spark, sf_dir):
     return dedup.simhash(dedup.dup_corpus(_docs(spark, sf_dir)))
 
@@ -1066,67 +1073,16 @@ def q_embedding_neardup_pairs(spark, sf_dir):
 # Ordered so the driver's per-round correctness window (the FIRST 50
 # entries) always holds the queries with the FEWEST driver rows: any
 # query with zero rows outranks any query with >= 1 (round-3 verdict
-# policy).  r4 rotation: `transpose` (never driver-verified) leads, the
-# 33 queries that sat in the r3 tail follow, then the r4 additions, then
-# representative fillers from the r3 window.  The demoted tail still has
-# exact oracles, checked each round by tools/check_oracle.py (artifact:
-# TAILCHECK_r{N}.json) + pytest.
+# policy).  r5 rotation: `minhash_recall` (new, never driver-verified)
+# leads, the 42 queries that sat in the r4 tail follow (their newest
+# driver rows are r3), then representative fillers from the r4 window —
+# including the four queries whose operators carry r5 fixes.  The
+# demoted tail still has exact oracles, checked each round by
+# tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- zero driver rows before r4 ---
-    "transpose": q_transpose,
-    # --- r3 tail rotation (last driver rows: r1/r2) ---
-    "sessionize": q_sessionize,
-    "events_hourly": q_events_hourly,
-    "events_cube": q_events_cube,
-    "downsample": q_downsample,
-    "raster_histogram": q_raster_histogram,
-    "count_pixels_tiles": q_count_pixels_tiles,
-    "count_pixels_true": q_count_pixels_true,
-    "count_pixels_sql": q_count_pixels_sql,
-    "merge_insert": q_merge_insert,
-    "reclassify_sum": q_reclassify_sum,
-    "subarray": q_subarray,
-    "slice_band": q_slice_band,
-    "redimension_roundtrip": q_redimension_roundtrip,
-    "zonal_stats_broadcast": q_zonal_stats_broadcast,
-    "zonal_stats_sortmerge": q_zonal_stats_sortmerge,
-    "zonal_stats_float": q_zonal_stats_float,
-    "zonal_stats_multi": q_zonal_stats_multi,
-    "zonal_median": q_zonal_median,
-    "focal_mean_sum_overlap": q_focal_mean_sum_overlap,
-    "focal_mean_cells": q_focal_mean_cells,
-    "zorder_cell": q_zorder_cell,
-    "zorder_range_count": q_zorder_range_count,
-    "knn_bulk": q_knn_bulk,
-    "extract_geotags": q_extract_geotags,
-    "raster_add": q_raster_add,
-    "reclassify_persist": q_reclassify_persist,
-    "overlay_add_bands": q_overlay_add_bands,
-    "pip_poly": q_pip_poly,
-    "join_reclass": q_join_reclass,
-    "between_window": q_between_window,
-    "between_tiles": q_between_tiles,
-    "cell_index": q_cell_index,
-    # --- r4 additions (new queries insert HERE, displacing fillers) ---
-    "pip_poly_shp": q_pip_poly_shp,
-    "pip_poly_shp_indexed": q_pip_poly_shp_indexed,
-    "pip_poly_holes": q_pip_poly_holes,
-    "token_count_bpe": q_token_count_bpe,
-    "quality_filter": q_quality_filter,
-    "repetition_stats": q_repetition_stats,
-    "url_dedup": q_url_dedup,
-    "events_asof": q_events_asof,
-    "distance_join": q_distance_join,
-    # --- fillers to 50: representatives re-verified from the r3 window
-    # (tfidf_top_terms carries the r4 de-action fix) ---
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "zonal_var": q_zonal_var,
-    "count_pixels": q_count_pixels,
-    "zonal_stats_rect": q_zonal_stats_rect,
-    "zonal_stats_poly": q_zonal_stats_poly,
-    "pip_grid": q_pip_grid,
-    "pip_poly_df": q_pip_poly_df,
-    "knn": q_knn,
+    # --- r5 addition (zero driver rows) ---
+    "minhash_recall": q_minhash_recall,
+    # --- r4 tail rotation (last driver rows: r3) ---
     "dedup_exact": q_dedup_exact,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "focal_mean_sum": q_focal_mean_sum,
@@ -1135,8 +1091,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_diff": q_snapshot_diff,
     "corpus_curation": q_corpus_curation,
     "dedup_clusters": q_dedup_clusters,
-    # --- tail: every query below holds an r3 driver row; exact oracles
-    # retained, checked via tools/check_oracle.py each round ---
     "upsample": q_upsample,
     "bernoulli_sample": q_bernoulli_sample,
     "region_label": q_region_label,
@@ -1171,6 +1125,62 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
+    # --- fillers to 50: r4-window representatives whose operators carry
+    # r5 fixes (repetition_stats short-doc guard, distance_join cell
+    # dims, events_asof collision guard, pip_poly_shp_indexed deletion
+    # flag) plus headline anchors ---
+    "repetition_stats": q_repetition_stats,
+    "distance_join": q_distance_join,
+    "events_asof": q_events_asof,
+    "pip_poly_shp_indexed": q_pip_poly_shp_indexed,
+    "zonal_stats_rect": q_zonal_stats_rect,
+    "pip_grid": q_pip_grid,
+    "count_pixels": q_count_pixels,
+    # --- tail: every query below holds an r4 driver row; exact oracles
+    # retained, checked via tools/check_oracle.py each round ---
+    "transpose": q_transpose,
+    "sessionize": q_sessionize,
+    "events_hourly": q_events_hourly,
+    "events_cube": q_events_cube,
+    "downsample": q_downsample,
+    "raster_histogram": q_raster_histogram,
+    "count_pixels_tiles": q_count_pixels_tiles,
+    "count_pixels_true": q_count_pixels_true,
+    "count_pixels_sql": q_count_pixels_sql,
+    "merge_insert": q_merge_insert,
+    "reclassify_sum": q_reclassify_sum,
+    "subarray": q_subarray,
+    "slice_band": q_slice_band,
+    "redimension_roundtrip": q_redimension_roundtrip,
+    "zonal_stats_broadcast": q_zonal_stats_broadcast,
+    "zonal_stats_sortmerge": q_zonal_stats_sortmerge,
+    "zonal_stats_float": q_zonal_stats_float,
+    "zonal_stats_multi": q_zonal_stats_multi,
+    "zonal_median": q_zonal_median,
+    "focal_mean_sum_overlap": q_focal_mean_sum_overlap,
+    "focal_mean_cells": q_focal_mean_cells,
+    "zorder_cell": q_zorder_cell,
+    "zorder_range_count": q_zorder_range_count,
+    "knn_bulk": q_knn_bulk,
+    "extract_geotags": q_extract_geotags,
+    "raster_add": q_raster_add,
+    "reclassify_persist": q_reclassify_persist,
+    "overlay_add_bands": q_overlay_add_bands,
+    "pip_poly": q_pip_poly,
+    "join_reclass": q_join_reclass,
+    "between_window": q_between_window,
+    "between_tiles": q_between_tiles,
+    "cell_index": q_cell_index,
+    "pip_poly_shp": q_pip_poly_shp,
+    "pip_poly_holes": q_pip_poly_holes,
+    "token_count_bpe": q_token_count_bpe,
+    "quality_filter": q_quality_filter,
+    "url_dedup": q_url_dedup,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "zonal_var": q_zonal_var,
+    "zonal_stats_poly": q_zonal_stats_poly,
+    "pip_poly_df": q_pip_poly_df,
+    "knn": q_knn,
 }
 
 

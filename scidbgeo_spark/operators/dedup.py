@@ -302,6 +302,30 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_recall(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """In-engine quality gauge for the MinHash+LSH near-dup path: one
+    row (n_exact, n_recovered, recall) — the fraction of the exact
+    df-capped ngram-Jaccard baseline's pairs that ``minhash_dup_pairs``
+    recovers at the same threshold.  The near-dup family ships caps
+    (BUCKET_CAP, NGRAM_DF_CAP) as part of its semantics; this gauge is
+    the signal that the capped LSH route still finds the pairs the
+    exact baseline finds (the ANN family's ``ann_lsh_recall`` shape,
+    applied to text).  Deterministic counts, single exact division —
+    the DuckDB twin is bitwise.  Baseline cost caveat: the exact side
+    is the f^2 exploded self-join, so the gauge is an AUDIT query (run
+    on samples at scale), never a curation-path dependency."""
+    exact = ngram_jaccard_pairs(corpus, threshold).select("a", "b")
+    approx = minhash_dup_pairs(corpus, threshold).select(
+        "a", "b", F.lit(1).alias("hit")
+    )
+    j = exact.join(approx, ["a", "b"], "left")
+    return j.agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("n_recovered"),
+        (F.count("hit") / F.count(F.lit(1))).alias("recall"),
+    )
+
+
 SIMHASH_BITS = 16
 SIMHASH_BLOCKS = 4  # hamming <= BLOCKS-1 guarantees one equal block
 SIM_MAX_HAMMING = SIMHASH_BLOCKS - 1  # pigeonhole completeness bound

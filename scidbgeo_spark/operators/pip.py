@@ -345,11 +345,17 @@ def pip_join_df(
         if plan_size_bytes(poly_df) > broadcast_bytes:
             mode = "shuffle"
         else:
-            mode = (
-                "broadcast"
-                if covering_cell_estimate(poly_df) <= broadcast_cand_rows
-                else "shuffle"
-            )
+            # the fan-out gate's 1-row aggregate is the only job a
+            # query BUILDER may run, and a polygon layer is static
+            # across the queries that join against it — so the estimate
+            # caches on the layer DataFrame itself: repeated pip_join_df
+            # calls on the same layer object (the prepared-layer usage
+            # pattern) build their plans with ZERO jobs after the first
+            est = getattr(poly_df, "_scidbgeo_ccell_estimate", None)
+            if est is None:
+                est = covering_cell_estimate(poly_df)
+                poly_df._scidbgeo_ccell_estimate = est
+            mode = "broadcast" if est <= broadcast_cand_rows else "shuffle"
     if "ring_no" in poly_df.columns:
         return _pip_join_rings(points, poly_df, mode)
 

@@ -692,6 +692,17 @@ cand AS (
 )
 {_JACCARD_TAIL}"""
 
+# dedup.minhash_recall: fraction of the exact ngram-Jaccard baseline's
+# pairs the capped MinHash+LSH route recovers — integer counts + one
+# exact division (count/count), bitwise across engines
+SQL["minhash_recall"] = f"""WITH
+exact AS (SELECT a, b FROM ({SQL["ngram_jaccard_pairs"]})),
+approx AS (SELECT a, b FROM ({SQL["minhash_dup_pairs"]}))
+SELECT count(*) AS n_exact,
+       count(ap.a) AS n_recovered,
+       count(ap.a) / count(*) AS recall
+FROM exact e LEFT JOIN approx ap ON e.a = ap.a AND e.b = ap.b"""
+
 _sim_bits = " + ".join(
     f"(CASE WHEN list_reduce(list_transform(hs, h -> ((h >> {i}) % 2) * 2 - 1), (a, b) -> a + b) > 0 THEN {2**i} ELSE 0 END)"
     for i in range(SIMHASH_BITS)

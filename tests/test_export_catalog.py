@@ -377,6 +377,112 @@ def test_zone_page_stream_equals_batch(spark, tmp_path):
     assert len(want) > 10  # non-trivial coverage across days and zones
 
 
+def test_zone_page_stream_watermark_drops_late_pages(spark, tmp_path):
+    """Append-mode watermark semantics on the streaming PIP pipeline:
+    once the event-time watermark passes a daily window's end, the
+    window is finalized and emitted, and pages arriving later with
+    timestamps inside that window are DROPPED — bounded state, the
+    property that lets the per-zone density surface run forever on a
+    Common-Crawl-style feed."""
+    from scidbgeo_spark import fixtures, streaming
+    from scidbgeo_spark.operators import pip
+    from scidbgeo_spark.sources import pages as pages_src
+
+    pg = pages_src.generate_pages(spark, 30)
+    pid = F.regexp_extract("url", r"/p/(\d+)$", 1).cast("long")
+    DAY1, DAY3, DAY1_LATE = (
+        "2025-06-01 10:00:00",
+        "2025-06-03 12:00:00",
+        "2025-06-01 11:00:00",
+    )
+    pg = pg.withColumn(
+        "warc_ts",
+        F.when(pid < 10, F.to_timestamp(F.lit(DAY1)))
+        .when(pid < 20, F.to_timestamp(F.lit(DAY3)))
+        .otherwise(F.to_timestamp(F.lit(DAY1_LATE))),
+    )
+    d = str(tmp_path / "pages_late")
+    pg.filter(pid < 10).write.parquet(d)
+    stream = streaming.zone_page_stream(spark, d, fixtures.GEO_POLYGONS)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("zps_late")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: day-1 pages, nothing final yet
+        # batch 2: day-3 pages push the watermark (max_ts - 1h) past the
+        # day-1 window's end -> day-1 finalizes and emits
+        pg.filter((pid >= 10) & (pid < 20)).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        # batch 3: LATE day-1 pages, below the watermark -> dropped
+        pg.filter(pid >= 20).write.mode("append").parquet(d)
+        q.processAllAvailable()
+        got = {
+            (r.day, r.zone_id): r.n_pages
+            for r in spark.sql("SELECT * FROM zps_late").collect()
+        }
+    finally:
+        q.stop()
+    # emitted = exactly the finalized day-1 window computed from batch 1
+    # alone: no late-batch contribution, and the still-open day-3 window
+    # is absent from append output
+    b1 = pg.filter(pid < 10)
+    pts = pages_src.extract_geotags(b1, id_col="url")
+    want = {
+        ("2025-06-01", r.zone_id): r.n_pages
+        for r in pip.pip_join(spark, pts, fixtures.GEO_POLYGONS)
+        .groupBy("zone_id")
+        .agg(F.count("*").alias("n_pages"))
+        .collect()
+    }
+    assert got == want
+    assert want  # at least one zone actually hit
+    assert all(day == "2025-06-01" for day, _ in got)
+
+
+def test_zone_page_stream_file_layer_uses_cached_gate(spark, tmp_path):
+    """The streaming PIP path with a FILE-BACKED polygon layer (the
+    production shape) routes through pip_join_df's broadcast gate and
+    leaves the covering-cell estimate cached on the layer — so further
+    stream/batch builds against the same prepared layer run zero gate
+    jobs — and converges to the batch rollup."""
+    from scidbgeo_spark import fixtures, streaming
+    from scidbgeo_spark.operators import pip
+    from scidbgeo_spark.sources import pages as pages_src
+
+    lpath = str(tmp_path / "layer.parquet")
+    pip.polygons_df(spark, fixtures.GEO_POLYGONS).write.parquet(lpath)
+    layer = spark.read.parquet(lpath)
+    pg = pages_src.generate_pages(spark, 800)
+    d = str(tmp_path / "pages_layer")
+    pg.write.parquet(d)
+    stream = streaming.zone_page_stream(spark, d, layer)
+    # the broadcast gate engaged during stream construction and cached
+    # its one-time fan-out estimate on the layer object
+    assert isinstance(getattr(layer, "_scidbgeo_ccell_estimate", None), int)
+    got = {
+        (r.day, r.zone_id): r.n_pages
+        for r in streaming.run_to_memory(stream, "zps_layer").collect()
+    }
+    pts = pages_src.extract_geotags(pg, id_col="url").join(
+        pg.select("url", F.col("warc_ts").cast("timestamp").alias("warc_ts")), "url"
+    )
+    want = {
+        (r.day, r.zone_id): r.n_pages
+        for r in pip.pip_join_df(spark, pts, layer)
+        .groupBy(
+            F.date_format(F.date_trunc("day", "warc_ts"), "yyyy-MM-dd").alias("day"),
+            "zone_id",
+        )
+        .agg(F.count("*").alias("n_pages"))
+        .collect()
+    }
+    assert got == want
+    assert len(want) > 5
+
+
 def test_streaming_merge_to_catalog_exactly_once(spark, sf_correct, tmp_path):
     """Streaming COO file arrivals merge into the SnapshotCatalog; the
     final table equals the batch pack over everything, and a replayed

@@ -201,6 +201,32 @@ def test_pip_join_df_auto_runs_no_job(spark, sf_correct):
     assert df is not None
 
 
+def test_pip_join_df_auto_caches_fanout_estimate(spark, sf_correct, tmp_path):
+    """For a file-backed layer (real plan stats -> broadcast gate), the
+    covering-cell fan-out aggregate may run at most once per layer
+    object: the estimate caches on the DataFrame, so every later
+    auto-mode plan build against the same (static) layer runs ZERO jobs
+    — the prepared-layer usage pattern."""
+    pts = model.points(spark, sf_correct)
+    path = str(tmp_path / "layer.parquet")
+    pip.polygons_df(spark, fixtures.GEO_POLYGONS).write.parquet(path)
+    poly = spark.read.parquet(path)
+    sc = spark.sparkContext
+    first = pip.pip_join_df(spark, pts, poly, mode="auto")
+    assert "BroadcastHashJoin" in (
+        first._jdf.queryExecution().executedPlan().toString()
+    )  # the gate actually engaged (file stats are known and small)
+    group = "pip-auto-rebuild-probe"
+    sc.setJobGroup(group, "plan-only probe")
+    try:
+        df = pip.pip_join_df(spark, pts, poly, mode="auto")
+        df.schema  # force analysis, still no job
+        assert sc.statusTracker().getJobIdsForGroup(group) == []
+    finally:
+        sc.setJobGroup(None, None)
+    assert df.count() == first.count()
+
+
 def test_pip_join_df_shuffle_keeps_rings_out_of_candidate_exchange(spark, sf_correct):
     """In shuffle mode the candidate join must move bare (zone_id, ccell)
     rows: no Exchange may carry the ring arrays together with the cell id

@@ -163,6 +163,19 @@ def test_minhash_pairs_subset_of_exact_jaccard(spark, sf_smoke):
     assert len(mh) >= 0.9 * len(exact)  # high recall at jaccard >= 0.5
 
 
+def test_minhash_recall_gauge_matches_pair_sets(spark, sf_smoke):
+    """The one-row recall gauge equals the arithmetic over the two pair
+    sets it summarizes (and is high on the fixture)."""
+    corpus = dedup.dup_corpus(_docs(spark, sf_smoke))
+    mh = {(r.a, r.b) for r in dedup.minhash_dup_pairs(corpus).collect()}
+    exact = {(r.a, r.b) for r in dedup.ngram_jaccard_pairs(corpus).collect()}
+    row = dedup.minhash_recall(corpus).collect()[0]
+    assert row.n_exact == len(exact)
+    assert row.n_recovered == len(mh & exact)
+    assert row.recall == len(mh & exact) / len(exact)
+    assert row.recall >= 0.9
+
+
 def test_simhash_exact_dups_equal_near_dups_close(spark, sf_smoke):
     docs = _docs(spark, sf_smoke)
     sh = {r.doc_id: r.simhash for r in dedup.simhash(dedup.dup_corpus(docs)).collect()}
