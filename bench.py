@@ -323,7 +323,7 @@ def run_scaling() -> tuple[dict, dict]:
             )
         return json.loads(proc.stdout.strip().splitlines()[-1])
 
-    t_hard_start = time.time()  # hard wall covers preflight + chain
+    t_hard_start = time.time()  # preflight clock (wall-bounded separately)
     # pre-flight: probe the host with the triad control until a sane
     # window appears (or the preflight wall forces a storm-bound start,
     # disclosed).  Probes are ~2 s each; sleeps dominate the wait.
@@ -414,8 +414,12 @@ def run_scaling() -> tuple[dict, dict]:
         # pairs is under-powered — one stall-window pair drags it — so
         # the soft budget only stops the loop once the sane-pair quorum
         # exists; short of quorum we keep collecting up to the hard wall
-        if time.time() - t_hard_start + run_cost > SCALE_HARD_S:
-            break  # absolute safety stop (driver wall-clock, incl. preflight)
+        if elapsed + run_cost > SCALE_HARD_S:
+            # absolute safety stop, CHAIN time only: the preflight wait
+            # is bounded separately (PREFLIGHT_WALL_S) and must not eat
+            # the pair budget — a storm-bound start already cost 240 s
+            # and still needs the full chain to reach quorum
+            break
     pairs = _pairs()
     med = round(median_eff(pairs), 3)
     kept = sane(pairs)

@@ -164,6 +164,11 @@ def knn_join_bulk(
     Deterministic: ordering ties break on doc_id; results equal the
     brute-force cross join (pinned by tests).
     """
+    if 360.0 % cell != 0.0 or 180.0 % cell != 0.0:
+        # a non-dividing cell truncates the grid: edge coordinates land
+        # on cell ids that collide with the next row (same failure
+        # distance_join guarded) — refuse rather than silently miss
+        raise ValueError(f"cell size {cell} must divide 360 and 180 evenly")
     nx = int(360 / cell)
     pts = points.withColumn(
         "cell",

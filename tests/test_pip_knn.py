@@ -86,6 +86,18 @@ def test_knn_bulk_equals_bruteforce(spark, sf_correct):
     assert got == sorted(want)
 
 
+def test_knn_bulk_rejects_non_dividing_cell(spark, sf_correct):
+    """A cell size that doesn't divide 360/180 truncates the grid and
+    collides edge cell ids — refused loudly (same guard as
+    distance_join)."""
+    import pytest
+
+    pts = model.points(spark, sf_correct)
+    queries = knn_mod.knn_queries_from_nation(spark, sf_correct, limit=2)
+    with pytest.raises(ValueError, match="divide"):
+        knn_mod.knn_join_bulk(spark, pts, queries, cell=7.0)
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
