@@ -367,25 +367,7 @@ def run_scaling() -> tuple[dict, dict]:
             )
         return out
 
-    def _physical(p) -> bool:
-        """Symmetric physical-consistency filter: 4 cores cannot give a
-        super-linear >1.25 efficiency, and cannot be ABSOLUTELY slower
-        than 1 core on this embarrassingly parallel workload — either
-        tail means a host stall landed inside one side's timed trial
-        (the adjacent triad control can miss those)."""
-        return (
-            p["efficiency"] <= 1.25
-            and p["4n"]["phases"]["full_time"] <= p["n"]["phases"]["full_time"]
-        )
-
-    def sane(ps):
-        return [
-            p for p in ps if p["membw_efficiency"] >= MEMBW_SANE and _physical(p)
-        ]
-
-    def median_eff(ps) -> float:
-        use = sane(ps) or ps  # all-insane fallback is disclosed below
-        return statistics.median(p["efficiency"] for p in use)
+    sane, median_eff = _sane_pairs, _median_eff
 
     # chain: N, 4N, N, 4N, ... — k runs yield k-1 adjacent pairs
     while len(runs) < SCALE_MAX_PAIRS + 1:
@@ -420,9 +402,45 @@ def run_scaling() -> tuple[dict, dict]:
             # the pair budget — a storm-bound start already cost 240 s
             # and still needs the full chain to reach quorum
             break
-    pairs = _pairs()
-    med = round(median_eff(pairs), 3)
-    kept = sane(pairs)
+    return summarize_scaling(_pairs(), runs, preflight, compute_control())
+
+
+def _physical(p) -> bool:
+    """Symmetric physical-consistency filter: 4 cores cannot give a
+    super-linear >1.25 efficiency, and cannot be ABSOLUTELY slower
+    than 1 core on this embarrassingly parallel workload — either
+    tail means a host stall landed inside one side's timed trial
+    (the adjacent triad control can miss those)."""
+    return (
+        p["efficiency"] <= 1.25
+        and p["4n"]["phases"]["full_time"] <= p["n"]["phases"]["full_time"]
+    )
+
+
+def _sane_pairs(ps):
+    return [p for p in ps if p["membw_efficiency"] >= MEMBW_SANE and _physical(p)]
+
+
+def _median_eff(ps) -> float:
+    import statistics
+
+    use = _sane_pairs(ps) or ps  # all-insane fallback is disclosed below
+    return statistics.median(p["efficiency"] for p in use)
+
+
+def summarize_scaling(
+    pairs: list[dict], runs: list[dict], preflight: dict, ceiling: dict
+) -> tuple[dict, dict]:
+    """Pure post-chain summarization: the measured pairs become (slim,
+    detail) — ``slim`` rides the ONE emitted JSON line (bounded: drop
+    summary, slimmed run blocks), ``detail`` goes to DETAIL_PATH.
+    Factored out of run_scaling so the line-size bound is unit-testable
+    without subprocess chains (the r4 artifact overflow was exactly an
+    untested worst case)."""
+    import statistics
+
+    med = round(_median_eff(pairs), 3)
+    kept = _sane_pairs(pairs)
     dropped = [
         dict(
             efficiency=p["efficiency"],
