@@ -319,10 +319,14 @@ def minhash_recall(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
         "a", "b", F.lit(1).alias("hit")
     )
     j = exact.join(approx, ["a", "b"], "left")
+    n_ex = F.count(F.lit(1))
+    # guard the closing division: an empty baseline (no pairs clear the
+    # threshold) must yield recall NULL, matching DuckDB's 0/0 -> NULL —
+    # unguarded, Spark 4's ANSI mode throws DIVIDE_BY_ZERO instead
     return j.agg(
-        F.count(F.lit(1)).alias("n_exact"),
+        n_ex.alias("n_exact"),
         F.count("hit").alias("n_recovered"),
-        (F.count("hit") / F.count(F.lit(1))).alias("recall"),
+        F.when(n_ex > 0, F.count("hit") / n_ex).alias("recall"),
     )
 
 

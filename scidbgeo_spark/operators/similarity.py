@@ -39,7 +39,13 @@ def _norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """NULL when either vector has zero norm (cosine undefined): DuckDB's
+    x/0 yields NULL while Spark's ANSI mode throws DIVIDE_BY_ZERO — the
+    guard pins the NULL semantics both agree on, so one failed-encoder
+    zero vector cannot kill a whole ANN query.  NULL similarities rank
+    last under the DESC ordering in both engines."""
+    den = _norm(a) * _norm(b)
+    return F.when(den > 0, _dot(a, b) / den)
 
 
 def ann_bruteforce_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:

@@ -99,7 +99,11 @@ def text_quality(docs: DataFrame) -> DataFrame:
         n_tokens.alias("n_tokens"),
         (n_chars / n_tokens).alias("chars_per_token"),
         (n_distinct / n_tokens).alias("lexical_diversity"),
-        (n_punct / n_chars).alias("punct_ratio"),
+        # guarded: empty text has n_chars == 0 and Spark's ANSI mode
+        # throws DIVIDE_BY_ZERO where DuckDB's 0/0 yields NULL — emit
+        # NULL explicitly so both engines agree (n_tokens is never 0:
+        # split('') gives [''])
+        F.when(n_chars > 0, n_punct / n_chars).alias("punct_ratio"),
         (n_stop / n_tokens).alias("stopword_ratio"),
     )
 
@@ -134,7 +138,10 @@ def quality_filter(
     n_punct = n_chars - F.length(
         F.regexp_replace("text", r"[^A-Za-z0-9 ]", "")
     ).cast("long")
-    punct = n_punct / n_chars
+    # NULL for empty text (matches DuckDB 0/0 -> NULL; ANSI Spark would
+    # throw): the NULL comparison below is false, so the punct rule
+    # simply cannot fire on an empty doc — the min_tokens rule catches it
+    punct = F.when(n_chars > 0, n_punct / n_chars)
     lex = F.size(F.array_distinct(toks)) / n_tokens
     mask = (
         F.when(n_tokens < min_tokens, Q_FEW_TOKENS).otherwise(0)

@@ -74,6 +74,23 @@ def test_quality_filter_rule_bits(spark, sf_correct):
     assert 0 < kept < total  # defaults split the fixture corpus
 
 
+def test_text_quality_and_filter_survive_empty_text(spark):
+    """An EMPTY document (n_chars == 0) must not kill the query: Spark's
+    ANSI mode throws DIVIDE_BY_ZERO on the punct ratio where DuckDB's
+    0/0 yields NULL — the guard emits NULL in both engines, the punct
+    rule cannot fire, and min_tokens still rejects the doc."""
+    rows = [(0, ""), (1, " ".join(f"w{i}" for i in range(40)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tq = {r.doc_id: r for r in text.text_quality(df).collect()}
+    assert tq[0].punct_ratio is None and tq[0].n_chars == 0
+    assert tq[1].punct_ratio == 0.0
+    qf = {r.doc_id: (r.keep, r.fail_mask) for r in text.quality_filter(df).collect()}
+    assert qf[0][0] is False
+    assert qf[0][1] & text.Q_FEW_TOKENS
+    assert not qf[0][1] & text.Q_PUNCT  # NULL ratio: rule can't fire
+    assert qf[1] == (True, 0)
+
+
 def test_doc_fingerprint_matches_numpy_kernel(spark, sf_smoke):
     docs = _docs(spark, sf_smoke)
     got = {r.doc_id: r.fingerprint for r in text.doc_fingerprint(docs).collect()}
@@ -176,6 +193,16 @@ def test_minhash_recall_gauge_matches_pair_sets(spark, sf_smoke):
     assert row.recall >= 0.9
 
 
+def test_minhash_recall_empty_baseline_yields_null(spark):
+    """A corpus where no pair clears the Jaccard threshold gives
+    (0, 0, NULL) — not a DIVIDE_BY_ZERO crash (Spark 4 ANSI mode) and
+    not a spurious number; matches DuckDB's 0/0 -> NULL."""
+    rows = [(0, "alpha beta gamma delta"), (1, "one two three four five")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    row = dedup.minhash_recall(df).collect()[0]
+    assert (row.n_exact, row.n_recovered, row.recall) == (0, 0, None)
+
+
 def test_simhash_exact_dups_equal_near_dups_close(spark, sf_smoke):
     docs = _docs(spark, sf_smoke)
     sh = {r.doc_id: r.simhash for r in dedup.simhash(dedup.dup_corpus(docs)).collect()}
@@ -185,6 +212,25 @@ def test_simhash_exact_dups_equal_near_dups_close(spark, sf_smoke):
         if r.doc_id % 7 == 0:
             ham = bin(sh[r.doc_id] ^ sh[r.doc_id + 100000]).count("1")
             assert ham <= 6  # near-dup stays within a small Hamming ball
+
+
+def test_ann_survives_zero_vector(spark, sf_correct):
+    """One zero embedding (a failed encoder output) must not kill the
+    query: its cosine is NULL (undefined; DuckDB's x/0), it ranks last,
+    and every other neighbor ranking is unchanged."""
+    from pyspark.sql import functions as F
+
+    emb = model.load_table(spark, sf_correct, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    dim = len(emb.select("embedding").first()[0])
+    zero = spark.createDataFrame(
+        [(99999, [0.0] * dim)], "vec_id long, embedding array<double>"
+    ).select("vec_id", F.col("embedding").cast(emb.schema["embedding"].dataType))
+    with_zero = emb.unionByName(zero)
+    base = {(r.q_id, r.vec_id, r.rank) for r in similarity.ann_bruteforce_topk(emb).collect()}
+    got = {(r.q_id, r.vec_id, r.rank) for r in similarity.ann_bruteforce_topk(with_zero).collect()}
+    assert got == base  # NULL cosine never enters any top-k
 
 
 def test_ann_lsh_recall(spark, sf_correct):
