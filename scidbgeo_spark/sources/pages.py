@@ -89,11 +89,16 @@ def extract_text_col(html: Column) -> Column:
 
 def extract_geotags(pages: DataFrame, id_col: str = "url") -> DataFrame:
     """pages -> point features (id, lon, lat): regexp parse of the geotag
-    token + exact integer->double arithmetic.  All JVM-side."""
+    token + exact integer->double arithmetic.  All JVM-side.
+
+    Pages WITHOUT a geotag produce no point feature (filtered before the
+    parse): on a real web corpus untagged pages are the majority, and
+    unfiltered they would feed regexp_extract's empty-string match into
+    the long cast — a CAST_INVALID_INPUT crash under Spark's ANSI mode."""
     text = extract_text_col(F.col("html"))
     lat_m = F.regexp_extract(text, GEO_RE, 1).cast("long")
     lon_m = F.regexp_extract(text, GEO_RE, 2).cast("long")
-    return pages.select(
+    return pages.where(text.rlike(GEO_RE)).select(
         F.col(id_col),
         (F.lit(-180.0) + lon_m / F.lit(1000.0)).alias("lon"),
         (F.lit(-90.0) + lat_m / F.lit(1000.0)).alias("lat"),

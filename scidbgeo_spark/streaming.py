@@ -107,7 +107,10 @@ def zone_page_stream(
     text = pages_src.extract_text_col(F.col("html"))
     lat_m = F.regexp_extract(text, pages_src.GEO_RE, 1).cast("long")
     lon_m = F.regexp_extract(text, pages_src.GEO_RE, 2).cast("long")
-    pts = pg.select(
+    # untagged pages carry no point feature (same contract as the batch
+    # extract_geotags; unfiltered, the empty regexp match would crash
+    # the long cast under ANSI on any real feed)
+    pts = pg.where(text.rlike(pages_src.GEO_RE)).select(
         "url",
         "warc_ts",
         (F.lit(-180.0) + lon_m / F.lit(1000.0)).alias("lon"),

@@ -35,6 +35,32 @@ def test_geotag_extraction_exact(spark):
     assert all(10.0 <= r.lon < 10.1 and 10.0 <= r.lat < 10.1 for r in hot)
 
 
+def test_untagged_pages_yield_no_feature_not_a_crash(spark):
+    """A page whose text carries NO geo: token simply produces no point
+    feature — previously the empty regexp match fed the long cast and
+    Spark's ANSI mode crashed the whole extraction (on a real web
+    corpus untagged pages are the majority)."""
+    pages = pages_src.generate_pages(spark, 50)
+    html = F.encode(
+        F.concat(
+            F.lit(pages_src.HTML_PREFIX),
+            F.lit("a page with no location token"),
+            F.lit(pages_src.HTML_SUFFIX),
+        ),
+        "utf-8",
+    )
+    untagged = pages.limit(1).select(
+        F.lit("https://site0.example/untagged").alias("url"),
+        "warc_ts",
+        html.alias("html"),
+        F.lit("a page with no location token").alias("text"),
+        "lang",
+    )
+    rows = pages_src.extract_geotags(pages.unionByName(untagged)).collect()
+    assert len(rows) == 50
+    assert all(r.url != "https://site0.example/untagged" for r in rows)
+
+
 def test_pages_to_pip_pipeline(spark):
     """Full dataflow: corpus -> extract text -> parse geotags -> cell
     index -> broadcast PIP join -> zonal counts."""
