@@ -164,7 +164,7 @@ def knn_join_bulk(
     Deterministic: ordering ties break on doc_id; results equal the
     brute-force cross join (pinned by tests).
     """
-    if 360.0 % cell != 0.0 or 180.0 % cell != 0.0:
+    if cell <= 0 or 360.0 % cell != 0.0 or 180.0 % cell != 0.0:
         # a non-dividing cell truncates the grid: edge coordinates land
         # on cell ids that collide with the next row (same failure
         # distance_join guarded) — refuse rather than silently miss
@@ -249,7 +249,7 @@ def distance_join(
     # NY/NX belong to CELL and using them for a finer cell would let
     # floor((coord+90)/cell) exceed ny-1, inverting the clamp bounds
     # (descending sequence) and colliding cell ids across rows
-    if 360.0 % cell != 0.0 or 180.0 % cell != 0.0:
+    if cell <= 0 or 360.0 % cell != 0.0 or 180.0 % cell != 0.0:
         raise ValueError(f"cell size {cell} must divide 360 and 180 evenly")
     ny, nx = int(round(180.0 / cell)), int(round(360.0 / cell))
     p = pois.select(
