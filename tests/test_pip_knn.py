@@ -424,6 +424,56 @@ def test_distance_join_matches_bruteforce(spark):
         knn_mod.distance_join(pts, pois, radius=4.0, cell=7.0)
 
 
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized parity with pandas.merge_asof (backward direction,
+    exact matches allowed — the same >= contract): keyed state carry,
+    equal-timestamp matches, keys with no state, interleaved times."""
+    import numpy as np
+    import pandas as pd
+
+    from scidbgeo_spark.operators import temporal
+
+    rng = np.random.default_rng(42)
+    for trial in range(4):
+        n_l, n_r, n_keys = 120, 40, 6
+        left = pd.DataFrame(
+            {
+                "event_id": np.arange(n_l),
+                "user_id": rng.integers(0, n_keys, n_l),
+                "ts": rng.integers(0, 500, n_l),
+            }
+        )
+        right = (
+            pd.DataFrame(
+                {
+                    "user_id": rng.integers(0, n_keys - 1, n_r),  # one key stateless
+                    "ts": rng.integers(0, 500, n_r),
+                    "state_id": np.arange(n_r) + 900,
+                }
+            )
+            .drop_duplicates(["user_id", "ts"])  # unique per (key, ts): the contract
+            .reset_index(drop=True)
+        )
+        want = pd.merge_asof(
+            left.sort_values("ts", kind="stable"),
+            right.sort_values("ts", kind="stable"),
+            on="ts",
+            by="user_id",
+            direction="backward",
+        )
+        want_map = {
+            int(r.event_id): (None if pd.isna(r.state_id) else int(r.state_id))
+            for r in want.itertuples()
+        }
+        out = temporal.asof_join(
+            spark.createDataFrame(left, "event_id long, user_id long, ts long"),
+            spark.createDataFrame(right, "user_id long, ts long, state_id long"),
+            on="user_id",
+        )
+        got = {int(r.event_id): r.state_id for r in out.collect()}
+        assert got == want_map, f"trial {trial}"
+
+
 def test_asof_join_rejects_state_column_collision(spark):
     """A right state column sharing a name with a left column would be
     silently nulled and overwritten by the carried value — the join must
