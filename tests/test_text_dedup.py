@@ -203,6 +203,41 @@ def test_minhash_recall_empty_baseline_yields_null(spark):
     assert (row.n_exact, row.n_recovered, row.recall) == (0, 0, None)
 
 
+def test_every_text_op_survives_degenerate_docs(spark):
+    """Sweep: EVERY text/dedup operator runs to completion on a corpus
+    containing an empty doc and a one-token doc — the degenerate rows a
+    real web corpus always contains, and the class Spark's ANSI mode
+    turns into whole-query crashes (descending sequence(1,0), 0/0
+    divisions, empty-string casts)."""
+    df = spark.createDataFrame(
+        [(0, ""), (1, "solo"), (2, "hello world join scan " * 8)],
+        "doc_id long, text string",
+    )
+    ops = [
+        lambda: dedup.dedup_exact(df),
+        lambda: dedup.minhash_signatures(df),
+        lambda: dedup.minhash_bands(df),
+        lambda: dedup.minhash_dup_pairs(df),
+        lambda: dedup.ngram_jaccard_pairs(df),
+        lambda: dedup.minhash_recall(df),
+        lambda: dedup.simhash(df),
+        lambda: dedup.simhash_dup_pairs(df),
+        lambda: dedup.dedup_clusters(df),
+        lambda: text.token_count(df),
+        lambda: text.token_count_bpe(df),
+        lambda: text.text_quality(df),
+        lambda: text.quality_filter(df),
+        lambda: text.repetition_stats(df),
+        lambda: text.lang_id(df),
+        lambda: text.doc_fingerprint(df),
+        lambda: text.tfidf_top_terms(
+            df.withColumn("lang", df.doc_id.cast("string"))
+        ),
+    ]
+    for fn in ops:
+        fn().count()  # completing without an exception IS the assertion
+
+
 def test_simhash_exact_dups_equal_near_dups_close(spark, sf_smoke):
     docs = _docs(spark, sf_smoke)
     sh = {r.doc_id: r.simhash for r in dedup.simhash(dedup.dup_corpus(docs)).collect()}
