@@ -29,6 +29,22 @@ NX = int(360 / CELL)
 NY = int(180 / CELL)
 
 
+def _point_cell_col(cell: float, ny: int, nx: int):
+    """Point-side grid cell id, CLAMPED to the valid grid: a coordinate
+    at exactly lat=90 / lon=180 floors to row ny / col nx — one past the
+    edge — and an unclamped id can never match the (clamped) ring or
+    replication side, silently dropping the point from every result.
+    Clamping maps the boundary into the adjacent valid band, where the
+    exact distance filters decide."""
+    cy = F.greatest(
+        F.least(F.floor((F.col("lat") + 90.0) / cell), F.lit(ny - 1)), F.lit(0)
+    )
+    cx = F.greatest(
+        F.least(F.floor((F.col("lon") + 180.0) / cell), F.lit(nx - 1)), F.lit(0)
+    )
+    return (cy * nx + cx).cast("long")
+
+
 def _cells_in_ring(qcy: int, qcx: int, r: int) -> set[int]:
     cells = set()
     for cy in range(max(0, qcy - r), min(NY - 1, qcy + r) + 1):
@@ -59,16 +75,15 @@ def knn(
     if len(qrows) > BULK_ROUTE_THRESHOLD:
         return knn_join_bulk(spark, points, queries, k=k)
     qcells = [
-        (int((r.qlat + 90) // CELL), int((r.qlon + 180) // CELL)) for r in qrows
+        (
+            max(0, min(int((r.qlat + 90) // CELL), NY - 1)),
+            max(0, min(int((r.qlon + 180) // CELL), NX - 1)),
+        )
+        for r in qrows
     ]
     max_r = max(NX, NY)
 
-    pts = points.withColumn(
-        "cell",
-        (F.floor((F.col("lat") + 90.0) / CELL) * NX + F.floor((F.col("lon") + 180.0) / CELL)).cast(
-            "long"
-        ),
-    )
+    pts = points.withColumn("cell", _point_cell_col(CELL, NY, NX))
     d2 = (F.col("lon") - F.col("qlon")) * (F.col("lon") - F.col("qlon")) + (
         F.col("lat") - F.col("qlat")
     ) * (F.col("lat") - F.col("qlat"))
@@ -169,14 +184,8 @@ def knn_join_bulk(
         # on cell ids that collide with the next row (same failure
         # distance_join guarded) — refuse rather than silently miss
         raise ValueError(f"cell size {cell} must divide 360 and 180 evenly")
-    nx = int(360 / cell)
-    pts = points.withColumn(
-        "cell",
-        (
-            F.floor((F.col("lat") + 90.0) / cell) * nx
-            + F.floor((F.col("lon") + 180.0) / cell)
-        ).cast("long"),
-    )
+    nx, ny = int(360 / cell), int(180 / cell)
+    pts = points.withColumn("cell", _point_cell_col(cell, ny, nx))
     d2 = (F.col("lon") - F.col("qlon")) * (F.col("lon") - F.col("qlon")) + (
         F.col("lat") - F.col("qlat")
     ) * (F.col("lat") - F.col("qlat"))
@@ -285,13 +294,7 @@ def distance_join(
     cand = p.select(
         "q_id", "qlon", "qlat", (F.col("ncy") * nx + F.col("ncx")).cast("long").alias("cell")
     )
-    pts = points.withColumn(
-        "cell",
-        (
-            F.floor((F.col("lat") + 90.0) / cell) * nx
-            + F.floor((F.col("lon") + 180.0) / cell)
-        ).cast("long"),
-    )
+    pts = points.withColumn("cell", _point_cell_col(cell, ny, nx))
     d2 = (F.col("lon") - F.col("qlon")) * (F.col("lon") - F.col("qlon")) + (
         F.col("lat") - F.col("qlat")
     ) * (F.col("lat") - F.col("qlat"))

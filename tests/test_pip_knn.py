@@ -424,6 +424,48 @@ def test_distance_join_matches_bruteforce(spark):
         knn_mod.distance_join(pts, pois, radius=4.0, cell=7.0)
 
 
+def test_spatial_joins_see_points_at_the_world_edge(spark):
+    """A point at exactly (lon=180, lat=90) floors to a grid cell one
+    past the edge; unclamped it could never match the clamped ring /
+    replication side and silently vanished from knn and distance_join
+    results.  The clamp maps it into the edge band where the exact
+    distance math decides."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    pts_rows = [
+        (int(i), float(lo), float(la))
+        for i, (lo, la) in enumerate(
+            zip(rng.uniform(-179, 179, 100), rng.uniform(-89, 89, 100))
+        )
+    ] + [(500, 180.0, 90.0)]  # the edge point
+    pts = spark.createDataFrame(pts_rows, "doc_id long, lon double, lat double")
+    pois = spark.createDataFrame(
+        [(0, 179.0, 89.5), (1, 180.0, 90.0)], "q_id long, qlon double, qlat double"
+    )
+    R = 3.0
+    got = {
+        (r.doc_id, r.q_id)
+        for r in knn_mod.distance_join(pts, pois, radius=R).collect()
+    }
+    want = {
+        (d, q)
+        for d, lo, la in pts_rows
+        for q, qlo, qla in [(0, 179.0, 89.5), (1, 180.0, 90.0)]
+        if (lo - qlo) ** 2 + (la - qla) ** 2 <= R * R
+    }
+    assert got == want
+    assert (500, 0) in got and (500, 1) in got
+    # knn: the edge point must be reachable as a neighbor (both paths)
+    queries = pois
+    for fn in (
+        lambda: knn_mod.knn(spark, pts, queries, k=5),
+        lambda: knn_mod.knn_join_bulk(spark, pts, queries, k=5),
+    ):
+        res = {(r.q_id, r.doc_id) for r in fn().collect()}
+        assert (0, 500) in res and (1, 500) in res
+
+
 def test_asof_join_matches_pandas_merge_asof(spark):
     """Randomized parity with pandas.merge_asof (backward direction,
     exact matches allowed — the same >= contract): keyed state carry,
