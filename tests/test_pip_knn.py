@@ -424,6 +424,35 @@ def test_distance_join_matches_bruteforce(spark):
         knn_mod.distance_join(pts, pois, radius=4.0, cell=7.0)
 
 
+def test_spatial_ops_survive_degenerate_inputs(spark):
+    """Sweep: empty point/query/layer frames and a 2-vertex degenerate
+    ring all complete with empty results — no crashes, no hangs (the
+    knn certification loop must terminate on an empty table via its
+    full-scan fallback)."""
+    import numpy as np
+
+    from scidbgeo_spark.operators import pip
+
+    pts = spark.createDataFrame(
+        [(0, 10.0, 10.0), (1, -20.0, 5.0)], "doc_id long, lon double, lat double"
+    )
+    empty_pts = pts.limit(0)
+    q1 = spark.createDataFrame([(0, 1.0, 1.0)], "q_id long, qlon double, qlat double")
+    q0 = q1.limit(0)
+    ring = np.array([[0.0, 0.0], [30.0, 0.0], [30.0, 30.0], [0.0, 30.0]])
+    degenerate = np.array([[5.0, 5.0], [6.0, 6.0]])
+    assert pip.pip_join(spark, empty_pts, [(1, ring)]).count() == 0
+    assert pip.pip_join(spark, pts, [(1, degenerate)]).count() == 0
+    assert (
+        pip.pip_join_df(spark, pts, pip.polygons_df(spark, [(1, ring)]).limit(0)).count()
+        == 0
+    )
+    assert knn_mod.knn(spark, pts, q0, k=2).count() == 0
+    assert knn_mod.knn(spark, empty_pts, q1, k=2).count() == 0
+    assert knn_mod.knn_join_bulk(spark, empty_pts, q1, k=2).count() == 0
+    assert knn_mod.distance_join(pts, q0, radius=5.0).count() == 0
+
+
 def test_spatial_joins_see_points_at_the_world_edge(spark):
     """A point at exactly (lon=180, lat=90) floors to a grid cell one
     past the edge; unclamped it could never match the clamped ring /
