@@ -26,6 +26,7 @@ if _REPO not in sys.path:  # driver-side import when loaded by file path
 from scidbgeo_spark import fixtures, model, oracle, tiling
 from scidbgeo_spark.model import CHUNK
 from scidbgeo_spark.operators import (
+    curation,
     dedup,
     focal,
     knn as knn_mod,
@@ -1070,6 +1071,53 @@ def q_embedding_neardup_pairs(spark, sf_dir):
     return similarity.embedding_neardup_pairs(_emb(spark, sf_dir))
 
 
+def q_contamination_check(spark, sf_dir):
+    """Train-test decontamination: dup_corpus docs sharing a 5-word
+    shingle with the 'benchmark' docs (doc_id % 23 == 5 of the base
+    table, removed from the corpus side).  The exact-copy (+200000) and
+    'mutated ' (+100000) variants of benchmark docs are the planted
+    contamination; the eval n-gram set broadcasts."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    eval_docs = docs.filter(F.col("doc_id") % curation.EVAL_MOD == curation.EVAL_REM)
+    corpus = dedup.dup_corpus(docs).filter(
+        ~((F.col("doc_id") % curation.EVAL_MOD == curation.EVAL_REM) & (F.col("doc_id") < 100000))
+    )
+    return curation.contamination_check(corpus, eval_docs.select("doc_id", "text"))
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction audit over a deterministically PII-injected corpus
+    (docs %3==0 gain an email + phone, docs %5==1 a second email) —
+    construction mirrored in the oracle's `pii` CTE."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    i = F.col("doc_id")
+    ds = i.cast("string")
+    extra1 = F.when(
+        i % 3 == 0,
+        F.concat(
+            F.lit(" Contact user"), ds, F.lit("@mail.example or call +1-555-"),
+            (1000 + i % 9000).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    extra2 = F.when(
+        i % 5 == 1, F.concat(F.lit(" alt"), ds, F.lit("@example.org"))
+    ).otherwise(F.lit(""))
+    pii = docs.select("doc_id", F.concat("text", extra1, extra2).alias("text"))
+    return curation.pii_redact(pii)
+
+
+def q_stratified_sample(spark, sf_dir):
+    return curation.stratified_sample(_docs(spark, sf_dir))
+
+
+def q_pack_sequences(spark, sf_dir):
+    return curation.pack_sequences(_docs(spark, sf_dir))
+
+
 # Ordered so the driver's per-round correctness window (the FIRST 50
 # entries) always holds the queries with the FEWEST driver rows: any
 # query with zero rows outranks any query with >= 1 (round-3 verdict
@@ -1080,7 +1128,11 @@ def q_embedding_neardup_pairs(spark, sf_dir):
 # demoted tail still has exact oracles, checked each round by
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r5 addition (zero driver rows) ---
+    # --- r5 additions (zero driver rows) ---
+    "contamination_check": q_contamination_check,
+    "pii_redact": q_pii_redact,
+    "stratified_sample": q_stratified_sample,
+    "pack_sequences": q_pack_sequences,
     "minhash_recall": q_minhash_recall,
     # --- r4 tail rotation (last driver rows: r3) ---
     "dedup_exact": q_dedup_exact,
@@ -1127,17 +1179,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     # --- fillers to 50: r4-window representatives whose operators carry
     # r5 fixes (repetition_stats short-doc guard, distance_join cell
-    # dims, events_asof collision guard, pip_poly_shp_indexed deletion
-    # flag) plus headline anchors ---
+    # dims, events_asof collision guard) ---
     "repetition_stats": q_repetition_stats,
     "distance_join": q_distance_join,
     "events_asof": q_events_asof,
+    # --- tail: every query below holds an r4 driver row; exact oracles
+    # retained, checked via tools/check_oracle.py each round ---
     "pip_poly_shp_indexed": q_pip_poly_shp_indexed,
     "zonal_stats_rect": q_zonal_stats_rect,
     "pip_grid": q_pip_grid,
     "count_pixels": q_count_pixels,
-    # --- tail: every query below holds an r4 driver row; exact oracles
-    # retained, checked via tools/check_oracle.py each round ---
     "transpose": q_transpose,
     "sessionize": q_sessionize,
     "events_hourly": q_events_hourly,

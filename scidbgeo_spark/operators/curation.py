@@ -1,0 +1,146 @@
+"""Training-data curation operators: decontamination, PII redaction,
+stratified sampling, sequence packing.
+
+These complete the pretraining-pipeline surface next to dedup.py/text.py
+(the reference has no text path — this is the graft surface over the
+Common-Crawl-style input table, BASELINE.json input_hint).  Everything is
+JVM-side column algebra with an exact DuckDB oracle twin (oracle.py
+shares the constants below).
+
+Scale shapes (100 TB story):
+- decontamination: the benchmark/eval n-gram set is tiny next to the
+  corpus (thousands of docs vs 10^12) — its hashed n-grams BROADCAST to
+  every executor and the corpus side never shuffles raw text, only the
+  per-doc hit counts ride the (map-side combined) groupBy.
+- PII redaction: a pure per-row projection (regexp_replace /
+  regexp_extract_all inside whole-stage codegen) — no shuffle at all.
+- stratified sampling: a seeded-hash FILTER — no shuffle, re-runnable
+  (same seed -> same sample on any cluster size), unlike rand()-based
+  sample() whose output depends on partitioning.
+- sequence packing: the running token sum is windowed PER SHARD, so the
+  global sort a naive cumulative sum needs becomes n_shards independent
+  bounded sorts (shard = doc_id % n_shards keeps them balanced).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from scidbgeo_spark.operators.text import md5_int
+from scidbgeo_spark.operators.dedup import shingles_col
+
+# ---- decontamination ----------------------------------------------------
+# eval-set membership: every doc_id = EVAL_REM (mod EVAL_MOD) is a
+# "benchmark" document; contamination n-grams are CONTAM_K-word shingles.
+EVAL_MOD = 23
+EVAL_REM = 5
+CONTAM_K = 5
+
+# ---- PII redaction ------------------------------------------------------
+# Lookaround-free patterns: the SAME string compiles on Java regex
+# (Spark) and RE2 (DuckDB) with identical match sets.
+EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+
+# ---- stratified sampling ------------------------------------------------
+# per-language keep rates in thousandths (dominant languages get
+# down-sampled harder); unknown strata fall back to RATE_DEFAULT.
+SAMPLE_RATES = {"en": 350, "de": 600, "fr": 600, "es": 600, "zh": 600}
+RATE_DEFAULT = 500
+SAMPLE_SEED = "s5"
+
+# ---- sequence packing ---------------------------------------------------
+PACK_BUDGET = 512
+PACK_SHARDS = 8
+
+
+def contamination_check(corpus: DataFrame, eval_docs: DataFrame, k: int = CONTAM_K) -> DataFrame:
+    """(doc_id, n_hits): corpus documents sharing at least one k-word
+    shingle with the eval/benchmark set, with the count of distinct
+    shared shingles (GPT-3/Gopher-style train-test decontamination).
+
+    The eval side collapses to a distinct 60-bit-hash set and is
+    broadcast; the corpus side explodes its (already distinct) per-doc
+    shingle hashes, so the join output is at most one row per
+    (doc, contaminated-shingle) and the groupBy partial-aggregates
+    map-side.  No raw text ever shuffles."""
+    eval_ng = (
+        eval_docs.select(F.explode(F.transform(shingles_col("text", k), md5_int)).alias("h"))
+        .distinct()
+    )
+    corp_ng = corpus.select(
+        "doc_id", F.explode(F.transform(shingles_col("text", k), md5_int)).alias("h")
+    )
+    return (
+        corp_ng.join(F.broadcast(eval_ng), "h")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def pii_redact(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_emails, n_phones, redacted_fp): per-document PII
+    redaction audit — match counts per rule plus the md5 fingerprint of
+    the redacted text (emails replaced first, then phones).  Pure
+    projection: whole-stage codegen, zero shuffle."""
+    redacted = F.regexp_replace(
+        F.regexp_replace("text", EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0)).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PHONE_RE), 0)).alias("n_phones"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+def _rate_for(lang: Column) -> Column:
+    rate = F.lit(RATE_DEFAULT)
+    for lg, r in sorted(SAMPLE_RATES.items()):
+        rate = F.when(lang == lg, F.lit(r)).otherwise(rate)
+    return rate
+
+
+def stratified_sample(docs: DataFrame, seed: str = SAMPLE_SEED) -> DataFrame:
+    """(doc_id, lang, n_tokens): seeded deterministic per-language
+    Bernoulli sample — keep iff md5(seed:doc_id) % 1000 < rate(lang).
+    A pure filter (no shuffle) whose membership is identical on any
+    cluster size / partitioning, unlike ``DataFrame.sample`` — the
+    reproducibility a training-data freeze needs."""
+    key = md5_int(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string")))
+    return (
+        docs.filter((key % 1000) < _rate_for(F.col("lang")))
+        .select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = PACK_BUDGET, n_shards: int = PACK_SHARDS
+) -> DataFrame:
+    """(shard, chunk_id, n_docs, n_tokens, first_doc, last_doc):
+    token-budget sequence packing — documents stream in doc_id order and
+    fill fixed ``budget``-token training windows; a document starting at
+    running offset s belongs to chunk floor(s / budget) (the straddler
+    convention: assignment by start offset, the split itself is a
+    downstream writer concern).
+
+    The running sum is windowed per shard (doc_id % n_shards), so the
+    plan is n_shards independent bounded sorts instead of the
+    single-partition global window a naive cumulative sum compiles to —
+    the difference between a scalable plan and a driver-sized one."""
+    toks = F.size(F.split("text", " ")).cast("long")
+    sharded = docs.select(
+        "doc_id", (F.col("doc_id") % n_shards).alias("shard"), toks.alias("n_toks")
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    cum = F.sum("n_toks").over(w)
+    chunked = sharded.withColumn(
+        "chunk_id", F.floor((cum - F.col("n_toks")) / budget)
+    )
+    return chunked.groupBy("shard", "chunk_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -963,3 +963,95 @@ SQL["events_cube"] = """SELECT event_type,
        CAST(count(*) AS BIGINT) AS n
 FROM events
 GROUP BY CUBE (event_type, date_trunc('hour', ts))"""
+
+
+# ---------------------------------------------------------------------------
+# curation operators (operators/curation.py) — constants are imported so
+# both engines share one definition.
+from scidbgeo_spark.operators.curation import (  # noqa: E402
+    CONTAM_K,
+    EMAIL_RE,
+    EVAL_MOD,
+    EVAL_REM,
+    PACK_BUDGET,
+    PACK_SHARDS,
+    PHONE_RE,
+    RATE_DEFAULT,
+    SAMPLE_RATES,
+    SAMPLE_SEED,
+)
+
+
+def _kshingles(src: str, k: int) -> str:
+    """Parameterized twin of operators.dedup.shingles_col(k): distinct
+    k-word shingles (short docs yield their whole token list once)."""
+    return f"""(
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - {k} + 1, 1) + 1),
+           i -> array_to_string(toks[i:i+{k - 1}], ' '))) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}))"""
+
+
+SQL["contamination_check"] = f"""WITH {CORPUS},
+eval_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+corp AS (SELECT doc_id, text FROM corpus
+         WHERE NOT (doc_id % {EVAL_MOD} = {EVAL_REM} AND doc_id < 100000)),
+eng AS (SELECT DISTINCT unnest(list_transform(sh, s -> {_MD5INT.format(x='s')})) AS h
+        FROM {_kshingles('eval_docs', CONTAM_K)}),
+cng AS (SELECT doc_id, unnest(list_transform(sh, s -> {_MD5INT.format(x='s')})) AS h
+        FROM {_kshingles('corp', CONTAM_K)})
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+FROM cng JOIN eng USING (h)
+GROUP BY doc_id"""
+
+# deterministic PII-bearing corpus: the same construction lives in
+# __spark_entry__.q_pii_redact (docs %3==0 gain an email + phone, docs
+# %5==1 gain a second email).
+_PII_TEXT = """
+pii AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' Contact user' || doc_id || '@mail.example or call +1-555-'
+                      || (1000 + doc_id % 9000)
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 1
+                 THEN ' alt' || doc_id || '@example.org'
+                 ELSE '' END AS text
+  FROM documents
+)"""
+
+SQL["pii_redact"] = f"""WITH {_PII_TEXT}
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS INT) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+FROM pii"""
+
+_RATE_CASE = (
+    "CASE lang "
+    + " ".join(f"WHEN '{lg}' THEN {r}" for lg, r in sorted(SAMPLE_RATES.items()))
+    + f" ELSE {RATE_DEFAULT} END"
+)
+
+SQL["stratified_sample"] = f"""SELECT doc_id, lang,
+       CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+FROM documents
+WHERE ({_MD5INT.format(x=f"'{SAMPLE_SEED}:' || doc_id")}) % 1000 < {_RATE_CASE}"""
+
+SQL["pack_sequences"] = f"""WITH t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+), c AS (
+  SELECT shard, doc_id, n_toks,
+         sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT shard, CAST(floor((cum - n_toks) / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY shard, chunk_id"""

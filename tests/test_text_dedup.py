@@ -478,3 +478,117 @@ def test_cluster_drop_superset_and_chain_case(spark, sf_correct):
     assert c_drop == {d for d, c in clusters.items() if d != c}
     survivors = set(clusters.values())
     assert survivors.isdisjoint(c_drop)
+
+
+# ---- curation operators (contamination / PII / sampling / packing) ----
+
+from scidbgeo_spark.operators import curation  # noqa: E402
+
+
+def test_contamination_flags_planted_copies(spark, sf_correct):
+    """Exact (+200000) and mutated (+100000) variants of benchmark docs
+    must be flagged; the benchmark docs themselves are excluded from the
+    corpus side, and a corpus of unrelated docs yields no self-hits."""
+    docs = _docs(spark, sf_correct)
+    eval_docs = docs.filter(F.col("doc_id") % curation.EVAL_MOD == curation.EVAL_REM)
+    corpus = dedup.dup_corpus(docs).filter(
+        ~(
+            (F.col("doc_id") % curation.EVAL_MOD == curation.EVAL_REM)
+            & (F.col("doc_id") < 100000)
+        )
+    )
+    hits = {
+        r.doc_id: r.n_hits
+        for r in curation.contamination_check(corpus, eval_docs.select("doc_id", "text")).collect()
+    }
+    eval_ids = {r.doc_id for r in eval_docs.select("doc_id").collect()}
+    planted = {i + 200000 for i in eval_ids if i % 11 == 0} | {
+        i + 100000 for i in eval_ids if i % 7 == 0
+    }
+    assert planted, "fixture must plant at least one contaminated copy"
+    assert planted <= set(hits), f"missed planted contamination: {planted - set(hits)}"
+    # a mutated copy shares every interior shingle => large hit counts
+    assert all(hits[d] >= 1 for d in planted)
+    # benchmark doc_ids themselves never appear (they left the corpus)
+    assert not (set(hits) & eval_ids)
+
+
+def test_contamination_empty_eval_set(spark, sf_smoke):
+    docs = _docs(spark, sf_smoke)
+    empty = docs.filter(F.lit(False)).select("doc_id", "text")
+    assert curation.contamination_check(dedup.dup_corpus(docs), empty).count() == 0
+
+
+def test_pii_redact_counts_and_fingerprint(spark):
+    rows = [
+        (1, "reach me at alice.b@corp.example please"),
+        (2, "call +1-555-0199 or +1-555-0200"),
+        (3, "bob@x.io and carol@y.org then +1-555-1234"),
+        (4, "no pii here"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in curation.pii_redact(df).collect()}
+    assert (got[1].n_emails, got[1].n_phones) == (1, 0)
+    assert (got[2].n_emails, got[2].n_phones) == (0, 2)
+    assert (got[3].n_emails, got[3].n_phones) == (2, 1)
+    assert (got[4].n_emails, got[4].n_phones) == (0, 0)
+    assert (got[5].n_emails, got[5].n_phones) == (0, 0)
+    import hashlib
+
+    expected = hashlib.md5(b"<EMAIL> and <EMAIL> then <PHONE>").hexdigest()
+    assert got[3].redacted_fp == expected
+
+
+def test_stratified_sample_deterministic_and_stratified(spark, sf_correct):
+    docs = _docs(spark, sf_correct)
+    s1 = curation.stratified_sample(docs)
+    s2 = curation.stratified_sample(docs)
+    a = sorted(r.doc_id for r in s1.collect())
+    b = sorted(r.doc_id for r in s2.collect())
+    assert a == b and len(a) > 0
+    # empirical rate per stratum within a loose band of the target
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    kept = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    for lang, tot in totals.items():
+        if tot < 30:
+            continue
+        rate = curation.SAMPLE_RATES.get(lang, curation.RATE_DEFAULT) / 1000
+        assert abs(kept.get(lang, 0) / tot - rate) < 0.25
+
+
+def test_pack_sequences_chunk_invariants(spark, sf_correct):
+    """Chunks partition each shard's doc stream contiguously; every chunk
+    except a shard's last begins before the budget boundary it fills."""
+    docs = _docs(spark, sf_correct)
+    out = curation.pack_sequences(docs).collect()
+    n_docs_total = docs.count()
+    assert sum(r.n_docs for r in out) == n_docs_total
+    by_shard: dict[int, list] = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, chunks in by_shard.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        # doc-id ranges are contiguous and non-overlapping across chunks
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert prev.last_doc < cur.first_doc
+            assert cur.chunk_id > prev.chunk_id
+        # token conservation per shard
+        want = (
+            docs.filter(F.col("doc_id") % curation.PACK_SHARDS == shard)
+            .select(F.sum(F.size(F.split("text", " "))).alias("s"))
+            .collect()[0]
+            .s
+        )
+        assert sum(r.n_tokens for r in chunks) == want
+
+
+def test_pack_sequences_exact_boundary(spark):
+    """Docs of exactly budget tokens: each lands in its own chunk id."""
+    budget = curation.PACK_BUDGET
+    text = " ".join(["w"] * budget)
+    df = spark.createDataFrame([(i * curation.PACK_SHARDS, text) for i in range(3)],
+                               "doc_id long, text string")
+    out = sorted(curation.pack_sequences(df).collect(), key=lambda r: r.chunk_id)
+    assert [r.chunk_id for r in out] == [0, 1, 2]
+    assert all(r.n_docs == 1 and r.n_tokens == budget for r in out)
