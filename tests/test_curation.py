@@ -1,0 +1,145 @@
+"""Curation operators: plan-shape pins (the 100 TB story) + randomized
+parity against pure-Python references."""
+
+import random
+import re
+
+from pyspark.sql import functions as F
+
+from scidbgeo_spark import model
+from scidbgeo_spark.operators import curation, dedup
+
+
+def _docs(spark, sf):
+    return model.load_table(spark, sf, "documents")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# ---- plan shape: these operators must keep their scalable plans ----
+
+
+def test_pii_and_sample_plans_have_zero_exchanges(spark, sf_smoke):
+    """Redaction and seeded sampling are pure projections/filters — any
+    Exchange in their plan is a regression."""
+    docs = _docs(spark, sf_smoke)
+    assert _plan(curation.pii_redact(docs)).count("Exchange") == 0
+    assert _plan(curation.stratified_sample(docs)).count("Exchange") == 0
+
+
+def test_pack_sequences_single_exchange(spark, sf_smoke):
+    """One shuffle total: the groupBy(shard, chunk_id) must reuse the
+    window's hash-partitioning on shard (subset-of-keys distribution),
+    not add a second exchange."""
+    assert _plan(curation.pack_sequences(_docs(spark, sf_smoke))).count("Exchange") == 1
+
+
+def test_contamination_broadcasts_eval_side(spark, sf_smoke):
+    """The benchmark n-gram set must reach the corpus via broadcast —
+    a shuffled join would move the exploded corpus shingles."""
+    docs = _docs(spark, sf_smoke)
+    plan = _plan(
+        curation.contamination_check(docs, docs.limit(5).select("doc_id", "text"))
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+# ---- randomized parity vs pure-Python references ----
+
+
+def test_pack_sequences_matches_python_reference(spark):
+    rng = random.Random(7)
+    ids = rng.sample(range(10_000), 300)
+    rows = [(i, " ".join(["w"] * rng.randint(1, 900))) for i in ids]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.shard, r.chunk_id): (r.n_docs, r.n_tokens, r.first_doc, r.last_doc)
+        for r in curation.pack_sequences(df).collect()
+    }
+    expected: dict = {}
+    per_shard: dict = {}
+    for i, text in sorted(rows):
+        n = len(text.split(" "))
+        shard = i % curation.PACK_SHARDS
+        start = per_shard.get(shard, 0)
+        chunk = start // curation.PACK_BUDGET
+        nd, nt, fd, ld = expected.get((shard, chunk), (0, 0, i, i))
+        expected[(shard, chunk)] = (nd + 1, nt + n, min(fd, i), max(ld, i))
+        per_shard[shard] = start + n
+    assert got == expected
+
+
+def test_pii_redact_matches_python_re(spark):
+    rng = random.Random(11)
+    atoms = [
+        "plain words here",
+        "a.b@x.example",
+        "+1-555-0000",
+        "trailing@dot.example.",
+        "not-an-email@",
+        "@not.either",
+        "two@y.io,three@z.net",
+        "+1-555-99",  # too short: no match
+    ]
+    rows = [
+        (i, " ".join(rng.choice(atoms) for _ in range(rng.randint(0, 6))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in curation.pii_redact(df).collect()}
+    import hashlib
+
+    for i, txt in rows:
+        assert got[i].n_emails == len(re.findall(curation.EMAIL_RE, txt)), txt
+        assert got[i].n_phones == len(re.findall(curation.PHONE_RE, txt)), txt
+        red = re.sub(
+            curation.PHONE_RE, "<PHONE>", re.sub(curation.EMAIL_RE, "<EMAIL>", txt)
+        )
+        assert got[i].redacted_fp == hashlib.md5(red.encode()).hexdigest(), txt
+
+
+def test_contamination_matches_python_sets(spark):
+    rng = random.Random(13)
+    vocab = [f"t{j}" for j in range(12)]  # tiny vocab -> real overlaps
+    mk = lambda n: " ".join(rng.choice(vocab) for _ in range(n))
+    corpus_rows = [(i, mk(rng.randint(1, 30))) for i in range(40)]
+    eval_rows = [(1000 + i, mk(rng.randint(1, 30))) for i in range(6)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {r.doc_id: r.n_hits for r in curation.contamination_check(corpus, ev).collect()}
+
+    k = curation.CONTAM_K
+
+    def shingles(text: str) -> set:
+        toks = text.split(" ")
+        idx = range(max(len(toks) - k, 0) + 1)
+        return {" ".join(toks[i : i + k]) for i in idx}
+
+    eval_ng = set().union(*(shingles(t) for _, t in eval_rows))
+    expected = {
+        i: len(shingles(t) & eval_ng)
+        for i, t in corpus_rows
+        if shingles(t) & eval_ng
+    }
+    assert got == expected
+
+
+def test_stratified_sample_is_subset_with_exact_membership(spark, sf_smoke):
+    """Membership is decided row-locally by the hash threshold — verify
+    against a Python recomputation of the same md5 rule."""
+    import hashlib
+
+    docs = _docs(spark, sf_smoke).select("doc_id", "lang", "text").collect()
+    kept = {
+        r.doc_id
+        for r in curation.stratified_sample(
+            spark.createDataFrame(docs, "doc_id long, lang string, text string")
+        ).collect()
+    }
+    for r in docs:
+        h = int(hashlib.md5(f"{curation.SAMPLE_SEED}:{r.doc_id}".encode()).hexdigest()[:15], 16)
+        rate = curation.SAMPLE_RATES.get(r.lang, curation.RATE_DEFAULT)
+        assert (r.doc_id in kept) == (h % 1000 < rate)
