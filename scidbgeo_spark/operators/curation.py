@@ -55,7 +55,9 @@ PACK_BUDGET = 512
 PACK_SHARDS = 8
 
 
-def contamination_check(corpus: DataFrame, eval_docs: DataFrame, k: int = CONTAM_K) -> DataFrame:
+def contamination_check(
+    corpus: DataFrame, eval_docs: DataFrame, k: int = CONTAM_K, broadcast: bool = True
+) -> DataFrame:
     """(doc_id, n_hits): corpus documents sharing at least one k-word
     shingle with the eval/benchmark set, with the count of distinct
     shared shingles (GPT-3/Gopher-style train-test decontamination).
@@ -64,16 +66,22 @@ def contamination_check(corpus: DataFrame, eval_docs: DataFrame, k: int = CONTAM
     broadcast; the corpus side explodes its (already distinct) per-doc
     shingle hashes, so the join output is at most one row per
     (doc, contaminated-shingle) and the groupBy partial-aggregates
-    map-side.  No raw text ever shuffles."""
+    map-side.  No raw text ever shuffles.
+
+    ``broadcast=False`` drops the hint for the rare eval set too large
+    for executor memory (a full benchmark UNION at tens of GB) — the
+    join then shuffles 8-byte hash longs, never text."""
     eval_ng = (
         eval_docs.select(F.explode(F.transform(shingles_col("text", k), md5_int)).alias("h"))
         .distinct()
     )
+    if broadcast:
+        eval_ng = F.broadcast(eval_ng)
     corp_ng = corpus.select(
         "doc_id", F.explode(F.transform(shingles_col("text", k), md5_int)).alias("h")
     )
     return (
-        corp_ng.join(F.broadcast(eval_ng), "h")
+        corp_ng.join(eval_ng, "h")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_hits"))
     )

@@ -100,11 +100,85 @@ def pip_smoke(spark, n_pts: int = 20_000_000) -> dict:
     }
 
 
+def curation_smoke(spark, n_docs: int = 10_000_000) -> dict:
+    """10M synthetic 8-token docs through decontamination + packing +
+    stratified sampling, with EXACT structural checks: every shingle of
+    a doc embeds its doc_id, so each of the ~n/1009 planted eval docs
+    hits exactly its own corpus twin with exactly 4 shared 5-gram
+    shingles; every doc is exactly 8 tokens, so packing conserves
+    8*n tokens and fills chunks with exactly budget/8 docs."""
+    from scidbgeo_spark.operators import curation
+
+    eval_mod = 1009
+    t0 = time.time()
+    i = F.col("id")
+    text = F.concat_ws(
+        " ",
+        F.concat(F.lit("d"), i.cast("string")),
+        F.concat(F.lit("a"), (i % 7).cast("string")),
+        F.concat(F.lit("b"), (i % 11).cast("string")),
+        F.concat(F.lit("c"), (i % 13).cast("string")),
+        F.concat(F.lit("e"), i.cast("string")),
+        F.concat(F.lit("f"), (i % 17).cast("string")),
+        F.concat(F.lit("g"), (i % 19).cast("string")),
+        F.concat(F.lit("h"), i.cast("string")),
+    )
+    lang = F.element_at(
+        F.array(*[F.lit(lg) for lg in ["en", "de", "zh", "fr", "es"]]),
+        (i % 5 + 1).cast("int"),
+    )
+    docs = spark.range(n_docs).select(
+        i.alias("doc_id"), text.alias("text"), lang.alias("lang")
+    )
+    eval_docs = docs.filter(F.col("doc_id") % eval_mod == 5).select("doc_id", "text")
+    n_eval = (n_docs - 5 + eval_mod - 1) // eval_mod  # |{x < n : x % mod == 5}|
+    hits = curation.contamination_check(docs, eval_docs).agg(
+        F.count("*").alias("rows"), F.sum("n_hits").alias("hits")
+    ).collect()[0]
+    packed = curation.pack_sequences(docs).agg(
+        F.sum("n_docs").alias("docs"),
+        F.sum("n_tokens").alias("toks"),
+        F.sum(F.when(F.col("n_docs") == curation.PACK_BUDGET // 8, 0).otherwise(1)).alias(
+            "ragged"
+        ),
+    ).collect()[0]
+    kept = {
+        r.lang: r.n
+        for r in curation.stratified_sample(docs)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    wall = time.time() - t0
+    per_stratum = n_docs // 5
+    rate_ok = all(
+        abs(kept[lg] / per_stratum - curation.SAMPLE_RATES[lg] / 1000) < 0.01
+        for lg in kept
+    )
+    exact = (
+        hits.rows == n_eval
+        and hits.hits == 4 * n_eval
+        and packed.docs == n_docs
+        and packed.toks == 8 * n_docs
+        # only a shard's final partial chunk may deviate from budget/8 docs
+        and packed.ragged <= curation.PACK_SHARDS
+        and rate_ok
+    )
+    return {
+        "workload": "curation_10m",
+        "docs": n_docs,
+        "wall_sec": round(wall, 1),
+        "contam_rows": hits.rows,
+        "n_eval": n_eval,
+        "exact": bool(exact),
+    }
+
+
 def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     spark = get_spark("scale-smoke", cores=cores, shuffle_partitions=2 * cores)
     results = []
-    for fn in (zonal_smoke, pip_smoke):
+    for fn in (zonal_smoke, pip_smoke, curation_smoke):
         r = fn(spark)
         results.append(r)
         print(json.dumps(r), flush=True)
