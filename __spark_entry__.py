@@ -1114,6 +1114,35 @@ def q_stratified_sample(spark, sf_dir):
     return curation.stratified_sample(_docs(spark, sf_dir))
 
 
+def q_corpus_freeze(spark, sf_dir):
+    """End-to-end training-data FREEZE, one query: raw corpus (with
+    planted dups) -> benchmark docs leave the corpus -> exact dedup ->
+    5-gram decontamination vs those benchmark docs -> seeded stratified
+    sample -> token-budget sequence packing.  The output is the frozen
+    shard/chunk manifest a dataloader would consume; every stage is
+    deterministic, so the whole pipeline holds an exact oracle."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    is_eval = (F.col("doc_id") % curation.EVAL_MOD == curation.EVAL_REM) & (
+        F.col("doc_id") < 100000
+    )
+    eval_docs = docs.filter(
+        F.col("doc_id") % curation.EVAL_MOD == curation.EVAL_REM
+    ).select("doc_id", "text")
+    corp = dedup.dup_corpus(docs).filter(~is_eval)
+    keep = dedup.dedup_exact(corp).select(F.col("keep_id").alias("doc_id"))
+    contam = curation.contamination_check(corp, eval_docs).select("doc_id")
+    kept = (
+        corp.join(keep, "doc_id")
+        .join(contam, "doc_id", "left_anti")
+        .join(docs.select("doc_id", "lang"), "doc_id", "left")
+        .withColumn("lang", F.coalesce("lang", F.lit("unk")))
+    )
+    sampled = curation.sample_keep(kept).select("doc_id", "text")
+    return curation.pack_sequences(sampled)
+
+
 def q_pack_sequences(spark, sf_dir):
     return curation.pack_sequences(_docs(spark, sf_dir))
 
@@ -1133,6 +1162,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
+    "corpus_freeze": q_corpus_freeze,
     "minhash_recall": q_minhash_recall,
     # --- r4 tail rotation (last driver rows: r3) ---
     "dedup_exact": q_dedup_exact,
@@ -1179,12 +1209,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
     # --- fillers to 50: r4-window representatives whose operators carry
     # r5 fixes (repetition_stats short-doc guard, distance_join cell
-    # dims, events_asof collision guard) ---
+    # dims) ---
     "repetition_stats": q_repetition_stats,
     "distance_join": q_distance_join,
-    "events_asof": q_events_asof,
     # --- tail: every query below holds an r4 driver row; exact oracles
     # retained, checked via tools/check_oracle.py each round ---
+    "events_asof": q_events_asof,
     "pip_poly_shp_indexed": q_pip_poly_shp_indexed,
     "zonal_stats_rect": q_zonal_stats_rect,
     "pip_grid": q_pip_grid,

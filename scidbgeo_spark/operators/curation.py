@@ -110,16 +110,20 @@ def _rate_for(lang: Column) -> Column:
     return rate
 
 
-def stratified_sample(docs: DataFrame, seed: str = SAMPLE_SEED) -> DataFrame:
-    """(doc_id, lang, n_tokens): seeded deterministic per-language
-    Bernoulli sample — keep iff md5(seed:doc_id) % 1000 < rate(lang).
-    A pure filter (no shuffle) whose membership is identical on any
-    cluster size / partitioning, unlike ``DataFrame.sample`` — the
-    reproducibility a training-data freeze needs."""
+def sample_keep(docs: DataFrame, seed: str = SAMPLE_SEED) -> DataFrame:
+    """Rows kept by the seeded per-language Bernoulli rule — keep iff
+    md5(seed:doc_id) % 1000 < rate(lang).  A pure filter (no shuffle)
+    whose membership is identical on any cluster size / partitioning,
+    unlike ``DataFrame.sample`` — the reproducibility a training-data
+    freeze needs.  All input columns pass through."""
     key = md5_int(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string")))
-    return (
-        docs.filter((key % 1000) < _rate_for(F.col("lang")))
-        .select("doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens"))
+    return docs.filter((key % 1000) < _rate_for(F.col("lang")))
+
+
+def stratified_sample(docs: DataFrame, seed: str = SAMPLE_SEED) -> DataFrame:
+    """(doc_id, lang, n_tokens): the sample_keep rows, projected."""
+    return sample_keep(docs, seed).select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
     )
 
 

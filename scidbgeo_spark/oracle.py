@@ -1055,3 +1055,42 @@ SELECT shard, CAST(floor((cum - n_toks) / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
        CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY shard, chunk_id"""
+
+# end-to-end freeze: benchmark removal -> exact dedup -> decontamination
+# -> seeded stratified sample -> sequence packing (one exact pipeline,
+# mirrors __spark_entry__.q_corpus_freeze stage for stage).
+SQL["corpus_freeze"] = f"""WITH {CORPUS},
+eval_docs AS (SELECT doc_id, text FROM documents WHERE doc_id % {EVAL_MOD} = {EVAL_REM}),
+corp AS (SELECT doc_id, text FROM corpus
+         WHERE NOT (doc_id % {EVAL_MOD} = {EVAL_REM} AND doc_id < 100000)),
+keep AS (SELECT min(doc_id) AS doc_id FROM corp GROUP BY md5(text)),
+eng AS (SELECT DISTINCT unnest(list_transform(sh, s -> {_MD5INT.format(x='s')})) AS h
+        FROM {_kshingles('eval_docs', CONTAM_K)}),
+cng AS (SELECT doc_id, unnest(list_transform(sh, s -> {_MD5INT.format(x='s')})) AS h
+        FROM {_kshingles('corp', CONTAM_K)}),
+contam AS (SELECT DISTINCT doc_id FROM cng JOIN eng USING (h)),
+kept AS (
+  SELECT c.doc_id, c.text, coalesce(d.lang, 'unk') AS lang
+  FROM corp c JOIN keep k ON c.doc_id = k.doc_id
+  LEFT JOIN documents d ON d.doc_id = c.doc_id
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM contam)
+),
+samp AS (
+  SELECT doc_id, text FROM kept
+  WHERE ({_MD5INT.format(x=f"'{SAMPLE_SEED}:' || doc_id")}) % 1000 < {_RATE_CASE}
+),
+t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM samp
+),
+c AS (
+  SELECT shard, doc_id, n_toks,
+         sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT shard, CAST(floor((cum - n_toks) / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY shard, chunk_id"""

@@ -143,3 +143,47 @@ def test_stratified_sample_is_subset_with_exact_membership(spark, sf_smoke):
         h = int(hashlib.md5(f"{curation.SAMPLE_SEED}:{r.doc_id}".encode()).hexdigest()[:15], 16)
         rate = curation.SAMPLE_RATES.get(r.lang, curation.RATE_DEFAULT)
         assert (r.doc_id in kept) == (h % 1000 < rate)
+
+
+def test_corpus_freeze_stage_consistency(spark, sf_correct):
+    """The freeze manifest's doc totals equal a stage-by-stage
+    recomputation, and no benchmark or contaminated doc survives into
+    the packed set."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    docs = _docs(spark, sf_correct)
+    is_eval_base = (F.col("doc_id") % curation.EVAL_MOD == curation.EVAL_REM) & (
+        F.col("doc_id") < 100000
+    )
+    eval_docs = docs.filter(
+        F.col("doc_id") % curation.EVAL_MOD == curation.EVAL_REM
+    ).select("doc_id", "text")
+    corp = dedup.dup_corpus(docs).filter(~is_eval_base)
+    keep = {r.keep_id for r in dedup.dedup_exact(corp).collect()}
+    contam = {
+        r.doc_id for r in curation.contamination_check(corp, eval_docs).collect()
+    }
+    lang = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    import hashlib
+
+    survivors = set()
+    for r in corp.select("doc_id").collect():
+        i = r.doc_id
+        if i not in keep or i in contam:
+            continue
+        h = int(hashlib.md5(f"{curation.SAMPLE_SEED}:{i}".encode()).hexdigest()[:15], 16)
+        rate = curation.SAMPLE_RATES.get(lang.get(i, "unk"), curation.RATE_DEFAULT)
+        if h % 1000 < rate:
+            survivors.add(i)
+
+    out = entry.q_corpus_freeze(spark, sf_correct).collect()
+    assert sum(r.n_docs for r in out) == len(survivors)
+    eval_base_ids = {i for i in lang if i % curation.EVAL_MOD == curation.EVAL_REM}
+    assert not (survivors & eval_base_ids)
+    assert not (survivors & contam)
