@@ -954,14 +954,12 @@ def q_corpus_curation(spark, sf_dir):
     )
 
 
-def q_url_dedup(spark, sf_dir):
-    """URL-canonicalization dedup: deterministic url variants (scheme
-    case, http/https, www., trailing slash) derive from doc_id so each
-    canonical url has exactly two variant spellings; normalization must
-    collapse them to one keep row each."""
+def _variant_url_col():
+    """Deterministic url variants (scheme case, http/https, www.,
+    trailing slash) derived from doc_id: each canonical url has exactly
+    two variant spellings (docs 2p and 2p+1)."""
     from pyspark.sql import functions as F
 
-    docs = _docs(spark, sf_dir)
     i = F.col("doc_id")
     scheme = F.element_at(
         F.array(
@@ -981,7 +979,28 @@ def q_url_dedup(spark, sf_dir):
         p.cast("string"),
         F.when(i % 2 == 0, F.lit("/")).otherwise(F.lit("")),
     )
-    return dedup.url_dedup(docs.select("doc_id", url.alias("url")))
+    return url
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-canonicalization dedup: the two variant spellings of each
+    canonical url must collapse to one keep row."""
+    docs = _docs(spark, sf_dir)
+    return dedup.url_dedup(docs.select("doc_id", _variant_url_col().alias("url")))
+
+
+def q_url_dedup_latest(spark, sf_dir):
+    """Crawl-freshness url dedup: same variant urls, but each capture
+    carries a deterministic epoch timestamp (9973 is coprime with the
+    31,536,000-second year, so timestamps are tie-free for any corpus
+    below 31M docs) and the NEWEST capture wins via max_by."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    ts = (F.lit(1735689600) + (F.col("doc_id") * 9973) % 31536000).alias("warc_ts")
+    return dedup.url_dedup_latest(
+        docs.select("doc_id", _variant_url_col().alias("url"), ts)
+    )
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -1163,6 +1182,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "pack_sequences": q_pack_sequences,
     "corpus_freeze": q_corpus_freeze,
+    "url_dedup_latest": q_url_dedup_latest,
     "minhash_recall": q_minhash_recall,
     # --- r4 tail rotation (last driver rows: r3) ---
     "dedup_exact": q_dedup_exact,
@@ -1207,13 +1227,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_recall": q_ann_lsh_recall,
     "ann_ivf_recall": q_ann_ivf_recall,
     "embedding_neardup_pairs": q_embedding_neardup_pairs,
-    # --- fillers to 50: r4-window representatives whose operators carry
-    # r5 fixes (repetition_stats short-doc guard, distance_join cell
-    # dims) ---
+    # --- filler to 50: an r4-window representative whose operator
+    # carries an r5 fix (repetition_stats short-doc guard) ---
     "repetition_stats": q_repetition_stats,
-    "distance_join": q_distance_join,
     # --- tail: every query below holds an r4 driver row; exact oracles
     # retained, checked via tools/check_oracle.py each round ---
+    "distance_join": q_distance_join,
     "events_asof": q_events_asof,
     "pip_poly_shp_indexed": q_pip_poly_shp_indexed,
     "zonal_stats_rect": q_zonal_stats_rect,

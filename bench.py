@@ -93,6 +93,7 @@ HEADLINE = [
     "knn",
     "dedup_exact",
     "ann_bruteforce_topk",
+    "corpus_freeze",
 ]
 
 

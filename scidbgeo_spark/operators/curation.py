@@ -140,7 +140,10 @@ def pack_sequences(
     The running sum is windowed per shard (doc_id % n_shards), so the
     plan is n_shards independent bounded sorts instead of the
     single-partition global window a naive cumulative sum compiles to —
-    the difference between a scalable plan and a driver-sized one."""
+    the difference between a scalable plan and a driver-sized one.
+    ``n_shards`` IS the parallelism of this operator: the default 8 is
+    the test/oracle setting; size it to ~2-4x the executor-core count in
+    production (each shard must fit an executor's sort budget)."""
     toks = F.size(F.split("text", " ")).cast("long")
     sharded = docs.select(
         "doc_id", (F.col("doc_id") % n_shards).alias("shard"), toks.alias("n_toks")

@@ -80,6 +80,29 @@ def url_dedup(df: DataFrame, url_col: str = "url", id_col: str = "doc_id") -> Da
     )
 
 
+def url_dedup_latest(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id", ts_col: str = "warc_ts"
+) -> DataFrame:
+    """Crawl-FRESHNESS url dedup: one row per canonical url keeping the
+    NEWEST capture (max_by on the capture timestamp) instead of the
+    minimum id — re-crawls supersede stale snapshots, the policy a
+    rolling Common-Crawl-style ingest actually wants.  Same single
+    hash-partitioned groupBy as url_dedup; max_by/max/count all combine
+    map-side.  Callers must guarantee ``ts_col`` is tie-free per
+    canonical url (or accept engine-dependent tie-breaks)."""
+    return (
+        df.select(
+            F.col(id_col), F.col(ts_col), url_normalize(F.col(url_col)).alias("url_norm")
+        )
+        .groupBy("url_norm")
+        .agg(
+            F.expr(f"max_by({id_col}, {ts_col})").alias("keep_id"),
+            F.max(ts_col).alias("latest_ts"),
+            F.count("*").alias("n_captures"),
+        )
+    )
+
+
 def dedup_exact(corpus: DataFrame) -> DataFrame:
     """Exact dedup by content hash: one row per distinct text with the
     kept (minimum) id and the group size."""

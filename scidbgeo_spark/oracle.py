@@ -1094,3 +1094,23 @@ SELECT shard, CAST(floor((cum - n_toks) / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
        CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY shard, chunk_id"""
+
+# crawl-freshness url dedup: arg_max pins max_by semantics engine-to-
+# engine; timestamps are tie-free by construction (9973 coprime with
+# 31536000).
+SQL["url_dedup_latest"] = """WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 4 WHEN 0 THEN 'https://' WHEN 1 THEN 'http://'
+         WHEN 2 THEN 'HTTPS://www.' ELSE 'https://www.' END
+    || 'site' || CAST((doc_id // 2) % 7 AS VARCHAR)
+    || '.example/p/' || CAST(doc_id // 2 AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END AS url,
+    1735689600 + (doc_id * 9973) % 31536000 AS warc_ts
+  FROM documents)
+SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         lower(url), '^https?://', ''), '^www\\.', ''), '#.*$', ''),
+         '/$', '') AS url_norm,
+       CAST(arg_max(doc_id, warc_ts) AS BIGINT) AS keep_id,
+       CAST(max(warc_ts) AS BIGINT) AS latest_ts,
+       CAST(count(*) AS BIGINT) AS n_captures
+FROM u GROUP BY 1"""

@@ -592,3 +592,21 @@ def test_pack_sequences_exact_boundary(spark):
     out = sorted(curation.pack_sequences(df).collect(), key=lambda r: r.chunk_id)
     assert [r.chunk_id for r in out] == [0, 1, 2]
     assert all(r.n_docs == 1 and r.n_tokens == budget for r in out)
+
+
+def test_url_dedup_latest_newest_wins(spark):
+    """max_by keeps the newest capture even when it has the SMALLER id
+    (so the result provably differs from min-id url_dedup)."""
+    rows = [
+        (1, "https://a.example/p", 500),   # newest, smaller id
+        (2, "http://www.a.example/p/", 100),
+        (3, "https://b.example/", 50),
+        (4, "HTTPS://b.example", 40),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, warc_ts long")
+    got = {r.url_norm: r for r in dedup.url_dedup_latest(df).collect()}
+    assert got["a.example/p"].keep_id == 1
+    assert got["a.example/p"].latest_ts == 500
+    assert got["a.example/p"].n_captures == 2
+    assert got["b.example"].keep_id == 3
+    assert got["b.example"].n_captures == 2
