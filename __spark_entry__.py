@@ -1166,6 +1166,26 @@ def q_pack_sequences(spark, sf_dir):
     return curation.pack_sequences(_docs(spark, sf_dir))
 
 
+def q_dup_span_dedup(spark, sf_dir):
+    """Exact-substring dedup (Lee et al. 2022 semantics via positional
+    8-gram hashing) over the planted-dup corpus: per-doc covered-token
+    stats + the fingerprint of the text with duplicated spans removed
+    (planted exact copies collapse to md5(''))."""
+    return dedup.dup_span_dedup(dedup.dup_corpus(_docs(spark, sf_dir)))
+
+
+def q_token_budget_sample(spark, sf_dir):
+    """Sharded greedy token-budget selection per language (seeded-hash
+    priority, 4 sub-windows x 800 tokens per domain)."""
+    return curation.token_budget_sample(_docs(spark, sf_dir))
+
+
+def q_domain_mix_weights(spark, sf_dir):
+    """DoReMi-style (lang, source) mixture audit: token share + the
+    uniform-target resampling weight per domain."""
+    return curation.domain_mix_weights(_docs(spark, sf_dir))
+
+
 # Ordered so the driver's per-round correctness window (the FIRST 50
 # entries) always holds the queries with the FEWEST driver rows: any
 # query with zero rows outranks any query with >= 1 (round-3 verdict
@@ -1177,6 +1197,9 @@ def q_pack_sequences(spark, sf_dir):
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
+    "dup_span_dedup": q_dup_span_dedup,
+    "token_budget_sample": q_token_budget_sample,
+    "domain_mix_weights": q_domain_mix_weights,
     "contamination_check": q_contamination_check,
     "pii_redact": q_pii_redact,
     "stratified_sample": q_stratified_sample,

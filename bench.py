@@ -601,7 +601,13 @@ def membw_control() -> dict:
     def worker(q):
         q.put(triad())
 
-    t1 = triad()
+    # best-of-2 on the 1-proc side: a host stall inside a single ~1 s
+    # trial INFLATES the ratio (a stalled serial side once read 4.94 s
+    # vs the true 0.11 s -> fabricated "efficiency" 0.64, enough to open
+    # the preflight gate mid-storm).  The multi-proc side stays
+    # single-shot — a stall there only UNDER-states the control, which
+    # fails safe for both the preflight gate and the pair-drop rule.
+    t1 = min(triad(), triad())
     q = mp.Queue()
     ps = [mp.Process(target=worker, args=(q,)) for _ in range(SCALE_4N)]
     t0 = time.time()

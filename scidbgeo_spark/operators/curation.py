@@ -159,3 +159,86 @@ def pack_sequences(
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+# ---- token-budget sampling ----------------------------------------------
+# greedy per-domain selection up to a token budget; the per-domain sort
+# is SHARDED so no single window ever holds a whole domain's rows.
+TB_SHARDS = 4
+TB_SHARD_BUDGET = 800  # tokens per (domain, shard); global = this x shards
+TB_SEED = "tb5"
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    shard_budget: int = TB_SHARD_BUDGET,
+    shards: int = TB_SHARDS,
+) -> DataFrame:
+    """Greedy token-budget selection per language domain: documents are
+    ranked by a seeded hash (a deterministic corpus shuffle — re-runnable
+    on any cluster size, unlike rand()) and kept while the running token
+    sum stays within the budget.
+
+    Scale shape: the naive form is one window per domain — a handful of
+    giant partitions at 10^12 docs.  Here the priority hash also splits
+    each domain into ``shards`` independent sub-windows with
+    ``shard_budget`` tokens each (global budget = shards x shard_budget):
+    the sort shards evenly by construction, and the result is identical
+    on any partitioning because rank and shard both derive from doc_id.
+
+    Output: (doc_id, lang, shard, n_toks, cum) for kept documents."""
+    pri = md5_int(F.concat(F.lit(TB_SEED + ":"), F.col("doc_id").cast("string")))
+    n_toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        pri.alias("pri"),
+        n_toks.alias("n_toks"),
+    ).withColumn("shard", F.col("pri") % shards)
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("pri", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum", F.sum("n_toks").over(w))
+        .filter(F.col("cum") <= shard_budget)
+        .select("doc_id", "lang", "shard", "n_toks", "cum")
+    )
+
+
+# ---- domain mixture weights ---------------------------------------------
+def domain_mix_weights(docs: DataFrame) -> DataFrame:
+    """DoReMi-style domain-mixture audit: per (lang, source) domain, the
+    document/token counts, the domain's share of corpus tokens, and the
+    resampling weight that would equalize the mixture (uniform target:
+    weight = (1/n_domains) / token_share).
+
+    Scale shape: one map-side-combined groupBy to domain grain, then a
+    broadcast of the one-row corpus total onto the (tiny) domain table —
+    the corpus itself is touched exactly once, no window over a single
+    partition.  At web scale ``source`` is the registrable domain of the
+    url; here it is the documents table's source column."""
+    n_toks = F.size(F.split(F.col("text"), " ")).cast("long")
+    agg = (
+        docs.select("lang", "source", n_toks.alias("n_toks"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+        )
+    )
+    tot = agg.agg(
+        F.sum("n_tokens").alias("tot"), F.count("*").alias("n_domains")
+    )
+    share = F.col("n_tokens") / F.col("tot")
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        share.alias("token_share"),
+        F.when(
+            F.col("n_tokens") > 0, (F.lit(1.0) / F.col("n_domains")) / share
+        ).alias("mix_weight"),
+    )

@@ -437,3 +437,106 @@ def simhash_dup_pairs(
         cand.select("a", "b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---- exact-substring (duplicated n-gram span) dedup ---------------------
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") remove every substring that occurs twice anywhere in the
+# corpus.  The suffix-array construction is single-machine; the
+# distributed equivalent is positional n-gram hashing: a token position
+# is "covered" iff some duplicated n-gram (count > 1 corpus-wide,
+# within-doc repeats included) starts within n-1 tokens of it — exactly
+# the positions a length->=n duplicated substring would cover.
+DUPSPAN_N = 8
+
+
+def dup_span_dedup(corpus: DataFrame, n: int = DUPSPAN_N) -> DataFrame:
+    """Per-document duplicated-span audit + removal: (doc_id, n_tokens,
+    n_dup_grams, n_covered, frac_covered, kept_fp) where kept_fp is the
+    md5 fingerprint of the document with every covered token removed
+    (an exact copy of another document collapses to md5('')).
+
+    Scale shape: positional n-gram hashes are 8-byte longs keyed by hash
+    — ``repartition("h")`` pins ONE exchange that both the dup-count agg
+    and the hit join reuse (Spark reuses exchanges, not projections).
+    Only duplicated grams fan out to covered positions (bounded by the
+    corpus' actual dup mass, not its size), and the rebuild ships
+    (doc_id, pos, token) rows once, anti-joined against the covered set
+    on the same (doc_id, pos) key.  No driver actions, no Python UDFs.
+    """
+    toks = F.split(F.col("text"), " ")
+    t = corpus.select(
+        "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    )
+
+    # hash BEFORE exploding (transform over start positions) so the token
+    # array is never duplicated across exploded rows
+    def _gram(s: Column) -> Column:
+        return F.struct(
+            s.alias("s"),
+            md5_int(F.array_join(F.slice(F.col("toks"), s, n), " ")).alias("h"),
+        )
+
+    grams = (
+        t.filter(F.col("n_tokens") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("n_tokens") - n + 1), _gram
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.s").alias("s"), F.col("g.h").alias("h"))
+        .repartition("h")
+    )
+    dup_h = grams.groupBy("h").agg(F.count("*").alias("cnt")).filter(
+        F.col("cnt") > 1
+    ).select("h")
+    hits = grams.join(dup_h, "h").select("doc_id", "s")
+
+    cov = hits.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("p"),
+    ).distinct()
+
+    tok_rows = t.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    ).select("doc_id", (F.col("pos") + 1).alias("p"), "tok")
+    kept = tok_rows.join(cov, ["doc_id", "p"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("kept_fp")
+    )
+
+    n_dup = hits.groupBy("doc_id").agg(F.count("*").alias("n_dup_grams"))
+    n_cov = cov.groupBy("doc_id").agg(F.count("*").alias("n_covered"))
+    ncov = F.coalesce(F.col("n_covered"), F.lit(0).cast("long"))
+    return (
+        t.select("doc_id", "n_tokens")
+        .join(n_dup, "doc_id", "left")
+        .join(n_cov, "doc_id", "left")
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("long")).alias(
+                "n_dup_grams"
+            ),
+            ncov.alias("n_covered"),
+            # n_tokens >= 1 always (split('') == ['']); the guard keeps
+            # ANSI division safe on degenerate inputs and, untriggered,
+            # cannot diverge from the oracle's bare division
+            F.when(F.col("n_tokens") > 0, ncov / F.col("n_tokens"))
+            .alias("frac_covered"),
+            # a fully-covered doc has no kept rows: its kept text is ''
+            F.coalesce(F.col("kept_fp"), F.md5(F.lit(""))).alias("kept_fp"),
+        )
+    )

@@ -1114,3 +1114,79 @@ SELECT regexp_replace(regexp_replace(regexp_replace(regexp_replace(
        CAST(max(warc_ts) AS BIGINT) AS latest_ts,
        CAST(count(*) AS BIGINT) AS n_captures
 FROM u GROUP BY 1"""
+
+
+# exact-substring (duplicated n-gram span) dedup — positional twin of
+# operators/dedup.dup_span_dedup over the planted-dup corpus.
+from scidbgeo_spark.operators.dedup import DUPSPAN_N  # noqa: E402
+
+SQL["dup_span_dedup"] = f"""WITH {CORPUS},
+t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS nt FROM corpus),
+g AS (SELECT doc_id, s,
+             {_MD5INT.format(x=f"array_to_string(toks[s:s+{DUPSPAN_N - 1}], ' ')")} AS h
+      FROM t, LATERAL (SELECT unnest(generate_series(1, nt - {DUPSPAN_N} + 1)) AS s) u
+      WHERE nt >= {DUPSPAN_N}),
+d AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+hits AS (SELECT doc_id, s FROM g JOIN d USING (h)),
+cov AS (SELECT DISTINCT doc_id, p
+        FROM hits, LATERAL (SELECT unnest(generate_series(s, s + {DUPSPAN_N - 1})) AS p) v),
+tok AS (SELECT doc_id, p, toks[p] AS tok
+        FROM t, LATERAL (SELECT unnest(generate_series(1, nt)) AS p) w),
+keptt AS (SELECT k.doc_id, k.p, k.tok
+          FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.p = c.p
+          WHERE c.p IS NULL),
+reb AS (SELECT doc_id, md5(array_to_string(list(tok ORDER BY p), ' ')) AS kept_fp
+        FROM keptt GROUP BY doc_id),
+sg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ndg FROM hits GROUP BY doc_id),
+sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ncov FROM cov GROUP BY doc_id)
+SELECT t.doc_id, CAST(nt AS INT) AS n_tokens,
+       coalesce(ndg, 0) AS n_dup_grams,
+       coalesce(ncov, 0) AS n_covered,
+       CASE WHEN nt > 0 THEN coalesce(ncov, 0) / nt END AS frac_covered,
+       coalesce(kept_fp, md5('')) AS kept_fp
+FROM t LEFT JOIN sg USING (doc_id) LEFT JOIN sc USING (doc_id)
+       LEFT JOIN reb USING (doc_id)"""
+
+
+# token-budget sampling — sharded greedy selection, constants shared with
+# operators/curation.token_budget_sample.
+from scidbgeo_spark.operators.curation import (  # noqa: E402
+    TB_SEED,
+    TB_SHARDS,
+    TB_SHARD_BUDGET,
+)
+
+SQL["token_budget_sample"] = f"""WITH t AS (
+  SELECT doc_id, lang,
+         {_MD5INT.format(x=f"'{TB_SEED}:' || doc_id")} AS pri,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, pri % {TB_SHARDS} AS shard, n_toks,
+         CAST(sum(n_toks) OVER (PARTITION BY lang, pri % {TB_SHARDS}
+                                ORDER BY pri, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM t
+)
+SELECT doc_id, lang, shard, n_toks, cum
+FROM c WHERE cum <= {TB_SHARD_BUDGET}"""
+
+
+# domain mixture weights — identical float expression text on both sides
+# (BIGINT/BIGINT divides as DOUBLE in DuckDB, matching Spark long/long).
+SQL["domain_mix_weights"] = """WITH agg AS (
+  SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang, source
+), tot AS (
+  SELECT CAST(sum(n_tokens) AS BIGINT) AS tot,
+         CAST(count(*) AS BIGINT) AS n_domains
+  FROM agg
+)
+SELECT lang, source, n_docs, n_tokens,
+       n_tokens / tot AS token_share,
+       CASE WHEN n_tokens > 0
+            THEN (CAST(1.0 AS DOUBLE) / n_domains) / (n_tokens / tot) END
+         AS mix_weight
+FROM agg, tot"""
