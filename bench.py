@@ -94,6 +94,7 @@ HEADLINE = [
     "dedup_exact",
     "ann_bruteforce_topk",
     "corpus_freeze",
+    "dup_span_dedup",
 ]
 
 

@@ -457,13 +457,18 @@ def dup_span_dedup(corpus: DataFrame, n: int = DUPSPAN_N) -> DataFrame:
     (an exact copy of another document collapses to md5('')).
 
     Scale shape: positional n-gram hashes are 8-byte longs keyed by hash
-    — ``repartition("h")`` pins ONE exchange that both the dup-count agg
-    and the hit join reuse (Spark reuses exchanges, not projections).
-    Only duplicated grams fan out to covered positions (bounded by the
-    corpus' actual dup mass, not its size), and the rebuild ships
-    (doc_id, pos, token) rows once, anti-joined against the covered set
-    on the same (doc_id, pos) key.  No driver actions, no Python UDFs.
-    """
+    (raw text never rides the gram shuffles).  The dup set comes from a
+    map-side-combined groupBy — NOT a per-hash window, which would
+    materialize web-scale boilerplate grams ("all rights reserved ...")
+    as single giant partitions — so only partial counts shuffle, and the
+    resulting dup-hash set (corpus dup mass, not corpus size) feeds the
+    probe join where AQE broadcasts it; grams are re-hashed rather than
+    cached (CPU beats materializing a corpus-sized intermediate).
+    Duplicated start positions then collapse to ONE array row per
+    affected document, and coverage, span removal, and the kept-text
+    fingerprint are all per-row array algebra from there — no positional
+    explode, no (doc_id, pos) anti-join shuffle.  No driver actions, no
+    Python UDFs."""
     toks = F.split(F.col("text"), " ")
     t = corpus.select(
         "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
@@ -488,55 +493,44 @@ def dup_span_dedup(corpus: DataFrame, n: int = DUPSPAN_N) -> DataFrame:
             ).alias("g"),
         )
         .select("doc_id", F.col("g.s").alias("s"), F.col("g.h").alias("h"))
-        .repartition("h")
     )
     dup_h = grams.groupBy("h").agg(F.count("*").alias("cnt")).filter(
         F.col("cnt") > 1
     ).select("h")
-    hits = grams.join(dup_h, "h").select("doc_id", "s")
-
-    cov = hits.select(
-        "doc_id",
-        F.explode(F.sequence(F.col("s"), F.col("s") + (n - 1))).alias("p"),
-    ).distinct()
-
-    tok_rows = t.select(
-        "doc_id", F.posexplode("toks").alias("pos", "tok")
-    ).select("doc_id", (F.col("pos") + 1).alias("p"), "tok")
-    kept = tok_rows.join(cov, ["doc_id", "p"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("p", "tok"))),
-                    lambda x: x["tok"],
-                ),
-                " ",
-            )
-        ).alias("kept_fp")
+    # one row per affected doc: the sorted duplicated-gram start offsets
+    starts = (
+        grams.join(dup_h, "h")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("starts"))
     )
 
-    n_dup = hits.groupBy("doc_id").agg(F.count("*").alias("n_dup_grams"))
-    n_cov = cov.groupBy("doc_id").agg(F.count("*").alias("n_covered"))
-    ncov = F.coalesce(F.col("n_covered"), F.lit(0).cast("long"))
+    st = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    covered = F.array_distinct(
+        F.flatten(F.transform(st, lambda s: F.sequence(s, s + (n - 1))))
+    )
+    kept_fp = F.md5(
+        F.array_join(
+            F.filter(
+                F.col("toks"),
+                lambda tok, i: ~F.array_contains(F.col("covered"), i + 1),
+            ),
+            " ",
+        )
+    )
+    ncov = F.size("covered").cast("long")
     return (
-        t.select("doc_id", "n_tokens")
-        .join(n_dup, "doc_id", "left")
-        .join(n_cov, "doc_id", "left")
-        .join(rebuilt, "doc_id", "left")
+        t.join(starts, "doc_id", "left")
+        .withColumn("covered", covered)
         .select(
             "doc_id",
             "n_tokens",
-            F.coalesce(F.col("n_dup_grams"), F.lit(0).cast("long")).alias(
-                "n_dup_grams"
-            ),
+            F.size(st).cast("long").alias("n_dup_grams"),
             ncov.alias("n_covered"),
             # n_tokens >= 1 always (split('') == ['']); the guard keeps
             # ANSI division safe on degenerate inputs and, untriggered,
             # cannot diverge from the oracle's bare division
             F.when(F.col("n_tokens") > 0, ncov / F.col("n_tokens"))
             .alias("frac_covered"),
-            # a fully-covered doc has no kept rows: its kept text is ''
-            F.coalesce(F.col("kept_fp"), F.md5(F.lit(""))).alias("kept_fp"),
+            kept_fp.alias("kept_fp"),
         )
     )
