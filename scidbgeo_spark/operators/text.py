@@ -115,6 +115,37 @@ Q_PUNCT = 4  # punctuation ratio above punct_max
 Q_LEXDIV = 8  # lexical diversity below lex_min (boilerplate/repetition)
 
 
+def quality_fail_mask(
+    min_tokens: int = 30,
+    cpt_lo: float = 3.0,
+    cpt_hi: float = 12.0,
+    punct_max: float = 0.2,
+    lex_min: float = 0.35,
+) -> Column:
+    """The C4-rule fail-mask EXPRESSION over a ``text`` column — shared
+    by the batch quality_filter and the streaming curation pipeline
+    (pure column algebra, so it applies unchanged to a streaming
+    DataFrame)."""
+    toks = F.split("text", " ")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text").cast("long")
+    cpt = n_chars / n_tokens
+    n_punct = n_chars - F.length(
+        F.regexp_replace("text", r"[^A-Za-z0-9 ]", "")
+    ).cast("long")
+    # NULL for empty text (matches DuckDB 0/0 -> NULL; ANSI Spark would
+    # throw): the NULL comparison below is false, so the punct rule
+    # simply cannot fire on an empty doc — the min_tokens rule catches it
+    punct = F.when(n_chars > 0, n_punct / n_chars)
+    lex = F.size(F.array_distinct(toks)) / n_tokens
+    return (
+        F.when(n_tokens < min_tokens, Q_FEW_TOKENS).otherwise(0)
+        + F.when((cpt < cpt_lo) | (cpt > cpt_hi), Q_CHARS_PER_TOKEN).otherwise(0)
+        + F.when(punct > punct_max, Q_PUNCT).otherwise(0)
+        + F.when(lex < lex_min, Q_LEXDIV).otherwise(0)
+    ).cast("int")
+
+
 def quality_filter(
     docs: DataFrame,
     min_tokens: int = 30,
@@ -131,24 +162,7 @@ def quality_filter(
     out, then anti-joins on keep.  All features are the text_quality
     expressions (single exact divisions), so threshold comparisons are
     bitwise identical across engines and the DuckDB twin is exact."""
-    toks = F.split("text", " ")
-    n_tokens = F.size(toks)
-    n_chars = F.length("text").cast("long")
-    cpt = n_chars / n_tokens
-    n_punct = n_chars - F.length(
-        F.regexp_replace("text", r"[^A-Za-z0-9 ]", "")
-    ).cast("long")
-    # NULL for empty text (matches DuckDB 0/0 -> NULL; ANSI Spark would
-    # throw): the NULL comparison below is false, so the punct rule
-    # simply cannot fire on an empty doc — the min_tokens rule catches it
-    punct = F.when(n_chars > 0, n_punct / n_chars)
-    lex = F.size(F.array_distinct(toks)) / n_tokens
-    mask = (
-        F.when(n_tokens < min_tokens, Q_FEW_TOKENS).otherwise(0)
-        + F.when((cpt < cpt_lo) | (cpt > cpt_hi), Q_CHARS_PER_TOKEN).otherwise(0)
-        + F.when(punct > punct_max, Q_PUNCT).otherwise(0)
-        + F.when(lex < lex_min, Q_LEXDIV).otherwise(0)
-    ).cast("int")
+    mask = quality_fail_mask(min_tokens, cpt_lo, cpt_hi, punct_max, lex_min)
     return docs.select(
         "doc_id", (mask == 0).alias("keep"), mask.alias("fail_mask")
     )

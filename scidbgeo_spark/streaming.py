@@ -310,3 +310,47 @@ def run_update_to_memory(stream_df: DataFrame, name: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_sessions", "n_events")
     )
+
+
+def curate_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    eval_hashes: list[int] | None = None,
+    watermark: str = "1 hour",
+    contam_k: int = 5,
+) -> DataFrame:
+    """STREAMING CURATION: the corpus-freeze pipeline's incremental
+    front half over a document feed — C4 quality mask -> n-gram
+    decontamination against a bounded benchmark hash set -> exact dedup
+    within the watermark horizon.  Quality and contamination are pure
+    column algebra (the SAME expressions as the batch operators:
+    text.quality_fail_mask, curation.contamination_check's shingle
+    hashing), so they apply unchanged to the streaming DataFrame with
+    zero state; only the dedup keeps state, bounded by the horizon.
+
+    ``eval_hashes`` is the benchmark shingle-hash set, computed ONCE
+    batch-side (the eval side of contamination_check) — the same
+    tiny-vs-corpus asymmetry that lets the batch path broadcast it.
+    Shipped here as an expression literal; for an eval set too large for
+    that, swap in a stream-static left-semi join on exploded hashes
+    (stream-static joins are stateless on the stream side)."""
+    from scidbgeo_spark.operators.dedup import shingles_col
+    from scidbgeo_spark.operators.text import md5_int, quality_fail_mask
+
+    schema = spark.read.parquet(docs_dir).schema
+    docs = spark.readStream.schema(schema).parquet(docs_dir)
+    docs = docs.withColumn("arrival_ts", F.current_timestamp())
+    if eval_hashes:
+        ev = F.array(*[F.lit(int(h)).cast("long") for h in sorted(eval_hashes)])
+        hs = F.transform(shingles_col("text", contam_k), md5_int)
+        clean = F.size(F.array_intersect(hs, ev)) == 0
+    else:
+        clean = F.lit(True)
+    return (
+        docs.withColumn("fail_mask", quality_fail_mask())
+        .filter((F.col("fail_mask") == 0) & clean)
+        .withColumn("content_hash", F.md5("text"))
+        .withWatermark("arrival_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .select("doc_id", "content_hash")
+    )

@@ -529,3 +529,61 @@ def test_streaming_merge_to_catalog_exactly_once(spark, sf_correct, tmp_path):
         for r in tiling.tiles_to_coo(cat.read("stream_r"), "value").collect()
     )
     assert got2 == want
+
+
+def test_curate_stream_filters_decontaminates_and_dedups(spark, tmp_path):
+    """Streaming curation: low-quality docs and benchmark-contaminated
+    docs never enter; duplicates collapse to one survivor per content
+    across micro-batches; survivors equal the batch-eligible set."""
+    import hashlib
+
+    from scidbgeo_spark import streaming
+
+    good = " ".join(f"tok{i} word{i * 7 % 13}" for i in range(20))  # 40 toks
+    good2 = " ".join(f"alpha{i} beta{i % 9} gamma{i % 5}" for i in range(15))
+    bench = " ".join(f"bench{i} mark{i}" for i in range(16))
+    rows = [
+        (0, good),
+        (1, good),                      # duplicate of 0
+        (2, "too short"),               # fails min_tokens
+        (3, f"{good2} {bench}"),        # contaminated
+        (4, good2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "curate_stream")
+    df.filter("doc_id <= 2").write.parquet(d)
+
+    # benchmark hash set, computed batch-side like contamination_check
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.operators.dedup import shingles_col
+    from scidbgeo_spark.operators.text import md5_int
+
+    ev = [
+        r.h
+        for r in spark.createDataFrame([(bench,)], "text string")
+        .select(F.explode(F.transform(shingles_col("text", 5), md5_int)).alias("h"))
+        .collect()
+    ]
+    stream = streaming.curate_stream(spark, d, eval_hashes=ev)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("cs_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        df.filter("doc_id >= 3").write.mode("append").parquet(d)
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM cs_test").collect()
+    finally:
+        q.stop()
+    by_hash = {r.content_hash: r.doc_id for r in got}
+    # survivors: exactly one of {0,1} (same content) and doc 4
+    assert set(by_hash) == {
+        hashlib.md5(good.encode()).hexdigest(),
+        hashlib.md5(good2.encode()).hexdigest(),
+    }
+    assert by_hash[hashlib.md5(good.encode()).hexdigest()] in (0, 1)
+    assert by_hash[hashlib.md5(good2.encode()).hexdigest()] == 4
