@@ -836,6 +836,20 @@ def q_media_features(spark, sf_dir):  # exact oracle: stub features are byte sta
     return multimodal.extract_media_features(text.pages_from_documents(_docs(spark, sf_dir)))
 
 
+def q_media_resize(spark, sf_dir):
+    """Image-resize plumbing: block-8 downsample of the binary payload in
+    Arrow-batched mapInPandas (zero shuffles); outputs are exact integer
+    block-sum summaries so DuckDB matches bitwise."""
+    return multimodal.resize_blob(text.pages_from_documents(_docs(spark, sf_dir)))
+
+
+def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing: every 4th 16-byte frame, one output
+    row per sampled frame — the variable-fan-out mapInPandas shape a real
+    keyframe extractor has."""
+    return multimodal.frame_sample(text.pages_from_documents(_docs(spark, sf_dir)))
+
+
 def q_events_cube(spark, sf_dir):
     """CUBE rollup over (event_type, hour): the grouping-sets operator
     class (absent in the reference; Spark/OLAP completeness)."""
@@ -1197,6 +1211,8 @@ def q_domain_mix_weights(spark, sf_dir):
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
+    "media_resize": q_media_resize,
+    "frame_sample": q_frame_sample,
     "dup_span_dedup": q_dup_span_dedup,
     "token_budget_sample": q_token_budget_sample,
     "domain_mix_weights": q_domain_mix_weights,

@@ -893,6 +893,47 @@ SELECT doc_id,
        CAST(len(bytes) AS DOUBLE) AS n_bytes
 FROM byt"""
 
+# Resize stub: block-8 downsample of the blob — integer block sums, one
+# exact division for the mean, sequential rolling hash mod 2^31-1 (the
+# [0] prepend gives list_reduce the same acc=0 start as the Python loop).
+SQL["media_resize"] = """WITH pages AS (
+  SELECT doc_id, encode('<html><body>' || text || '</body></html>') AS b
+  FROM documents
+),
+blk AS (
+  SELECT doc_id, octet_length(b) // 8 AS n_blocks,
+         list_transform(range(0, octet_length(b) // 8),
+           j -> list_sum(list_transform(range(1, 9),
+                  i -> ('0x' || substr(hex(b), 2 * (j * 8 + i) - 1, 2))::BIGINT))) AS bsums
+  FROM pages
+)
+SELECT doc_id,
+       CAST(n_blocks AS BIGINT) AS n_blocks,
+       CASE WHEN n_blocks > 0
+            THEN CAST(list_sum(bsums) AS DOUBLE) / (n_blocks * 8) END AS mean_byte_resized,
+       CAST(list_reduce([CAST(0 AS BIGINT)] || bsums,
+                        (a, c) -> (a * 1000003 + c) % 2147483647) AS BIGINT) AS blocks_checksum
+FROM blk"""
+
+# Frame-sampling stub: every 4th 16-byte frame, one row per sampled frame
+# (generate_series(0, -1, 4) is empty, matching the no-frame truncation).
+SQL["frame_sample"] = """WITH pages AS (
+  SELECT doc_id, encode('<html><body>' || text || '</body></html>') AS b
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, b, octet_length(b) // 16 AS n_frames FROM pages
+)
+SELECT f.doc_id,
+       CAST(g.fi AS BIGINT) AS frame_idx,
+       CAST(list_reduce([CAST(0 AS BIGINT)] || list_transform(range(1, 17),
+              i -> ('0x' || substr(hex(f.b), 2 * (g.fi * 16 + i) - 1, 2))::BIGINT),
+              (a, c) -> (a * 257 + c) % 2147483647) AS BIGINT) AS frame_hash,
+       CAST(list_sum(list_transform(range(1, 17),
+              i -> ('0x' || substr(hex(f.b), 2 * (g.fi * 16 + i) - 1, 2))::BIGINT)) AS DOUBLE) / 16
+         AS frame_mean
+FROM fr f, LATERAL (SELECT unnest(generate_series(0, f.n_frames - 1, 4)) AS fi) g"""
+
 # Z-order (Morton) cell id — mirrors operators.pip.zorder_cell_col bitwise
 _zx = "CAST(floor((lon + 180.0) / 0.01) AS BIGINT)"
 _zy = "CAST(floor((lat + 90.0) / 0.01) AS BIGINT)"

@@ -610,3 +610,63 @@ def test_url_dedup_latest_newest_wins(spark):
     assert got["a.example/p"].n_captures == 2
     assert got["b.example"].keep_id == 3
     assert got["b.example"].n_captures == 2
+
+
+def test_resize_blob_numpy_parity(spark, sf_smoke):
+    """Block-8 resize stub matches a pure-NumPy reference per doc."""
+    pages = text.pages_from_documents(_docs(spark, sf_smoke))
+    got = {r.doc_id: r for r in multimodal.resize_blob(pages).collect()}
+    for row in pages.select("doc_id", "html").collect():
+        b = np.frombuffer(row.html, dtype=np.uint8)
+        nb = b.size // 8
+        sums = b[: nb * 8].reshape(nb, 8).sum(axis=1, dtype=np.int64)
+        acc = 0
+        for s in sums.tolist():
+            acc = (acc * 1000003 + s) % 2147483647
+        r = got[row.doc_id]
+        assert r.n_blocks == nb
+        assert r.blocks_checksum == acc
+        assert r.mean_byte_resized == float(int(sums.sum())) / (nb * 8)
+
+
+def test_resize_blob_short_payload_null_mean(spark):
+    """A payload shorter than the block factor yields zero blocks and a
+    NULL mean (matching DuckDB's guarded CASE) instead of crashing."""
+    df = spark.createDataFrame([(1, b"abc"), (2, b"")], "doc_id long, html binary")
+    got = {r.doc_id: r for r in multimodal.resize_blob(df).collect()}
+    for r in got.values():
+        assert r.n_blocks == 0
+        assert r.mean_byte_resized is None
+        assert r.blocks_checksum == 0
+
+
+def test_frame_sample_stride_and_truncation(spark, sf_smoke):
+    """Every 4th 16-byte frame, nothing past the truncated tail, hashes
+    match a pure-Python reference."""
+    pages = text.pages_from_documents(_docs(spark, sf_smoke))
+    out = multimodal.frame_sample(pages).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for row in pages.select("doc_id", "html").collect():
+        b = row.html
+        n_frames = len(b) // 16
+        rows = sorted(by_doc.get(row.doc_id, []), key=lambda r: r.frame_idx)
+        assert [r.frame_idx for r in rows] == list(range(0, n_frames, 4))
+        for r in rows:
+            fr = b[r.frame_idx * 16 : (r.frame_idx + 1) * 16]
+            acc = 0
+            for v in fr:
+                acc = (acc * 257 + v) % 2147483647
+            assert r.frame_hash == acc
+            assert r.frame_mean == float(sum(fr)) / 16
+
+
+def test_frame_sample_rejects_bad_params(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, b"x" * 64)], "doc_id long, html binary")
+    with pytest.raises(ValueError):
+        multimodal.frame_sample(df, stride=0)
+    with pytest.raises(ValueError):
+        multimodal.resize_blob(df, factor=0)
