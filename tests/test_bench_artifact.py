@@ -48,6 +48,7 @@ def _emit_line(slim: dict) -> str:
         "unit": "sec",
         "queries": {q: 11.234 for q in bench.HEADLINE},
         "sf": "/root/testdata/sf0.1",
+        "host": {"control": 0.512, "waited_s": 300.1, "storm_bound": True},
         "scaling": slim,
     }
     return json.dumps(out)
@@ -70,6 +71,7 @@ def test_worst_case_line_fits_driver_capture():
         "start_control": 0.412,
         "waited_s": 240.1,
         "storm_bound_start": True,
+        "regate": {"n_probes": 18, "controls": [0.112] * 18},
     }
     ceiling = {
         "raycast_1proc_sec": 0.72,
@@ -123,3 +125,38 @@ def test_stop_rule_is_outcome_blind():
         if "SCALE_TARGET_EFF" in ln and not ln.strip().startswith("#")
     ]
     assert uses == ["SCALE_TARGET_EFF = 0.8"], uses
+
+
+def test_preflight_gate_needs_consecutive_probes(monkeypatch):
+    """A single lucky probe inside a storm must NOT open the gate; two
+    consecutive good probes must.  (A stalled 1-proc triad side once
+    fabricated a 0.64 control mid-storm — consecutive probes are the
+    guard.)"""
+    seq = iter([0.1, 0.62, 0.05, 0.61, 0.59])
+    monkeypatch.setattr(bench, "membw_control", lambda: {"efficiency": next(seq)})
+    slept = []
+    monkeypatch.setattr(bench.time, "sleep", lambda s: slept.append(s))
+    g = bench.preflight_gate(wall_s=10_000, need=2)
+    # consumed the whole sequence: 0.62 alone didn't open it, 0.61+0.59 did
+    assert g["n_probes"] == 5
+    assert g["storm_bound_start"] is False
+    assert g["start_control"] == 0.59
+    # slept only after BAD probes (good probes re-probe immediately)
+    assert len(slept) == 2
+
+
+def test_preflight_gate_storm_bound_after_wall(monkeypatch):
+    monkeypatch.setattr(bench, "membw_control", lambda: {"efficiency": 0.05})
+    t = [0.0]
+
+    def fake_sleep(s):
+        t[0] += s
+
+    monkeypatch.setattr(bench.time, "sleep", fake_sleep)
+    real_time = bench.time.time
+    base = real_time()
+    monkeypatch.setattr(bench.time, "time", lambda: base + t[0])
+    g = bench.preflight_gate(wall_s=60, need=2)
+    assert g["storm_bound_start"] is True
+    assert g["waited_s"] <= 60
+    assert all(c == 0.05 for c in g["controls"])
