@@ -1021,6 +1021,24 @@ def q_dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(dedup.dup_corpus(_docs(spark, sf_dir)))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Rolling-crawl exact dedup: the next batch (crawl_batch) checked
+    against the FROZEN documents corpus — digest anti-join drops
+    re-crawls, min-id groupBy collapses batch-internal copies.
+    Oracle: NOT EXISTS over md5(text) + GROUP BY."""
+    docs = _docs(spark, sf_dir)
+    return dedup.incremental_dedup(docs, dedup.crawl_batch(docs))
+
+
+def q_bloom_prefilter(spark, sf_dir):
+    """Bloom-prefilter probe of the crawl batch against the frozen
+    corpus bitmap (1024 x 63-bit words, k=3 double hashing), with exact
+    ground truth alongside so false positives are visible in-result.
+    Oracle: the identical integer bitmap via DuckDB bit_or."""
+    docs = _docs(spark, sf_dir)
+    return dedup.bloom_prefilter(docs, dedup.crawl_batch(docs))
+
+
 def q_minhash_signatures(spark, sf_dir):
     return dedup.minhash_signatures(dedup.dup_corpus(_docs(spark, sf_dir)))
 
@@ -1211,6 +1229,8 @@ def q_domain_mix_weights(spark, sf_dir):
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
+    "dedup_incremental": q_dedup_incremental,
+    "bloom_prefilter": q_bloom_prefilter,
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
     "dup_span_dedup": q_dup_span_dedup,

@@ -534,3 +534,142 @@ def dup_span_dedup(corpus: DataFrame, n: int = DUPSPAN_N) -> DataFrame:
             kept_fp.alias("kept_fp"),
         )
     )
+
+
+# ---- incremental (cross-corpus) dedup + Bloom prefilter -----------------
+# A rolling crawl never re-deduplicates the whole corpus: each new batch
+# is checked against the FROZEN corpus (reference parity: SciDBGeo's
+# insert-into-existing-array flow re-loads only the new chunk,
+# SciDBLoad.py:1-60; here the "array" is the frozen hash set).
+
+# Bloom geometry: 63 usable bits per 64-bit word (DuckDB's BIGINT <<
+# throws on shift 63; Spark wraps — bits 0..62 behave identically in
+# both engines, so the oracle mirrors the bitmap bitwise).
+BLOOM_WORDS = 1024
+BLOOM_BITS_PER_WORD = 63
+BLOOM_M = BLOOM_WORDS * BLOOM_BITS_PER_WORD  # 64,512 positions
+BLOOM_K = 3
+
+
+def incremental_dedup(frozen: DataFrame, batch: DataFrame) -> DataFrame:
+    """Cross-corpus exact dedup for a rolling crawl: keep batch docs
+    whose content hash appears neither in the FROZEN corpus nor earlier
+    in the batch itself (min doc_id wins within the batch).
+
+    Scale shape: both sides reduce to 16-byte digests before anything
+    shuffles (column pruning takes the frozen scan down to one hashed
+    column); the left-anti join and the min-id groupBy hash-partition on
+    the digest with map-side partials.  At 100 TB the frozen side is
+    petabyte-scale text but terabyte-scale digests — and the probe that
+    avoids shuffling even those every batch is ``bloom_prefilter``."""
+    fh = frozen.select(F.md5("text").alias("h")).distinct()
+    bh = batch.select("doc_id", F.md5("text").alias("h"))
+    return (
+        bh.join(fh, "h", "left_anti")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_batch_copies"))
+        .select("keep_id", "n_batch_copies")
+    )
+
+
+def _bloom_positions(text: Column) -> Column:
+    """k Bloom bit positions for a document digest, by double hashing:
+    pos_i = (h1 + i*h2) mod M over the 60-bit md5-prefix digest.  Pure
+    nonnegative integer arithmetic (max intermediate < 3M << 2^63), so
+    the DuckDB twin is bitwise-identical."""
+    h64 = md5_int(text)
+    h1 = h64 % BLOOM_M
+    h2 = (F.shiftright(h64, 16) % BLOOM_M).bitwiseOR(F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
+        lambda i: (h1 + i * h2) % BLOOM_M,
+    )
+
+
+def bloom_build(frozen: DataFrame) -> DataFrame:
+    """Distributed Bloom-filter build over the frozen corpus: explode
+    each digest's k bit positions, then ONE map-side-combined bit_or
+    aggregate into (word, bits) — at most BLOOM_WORDS rows regardless of
+    corpus size.  This is the runtime-filter pattern Spark applies to
+    joins internally, expressed as data: the bitmap is a broadcastable
+    summary of an arbitrarily large build side."""
+    pos = frozen.select(F.explode(_bloom_positions(F.col("text"))).alias("pos"))
+    return (
+        pos.select(
+            (F.col("pos") / BLOOM_BITS_PER_WORD).cast("long").alias("word"),
+            F.expr(f"shiftleft(1L, CAST(pos % {BLOOM_BITS_PER_WORD} AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bits"))
+    )
+
+
+def bloom_prefilter(frozen: DataFrame, batch: DataFrame) -> DataFrame:
+    """Per-batch-doc Bloom probe against the frozen corpus: (doc_id,
+    maybe_seen, seen) where maybe_seen is the Bloom verdict (all k bits
+    set) and seen is ground truth (exact digest anti-join) — so the
+    false-positive surface is visible in the result itself
+    (maybe_seen AND NOT seen).
+
+    Scale shape: the bitmap is <= BLOOM_WORDS rows — broadcast to the
+    probe join, so the batch NEVER shuffles: explode k positions per
+    doc, broadcast-join the bitmap on word, bool_and the bit tests back
+    per doc (map-side partials on the doc_id agg).  Only docs that pass
+    the Bloom gate need the exact digest join against the frozen set;
+    at a web-scale false-positive budget that turns an
+    every-batch-full-shuffle into a bitmap broadcast plus a small
+    residual join."""
+    probes = batch.select(
+        "doc_id", F.explode(_bloom_positions(F.col("text"))).alias("pos")
+    ).select(
+        "doc_id",
+        (F.col("pos") / BLOOM_BITS_PER_WORD).cast("long").alias("word"),
+        F.expr(f"shiftleft(1L, CAST(pos % {BLOOM_BITS_PER_WORD} AS INT))").alias("bit"),
+    )
+    bitmap = bloom_build(frozen)
+    maybe = (
+        probes.join(F.broadcast(bitmap), "word", "left")
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("bits"), F.lit(0)).bitwiseAND(F.col("bit")) != 0).alias("hit"),
+        )
+        .groupBy("doc_id")
+        .agg(F.bool_and("hit").alias("maybe_seen"))
+    )
+    fh = frozen.select(F.md5("text").alias("h")).distinct()
+    truth = batch.select("doc_id", F.md5("text").alias("h")).join(
+        fh.withColumn("seen_", F.lit(True)), "h", "left"
+    ).select("doc_id", F.coalesce(F.col("seen_"), F.lit(False)).alias("seen"))
+    return maybe.join(truth, "doc_id").select("doc_id", "maybe_seen", "seen")
+
+
+def crawl_batch(docs: DataFrame) -> DataFrame:
+    """Deterministic "next crawl batch" against the frozen documents
+    table (the incremental-dedup twin of ``dup_corpus``): near-mutants
+    (id%7, prefix mutation), exact re-crawls of frozen pages (id%11),
+    and genuinely new pages (id%5) of which the id%10 half is captured
+    twice — so the batch exercises frozen-hits, batch-internal dups, and
+    novel content at once.  Same id-offset collision guard as
+    dup_corpus."""
+    if not docs.filter(F.col("doc_id") >= 100000).isEmpty():
+        raise ValueError(
+            "crawl_batch id-offset collision: documents has doc_id >= 100000; "
+            "raise the injection offsets"
+        )
+    d = docs.select("doc_id", "text")
+    near = d.filter(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.lit("mutated "), "text").alias("text"),
+    )
+    recrawl = d.filter(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+    )
+    fresh = d.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.lit("fresh "), "text").alias("text"),
+    )
+    fresh2 = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 400000).alias("doc_id"),
+        F.concat(F.lit("fresh "), "text").alias("text"),
+    )
+    return near.unionAll(recrawl).unionAll(fresh).unionAll(fresh2)

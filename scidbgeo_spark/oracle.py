@@ -1231,3 +1231,67 @@ SELECT lang, source, n_docs, n_tokens,
             THEN (CAST(1.0 AS DOUBLE) / n_domains) / (n_tokens / tot) END
          AS mix_weight
 FROM agg, tot"""
+
+
+# ---- incremental dedup + bloom prefilter (crawl_batch twin) -------------
+from scidbgeo_spark.operators.dedup import (  # noqa: E402
+    BLOOM_BITS_PER_WORD,
+    BLOOM_K,
+    BLOOM_M,
+)
+
+BATCH = """
+batch AS (
+  SELECT doc_id + 100000 AS doc_id, 'mutated ' || text AS text
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 200000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0
+  UNION ALL
+  SELECT doc_id + 300000 AS doc_id, 'fresh ' || text AS text
+  FROM documents WHERE doc_id % 5 = 0
+  UNION ALL
+  SELECT doc_id + 400000 AS doc_id, 'fresh ' || text AS text
+  FROM documents WHERE doc_id % 10 = 0
+)"""
+
+SQL["dedup_incremental"] = f"""WITH {BATCH}
+SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_batch_copies
+FROM (SELECT doc_id, md5(text) AS h FROM batch) b
+WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = b.h)
+GROUP BY h"""
+
+# Bloom bitmap: identical nonnegative integer arithmetic on both engines
+# (63 usable bits per word — DuckDB's BIGINT << throws on shift 63).
+_BLOOM_H = (
+    f"SELECT doc_id, h64 % {BLOOM_M} AS h1, "
+    f"(((h64 >> 16) % {BLOOM_M}) | 1) AS h2 "
+    f"FROM (SELECT doc_id, {_MD5INT.format(x='text')} AS h64 FROM {{src}})"
+)
+_BLOOM_I = f"(SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS i)"
+
+SQL["bloom_prefilter"] = f"""WITH {BATCH},
+fpos AS (
+  SELECT ((h1 + i * h2) % {BLOOM_M}) AS pos
+  FROM ({_BLOOM_H.format(src='documents')}) f, {_BLOOM_I}
+),
+bitmap AS (
+  SELECT pos // {BLOOM_BITS_PER_WORD} AS word,
+         bit_or(1::BIGINT << (pos % {BLOOM_BITS_PER_WORD})::INT) AS bits
+  FROM fpos GROUP BY 1
+),
+bprobe AS (
+  SELECT doc_id, ((h1 + i * h2) % {BLOOM_M}) AS pos
+  FROM ({_BLOOM_H.format(src='batch')}) b, {_BLOOM_I}
+),
+maybe AS (
+  SELECT doc_id,
+         bool_and((coalesce(bits, 0)
+                   & (1::BIGINT << (pos % {BLOOM_BITS_PER_WORD})::INT)) <> 0)
+           AS maybe_seen
+  FROM (SELECT doc_id, pos // {BLOOM_BITS_PER_WORD} AS word, pos FROM bprobe) p
+  LEFT JOIN bitmap USING (word)
+  GROUP BY doc_id
+)
+SELECT m.doc_id, maybe_seen,
+       EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text)) AS seen
+FROM maybe m JOIN batch b USING (doc_id)"""

@@ -670,3 +670,53 @@ def test_frame_sample_rejects_bad_params(spark):
         multimodal.frame_sample(df, stride=0)
     with pytest.raises(ValueError):
         multimodal.resize_blob(df, factor=0)
+
+
+# ---- incremental dedup + bloom prefilter --------------------------------
+
+
+def test_incremental_dedup_semantics(spark, sf_correct):
+    """Re-crawls of frozen pages vanish, near-mutants and fresh pages
+    survive, and the twice-captured fresh pages collapse to the lower id
+    with n_batch_copies=2."""
+    from scidbgeo_spark.operators import dedup
+
+    docs = _docs(spark, sf_correct)
+    out = dedup.incremental_dedup(docs, dedup.crawl_batch(docs))
+    rows = {r["keep_id"]: r["n_batch_copies"] for r in out.collect()}
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    # every exact re-crawl (id%11 -> +200000) is dropped
+    assert not any(200000 <= k < 300000 for k in rows)
+    # every near-mutant survives as a singleton
+    for i in ids:
+        if i % 7 == 0:
+            assert rows[i + 100000] == 1
+    # fresh pages: captured twice iff id%10==0 -> keep the +300000 copy
+    for i in ids:
+        if i % 5 == 0:
+            assert rows[i + 300000] == (2 if i % 10 == 0 else 1)
+            assert i + 400000 not in rows
+
+
+def test_bloom_prefilter_no_false_negatives_and_broadcast(spark, sf_correct):
+    """Bloom invariant: seen => maybe_seen (no false negatives, ever);
+    the bitmap probe join must be a broadcast (the batch side never
+    shuffles on a bitmap lookup)."""
+    from scidbgeo_spark.operators import dedup
+
+    docs = _docs(spark, sf_correct)
+    out = dedup.bloom_prefilter(docs, dedup.crawl_batch(docs))
+    rows = out.collect()
+    assert any(r["seen"] for r in rows)  # re-crawls exist
+    assert not any(r["seen"] and not r["maybe_seen"] for r in rows)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_bitmap_bounded(spark, sf_correct):
+    """The build aggregates to at most BLOOM_WORDS rows regardless of
+    corpus size — the broadcastable-summary property."""
+    from scidbgeo_spark.operators import dedup
+
+    bm = dedup.bloom_build(_docs(spark, sf_correct))
+    assert bm.count() <= dedup.BLOOM_WORDS
