@@ -1086,6 +1086,22 @@ def q_ann_bruteforce_topk(spark, sf_dir):
     return similarity.ann_bruteforce_topk(_emb(spark, sf_dir))
 
 
+def q_kmeans_assign(spark, sf_dir):
+    """Two deterministic Lloyd rounds over embeddings (scaled-integer
+    distances round 1, exact-integer-sum rational centroids round 2).
+    Oracle: the identical two rounds as list_reduce folds."""
+    return similarity.kmeans_assign(_emb(spark, sf_dir))
+
+
+def q_hll_shingle_ndv(spark, sf_dir):
+    """HyperLogLog vocabulary-cardinality sketch (distinct 3-word
+    shingles of the dup-injected corpus — tens of thousands, inside the
+    raw estimator's valid regime), exact ground truth alongside.
+    Oracle: identical register algebra (bin-length ranks, exact
+    power-of-two Z scaled by 2^51)."""
+    return dedup.hll_shingle_ndv(dedup.dup_corpus(_docs(spark, sf_dir)))
+
+
 def q_ann_lsh_topk(spark, sf_dir):
     return similarity.ann_lsh_topk(_emb(spark, sf_dir))
 
@@ -1231,6 +1247,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
     "dedup_incremental": q_dedup_incremental,
     "bloom_prefilter": q_bloom_prefilter,
+    "kmeans_assign": q_kmeans_assign,
+    "hll_shingle_ndv": q_hll_shingle_ndv,
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
     "dup_span_dedup": q_dup_span_dedup,

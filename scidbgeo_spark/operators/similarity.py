@@ -222,3 +222,102 @@ def embedding_neardup_pairs(
         .filter(F.col("sim") >= threshold)
         .select("a", "b")
     )
+
+
+# ---- k-means (fixed-iteration Lloyd, deterministic) ---------------------
+# The iterative-algorithm pattern at 100 TB: each Lloyd round is one
+# broadcast (centroids, K rows) + one dimension-parallel integer-sum
+# shuffle ((cluster, dim) keys — 64K cells regardless of corpus size).
+# Embeddings are scaled to integers (floor(x * 1e6)) so the per-cluster
+# sums are EXACT and order-free: the assignment after any number of
+# rounds is bit-stable across partitionings/cluster sizes, which is what
+# makes the result testable against a sequential oracle at all.
+KMEANS_K = 8
+KMEANS_SCALE = 1_000_000
+
+
+def _scaled(emb: DataFrame) -> DataFrame:
+    sv = F.transform(
+        F.col("embedding"), lambda x: F.floor(x.cast("double") * KMEANS_SCALE)
+    )
+    return emb.select("vec_id", sv.alias("sv"))
+
+
+def _assign_int(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest integer-centroid by exact squared distance (bigint sums;
+    max |diff|^2 * dim ~ 1e15 << 2^63).  Ties break on centroid id."""
+    dist = F.aggregate(
+        F.zip_with("sv", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", "sv", F.col("cid"), dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "sv", F.col("cid").alias("cluster"))
+    )
+
+
+def _assign_frac(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest rational-centroid (sum/count as double): the per-dim mean
+    is ONE division from exact integer sums, and the distance is the
+    sequential index-ascending double fold — bitwise equal to the
+    oracle's list_reduce, independent of partitioning."""
+    dist = F.aggregate(
+        F.zip_with(
+            "sv", "cv", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    return (
+        e.crossJoin(F.broadcast(cents))
+        .select("vec_id", F.col("cid"), dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cluster"))
+    )
+
+
+def _mean_centroids(assigned: DataFrame) -> DataFrame:
+    """(cid, cv: array<double>) — per-cluster per-dimension means from
+    EXACT bigint sums: posexplode -> (cluster, dim) integer-sum shuffle
+    (map-side combine; 64K cells max) -> one division per dim."""
+    sums = (
+        assigned.select("cluster", F.posexplode("sv").alias("dim", "v"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+    )
+    return (
+        sums.groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "s", "n"))),
+                lambda t: t["s"].cast("double") / t["n"].cast("double"),
+            ).alias("cv")
+        )
+        .select(F.col("cluster").alias("cid"), "cv")
+    )
+
+
+def kmeans_assign(emb: DataFrame, k: int = KMEANS_K) -> DataFrame:
+    """Two deterministic Lloyd rounds over the embeddings table:
+    init centroids = the first k vectors (a data pick, no RNG), round 1
+    assigns by exact integer distance, round 2 reassigns against the
+    updated rational centroids.  Output (vec_id, cluster).
+
+    Unlike MLlib's KMeans (RNG init + double accumulation ordered by
+    partition), every arithmetic step here is either exact integers or
+    a fixed-order fold, so the same input gives the same assignment at
+    any parallelism — and the DuckDB oracle reproduces it bitwise."""
+    e = _scaled(emb)
+    c0 = e.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cid"), F.col("sv").alias("cv")
+    )
+    a1 = _assign_int(e, c0)
+    c1 = _mean_centroids(a1)
+    return _assign_frac(e, c1)

@@ -1295,3 +1295,80 @@ maybe AS (
 SELECT m.doc_id, maybe_seen,
        EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = md5(b.text)) AS seen
 FROM maybe m JOIN batch b USING (doc_id)"""
+
+
+# ---- k-means (two deterministic Lloyd rounds) + HLL sketch --------------
+from scidbgeo_spark.operators.similarity import (  # noqa: E402
+    DIM as _KM_DIM,
+    KMEANS_K,
+    KMEANS_SCALE,
+)
+from scidbgeo_spark.operators.dedup import (  # noqa: E402
+    HLL_ALPHA_EXPR,
+    HLL_M,
+    HLL_P,
+)
+
+SQL["kmeans_assign"] = f"""WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * {KMEANS_SCALE})::BIGINT) AS sv
+  FROM embeddings
+),
+c0 AS (SELECT vec_id AS cid, sv AS cv FROM e WHERE vec_id < {KMEANS_K}),
+d1 AS (
+  SELECT vec_id, cid,
+         list_reduce(list_transform(range(1, {_KM_DIM + 1}),
+                                    i -> (sv[i] - cv[i]) * (sv[i] - cv[i])),
+                     (a, b) -> a + b) AS dist
+  FROM e CROSS JOIN c0
+),
+a1 AS (
+  SELECT vec_id, cid AS cluster FROM d1
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1
+),
+s1 AS (
+  SELECT cluster, i AS dim, CAST(sum(sv[i]) AS BIGINT) AS s,
+         CAST(count(*) AS BIGINT) AS n
+  FROM e JOIN a1 USING (vec_id)
+  CROSS JOIN (SELECT unnest(generate_series(1, {_KM_DIM})) AS i)
+  GROUP BY cluster, i
+),
+c1 AS (
+  SELECT cluster AS cid, list(s::DOUBLE / n::DOUBLE ORDER BY dim) AS cv
+  FROM s1 GROUP BY cluster
+),
+d2 AS (
+  SELECT vec_id, cid,
+         list_reduce(list_transform(range(1, {_KM_DIM + 1}),
+                                    i -> (sv[i]::DOUBLE - cv[i]) * (sv[i]::DOUBLE - cv[i])),
+                     (a, b) -> a + b) AS dist
+  FROM e CROSS JOIN c1
+)
+SELECT vec_id, cid AS cluster FROM d2
+QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1"""
+
+_HLL_RANK_BITS = 60 - HLL_P  # 50 hashed bits above the register index
+SQL["hll_shingle_ndv"] = f"""WITH {CORPUS}, {SHINGLES},
+vals AS (SELECT unnest(sh) AS v FROM sh),
+hr AS (
+  SELECT h % {HLL_M} AS reg,
+         CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_RANK_BITS + 1}
+              ELSE {_HLL_RANK_BITS + 1} - length(bin(h >> {HLL_P})) END AS rank
+  FROM (SELECT {_MD5INT.format(x='v')} AS h FROM vals)
+),
+regs AS (SELECT reg, max(rank) AS r FROM hr GROUP BY reg),
+packed AS (
+  SELECT list(r ORDER BY reg) AS rr, CAST(count(*) AS BIGINT) AS n_hit FROM regs
+),
+zt AS (
+  SELECT n_hit,
+         (list_reduce(list_transform(rr, r -> (1::BIGINT << ({_HLL_RANK_BITS + 1} - r)::INT)),
+                      (a, b) -> a + b)
+          + ({HLL_M} - n_hit) * (1::BIGINT << {_HLL_RANK_BITS + 1}))
+         / (1::BIGINT << {_HLL_RANK_BITS + 1}) AS z
+  FROM packed
+)
+SELECT n_hit AS n_registers_hit,
+       ({HLL_ALPHA_EXPR}) * {HLL_M} * {HLL_M} / z AS hll_estimate,
+       (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM vals) AS true_ndv
+FROM zt"""

@@ -720,3 +720,36 @@ def test_bloom_bitmap_bounded(spark, sf_correct):
 
     bm = dedup.bloom_build(_docs(spark, sf_correct))
     assert bm.count() <= dedup.BLOOM_WORDS
+
+
+def test_kmeans_assign_partitioning_invariant(spark, sf_correct):
+    """The whole point of the scaled-integer design: the assignment is
+    bit-stable across input partitionings (exact integer sums are
+    order-free), unlike a double-accumulation KMeans."""
+    from scidbgeo_spark import model
+    from scidbgeo_spark.operators import similarity
+
+    emb = model.load_table(spark, sf_correct, "embeddings")
+    a = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in similarity.kmeans_assign(emb).collect()
+    )
+    b = sorted(
+        (r["vec_id"], r["cluster"])
+        for r in similarity.kmeans_assign(emb.repartition(7)).collect()
+    )
+    assert a == b
+    assert len(a) == emb.count()
+    assert len({c for _, c in a}) <= similarity.KMEANS_K
+
+
+def test_hll_shingle_ndv_error_band(spark, sf_correct):
+    """HLL with 1024 registers in its valid regime (ndv >= 2.5m):
+    relative error ~ 1.04/sqrt(1024) ~ 3.3%; assert a 4-sigma band."""
+    from scidbgeo_spark.operators import dedup
+
+    row = dedup.hll_shingle_ndv(dedup.dup_corpus(_docs(spark, sf_correct))).collect()[0]
+    assert row["n_registers_hit"] <= dedup.HLL_M
+    assert row["true_ndv"] >= 2.5 * dedup.HLL_M  # raw-estimator regime
+    rel = abs(row["hll_estimate"] - row["true_ndv"]) / row["true_ndv"]
+    assert rel < 0.13, (row["hll_estimate"], row["true_ndv"])
