@@ -1093,6 +1093,13 @@ def q_kmeans_assign(spark, sf_dir):
     return similarity.kmeans_assign(_emb(spark, sf_dir))
 
 
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min sketch probed for the true top-10 tokens (overestimate
+    visible in-result).  Oracle: identical affine cell hashing and
+    4096-cell counter grid in pure integers."""
+    return text.cms_heavy_hitters(_docs(spark, sf_dir))
+
+
 def q_hll_shingle_ndv(spark, sf_dir):
     """HyperLogLog vocabulary-cardinality sketch (distinct 3-word
     shingles of the dup-injected corpus — tens of thousands, inside the
@@ -1249,6 +1256,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_prefilter": q_bloom_prefilter,
     "kmeans_assign": q_kmeans_assign,
     "hll_shingle_ndv": q_hll_shingle_ndv,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
     "dup_span_dedup": q_dup_span_dedup,

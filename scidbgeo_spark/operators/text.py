@@ -286,3 +286,69 @@ def doc_fingerprint(docs: DataFrame) -> DataFrame:
         lambda acc, c: (acc * FP_BASE + c) % FP_MOD,
     )
     return docs.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---- count-min sketch (heavy-hitter term counts) ------------------------
+# The frequency twin of dedup.hll_ndv's cardinality sketch: a
+# CMS_D x CMS_W counter grid (4096 cells regardless of corpus size,
+# built by one map-side-combined count aggregate) answers "how often
+# does this term occur?" with one-sided error (estimate >= truth,
+# overshoot ~ 2N/CMS_W w.p. 1 - 2^-CMS_D).  Pure integer algebra over
+# the md5-prefix hash, so the DuckDB twin matches bitwise.
+CMS_D = 4
+CMS_W = 1024
+# affine row hashes: h_j(t) = ((A*h + B) % P) % W, same family style as
+# the MinHash signatures (distinct constants)
+CMS_A = [2 * j + 3 for j in range(CMS_D)]
+CMS_B = [(j * j * 6131 + 29) % FP_MOD for j in range(CMS_D)]
+
+
+def _cms_cells(tok_hash: Column) -> Column:
+    """array of CMS_D (row, col) structs for one token hash.  The 60-bit
+    digest is reduced mod P BEFORE the affine step: 2^60 * CMS_A
+    overflows int64 (ANSI-mode throw); (P-1) * CMS_A + CMS_B ~ 2e10
+    does not."""
+    hp = tok_hash % FP_MOD
+    return F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("row"),
+                (((hp * CMS_A[j] + CMS_B[j]) % FP_MOD) % CMS_W).alias("col"),
+            )
+            for j in range(CMS_D)
+        ]
+    )
+
+
+def cms_heavy_hitters(docs: DataFrame, k: int = 10) -> DataFrame:
+    """(token, true_count, cms_estimate) for the k most frequent tokens
+    (ties by token): the sketch is built over EVERY token occurrence,
+    then probed for the true top-k so the overestimate is visible
+    in-result.  At 100 TB the probe side (true counts) is the expensive
+    path; the sketch itself is one scan + a 4096-cell aggregate, and
+    serving a probe is a k*CMS_D-row broadcast join against it."""
+    toks = docs.select(
+        F.explode(F.split("text", " ")).alias("token")
+    ).select("token", md5_int("token").alias("th"))
+    cells = (
+        toks.select(F.explode(_cms_cells(F.col("th"))).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.desc("true_count"), F.asc("token"))
+        .limit(k)
+    )
+    probes = top.select(
+        "token",
+        "true_count",
+        F.explode(_cms_cells(md5_int("token"))).alias("c"),
+    ).select("token", "true_count", F.col("c.row").alias("row"), F.col("c.col").alias("col"))
+    return (
+        cells.join(F.broadcast(probes), ["row", "col"])
+        .groupBy("token", "true_count")
+        .agg(F.min("cnt").alias("cms_estimate"))
+        .select("token", "true_count", "cms_estimate")
+    )

@@ -1372,3 +1372,42 @@ SELECT n_hit AS n_registers_hit,
        ({HLL_ALPHA_EXPR}) * {HLL_M} * {HLL_M} / z AS hll_estimate,
        (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM vals) AS true_ndv
 FROM zt"""
+
+
+# ---- count-min sketch heavy hitters -------------------------------------
+from scidbgeo_spark.operators.text import (  # noqa: E402
+    CMS_A,
+    CMS_B,
+    CMS_D,
+    CMS_W,
+    FP_MOD as _CMS_P,
+)
+
+_CMS_CELLS = " UNION ALL ".join(
+    f"SELECT token, {j} AS row, "
+    f"(((hp * {CMS_A[j]} + {CMS_B[j]}) % {_CMS_P}) % {CMS_W}) AS col FROM toks"
+    for j in range(CMS_D)
+)
+
+SQL["cms_heavy_hitters"] = f"""WITH toks AS (
+  SELECT token, {_MD5INT.format(x='token')} % {_CMS_P} AS hp
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+),
+allcells AS ({_CMS_CELLS}),
+cells AS (
+  SELECT row, col, CAST(count(*) AS BIGINT) AS cnt
+  FROM allcells GROUP BY row, col
+),
+top AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS true_count
+  FROM toks GROUP BY token
+  ORDER BY true_count DESC, token ASC LIMIT 10
+),
+probes AS (
+  SELECT t.token, t.true_count, a.row, a.col
+  FROM top t JOIN (SELECT DISTINCT token, row, col FROM allcells) a
+    ON a.token = t.token
+)
+SELECT p.token, p.true_count, min(c.cnt) AS cms_estimate
+FROM probes p JOIN cells c USING (row, col)
+GROUP BY p.token, p.true_count"""

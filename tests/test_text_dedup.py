@@ -753,3 +753,18 @@ def test_hll_shingle_ndv_error_band(spark, sf_correct):
     assert row["true_ndv"] >= 2.5 * dedup.HLL_M  # raw-estimator regime
     rel = abs(row["hll_estimate"] - row["true_ndv"]) / row["true_ndv"]
     assert rel < 0.13, (row["hll_estimate"], row["true_ndv"])
+
+
+def test_cms_overestimate_property(spark, sf_correct):
+    """Count-min invariant: estimate >= truth for EVERY probe, and the
+    overshoot is bounded by 2N/W at 4 rows with high probability (assert
+    a loose 8N/W)."""
+    from scidbgeo_spark.operators import text as text_ops
+
+    docs = _docs(spark, sf_correct)
+    rows = text_ops.cms_heavy_hitters(docs).collect()
+    assert len(rows) == 10
+    n_total = docs.selectExpr("sum(size(split(text, ' '))) AS n").collect()[0]["n"]
+    for r in rows:
+        assert r["cms_estimate"] >= r["true_count"], r
+        assert r["cms_estimate"] - r["true_count"] <= 8 * n_total / text_ops.CMS_W, r
