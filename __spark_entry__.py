@@ -28,6 +28,7 @@ from scidbgeo_spark.model import CHUNK
 from scidbgeo_spark.operators import (
     curation,
     dedup,
+    graph,
     focal,
     knn as knn_mod,
     multimodal,
@@ -1093,6 +1094,13 @@ def q_kmeans_assign(spark, sf_dir):
     return similarity.kmeans_assign(_emb(spark, sf_dir))
 
 
+def q_host_pagerank(spark, sf_dir):
+    """Integer PageRank (3 damped power iterations) of the deterministic
+    host link graph — crawl-frontier host ranking.  Oracle: the same
+    three iterations unrolled as CTEs with identical floor divisions."""
+    return graph.host_pagerank(_docs(spark, sf_dir))
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min sketch probed for the true top-10 tokens (overestimate
     visible in-result).  Oracle: identical affine cell hashing and
@@ -1257,6 +1265,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmeans_assign": q_kmeans_assign,
     "hll_shingle_ndv": q_hll_shingle_ndv,
     "cms_heavy_hitters": q_cms_heavy_hitters,
+    "host_pagerank": q_host_pagerank,
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
     "dup_span_dedup": q_dup_span_dedup,

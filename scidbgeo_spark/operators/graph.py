@@ -1,0 +1,103 @@
+"""Host-graph analytics for crawl curation (graft surface).
+
+Common-Crawl-style pipelines rank hosts (harmonic centrality /
+PageRank over the host link graph) to prioritize the crawl frontier
+and to weight domains during corpus mixing.  The reference engine has
+no graph surface at all — this is part of the training-data-pipeline
+extension, expressed as iterative sparse mat-vec in DataFrame algebra.
+
+Arithmetic is EXACT integers throughout (ranks scaled by PR_SCALE,
+floor divisions): like operators.similarity.kmeans_assign, the result
+is bit-stable at any parallelism and the DuckDB oracle unrolls the
+same iterations bitwise.  Spark's `div` truncates toward zero and
+DuckDB's `//` floors — identical on the nonnegative ranks here.
+
+Scale shape per iteration: one join of edges->ranks on src (at 100 TB
+both sides hash-partition on host — co-partitioned across iterations
+since the key never changes, so AQE reuses the exchange), one
+map-side-combined sum by dst.  The graph (hosts, not pages) is orders
+of magnitude smaller than the corpus; 10^8 hosts x ~40 edges is a
+~100 GB edge list — a few-second iteration on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12
+PR_ITERS = 3
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
+PR_DAMP_NUM_BASE = PR_DAMP_DEN - PR_DAMP_NUM  # teleport mass 15/100
+
+
+def host_graph(docs: DataFrame) -> DataFrame:
+    """Deterministic weighted host link graph (src, dst, w): document i
+    "links to" document (i * 7 + 3) mod n, and edges aggregate to the
+    source-host level.  A fixture-side derivation (the documents table
+    carries no real hyperlinks) — with a real link column the groupBy
+    below is the only step that changes."""
+    cnt = docs.agg(F.count("*").alias("n_docs"))
+    d1 = docs.select("doc_id", "source").crossJoin(F.broadcast(cnt))
+    d2 = docs.select(
+        F.col("doc_id").alias("dst_doc"), F.col("source").alias("dst")
+    )
+    return (
+        d1.select(
+            F.col("source").alias("src"),
+            ((F.col("doc_id") * 7 + 3) % F.col("n_docs")).alias("dst_doc"),
+        )
+        .join(d2, "dst_doc")
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("w"))
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """(node, rank_scaled) after ``iters`` damped power iterations from
+    the uniform start, all-integer: contrib(u->v) = ((R(u)*85 div 100)
+    * w(u,v)) div W(u), R'(v) = (SCALE*15) div (100*n) + sum(contrib).
+    Dangling mass is dropped (the simplified formulation) — the same
+    rule on both engines.  Overflow headroom: R <= SCALE, so R*85*w
+    stays far under 2^63 for w < 10^8."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nn = nodes.agg(F.count("*").alias("n_nodes"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("tw"))
+    r = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.expr(f"{PR_SCALE} div n_nodes").alias("rank")
+    )
+    base = F.expr(f"({PR_SCALE} * {PR_DAMP_NUM_BASE}) div ({PR_DAMP_DEN} * n_nodes)")
+    for _ in range(iters):
+        contribs = (
+            edges.join(outw, "src")
+            .join(r.select(F.col("node").alias("src"), "rank"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(
+                    f"(((rank * {PR_DAMP_NUM}) div {PR_DAMP_DEN}) * w) div tw"
+                ).alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("c"))
+        )
+        r = (
+            nodes.crossJoin(F.broadcast(nn))
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (base + F.coalesce(F.col("c"), F.lit(0))).alias("rank"),
+            )
+        )
+    return r.select("node", F.col("rank").alias("rank_scaled"))
+
+
+
+def host_pagerank(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """PageRank of the deterministic host graph: (source, rank_scaled)."""
+    return pagerank(host_graph(docs), iters).select(
+        F.col("node").alias("source"), "rank_scaled"
+    )

@@ -1411,3 +1411,50 @@ probes AS (
 SELECT p.token, p.true_count, min(c.cnt) AS cms_estimate
 FROM probes p JOIN cells c USING (row, col)
 GROUP BY p.token, p.true_count"""
+
+
+# ---- host-graph PageRank (3 unrolled integer iterations) ----------------
+from scidbgeo_spark.operators.graph import (  # noqa: E402
+    PR_DAMP_DEN,
+    PR_DAMP_NUM,
+    PR_DAMP_NUM_BASE,
+    PR_ITERS,
+    PR_SCALE,
+)
+
+
+def _pr_iter(prev: str, new: str) -> str:
+    return f"""c_{new} AS (
+  SELECT e.dst AS node,
+         CAST(sum((((r.rank * {PR_DAMP_NUM}) // {PR_DAMP_DEN}) * e.w) // o.tw)
+              AS BIGINT) AS c
+  FROM edges e JOIN outw o USING (src) JOIN r_{prev} r ON r.node = e.src
+  GROUP BY e.dst
+),
+r_{new} AS (
+  SELECT n.node,
+         ({PR_SCALE} * {PR_DAMP_NUM_BASE}) // ({PR_DAMP_DEN} * nn.nn)
+           + coalesce(c.c, 0) AS rank
+  FROM nodes n CROSS JOIN nn LEFT JOIN c_{new} c ON c.node = n.node
+)"""
+
+
+_PR_ITER_CTES = ",\n".join(_pr_iter(str(i), str(i + 1)) for i in range(PR_ITERS))
+
+SQL["host_pagerank"] = f"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+e0 AS (
+  SELECT d1.source AS src, d2.source AS dst
+  FROM documents d1 CROSS JOIN nd
+  JOIN documents d2 ON d2.doc_id = (d1.doc_id * 7 + 3) % nd.n_docs
+),
+edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e0 GROUP BY src, dst),
+outw AS (SELECT src, CAST(sum(w) AS BIGINT) AS tw FROM edges GROUP BY src),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+  )
+),
+nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
+r_0 AS (SELECT node, {PR_SCALE} // nn.nn AS rank FROM nodes CROSS JOIN nn),
+{_PR_ITER_CTES}
+SELECT node AS source, CAST(rank AS BIGINT) AS rank_scaled FROM r_{PR_ITERS}"""

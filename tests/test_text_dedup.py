@@ -768,3 +768,24 @@ def test_cms_overestimate_property(spark, sf_correct):
     for r in rows:
         assert r["cms_estimate"] >= r["true_count"], r
         assert r["cms_estimate"] - r["true_count"] <= 8 * n_total / text_ops.CMS_W, r
+
+
+def test_host_pagerank_mass_and_invariance(spark, sf_correct):
+    """Rank mass stays within (teleport-only, full) bounds — floor
+    divisions only ever LOSE mass — and the all-integer iteration is
+    bit-stable across input partitionings."""
+    from scidbgeo_spark.operators import graph
+
+    docs = _docs(spark, sf_correct)
+    a = sorted(
+        (r["source"], r["rank_scaled"])
+        for r in graph.host_pagerank(docs).collect()
+    )
+    b = sorted(
+        (r["source"], r["rank_scaled"])
+        for r in graph.host_pagerank(docs.repartition(7)).collect()
+    )
+    assert a == b
+    total = sum(rk for _, rk in a)
+    assert graph.PR_SCALE * 0.14 < total <= graph.PR_SCALE
+    assert all(rk > 0 for _, rk in a)
