@@ -59,7 +59,16 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     * w(u,v)) div W(u), R'(v) = (SCALE*15) div (100*n) + sum(contrib).
     Dangling mass is dropped (the simplified formulation) — the same
     rule on both engines.  Overflow headroom: R <= SCALE, so R*85*w
-    stays far under 2^63 for w < 10^8."""
+    stays far under 2^63 for w < 10^8.
+
+    The edge list is cache()d: Spark's exchange reuse does not fire
+    across the unrolled iterations (measured: 66 source re-scans / 113
+    exchanges for 3 iterations uncached), and re-deriving edges from
+    the corpus every iteration is the one genuine scale-killer here —
+    caching the host-level edge list (small by construction) makes each
+    iteration touch only host-keyed data, the same move as Spark's own
+    iterative-graph examples."""
+    edges = edges.cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
