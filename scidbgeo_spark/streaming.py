@@ -354,3 +354,38 @@ def curate_stream(
         .dropDuplicatesWithinWatermark(["content_hash"])
         .select("doc_id", "content_hash")
     )
+
+
+def trending_terms_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """SLIDING-window term frequencies over a timestamped document feed
+    (crawl-side trending-topics monitor): each token occurrence counts
+    toward every window covering its timestamp (window/slide
+    overlapping windows), finalized and emitted append-mode once the
+    watermark passes the window end.
+
+    One stateless explode + ONE windowed count aggregate: state is
+    bounded by (watermark horizon / slide) open windows x vocabulary,
+    and the shuffle key is (window, token) — at web scale the token
+    dimension dominates and hash-partitions evenly apart from stopword
+    heads, the same skew profile as the batch token counts.  Expects a
+    ``crawl_ts`` timestamp column on the feed."""
+    schema = spark.read.parquet(docs_dir).schema
+    docs = spark.readStream.schema(schema).parquet(docs_dir)
+    docs = docs.withColumn("ts", F.col("crawl_ts").cast("timestamp"))
+    return (
+        docs.withWatermark("ts", watermark)
+        .select("ts", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy(F.window("ts", window, slide).alias("win"), "token")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("win.start").cast("string").alias("win_start"),
+            "token",
+            "n",
+        )
+    )

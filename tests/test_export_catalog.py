@@ -587,3 +587,64 @@ def test_curate_stream_filters_decontaminates_and_dedups(spark, tmp_path):
     }
     assert by_hash[hashlib.md5(good.encode()).hexdigest()] in (0, 1)
     assert by_hash[hashlib.md5(good2.encode()).hexdigest()] == 4
+
+
+def test_trending_terms_stream_sliding_windows(spark, tmp_path):
+    """Sliding windows: every token occurrence lands in BOTH overlapping
+    2h windows; finalized append output equals the batch computation on
+    the on-time docs, and late arrivals below the watermark are
+    dropped."""
+    from scidbgeo_spark import streaming
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta alpha", "2025-06-01 10:10:00"),
+            (1, "beta gamma", "2025-06-01 10:40:00"),
+            # late arrival, same early hour (written in batch 3)
+            (2, "alpha alpha", "2025-06-01 10:20:00"),
+            # watermark pusher, far future (written in batch 2)
+            (3, "omega", "2025-06-02 09:00:00"),
+        ],
+        "doc_id long, text string, crawl_ts string",
+    ).withColumn("crawl_ts", F.to_timestamp("crawl_ts"))
+    d = str(tmp_path / "trend_docs")
+    docs.filter(F.col("doc_id") < 2).write.parquet(d)
+    stream = streaming.trending_terms_stream(spark, d)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("trend")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: on-time docs, nothing final
+        docs.filter(F.col("doc_id") == 3).write.mode("append").parquet(d)
+        q.processAllAvailable()  # batch 2: watermark passes 10:xx windows
+        docs.filter(F.col("doc_id") == 2).write.mode("append").parquet(d)
+        q.processAllAvailable()  # batch 3: late doc -> dropped
+        got = {
+            (r.win_start, r.token): r.n
+            for r in spark.sql("SELECT * FROM trend WHERE token <> 'omega'").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        (r.win_start, r.token): r.n
+        for r in (
+            docs.filter(F.col("doc_id") < 2)
+            .select(
+                F.col("crawl_ts").alias("ts"),
+                F.explode(F.split("text", " ")).alias("token"),
+            )
+            .groupBy(F.window("ts", "2 hours", "1 hour").alias("win"), "token")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("win.start").cast("string").alias("win_start"), "token", "n")
+            .collect()
+        )
+    }
+    assert got == want
+    # sliding property: 'alpha' (ts 10:10) appears in the 09:00 and
+    # 10:00 windows, with the late doc's copies absent from both
+    alphas = {k: v for k, v in got.items() if k[1] == "alpha"}
+    assert len(alphas) == 2
+    assert all(v == 2 for v in alphas.values())
