@@ -1094,6 +1094,13 @@ def q_kmeans_assign(spark, sf_dir):
     return similarity.kmeans_assign(_emb(spark, sf_dir))
 
 
+def q_inverted_index(spark, sf_dir):
+    """Serving-side inverted index: per-term df/cf + capped posting-list
+    head (cap applied BEFORE collect_list via a same-exchange window).
+    Oracle: identical rank-filtered list aggregation."""
+    return text.inverted_index(_docs(spark, sf_dir))
+
+
 def q_host_pagerank(spark, sf_dir):
     """Integer PageRank (3 damped power iterations) of the deterministic
     host link graph — crawl-frontier host ranking.  Oracle: the same
@@ -1266,6 +1273,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_shingle_ndv": q_hll_shingle_ndv,
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "host_pagerank": q_host_pagerank,
+    "inverted_index": q_inverted_index,
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
     "dup_span_dedup": q_dup_span_dedup,

@@ -352,3 +352,45 @@ def cms_heavy_hitters(docs: DataFrame, k: int = 10) -> DataFrame:
         .agg(F.min("cnt").alias("cms_estimate"))
         .select("token", "true_count", "cms_estimate")
     )
+
+
+# ---- inverted index (term -> posting list) ------------------------------
+IDX_POSTING_CAP = 8  # posting-list head length carried in the result
+IDX_MIN_DF = 3  # vocabulary floor: terms in fewer docs are dropped
+
+
+def inverted_index(docs: DataFrame) -> DataFrame:
+    """Serving-side inverted index over the corpus: one row per term
+    with document frequency, collection frequency, and the posting-list
+    HEAD (first IDX_POSTING_CAP doc_ids ascending, comma-joined so the
+    oracle compares it as a scalar).
+
+    Scale shape: tokenize -> per-doc term counts (one (doc, term)
+    aggregate with map-side combine) -> ONE term-keyed shuffle that
+    both ranks postings and aggregates the stats.  The posting head is
+    capped BEFORE collect_list by a row_number over the same term
+    partitioning (no second shuffle: the window and the groupBy share
+    the exchange) — an uncapped collect_list over a web-scale stopword
+    posting list would materialize one giant row per stopword, the
+    same single-partition hazard the LSH bucket cap guards against."""
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    ranked = tf.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count("*").alias("df"),
+            F.sum("tf").alias("cf"),
+            F.array_join(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("rn") <= IDX_POSTING_CAP, F.col("doc_id")))
+                ),
+                ",",
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= IDX_MIN_DF)
+    )

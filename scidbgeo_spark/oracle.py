@@ -1458,3 +1458,27 @@ nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM nodes),
 r_0 AS (SELECT node, {PR_SCALE} // nn.nn AS rank FROM nodes CROSS JOIN nn),
 {_PR_ITER_CTES}
 SELECT node AS source, CAST(rank AS BIGINT) AS rank_scaled FROM r_{PR_ITERS}"""
+
+
+# ---- inverted index -----------------------------------------------------
+from scidbgeo_spark.operators.text import (  # noqa: E402
+    IDX_MIN_DF,
+    IDX_POSTING_CAP,
+)
+
+SQL["inverted_index"] = f"""WITH tf AS (
+  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+  GROUP BY term, doc_id
+),
+ranked AS (
+  SELECT term, doc_id, tf,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM tf
+)
+SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
+       array_to_string(list(doc_id ORDER BY doc_id) FILTER (WHERE rn <= {IDX_POSTING_CAP}), ',')
+         AS postings_head
+FROM ranked
+GROUP BY term
+HAVING count(*) >= {IDX_MIN_DF}"""

@@ -789,3 +789,24 @@ def test_host_pagerank_mass_and_invariance(spark, sf_correct):
     total = sum(rk for _, rk in a)
     assert graph.PR_SCALE * 0.14 < total <= graph.PR_SCALE
     assert all(rk > 0 for _, rk in a)
+
+
+def test_inverted_index_shape_and_single_shuffle(spark, sf_correct):
+    """Posting heads are capped, ascending, and the rank filter + final
+    aggregate share ONE term-keyed exchange (plus the (term,doc) tf
+    aggregate's): more would mean the cap cost a second shuffle."""
+    from scidbgeo_spark.operators import text as text_ops
+
+    docs = _docs(spark, sf_correct)
+    out = text_ops.inverted_index(docs)
+    # plan BEFORE execution: AQE's finalized plan re-prints exchanges
+    # inside query stages, double-counting them
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2, plan.count("Exchange")
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r["postings_head"].split(",")]
+        assert len(ids) <= text_ops.IDX_POSTING_CAP
+        assert ids == sorted(ids)
+        assert r["df"] >= text_ops.IDX_MIN_DF >= len(ids) or r["df"] >= len(ids)
