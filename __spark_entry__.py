@@ -1094,6 +1094,60 @@ def q_kmeans_assign(spark, sf_dir):
     return similarity.kmeans_assign(_emb(spark, sf_dir))
 
 
+def _warc_ingest(spark, sf_dir, gzip_members: bool):
+    """Shared body for the WARC ingest queries: serialize documents as
+    4 real WARC files (html-wrapped payloads), scan them back through
+    binaryFile -> mapInPandas, parse doc_id from the target URI and
+    strip the wrapper.  Oracle: SELECT doc_id, text FROM documents —
+    the bytes must round-trip exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.operators.text import HTML_PREFIX, HTML_SUFFIX
+    from scidbgeo_spark.sources import warc
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    n = docs.count()
+    if n > 100_000:
+        raise ValueError("fixture writer is driver-side; corpus too large")
+    rows = docs.collect()
+    kind = "warcgz" if gzip_members else "warc"
+    d = _fixture_dir(kind, sf_dir)
+    shards: dict[int, list] = {k: [] for k in range(4)}
+    for r in sorted(rows, key=lambda r: r["doc_id"]):
+        payload = (HTML_PREFIX + r["text"] + HTML_SUFFIX).encode("utf-8")
+        shards[r["doc_id"] % 4].append(
+            (f"http://corpus.example/doc/{r['doc_id']}", "2025-06-01T00:00:00Z", payload)
+        )
+    ext = "warc.gz" if gzip_members else "warc"
+    for k, recs in shards.items():
+        warc.write_warc(os.path.join(d, f"part-{k}.{ext}"), recs, gzip_members)
+    scanned = warc.warc_scan(spark, os.path.join(d, f"*.{ext}"))
+    body = F.decode(F.col("payload"), "utf-8")
+    text_col = F.substring(
+        body,
+        len(HTML_PREFIX) + 1,
+        F.length(body) - len(HTML_PREFIX) - len(HTML_SUFFIX),
+    )
+    return scanned.select(
+        F.regexp_extract("url", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        text_col.alias("text"),
+    )
+
+
+def q_warc_ingest(spark, sf_dir):
+    """Plain-WARC ingest round-trip (records parsed per the ISO 28500
+    layout from real files)."""
+    return _warc_ingest(spark, sf_dir, gzip_members=False)
+
+
+def q_warc_ingest_gz(spark, sf_dir):
+    """Common-Crawl-layout ingest: per-record gzip members concatenated
+    into .warc.gz, sniffed and inflated in the same scan."""
+    return _warc_ingest(spark, sf_dir, gzip_members=True)
+
+
 def q_inverted_index(spark, sf_dir):
     """Serving-side inverted index: per-term df/cf + capped posting-list
     head (cap applied BEFORE collect_list via a same-exchange window).
@@ -1274,6 +1328,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "host_pagerank": q_host_pagerank,
     "inverted_index": q_inverted_index,
+    "warc_ingest": q_warc_ingest,
+    "warc_ingest_gz": q_warc_ingest_gz,
     "media_resize": q_media_resize,
     "frame_sample": q_frame_sample,
     "dup_span_dedup": q_dup_span_dedup,

@@ -1482,3 +1482,8 @@ SELECT term, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf,
 FROM ranked
 GROUP BY term
 HAVING count(*) >= {IDX_MIN_DF}"""
+
+
+# ---- WARC ingest round-trips --------------------------------------------
+SQL["warc_ingest"] = "SELECT doc_id, text FROM documents"
+SQL["warc_ingest_gz"] = "SELECT doc_id, text FROM documents"

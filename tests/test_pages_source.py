@@ -106,3 +106,38 @@ def test_zorder_block_range_alignment():
     assert z1 - z0 == 16
     with pytest.raises(ValueError):
         pip.zorder_block_range(3, 0, 2)
+
+
+# ---- WARC source --------------------------------------------------------
+
+
+def test_warc_roundtrip_plain_and_gzip(spark, tmp_path):
+    """Both layouts parse back byte-identically, including multi-byte
+    UTF-8 payloads (Content-Length is BYTES, not chars)."""
+    from scidbgeo_spark.sources import warc
+
+    recs = [
+        ("http://x/doc/0", "2025-06-01T00:00:00Z", "héllo wörld 🌍".encode()),
+        ("http://x/doc/1", "2025-06-01T00:00:01Z", b"plain ascii"),
+        ("http://x/doc/2", "2025-06-01T00:00:02Z", b""),
+    ]
+    for gz, name in ((False, "a.warc"), (True, "a.warc.gz")):
+        p = str(tmp_path / name)
+        warc.write_warc(p, recs, gzip_members=gz)
+        got = sorted(
+            (r["url"], r["warc_date"], bytes(r["payload"]))
+            for r in warc.warc_scan(spark, p).collect()
+        )
+        assert got == sorted(recs), name
+
+
+def test_warc_truncated_payload_raises(tmp_path):
+    from scidbgeo_spark.sources import warc
+
+    p = str(tmp_path / "bad.warc")
+    warc.write_warc(p, [("u", "d", b"abcdef")])
+    data = open(p, "rb").read()[:-6]  # cut into the payload
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="truncated"):
+        list(warc.parse_warc_bytes(data))
