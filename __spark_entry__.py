@@ -1136,6 +1136,30 @@ def _warc_ingest(spark, sf_dir, gzip_members: bool):
     )
 
 
+def q_jsonl_ingest(spark, sf_dir):
+    """JSON-lines ingest round-trip, fully DISTRIBUTED both ways (write
+    and read are executor-side, unlike the driver-written WARC
+    fixtures): JSONL is the interchange format most curation stacks
+    feed Spark.  Oracle: the documents table itself — escaping and
+    unicode must survive the round trip exactly."""
+    import os
+
+    docs = _docs(spark, sf_dir)
+    out = os.path.join(_fixture_dir("jsonl", sf_dir), "docs")
+    docs.write.mode("overwrite").json(out)
+    return spark.read.schema(docs.schema).json(out).select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+
+
+def q_url_filter(spark, sf_dir):
+    """RefinedWeb/C4-style URL gate over the variant urls: blocklisted
+    host, path keyword, scheme, length — auditable reason bits.
+    Oracle: identical rules in SQL (shared constants)."""
+    docs = _docs(spark, sf_dir)
+    return curation.url_filter(docs.select("doc_id", _variant_url_col().alias("url")))
+
+
 def q_warc_ingest(spark, sf_dir):
     """Plain-WARC ingest round-trip (records parsed per the ISO 28500
     layout from real files)."""
@@ -1328,6 +1352,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_heavy_hitters": q_cms_heavy_hitters,
     "host_pagerank": q_host_pagerank,
     "inverted_index": q_inverted_index,
+    "jsonl_ingest": q_jsonl_ingest,
+    "url_filter": q_url_filter,
     "warc_ingest": q_warc_ingest,
     "warc_ingest_gz": q_warc_ingest_gz,
     "media_resize": q_media_resize,

@@ -242,3 +242,47 @@ def domain_mix_weights(docs: DataFrame) -> DataFrame:
             F.col("n_tokens") > 0, (F.lit(1.0) / F.col("n_domains")) / share
         ).alias("mix_weight"),
     )
+
+
+# ---- URL filtering (RefinedWeb/C4-style crawl-side gate) ----------------
+U_BLOCK_DOMAIN = 1
+U_KEYWORD = 2
+U_SCHEME = 4
+U_TOO_LONG = 8
+
+URL_BLOCKED_HOSTS = ["site0.example", "site3.example"]
+URL_BLOCKED_KEYWORDS = ["casino", "viagra", "p/13"]
+URL_MAX_LEN = 120
+_URL_HOST_RE = r"^(?:[a-z+]+://)?(?:www\.)?([^/]+)"
+
+
+def url_filter(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Crawl-side URL gate: (doc_id, url_host, keep, reason_mask) with a
+    bit per failed rule — blocklisted host, blocked path keyword,
+    non-http(s) scheme, overlong url.  Auditable like quality_filter:
+    report WHY, then anti-join on keep.
+
+    All column algebra (lowercase, one lookaround-free regexp host
+    extraction, literal-array membership) — no shuffle at all, and the
+    blocklists ride the plan as literals (a real pipeline's
+    million-entry blocklist becomes a broadcast semi-join on url_host;
+    the reason-mask contract stays the same)."""
+    u = F.lower(F.col(url_col))
+    host = F.regexp_extract(u, _URL_HOST_RE, 1)
+    blocked = F.array(*[F.lit(h) for h in URL_BLOCKED_HOSTS])
+    kw_hit = F.lit(False)
+    for k in URL_BLOCKED_KEYWORDS:
+        kw_hit = kw_hit | F.contains(u, F.lit(k))
+    scheme_ok = u.rlike(r"^https?://")
+    mask = (
+        F.when(F.array_contains(blocked, host), U_BLOCK_DOMAIN).otherwise(0)
+        + F.when(kw_hit, U_KEYWORD).otherwise(0)
+        + F.when(~scheme_ok, U_SCHEME).otherwise(0)
+        + F.when(F.length(u) > URL_MAX_LEN, U_TOO_LONG).otherwise(0)
+    ).cast("int")
+    return df.select(
+        "doc_id",
+        host.alias("url_host"),
+        (mask == F.lit(0)).alias("keep"),
+        mask.alias("reason_mask"),
+    )

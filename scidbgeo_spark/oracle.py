@@ -1487,3 +1487,42 @@ HAVING count(*) >= {IDX_MIN_DF}"""
 # ---- WARC ingest round-trips --------------------------------------------
 SQL["warc_ingest"] = "SELECT doc_id, text FROM documents"
 SQL["warc_ingest_gz"] = "SELECT doc_id, text FROM documents"
+
+
+# ---- URL filter (same variant construction as url_dedup; same rule
+# constants as curation.url_filter) ---------------------------------------
+from scidbgeo_spark.operators.curation import (  # noqa: E402
+    URL_BLOCKED_HOSTS,
+    URL_BLOCKED_KEYWORDS,
+    URL_MAX_LEN,
+    U_BLOCK_DOMAIN,
+    U_KEYWORD,
+    U_SCHEME,
+    U_TOO_LONG,
+)
+
+_UF_HOSTS = ", ".join(f"'{h}'" for h in URL_BLOCKED_HOSTS)
+_UF_KW = " OR ".join(f"contains(u, '{k}')" for k in URL_BLOCKED_KEYWORDS)
+
+SQL["url_filter"] = f"""WITH u AS (
+  SELECT doc_id,
+    lower(CASE doc_id % 4 WHEN 0 THEN 'https://' WHEN 1 THEN 'http://'
+         WHEN 2 THEN 'HTTPS://www.' ELSE 'https://www.' END
+    || 'site' || CAST((doc_id // 2) % 7 AS VARCHAR)
+    || '.example/p/' || CAST(doc_id // 2 AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) AS u
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    regexp_extract(u, '^(?:[a-z+]+://)?(?:www\\.)?([^/]+)', 1) AS url_host,
+    CAST(CASE WHEN regexp_extract(u, '^(?:[a-z+]+://)?(?:www\\.)?([^/]+)', 1)
+                   IN ({_UF_HOSTS}) THEN {U_BLOCK_DOMAIN} ELSE 0 END
+       + CASE WHEN {_UF_KW} THEN {U_KEYWORD} ELSE 0 END
+       + CASE WHEN NOT regexp_matches(u, '^https?://') THEN {U_SCHEME} ELSE 0 END
+       + CASE WHEN length(u) > {URL_MAX_LEN} THEN {U_TOO_LONG} ELSE 0 END
+      AS INTEGER) AS reason_mask
+  FROM u)
+SELECT doc_id, url_host, reason_mask = 0 AS keep, reason_mask FROM m"""
+
+
+SQL["jsonl_ingest"] = "SELECT doc_id, text, lang, source, n_chars FROM documents"

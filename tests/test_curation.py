@@ -187,3 +187,34 @@ def test_corpus_freeze_stage_consistency(spark, sf_correct):
     eval_base_ids = {i for i in lang if i % curation.EVAL_MOD == curation.EVAL_REM}
     assert not (survivors & eval_base_ids)
     assert not (survivors & contam)
+
+
+def test_url_filter_rules_and_zero_shuffle(spark, sf_smoke):
+    """Each rule bit fires on a crafted url; the gate is pure column
+    algebra (zero exchanges)."""
+    from scidbgeo_spark.operators import curation
+
+    rows = spark.createDataFrame(
+        [
+            (0, "https://ok.example/p/1"),
+            (1, "https://site0.example/p/1"),      # blocked host
+            (2, "https://ok.example/casino/x"),    # keyword
+            (3, "ftp://ok.example/p/1"),           # scheme
+            (4, "https://ok.example/p/" + "9" * 150),  # too long
+            (5, "https://www.site3.example/p/13"), # host + keyword
+        ],
+        "doc_id long, url string",
+    )
+    out = curation.url_filter(rows)
+    assert _plan(out).count("Exchange") == 0
+    got = {r["doc_id"]: (r["keep"], r["reason_mask"], r["url_host"]) for r in out.collect()}
+    assert got[0] == (True, 0, "ok.example")
+    assert got[1] == (False, curation.U_BLOCK_DOMAIN, "site0.example")
+    assert got[2] == (False, curation.U_KEYWORD, "ok.example")
+    assert got[3] == (False, curation.U_SCHEME, "ok.example")
+    assert got[4][1] == curation.U_TOO_LONG
+    assert got[5] == (
+        False,
+        curation.U_BLOCK_DOMAIN + curation.U_KEYWORD,
+        "site3.example",
+    )
