@@ -1220,6 +1220,20 @@ def _ann_recall(approx: DataFrame, exact: DataFrame, k: int = 5) -> DataFrame:
     return hits.groupBy("q_id").agg((F.count("*") / k).alias(f"recall_at_{k}"))
 
 
+def q_ann_sq8_topk(spark, sf_dir):
+    """int8 scalar-quantized top-k (FAISS SQ8 scheme): exact integer L2
+    over per-dim min/max codes.  Oracle: identical quantization and
+    distance algebra."""
+    return similarity.ann_sq8_topk(_emb(spark, sf_dir))
+
+
+def q_ann_sq8_recall(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return _ann_recall(
+        similarity.ann_sq8_topk(emb), similarity.ann_bruteforce_topk(emb)
+    )
+
+
 def q_ann_lsh_recall(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return _ann_recall(
@@ -1353,6 +1367,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     "inverted_index": q_inverted_index,
     "jsonl_ingest": q_jsonl_ingest,
+    "ann_sq8_topk": q_ann_sq8_topk,
+    "ann_sq8_recall": q_ann_sq8_recall,
     "url_filter": q_url_filter,
     "warc_ingest": q_warc_ingest,
     "warc_ingest_gz": q_warc_ingest_gz,

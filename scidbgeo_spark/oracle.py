@@ -1526,3 +1526,42 @@ SELECT doc_id, url_host, reason_mask = 0 AS keep, reason_mask FROM m"""
 
 
 SQL["jsonl_ingest"] = "SELECT doc_id, text, lang, source, n_chars FROM documents"
+
+
+# ---- SQ8 scalar-quantized ANN -------------------------------------------
+from scidbgeo_spark.operators.similarity import SQ8_LEVELS  # noqa: E402
+
+_SQ8_QV = f"""s AS (
+  SELECT i.i AS dim, CAST(min(embedding[i.i]::DOUBLE) AS DOUBLE) AS mn,
+         CAST(max(embedding[i.i]::DOUBLE) AS DOUBLE) AS mx
+  FROM embeddings CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i) i
+  GROUP BY i.i
+),
+packed AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM s),
+qv AS (
+  SELECT vec_id,
+         list_transform(range(1, 65), i ->
+           CASE WHEN (maxs[i] - mins[i]) > 0
+                THEN least(greatest(
+                       floor((embedding[i]::DOUBLE - mins[i]) * {SQ8_LEVELS}
+                             / (maxs[i] - mins[i]))::BIGINT, 0), {SQ8_LEVELS})
+                ELSE 0 END) AS q
+  FROM embeddings CROSS JOIN packed
+)"""
+
+SQL["ann_sq8_topk"] = f"""WITH {_SQ8_QV},
+qq AS (SELECT vec_id AS q_id, q AS qvec FROM qv WHERE vec_id < 8),
+dists AS (
+  SELECT qq.q_id, e.vec_id,
+         list_reduce(list_transform(range(1, 65),
+                                    i -> (e.q[i] - qq.qvec[i]) * (e.q[i] - qq.qvec[i])),
+                     (a, b) -> a + b) AS dist
+  FROM qv e CROSS JOIN qq
+)
+SELECT q_id, vec_id, CAST(rn AS INT) AS rank FROM (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+  FROM dists
+) WHERE rn <= 5"""
+
+SQL["ann_sq8_recall"] = _recall_sql(SQL["ann_sq8_topk"])

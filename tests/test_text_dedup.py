@@ -810,3 +810,35 @@ def test_inverted_index_shape_and_single_shuffle(spark, sf_correct):
         assert len(ids) <= text_ops.IDX_POSTING_CAP
         assert ids == sorted(ids)
         assert r["df"] >= text_ops.IDX_MIN_DF >= len(ids) or r["df"] >= len(ids)
+
+
+def test_sq8_codes_bounded_and_recall_high(spark, sf_correct):
+    """SQ8 codes stay in [0,255]; top-1 is always the query itself
+    (distance 0 to its own code); recall@5 vs full precision is high on
+    the fixture (quantization of 64 dims to 8 bits rarely reorders a
+    top-5)."""
+    from scidbgeo_spark import model
+    from scidbgeo_spark.operators import similarity
+
+    emb = model.load_table(spark, sf_correct, "embeddings")
+    qz = similarity._sq8_quantize(emb, similarity._sq8_stats(emb))
+    import pyspark.sql.functions as F
+
+    bad = qz.filter(
+        F.exists("q", lambda v: (v < 0) | (v > similarity.SQ8_LEVELS))
+    ).count()
+    assert bad == 0
+    topk = similarity.ann_sq8_topk(emb).collect()
+    top1 = {r["q_id"]: r["vec_id"] for r in topk if r["rank"] == 1}
+    assert top1 == {q: q for q in top1}
+    bf = similarity.ann_bruteforce_topk(emb).collect()
+    bf_sets: dict = {}
+    ap_sets: dict = {}
+    for r in bf:
+        bf_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    for r in topk:
+        ap_sets.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recall = sum(
+        len(bf_sets[q] & ap_sets[q]) for q in bf_sets
+    ) / sum(len(v) for v in bf_sets.values())
+    assert recall >= 0.8, recall
