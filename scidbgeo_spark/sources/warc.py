@@ -81,6 +81,8 @@ def parse_warc_bytes(data: bytes) -> Iterator[tuple[str, str, bytes]]:
             headers[k.strip().decode("ascii").lower()] = v.strip().decode(
                 "utf-8", "replace"
             )
+        if "content-length" not in headers:
+            raise ValueError("WARC record missing Content-Length header")
         length = int(headers["content-length"])
         body_start = hdr_end + 4
         payload = data[body_start: body_start + length]
