@@ -572,28 +572,32 @@ def incremental_dedup(frozen: DataFrame, batch: DataFrame) -> DataFrame:
     )
 
 
-def _bloom_positions(text: Column) -> Column:
+def _bloom_positions(text: Column, m: int = BLOOM_M, k: int = BLOOM_K) -> Column:
     """k Bloom bit positions for a document digest, by double hashing:
-    pos_i = (h1 + i*h2) mod M over the 60-bit md5-prefix digest.  Pure
-    nonnegative integer arithmetic (max intermediate < 3M << 2^63), so
-    the DuckDB twin is bitwise-identical."""
+    pos_i = (h1 + i*h2) mod m over the 60-bit md5-prefix digest.  Pure
+    nonnegative integer arithmetic (max intermediate < 3m << 2^63 for
+    any m below 2^60), so the DuckDB twin is bitwise-identical."""
     h64 = md5_int(text)
-    h1 = h64 % BLOOM_M
-    h2 = (F.shiftright(h64, 16) % BLOOM_M).bitwiseOR(F.lit(1))
+    h1 = h64 % m
+    h2 = (F.shiftright(h64, 16) % m).bitwiseOR(F.lit(1))
     return F.transform(
-        F.sequence(F.lit(0), F.lit(BLOOM_K - 1)),
-        lambda i: (h1 + i * h2) % BLOOM_M,
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: (h1 + i * h2) % m,
     )
 
 
-def bloom_build(frozen: DataFrame) -> DataFrame:
+def bloom_build(frozen: DataFrame, words: int = BLOOM_WORDS, k: int = BLOOM_K) -> DataFrame:
     """Distributed Bloom-filter build over the frozen corpus: explode
     each digest's k bit positions, then ONE map-side-combined bit_or
     aggregate into (word, bits) — at most BLOOM_WORDS rows regardless of
     corpus size.  This is the runtime-filter pattern Spark applies to
     joins internally, expressed as data: the bitmap is a broadcastable
     summary of an arbitrarily large build side."""
-    pos = frozen.select(F.explode(_bloom_positions(F.col("text"))).alias("pos"))
+    pos = frozen.select(
+        F.explode(
+            _bloom_positions(F.col("text"), words * BLOOM_BITS_PER_WORD, k)
+        ).alias("pos")
+    )
     return (
         pos.select(
             (F.col("pos") / BLOOM_BITS_PER_WORD).cast("long").alias("word"),
@@ -604,7 +608,12 @@ def bloom_build(frozen: DataFrame) -> DataFrame:
     )
 
 
-def bloom_prefilter(frozen: DataFrame, batch: DataFrame) -> DataFrame:
+def bloom_prefilter(
+    frozen: DataFrame,
+    batch: DataFrame,
+    words: int = BLOOM_WORDS,
+    k: int = BLOOM_K,
+) -> DataFrame:
     """Per-batch-doc Bloom probe against the frozen corpus: (doc_id,
     maybe_seen, seen) where maybe_seen is the Bloom verdict (all k bits
     set) and seen is ground truth (exact digest anti-join) — so the
@@ -620,13 +629,16 @@ def bloom_prefilter(frozen: DataFrame, batch: DataFrame) -> DataFrame:
     every-batch-full-shuffle into a bitmap broadcast plus a small
     residual join."""
     probes = batch.select(
-        "doc_id", F.explode(_bloom_positions(F.col("text"))).alias("pos")
+        "doc_id",
+        F.explode(
+            _bloom_positions(F.col("text"), words * BLOOM_BITS_PER_WORD, k)
+        ).alias("pos"),
     ).select(
         "doc_id",
         (F.col("pos") / BLOOM_BITS_PER_WORD).cast("long").alias("word"),
         F.expr(f"shiftleft(1L, CAST(pos % {BLOOM_BITS_PER_WORD} AS INT))").alias("bit"),
     )
-    bitmap = bloom_build(frozen)
+    bitmap = bloom_build(frozen, words, k)
     maybe = (
         probes.join(F.broadcast(bitmap), "word", "left")
         .select(

@@ -174,11 +174,79 @@ def curation_smoke(spark, n_docs: int = 10_000_000) -> dict:
     }
 
 
+def dedup_smoke(spark, n_docs: int = 10_000_000, n_batch: int = 2_000_000) -> dict:
+    """10M-doc frozen corpus vs a 2M-doc crawl batch through
+    incremental_dedup + a right-sized bloom_prefilter, with EXACT
+    structural checks: the first half of the batch re-crawls frozen doc
+    2j (dropped by the anti-join), the second half is 500k distinct
+    novel texts each captured exactly twice (kept once, lower id wins).
+    The Bloom run uses 2^20 words (66M bits ~ 6.6 bits/key at 10M keys;
+    the default 1024-word gauge geometry would saturate) and pins the
+    sketch's two contracts: zero false negatives, bounded FP rate."""
+    from scidbgeo_spark.operators import dedup
+
+    t0 = time.time()
+    i = F.col("id")
+
+    def text_of(ident):
+        return F.concat_ws(
+            " ",
+            F.concat(F.lit("w"), ident.cast("string")),
+            F.concat(F.lit("x"), (ident % 7).cast("string")),
+            F.concat(F.lit("y"), (ident % 11).cast("string")),
+            F.concat(F.lit("z"), ident.cast("string")),
+        )
+
+    frozen = spark.range(n_docs).select(i.alias("doc_id"), text_of(i).alias("text"))
+    half = n_batch // 2
+    quarter = n_batch // 4
+    recrawl = spark.range(half).select(
+        (i + n_docs).alias("doc_id"), text_of(i * 2).alias("text")
+    )
+    novel_text = F.concat(F.lit("novel "), text_of((i % quarter) + n_docs))
+    novel = spark.range(half).select(
+        (i + n_docs + half).alias("doc_id"), novel_text.alias("text")
+    )
+    batch = recrawl.unionAll(novel)
+
+    kept = dedup.incremental_dedup(frozen, batch).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("n_batch_copies") == 2, 0).otherwise(1)).alias("badcopies"),
+        F.max("keep_id").alias("max_keep"),
+    ).collect()[0]
+    # exactly `quarter` novel texts survive; every one captured twice;
+    # lower ids win, so no kept id reaches the second novel tranche
+    inc_exact = (
+        kept.n == quarter
+        and kept.badcopies == 0
+        and kept.max_keep < n_docs + half + quarter
+    )
+
+    bl = dedup.bloom_prefilter(frozen, batch, words=1 << 20).agg(
+        F.sum(F.when(F.col("seen") & ~F.col("maybe_seen"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(F.col("maybe_seen") & ~F.col("seen"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("seen"), 1).otherwise(0)).alias("seen"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    fp_rate = bl.fp / (bl.n - bl.seen)
+    bloom_exact = bl.fn == 0 and bl.seen == half and bl.n == n_batch and fp_rate < 0.15
+    wall = time.time() - t0
+    return {
+        "workload": "incremental_dedup_10m",
+        "frozen": n_docs,
+        "batch": n_batch,
+        "wall_sec": round(wall, 1),
+        "kept": kept.n,
+        "bloom_fp_rate": round(fp_rate, 4),
+        "exact": bool(inc_exact and bloom_exact),
+    }
+
+
 def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     spark = get_spark("scale-smoke", cores=cores, shuffle_partitions=2 * cores)
     results = []
-    for fn in (zonal_smoke, pip_smoke, curation_smoke):
+    for fn in (zonal_smoke, pip_smoke, curation_smoke, dedup_smoke):
         r = fn(spark)
         results.append(r)
         print(json.dumps(r), flush=True)
