@@ -842,3 +842,83 @@ def test_sq8_codes_bounded_and_recall_high(spark, sf_correct):
         len(bf_sets[q] & ap_sets[q]) for q in bf_sets
     ) / sum(len(v) for v in bf_sets.values())
     assert recall >= 0.8, recall
+
+
+def test_kmeans_matches_sequential_numpy_reference(spark):
+    """Randomized parity: the distributed two-round Lloyd equals a
+    sequential NumPy implementation of the same algorithm bit for bit
+    (exact integer round-1 distances; round-2 fold replayed in the same
+    left-fold order)."""
+    import numpy as np
+
+    from scidbgeo_spark.operators import similarity
+
+    for seed in (7, 91, 2024):
+        rng = np.random.default_rng(seed)
+        n, dim, k = 120, similarity.DIM, similarity.KMEANS_K
+        emb = (rng.random((n, dim), dtype=np.float32) - 0.5).astype(np.float32)
+
+        sv = np.floor(emb.astype(np.float64) * similarity.KMEANS_SCALE).astype(
+            np.int64
+        )
+        c0 = sv[:k]
+        d1 = ((sv[:, None, :] - c0[None, :, :]) ** 2).sum(-1)
+        a1 = d1.argmin(1)  # first min == lowest cid tie-break
+        cids = sorted(set(a1.tolist()))
+        cents = np.stack(
+            [sv[a1 == j].sum(0) / (a1 == j).sum() for j in cids]
+        )
+        acc = np.zeros((n, len(cids)))
+        for i in range(dim):  # same left-fold order as the Spark aggregate
+            acc += (sv[:, i, None].astype(np.float64) - cents[None, :, i]) ** 2
+        want = {v: cids[j] for v, j in enumerate(acc.argmin(1))}
+
+        df = spark.createDataFrame(
+            [(int(i), [float(x) for x in emb[i]]) for i in range(n)],
+            "vec_id long, embedding array<float>",
+        )
+        got = {
+            r["vec_id"]: r["cluster"]
+            for r in similarity.kmeans_assign(df).collect()
+        }
+        assert got == want, seed
+
+
+def test_cms_matches_python_counter_reference(spark):
+    """Randomized parity: sketch estimates equal a pure-Python count-min
+    built with the identical md5-affine cells; truths equal Counter."""
+    import hashlib
+    import random
+    from collections import Counter
+
+    from scidbgeo_spark.operators import text as text_ops
+
+    rng = random.Random(13)
+    vocab = [f"t{j}" for j in range(40)]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(5, 30)))) for i in range(60)
+    ]
+
+    def cells(tok):
+        hp = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % text_ops.FP_MOD
+        return [
+            (j, ((hp * text_ops.CMS_A[j] + text_ops.CMS_B[j]) % text_ops.FP_MOD) % text_ops.CMS_W)
+            for j in range(text_ops.CMS_D)
+        ]
+
+    counts = Counter(t for _, txt in docs for t in txt.split(" "))
+    grid: Counter = Counter()
+    for t, n in counts.items():
+        for cell in cells(t):
+            grid[cell] += n
+    top = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    want = {
+        t: (n, min(grid[c] for c in cells(t))) for t, n in top
+    }
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["token"]: (r["true_count"], r["cms_estimate"])
+        for r in text_ops.cms_heavy_hitters(df).collect()
+    }
+    assert got == want
