@@ -1324,6 +1324,31 @@ def q_corpus_freeze(spark, sf_dir):
     return curation.pack_sequences(sampled)
 
 
+def q_crawl_refresh(spark, sf_dir):
+    """End-to-end ROLLING-INGEST refresh, one query — the incremental
+    twin of corpus_freeze: next crawl batch -> URL gate -> C4 quality
+    gate -> incremental dedup against the FROZEN corpus (digest
+    anti-join + batch collapse) -> token-budget packing of the
+    survivors.  Every stage deterministic; the whole pipeline holds an
+    exact oracle."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    batch = dedup.crawl_batch(docs)
+    ug = (
+        curation.url_filter(batch.select("doc_id", _variant_url_col().alias("url")))
+        .filter("keep")
+        .select("doc_id")
+    )
+    qg = text.quality_filter(batch).filter("keep").select("doc_id")
+    gated = batch.join(ug, "doc_id").join(qg, "doc_id")
+    inc = dedup.incremental_dedup(docs, gated).select(
+        F.col("keep_id").alias("doc_id")
+    )
+    kept = gated.join(inc, "doc_id").select("doc_id", "text")
+    return curation.pack_sequences(kept)
+
+
 def q_pack_sequences(spark, sf_dir):
     return curation.pack_sequences(_docs(spark, sf_dir))
 
@@ -1367,6 +1392,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_pagerank": q_host_pagerank,
     "inverted_index": q_inverted_index,
     "jsonl_ingest": q_jsonl_ingest,
+    "crawl_refresh": q_crawl_refresh,
     "ann_sq8_topk": q_ann_sq8_topk,
     "ann_sq8_recall": q_ann_sq8_recall,
     "url_filter": q_url_filter,

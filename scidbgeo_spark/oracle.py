@@ -1565,3 +1565,65 @@ SELECT q_id, vec_id, CAST(rn AS INT) AS rank FROM (
 ) WHERE rn <= 5"""
 
 SQL["ann_sq8_recall"] = _recall_sql(SQL["ann_sq8_topk"])
+
+
+# end-to-end rolling refresh: URL gate -> quality gate -> incremental
+# dedup vs frozen -> packing (mirrors __spark_entry__.q_crawl_refresh
+# stage for stage; shares every constant with the single-stage oracles).
+SQL["crawl_refresh"] = f"""WITH {BATCH},
+u AS (
+  SELECT doc_id,
+    lower(CASE doc_id % 4 WHEN 0 THEN 'https://' WHEN 1 THEN 'http://'
+         WHEN 2 THEN 'HTTPS://www.' ELSE 'https://www.' END
+    || 'site' || CAST((doc_id // 2) % 7 AS VARCHAR)
+    || '.example/p/' || CAST(doc_id // 2 AS VARCHAR)
+    || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) AS u
+  FROM batch),
+ug AS (
+  SELECT doc_id FROM u
+  WHERE CASE WHEN regexp_extract(u, '^(?:[a-z+]+://)?(?:www\\.)?([^/]+)', 1)
+                  IN ({_UF_HOSTS}) THEN {U_BLOCK_DOMAIN} ELSE 0 END
+      + CASE WHEN {_UF_KW} THEN {U_KEYWORD} ELSE 0 END
+      + CASE WHEN NOT regexp_matches(u, '^https?://') THEN {U_SCHEME} ELSE 0 END
+      + CASE WHEN length(u) > {URL_MAX_LEN} THEN {U_TOO_LONG} ELSE 0 END = 0
+),
+qg AS (
+  SELECT doc_id FROM (
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(length(text) AS BIGINT) / len(string_split(text, ' ')) AS cpt,
+           (CAST(length(text) AS BIGINT)
+              - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))
+             / CAST(length(text) AS BIGINT) AS punct,
+           len(list_distinct(string_split(text, ' ')))
+             / len(string_split(text, ' ')) AS lex
+    FROM batch)
+  WHERE NOT (n_tokens < 30) AND NOT (cpt < 3.0 OR cpt > 12.0)
+    AND NOT (punct > 0.2) AND NOT (lex < 0.35)
+),
+gated AS (
+  SELECT b.doc_id, b.text FROM batch b
+  JOIN ug USING (doc_id) JOIN qg USING (doc_id)
+),
+inc AS (
+  SELECT min(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5(text) AS h FROM gated) g
+  WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE md5(d.text) = g.h)
+  GROUP BY h
+),
+kept AS (SELECT g.doc_id, g.text FROM gated g JOIN inc USING (doc_id)),
+t AS (
+  SELECT doc_id, doc_id % {PACK_SHARDS} AS shard,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+  FROM kept
+),
+c AS (
+  SELECT shard, doc_id, n_toks,
+         sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t
+)
+SELECT shard, CAST(floor((cum - n_toks) / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
+       CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY shard, chunk_id"""
