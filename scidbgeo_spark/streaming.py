@@ -389,3 +389,34 @@ def trending_terms_stream(
             "n",
         )
     )
+
+
+def incremental_dedup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    frozen: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """STREAMING incremental dedup — the rolling-ingest twin of
+    operators.dedup.incremental_dedup: a document feed is anti-joined
+    against the FROZEN corpus's digest set (stream-static join: the
+    static side is planned per micro-batch, NO state on the stream
+    side), then exact-deduped within the watermark horizon
+    (dropDuplicatesWithinWatermark — bounded state).  Emits the novel
+    docs' (doc_id, content_hash).
+
+    At scale the static side is a digest-only projection of the frozen
+    corpus (column pruning reaches the scan); Spark broadcast-joins it
+    when small and shuffle-joins the micro-batch against it otherwise —
+    either way the stream holds no frozen-corpus state."""
+    schema = spark.read.parquet(docs_dir).schema
+    feed = spark.readStream.schema(schema).parquet(docs_dir)
+    feed = feed.withColumn("arrival_ts", F.current_timestamp())
+    fh = frozen.select(F.md5("text").alias("content_hash")).distinct()
+    return (
+        feed.withColumn("content_hash", F.md5("text"))
+        .join(fh, "content_hash", "left_anti")
+        .withWatermark("arrival_ts", watermark)
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .select("doc_id", "content_hash")
+    )

@@ -648,3 +648,49 @@ def test_trending_terms_stream_sliding_windows(spark, tmp_path):
     alphas = {k: v for k, v in got.items() if k[1] == "alpha"}
     assert len(alphas) == 2
     assert all(v == 2 for v in alphas.values())
+
+
+def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
+    """Stream-static anti-join + horizon dedup equals the batch
+    incremental_dedup survivors on the same input, including across
+    micro-batches (a later batch re-sending a frozen text or an
+    already-seen novel text emits nothing)."""
+    from scidbgeo_spark import streaming
+    from scidbgeo_spark.operators import dedup
+
+    frozen = spark.createDataFrame(
+        [(i, f"frozen text number {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    b1 = spark.createDataFrame(
+        [(100, "frozen text number 3"), (101, "novel alpha"), (102, "novel beta")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        # re-sent frozen + duplicate of an already-streamed novel + new
+        [(103, "frozen text number 7"), (104, "novel alpha"), (105, "novel gamma")],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "feed")
+    b1.write.parquet(d)
+    stream = streaming.incremental_dedup_stream(spark, d, frozen)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("incdedup")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2.write.mode("append").parquet(d)
+        q.processAllAvailable()
+        got = {r.doc_id for r in spark.sql("SELECT * FROM incdedup").collect()}
+    finally:
+        q.stop()
+    assert got == {101, 102, 105}
+    # batch twin on the union agrees on the kept hash set
+    batch_keep = {
+        r["keep_id"]
+        for r in dedup.incremental_dedup(frozen, b1.unionAll(b2)).collect()
+    }
+    assert batch_keep == got
