@@ -891,6 +891,15 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_funnel(spark, sf_dir):
+    """Ordered funnel (signup -> view -> click -> purchase): first-touch
+    stage times, strictly-increasing chain, per-stage user counts.
+    Oracle: identical stage-CTE chain."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.funnel(model.load_table(spark, sf_dir, "events"))
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: per-user session count with a 1-hour inactivity
     gap (lag + cumulative gap-sum — the ordered-window operator class;
@@ -1393,6 +1402,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_index": q_inverted_index,
     "jsonl_ingest": q_jsonl_ingest,
     "crawl_refresh": q_crawl_refresh,
+    "funnel": q_funnel,
     "ann_sq8_topk": q_ann_sq8_topk,
     "ann_sq8_recall": q_ann_sq8_recall,
     "url_filter": q_url_filter,

@@ -70,3 +70,45 @@ def asof_join(
     for c in state_cols:
         carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
     return carried.filter(F.col("__is_left") == 1).drop("__t", "__is_left")
+
+
+# ---- funnel analysis ----------------------------------------------------
+FUNNEL_STAGES = ["signup", "view", "click", "purchase"]
+
+
+def funnel(events: DataFrame, stages: list[str] = FUNNEL_STAGES) -> DataFrame:
+    """(stage_idx, stage, n_users): users reaching each funnel stage IN
+    ORDER — stage i counts users with an event of type stages[i]
+    strictly after their stage-(i-1) qualifying time (earliest
+    qualifying event wins, so the funnel is the standard first-touch
+    definition).
+
+    Scale shape: every stage is a user-keyed aggregate joined to the
+    previous stage's (user, t) frame — all shuffles share the user_id
+    key, so the chain stays co-partitioned (AQE reuses the exchange);
+    no window over the full event stream, no per-user arrays, hot users
+    cost only their own events."""
+    cur = (
+        events.filter(F.col("event_type") == stages[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t"))
+    )
+    frames = [(stages[0], cur)]
+    for st in stages[1:]:
+        cur = (
+            events.filter(F.col("event_type") == st)
+            .join(cur.select("user_id", F.col("t").alias("prev_t")), "user_id")
+            .filter(F.col("ts") > F.col("prev_t"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t"))
+        )
+        frames.append((st, cur))
+    result = None
+    for i, (st, df) in enumerate(frames):
+        row = df.agg(F.count("*").alias("n_users")).select(
+            F.lit(i).cast("int").alias("stage_idx"),
+            F.lit(st).alias("stage"),
+            "n_users",
+        )
+        result = row if result is None else result.unionAll(row)
+    return result

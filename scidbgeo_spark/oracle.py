@@ -1627,3 +1627,24 @@ SELECT shard, CAST(floor((cum - n_toks) / {PACK_BUDGET}) AS BIGINT) AS chunk_id,
        CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS n_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY shard, chunk_id"""
+
+
+# ---- funnel (stage CTE chain mirrors temporal.funnel) -------------------
+from scidbgeo_spark.operators.temporal import FUNNEL_STAGES  # noqa: E402
+
+_FN_CTES = [
+    f"s0 AS (SELECT user_id, min(ts) AS t FROM events "
+    f"WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id)"
+]
+for _i, _st in enumerate(FUNNEL_STAGES[1:], start=1):
+    _FN_CTES.append(
+        f"s{_i} AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+        f"JOIN s{_i - 1} p USING (user_id) "
+        f"WHERE e.event_type = '{_st}' AND e.ts > p.t GROUP BY e.user_id)"
+    )
+_FN_SEL = " UNION ALL ".join(
+    f"SELECT CAST({i} AS INT) AS stage_idx, '{st}' AS stage, "
+    f"CAST(count(*) AS BIGINT) AS n_users FROM s{i}"
+    for i, st in enumerate(FUNNEL_STAGES)
+)
+SQL["funnel"] = "WITH " + ",\n".join(_FN_CTES) + "\n" + _FN_SEL

@@ -218,3 +218,31 @@ def test_url_filter_rules_and_zero_shuffle(spark, sf_smoke):
         curation.U_BLOCK_DOMAIN + curation.U_KEYWORD,
         "site3.example",
     )
+
+
+def test_funnel_ordering_semantics(spark):
+    """A user whose stages are out of order does not advance; first-touch
+    times chain strictly."""
+    from scidbgeo_spark.operators import temporal
+
+    rows = [
+        # user 1: full ordered funnel
+        (0, "2024-01-01 00:00:00", 1, "signup"),
+        (1, "2024-01-01 00:01:00", 1, "view"),
+        (2, "2024-01-01 00:02:00", 1, "click"),
+        (3, "2024-01-01 00:03:00", 1, "purchase"),
+        # user 2: view BEFORE signup -> stalls at signup
+        (4, "2024-01-01 00:00:30", 2, "view"),
+        (5, "2024-01-01 00:01:30", 2, "signup"),
+        # user 3: signup+view only
+        (6, "2024-01-01 00:00:00", 3, "signup"),
+        (7, "2024-01-01 00:05:00", 3, "view"),
+        # user 4: purchase with no prior stages -> counted nowhere
+        (8, "2024-01-01 00:00:00", 4, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(i, ts, u, t) for i, ts, u, t in rows],
+        "event_id long, ts string, user_id long, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {r["stage"]: r["n_users"] for r in temporal.funnel(ev).collect()}
+    assert got == {"signup": 3, "view": 2, "click": 1, "purchase": 1}
