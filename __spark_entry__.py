@@ -891,6 +891,45 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users keyed by signup week; per
+    (cohort_week, weeks_since) distinct active users.  Two user-keyed
+    aggregates + one user-keyed join — co-partitioned, no windows.
+    Oracle: identical date_trunc('week') buckets (both engines use ISO
+    Monday weeks)."""
+    from pyspark.sql import functions as F
+
+    ev = model.load_table(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("week", "ts")).alias("cohort"))
+    )
+    ac = ev.select("user_id", F.date_trunc("week", "ts").alias("wk")).distinct()
+    j = ac.join(su, "user_id").filter(F.col("wk") >= F.col("cohort"))
+    return j.groupBy(
+        F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+        F.expr("CAST(datediff(wk, cohort) / 7 AS INT)").alias("weeks_since"),
+    ).agg(F.countDistinct("user_id").alias("n_active"))
+
+
+def q_props_rollup(spark, sf_dir):
+    """Semi-structured rollup: the JSON ``props`` payload is parsed
+    in-plan (get_json_object — Spark's native JSON path engine, no UDF)
+    and aggregated per event_type.  Oracle: DuckDB json_extract_string
+    over the same path."""
+    from pyspark.sql import functions as F
+
+    ev = model.load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(k).alias("k_sum"),
+        F.min(k).alias("k_min"),
+        F.max(k).alias("k_max"),
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Ordered funnel (signup -> view -> click -> purchase): first-touch
     stage times, strictly-increasing chain, per-stage user counts.
@@ -1403,6 +1442,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "jsonl_ingest": q_jsonl_ingest,
     "crawl_refresh": q_crawl_refresh,
     "funnel": q_funnel,
+    "props_rollup": q_props_rollup,
+    "retention_cohorts": q_retention_cohorts,
     "ann_sq8_topk": q_ann_sq8_topk,
     "ann_sq8_recall": q_ann_sq8_recall,
     "url_filter": q_url_filter,

@@ -1648,3 +1648,25 @@ _FN_SEL = " UNION ALL ".join(
     for i, st in enumerate(FUNNEL_STAGES)
 )
 SQL["funnel"] = "WITH " + ",\n".join(_FN_CTES) + "\n" + _FN_SEL
+
+
+SQL["props_rollup"] = """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_max
+FROM events GROUP BY event_type"""
+
+
+SQL["retention_cohorts"] = """WITH su AS (
+  SELECT user_id, min(date_trunc('week', ts)) AS cohort
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+ac AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+j AS (
+  SELECT s.cohort, a.wk, a.user_id
+  FROM ac a JOIN su s USING (user_id) WHERE a.wk >= s.cohort
+)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+       CAST(date_diff('day', cohort, wk) // 7 AS INT) AS weeks_since,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+FROM j GROUP BY 1, 2"""
