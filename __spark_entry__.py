@@ -829,6 +829,19 @@ def q_doc_fingerprint(spark, sf_dir):
     return text.doc_fingerprint(_docs(spark, sf_dir))
 
 
+def q_lm_quality_score(spark, sf_dir):
+    """CCNet-style unigram-LM quality proxy: per-doc mean corpus token
+    frequency + rare-token fraction (integer counts, two single exact
+    divisions — the bitwise-reproducible stand-in for a KenLM score)."""
+    return text.lm_quality_score(_docs(spark, sf_dir))
+
+
+def q_boilerplate_spans(spark, sf_dir):
+    """Per-source template-boilerplate removal over the planted-chrome
+    corpus: coverage by source-frequent 5-grams + cleaned fingerprint."""
+    return text.boilerplate_spans(text.boiler_corpus(_docs(spark, sf_dir)))
+
+
 def q_multimodal_meta(spark, sf_dir):
     return multimodal.media_metadata(text.pages_from_documents(_docs(spark, sf_dir)))
 
@@ -1432,6 +1445,8 @@ def q_domain_mix_weights(spark, sf_dir):
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
+    "lm_quality_score": q_lm_quality_score,
+    "boilerplate_spans": q_boilerplate_spans,
     "dedup_incremental": q_dedup_incremental,
     "bloom_prefilter": q_bloom_prefilter,
     "kmeans_assign": q_kmeans_assign,

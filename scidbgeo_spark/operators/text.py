@@ -394,3 +394,155 @@ def inverted_index(docs: DataFrame) -> DataFrame:
         )
         .filter(F.col("df") >= IDX_MIN_DF)
     )
+
+
+# unigram-LM quality proxy: corpus frequencies below this are "rare"
+LM_RARE_MAX = 3
+# per-source boilerplate: an n-gram seen in >= this many DISTINCT docs
+# of one source is template boilerplate there
+BOILER_N = 5
+BOILER_MIN_DOCS = 3
+
+
+def lm_quality_score(docs: DataFrame) -> DataFrame:
+    """CCNet-style unigram-LM quality proxy per document: mean corpus
+    frequency of the document's tokens (high = stereotyped/boilerplate
+    vocabulary, low = rare/noisy) plus the fraction of tokens whose
+    corpus count is <= LM_RARE_MAX (OCR garbage / mojibake signal).
+    CCNet ranks documents by a KenLM perplexity; the same corpus-derived
+    signal expressed in integer counts and two single exact divisions
+    keeps the score bitwise-reproducible across engines (libm log is
+    not), which is what lets the driver value-hash it.
+
+    Scale shape: tokens hash to 60-bit longs BEFORE any exchange (raw
+    terms never shuffle); ONE term-keyed exchange feeds both the corpus
+    count aggregate and the probe join back onto the token stream
+    (Spark reuses the exchange), then one doc-keyed aggregate with
+    map-side combine. By Zipf the distinct-term table is tiny next to
+    the corpus, so AQE broadcasts the probe side at any scale. No
+    driver actions, no Python UDFs."""
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .select("doc_id", md5_int("t").alias("h"))
+        .repartition("h")
+    )
+    freq = tok.groupBy("h").agg(F.count("*").alias("cnt"))
+    per = (
+        tok.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_toks"),
+            F.sum("cnt").cast("long").alias("sum_freq"),
+            F.sum((F.col("cnt") <= LM_RARE_MAX).cast("long")).alias("n_rare"),
+        )
+    )
+    # split('') == [''] so n_toks >= 1 always; both divisions are single
+    # exact operations on integer-valued doubles -> bitwise on any engine
+    return per.select(
+        "doc_id",
+        "n_toks",
+        "sum_freq",
+        (F.col("sum_freq").cast("double") / F.col("n_toks")).alias("mean_freq"),
+        (F.col("n_rare").cast("double") / F.col("n_toks")).alias("rare_frac"),
+    )
+
+
+def boiler_corpus(docs: DataFrame) -> DataFrame:
+    """documents with a per-source template sentence planted at the head
+    of two of every three docs (doc_id % 3 < 2) — the deterministic
+    stand-in for the site chrome ("all rights reserved ...") a real
+    crawl carries, so the boilerplate detector has ground truth."""
+    template = F.concat(
+        F.lit("copyright "),
+        F.col("source"),
+        F.lit(" all rights reserved terms of service apply"),
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 3 < 2, F.concat(template, F.lit(" "), "text")
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def boilerplate_spans(
+    docs: DataFrame, n: int = BOILER_N, min_docs: int = BOILER_MIN_DOCS
+) -> DataFrame:
+    """Per-SOURCE template-boilerplate removal (the CCNet/C4 "strip the
+    site chrome" pass): an n-gram is boilerplate within a source iff it
+    occurs in >= min_docs DISTINCT documents of that source; per doc,
+    report token coverage by boilerplate grams and the md5 fingerprint
+    of the text with every covered token removed.
+
+    Scale shape mirrors dup_span_dedup (`dedup.py`): positional n-gram
+    hashes are 60-bit longs keyed by (source, h) — raw text never rides
+    the gram shuffles; the boilerplate set comes from a map-side-
+    combined distinct-doc aggregate (bounded by template mass, not
+    corpus size) and AQE broadcasts it into the probe join; duplicated
+    start positions collapse to ONE array row per affected doc, and
+    coverage, span removal, and the kept fingerprint are per-row array
+    algebra — no positional explode, no (doc_id, pos) anti-join."""
+    toks = F.split(F.col("text"), " ")
+    t = docs.select(
+        "doc_id", "source", toks.alias("toks"), F.size(toks).alias("n_tokens")
+    )
+
+    def _gram(s: Column) -> Column:
+        return F.struct(
+            s.alias("s"),
+            md5_int(F.array_join(F.slice(F.col("toks"), s, n), " ")).alias("h"),
+        )
+
+    grams = (
+        t.filter(F.col("n_tokens") >= n)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(F.sequence(F.lit(1), F.col("n_tokens") - n + 1), _gram)
+            ).alias("g"),
+        )
+        .select("doc_id", "source", F.col("g.s").alias("s"), F.col("g.h").alias("h"))
+    )
+    boiler = (
+        grams.groupBy("source", "h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("source", "h")
+    )
+    starts = (
+        grams.join(boiler, ["source", "h"])
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("starts"))
+    )
+    st = F.coalesce(F.col("starts"), F.array().cast("array<int>"))
+    covered = F.array_distinct(
+        F.flatten(F.transform(st, lambda s: F.sequence(s, s + (n - 1))))
+    )
+    clean_fp = F.md5(
+        F.array_join(
+            F.filter(
+                F.col("toks"),
+                lambda tok, i: ~F.array_contains(F.col("covered"), i + 1),
+            ),
+            " ",
+        )
+    )
+    ncov = F.size("covered").cast("long")
+    return (
+        t.join(starts, "doc_id", "left")
+        .withColumn("covered", covered)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            ncov.alias("n_boiler"),
+            F.when(F.col("n_tokens") > 0, ncov / F.col("n_tokens")).alias(
+                "frac_boiler"
+            ),
+            clean_fp.alias("clean_fp"),
+        )
+    )

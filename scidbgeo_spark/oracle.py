@@ -1670,3 +1670,60 @@ SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
        CAST(date_diff('day', cohort, wk) // 7 AS INT) AS weeks_since,
        CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
 FROM j GROUP BY 1, 2"""
+
+
+# text.lm_quality_score: integer counts + two single exact divisions ->
+# bitwise; tokens hash through the shared 60-bit md5 twin so both
+# engines count the same keys.
+from scidbgeo_spark.operators.text import LM_RARE_MAX  # noqa: E402
+
+SQL["lm_quality_score"] = f"""WITH
+tok AS (SELECT doc_id, {_MD5INT.format(x='t')} AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)),
+freq AS (SELECT h, count(*) AS cnt FROM tok GROUP BY h),
+per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+               CAST(sum(cnt) AS BIGINT) AS sum_freq,
+               CAST(sum((cnt <= {LM_RARE_MAX})::INT) AS BIGINT) AS n_rare
+        FROM tok JOIN freq USING (h) GROUP BY doc_id)
+SELECT doc_id, n_toks, sum_freq,
+       CAST(sum_freq AS DOUBLE) / n_toks AS mean_freq,
+       CAST(n_rare AS DOUBLE) / n_toks AS rare_frac
+FROM per"""
+
+
+# text.boilerplate_spans over text.boiler_corpus: positional twin of the
+# dup_span oracle, scoped per source with a distinct-doc threshold.
+from scidbgeo_spark.operators.text import BOILER_MIN_DOCS, BOILER_N  # noqa: E402
+
+SQL["boilerplate_spans"] = f"""WITH
+bcorp AS (SELECT doc_id, source,
+  CASE WHEN doc_id % 3 < 2
+       THEN 'copyright ' || source ||
+            ' all rights reserved terms of service apply ' || text
+       ELSE text END AS text
+  FROM documents),
+t AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS nt FROM bcorp),
+g AS (SELECT doc_id, source, s,
+             {_MD5INT.format(x=f"array_to_string(toks[s:s+{BOILER_N - 1}], ' ')")} AS h
+      FROM t, LATERAL (SELECT unnest(generate_series(1, nt - {BOILER_N} + 1)) AS s) u
+      WHERE nt >= {BOILER_N}),
+b AS (SELECT source, h FROM g GROUP BY source, h
+      HAVING count(DISTINCT doc_id) >= {BOILER_MIN_DOCS}),
+hits AS (SELECT doc_id, s FROM g JOIN b USING (source, h)),
+cov AS (SELECT DISTINCT doc_id, p
+        FROM hits, LATERAL (SELECT unnest(generate_series(s, s + {BOILER_N - 1})) AS p) v),
+tok AS (SELECT doc_id, p, toks[p] AS tok
+        FROM t, LATERAL (SELECT unnest(generate_series(1, nt)) AS p) w),
+keptt AS (SELECT k.doc_id, k.p, k.tok
+          FROM tok k LEFT JOIN cov c ON k.doc_id = c.doc_id AND k.p = c.p
+          WHERE c.p IS NULL),
+reb AS (SELECT doc_id, md5(array_to_string(list(tok ORDER BY p), ' ')) AS clean_fp
+        FROM keptt GROUP BY doc_id),
+sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS ncov FROM cov GROUP BY doc_id)
+SELECT t.doc_id, t.source, CAST(nt AS BIGINT) AS n_tokens,
+       coalesce(ncov, 0) AS n_boiler,
+       CASE WHEN nt > 0 THEN coalesce(ncov, 0) / nt END AS frac_boiler,
+       coalesce(clean_fp, md5('')) AS clean_fp
+FROM t LEFT JOIN sc USING (doc_id) LEFT JOIN reb USING (doc_id)"""

@@ -922,3 +922,119 @@ def test_cms_matches_python_counter_reference(spark):
         for r in text_ops.cms_heavy_hitters(df).collect()
     }
     assert got == want
+
+
+def test_lm_quality_score_matches_python_counter(spark):
+    """Exact parity with a sequential Counter reference: mean corpus
+    frequency and rare fraction per doc, including the single-token and
+    repeated-token edges."""
+    from collections import Counter
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat",
+        3: "zyx",  # single rare token
+        4: "the the the",
+    }
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r
+        for r in text.lm_quality_score(docs).collect()
+    }
+    corpus = Counter(tok for t in texts.values() for tok in t.split(" "))
+    for i, t in texts.items():
+        toks = t.split(" ")
+        sum_freq = sum(corpus[tok] for tok in toks)
+        n_rare = sum(1 for tok in toks if corpus[tok] <= text.LM_RARE_MAX)
+        r = out[i]
+        assert r["n_toks"] == len(toks)
+        assert r["sum_freq"] == sum_freq
+        assert r["mean_freq"] == sum_freq / len(toks)
+        assert r["rare_frac"] == n_rare / len(toks)
+
+
+def _boiler_reference(rows, n=5, min_docs=3):
+    """Sequential reference for boilerplate_spans: per-source n-grams in
+    >= min_docs distinct docs; coverage + cleaned md5 per doc."""
+    import hashlib
+    from collections import defaultdict
+
+    grams = defaultdict(set)  # (source, gram) -> doc_ids
+    toks = {}
+    for doc_id, source, txt in rows:
+        t = txt.split(" ")
+        toks[doc_id] = (source, t)
+        for s in range(len(t) - n + 1):
+            grams[(source, " ".join(t[s : s + n]))].add(doc_id)
+    boiler = {k for k, ids in grams.items() if len(ids) >= min_docs}
+    out = {}
+    for doc_id, (source, t) in toks.items():
+        covered = set()
+        for s in range(len(t) - n + 1):
+            if (source, " ".join(t[s : s + n])) in boiler:
+                covered.update(range(s, s + n))
+        kept = " ".join(tok for i, tok in enumerate(t) if i not in covered)
+        out[doc_id] = (
+            len(t),
+            len(covered),
+            hashlib.md5(kept.encode()).hexdigest(),
+        )
+    return out
+
+
+def test_boilerplate_spans_strips_planted_template(spark, sf_correct):
+    """Full parity with the sequential reference over the planted-chrome
+    corpus: every doc's coverage count and cleaned fingerprint match,
+    and every planted doc's 8-token template is fully covered."""
+    docs = model.load_table(spark, sf_correct, "documents")
+    planted = text.boiler_corpus(docs)
+    rows = [
+        (r["doc_id"], r["source"], r["text"])
+        for r in planted.select("doc_id", "source", "text").collect()
+    ]
+    ref = _boiler_reference(rows)
+    out = {r["doc_id"]: r for r in text.boilerplate_spans(planted).collect()}
+    assert set(out) == set(ref)
+    n_planted = 0
+    for doc_id, (nt, ncov, fp) in ref.items():
+        r = out[doc_id]
+        assert r["n_tokens"] == nt
+        assert r["n_boiler"] == ncov, doc_id
+        assert r["clean_fp"] == fp, doc_id
+        if doc_id % 3 < 2:
+            n_planted += 1
+            assert r["n_boiler"] >= 8  # whole prepended template covered
+    assert n_planted > 0
+
+
+def test_boilerplate_spans_threshold_and_short_docs(spark):
+    """A 5-gram shared by only 2 docs of a source stays (min_docs=3);
+    the same gram in a third doc of ANOTHER source does not cross the
+    source boundary; sub-n docs pass through untouched."""
+    import hashlib
+
+    rows = [
+        (1, "srcA", "a b c d e x1"),
+        (2, "srcA", "a b c d e x2"),
+        (3, "srcA", "a b c d e x3"),
+        (4, "srcB", "a b c d e y1"),
+        (5, "srcB", "a b c d e y2"),
+        (6, "srcB", "tiny doc"),
+        (7, "srcB", "solo"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    out = {r["doc_id"]: r for r in text.boilerplate_spans(docs).collect()}
+    ref = _boiler_reference(rows)
+    for doc_id, (nt, ncov, fp) in ref.items():
+        assert out[doc_id]["n_tokens"] == nt
+        assert out[doc_id]["n_boiler"] == ncov
+        assert out[doc_id]["clean_fp"] == fp
+    # and the scenario is what we think it is:
+    assert out[1]["n_boiler"] == 5  # srcA template covered
+    assert out[1]["clean_fp"] == hashlib.md5(b"x1").hexdigest()
+    for i, txt in [(4, "a b c d e y1"), (5, "a b c d e y2"),
+                   (6, "tiny doc"), (7, "solo")]:
+        assert out[i]["n_boiler"] == 0
+        assert out[i]["clean_fp"] == hashlib.md5(txt.encode()).hexdigest()
