@@ -361,6 +361,19 @@ def q_zonal_stats_poly(spark, sf_dir):
     return zonal.zonal_stats_tiles(tiles, zt)
 
 
+def q_zonal_stats_time(spark, sf_dir):
+    """Temporal zonal stats: per-(zone, band) min/max/avg/count over the
+    3-D raster time series; ONE 2-D zone raster reused by every band's
+    chunks via the spatial tile key."""
+    from scidbgeo_spark.model import RASTER3_W
+
+    coo3 = model.raster3_coo(spark, sf_dir)
+    _, h3, _ = model.raster3_dims(spark, sf_dir)
+    tiles3 = tiling.pack_tiles_3d(coo3, CHUNK, h3, RASTER3_W)
+    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h3, RASTER3_W), h3, RASTER3_W)
+    return zonal.zonal_stats_time(tiles3, zt)
+
+
 def q_zonal_stats_broadcast(spark, sf_dir):
     coo = model.raster_coo(spark, sf_dir)
     h, w = model.raster_dims(spark, sf_dir)
@@ -630,6 +643,17 @@ def q_pip_grid(spark, sf_dir):
 def q_pip_poly(spark, sf_dir):
     pts = model.points(spark, sf_dir)
     return pip.pip_join(spark, pts, fixtures.GEO_POLYGONS).select("doc_id", "zone_id")
+
+
+def q_pip_unmatched(spark, sf_dir):
+    """Coverage-gap audit: points inside NO polygon of the layer (the
+    'which pages have no admin zone' question every geo pipeline asks
+    before rollups).  LEFT ANTI join against the PIP hit set — the hit
+    side is the candidate-pruned refine output, so the anti join costs
+    one doc_id-keyed exchange, never a second ray-cast pass."""
+    pts = model.points(spark, sf_dir)
+    hits = pip.pip_join(spark, pts, fixtures.GEO_POLYGONS).select("doc_id")
+    return pts.join(hits, "doc_id", "left_anti")
 
 
 def q_pip_poly_df(spark, sf_dir):
@@ -1079,6 +1103,31 @@ def q_url_dedup_latest(spark, sf_dir):
     )
 
 
+def q_crawl_delta(spark, sf_dir):
+    """URL-level snapshot diff on deterministic synthetic snapshots:
+    old = every doc at url /p/<id>; new = old minus doc_id%4==0
+    ('removed'), text mutated where doc_id%3==0 ('changed'), plus
+    fresh urls from doc_id%5==0 ('added'); the rest 'unchanged'."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    url = F.concat(F.lit("https://site.example/p/"), F.col("doc_id"))
+    old = docs.select("doc_id", url.alias("url"), "text")
+    new_same = docs.filter(F.col("doc_id") % 4 != 0).select(
+        "doc_id",
+        url.alias("url"),
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("edited "), "text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.lit("https://site.example/new/"), F.col("doc_id")).alias("url"),
+        "text",
+    )
+    return dedup.crawl_delta(old, new_same.unionAll(added))
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(dedup.dup_corpus(_docs(spark, sf_dir)))
 
@@ -1447,6 +1496,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
     "lm_quality_score": q_lm_quality_score,
     "boilerplate_spans": q_boilerplate_spans,
+    "zonal_stats_time": q_zonal_stats_time,
+    "pip_unmatched": q_pip_unmatched,
+    "crawl_delta": q_crawl_delta,
     "dedup_incremental": q_dedup_incremental,
     "bloom_prefilter": q_bloom_prefilter,
     "kmeans_assign": q_kmeans_assign,

@@ -770,3 +770,42 @@ def hll_ndv(corpus: DataFrame, col: str = "text") -> DataFrame:
         packed.select(F.col("n_hit").cast("long").alias("n_registers_hit"), est.alias("hll_estimate"))
         .crossJoin(truth)
     )
+
+
+def crawl_delta(old: DataFrame, new: DataFrame) -> DataFrame:
+    """URL-level diff between two crawl snapshots: one row per canonical
+    url with status 'added' (new crawl only), 'removed' (old only),
+    'changed' (both, content fingerprint differs) or 'unchanged' — the
+    what-moved audit a rolling recrawl publishes next to each snapshot.
+    Inputs carry (doc_id, url, text) with one capture per canonical url
+    (run url_dedup_latest first otherwise).
+
+    Scale shape: each side reduces map-side to (url_norm, id, md5) —
+    raw text never reaches the join — then ONE full-outer sort-merge
+    join on the canonical url; status is codegen CASE arithmetic.  No
+    skew beyond the url distribution itself, no driver actions."""
+    o = old.select(
+        url_normalize(F.col("url")).alias("url_norm"),
+        F.col("doc_id").alias("old_id"),
+        F.md5("text").alias("old_fp"),
+    )
+    n = new.select(
+        url_normalize(F.col("url")).alias("url_norm"),
+        F.col("doc_id").alias("new_id"),
+        F.md5("text").alias("new_fp"),
+    )
+    status = (
+        F.when(F.col("old_id").isNull(), F.lit("added"))
+        .when(F.col("new_id").isNull(), F.lit("removed"))
+        .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    # absent sides surface as -1, not NULL: a nullable id column decays
+    # to NaN floats in Arrow/pandas consumers, which no value-hash can
+    # compare stably
+    return o.join(n, "url_norm", "full_outer").select(
+        "url_norm",
+        status.alias("status"),
+        F.coalesce("old_id", F.lit(-1)).alias("old_id"),
+        F.coalesce("new_id", F.lit(-1)).alias("new_id"),
+    )

@@ -267,3 +267,43 @@ def join_reclass(
             .alias("newvalue"),
         )
     )
+
+
+def zonal_stats_time(raster3_tiles: DataFrame, zone_tiles: DataFrame) -> DataFrame:
+    """Temporal zonal statistics: per-(zone, band) stats over a 3-D
+    raster time series — the SciDB "zonal stats over every time slice"
+    workload ([band;y;x] arrays, SciDBParallel.py:188-192), one query
+    instead of a per-slice loop.
+
+    Scale shape: ONE 2-D zone raster joins every band's chunks by the
+    spatial tile key alone (the zone layer is rasterized once and
+    reused across all time slices — the band dimension never inflates
+    the rasterize cost), then the same posexplode -> codegen hash
+    aggregate as zonal_stats_tiles, grouped by (zone, band).  The
+    shuffle carries one row per task x zone x band; pixels never leave
+    their scan task."""
+    zt = zone_tiles.select(*TILE_KEYS, "zid")
+    j = raster3_tiles.join(zt, TILE_KEYS)
+    e = j.select("band", "zid", F.posexplode("px").alias("pos", "v"))
+    flat = e.select(
+        F.element_at("zid", F.col("pos") + 1).cast("long").alias("id"),
+        F.col("band").cast("int").alias("band"),
+        F.col("v").cast("long").alias("v"),
+    )
+    return (
+        flat.groupBy("id", "band")
+        .agg(
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+            F.sum("v").alias("_s"),
+            F.count("v").alias("count_value"),
+        )
+        .select(
+            "id",
+            "band",
+            "min_value",
+            "max_value",
+            (F.col("_s") / F.col("count_value")).alias("avg_value"),
+            "count_value",
+        )
+    )

@@ -1727,3 +1727,60 @@ SELECT t.doc_id, t.source, CAST(nt AS BIGINT) AS n_tokens,
        CASE WHEN nt > 0 THEN coalesce(ncov, 0) / nt END AS frac_boiler,
        coalesce(clean_fp, md5('')) AS clean_fp
 FROM t LEFT JOIN sc USING (doc_id) LEFT JOIN reb USING (doc_id)"""
+
+
+# zonal.zonal_stats_time: per-(zone, band) stats over the 3-D raster.
+# Zone arithmetic mirrors RECT_ZONE at the 3-D dims (w3 = RASTER3_W,
+# h3 = n / (BANDS * RASTER3_W)); the x ragged edge also falls to the
+# nodata zone when ZONE_W does not tile RASTER3_W.
+from scidbgeo_spark.model import BANDS as _BANDS3  # noqa: E402
+from scidbgeo_spark.model import RASTER3_W as _W3  # noqa: E402
+
+_H3 = f"((SELECT count(*) FROM events) // {_BANDS3 * _W3})"
+_NZX3 = _W3 // ZONE_W
+_RECT_ZONE3 = f"""CASE
+  WHEN y >= ({_H3} // {ZONE_H}) * {ZONE_H} OR x >= {_NZX3 * ZONE_W}
+  THEN -999
+  ELSE (y // {ZONE_H}) * {_NZX3} + (x // {ZONE_W}) END"""
+
+SQL["zonal_stats_time"] = f"""WITH {COO3}
+SELECT CAST({_RECT_ZONE3} AS BIGINT) AS id, CAST(band AS INT) AS band,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       avg(value) AS avg_value,
+       CAST(count(value) AS BIGINT) AS count_value
+FROM coo3 GROUP BY 1, 2"""
+
+
+# pip anti-join: points outside every polygon of the layer
+SQL["pip_unmatched"] = f"""WITH {PTS}
+SELECT doc_id, lon, lat FROM (
+  SELECT doc_id, lon, lat, {GEO_ZONE} AS zone_id FROM pts
+) WHERE zone_id IS NULL"""
+
+
+# dedup.crawl_delta over the deterministic snapshot synth: full-outer
+# join on the canonical url + CASE status.
+SQL["crawl_delta"] = """WITH
+old AS (SELECT doc_id AS old_id,
+               'site.example/p/' || CAST(doc_id AS VARCHAR) AS url_norm,
+               md5(text) AS old_fp
+        FROM documents),
+new AS (
+  SELECT doc_id AS new_id,
+         'site.example/p/' || CAST(doc_id AS VARCHAR) AS url_norm,
+         md5(CASE WHEN doc_id % 3 = 0 THEN 'edited ' || text ELSE text END) AS new_fp
+  FROM documents WHERE doc_id % 4 <> 0
+  UNION ALL
+  SELECT doc_id + 500000 AS new_id,
+         'site.example/new/' || CAST(doc_id AS VARCHAR) AS url_norm,
+         md5(text) AS new_fp
+  FROM documents WHERE doc_id % 5 = 0
+)
+SELECT coalesce(old.url_norm, new.url_norm) AS url_norm,
+       CASE WHEN old_id IS NULL THEN 'added'
+            WHEN new_id IS NULL THEN 'removed'
+            WHEN old_fp <> new_fp THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       coalesce(old_id, -1) AS old_id, coalesce(new_id, -1) AS new_id
+FROM old FULL OUTER JOIN new USING (url_norm)"""

@@ -357,3 +357,45 @@ def test_zonal_variance_int32_extreme_no_overflow(spark):
     # s = 2*big, ss = 4*big^2 (~1.8e19 > int64 max), var = 12*big^2/16
     assert row.var_value == pytest.approx(0.75 * big * big, rel=1e-12)
     assert row.std_value == pytest.approx((0.75 * big * big) ** 0.5, rel=1e-12)
+
+
+def test_zonal_stats_time_matches_per_band_2d(spark, sf_correct):
+    """The 3-D temporal zonal stats equal running the 2-D zonal operator
+    on each band slice separately — one query replaces the per-slice
+    loop without changing a value."""
+    from scidbgeo_spark.model import RASTER3_W
+    from scidbgeo_spark.operators import pixel as px
+
+    coo3 = model.raster3_coo(spark, sf_correct)
+    bands, h3, w3 = model.raster3_dims(spark, sf_correct)
+    tiles3 = tiling.pack_tiles_3d(coo3, CHUNK, h3, RASTER3_W)
+    zt = zonal.rasterize_polygons(
+        spark, fixtures.rect_grid_polygons(h3, w3), h3, w3, CHUNK
+    )
+    got = {
+        (r["id"], r["band"]): (r["min_value"], r["max_value"], r["avg_value"], r["count_value"])
+        for r in zonal.zonal_stats_time(tiles3, zt).collect()
+    }
+    for b in range(bands):
+        t2 = tiling.pack_tiles(px.slice_band(coo3, b), CHUNK, h3, w3)
+        want = {
+            r["id"]: (r["min_value"], r["max_value"], r["avg_value"], r["count_value"])
+            for r in zonal.zonal_stats_tiles(t2, zt).collect()
+        }
+        per_band = {z: v for (z, bb), v in got.items() if bb == b}
+        assert per_band == want, f"band {b}"
+
+
+def test_pip_unmatched_partitions_the_point_set(spark, sf_correct):
+    """Matched + unmatched exactly partition the points: disjoint ids,
+    union = all, and no unmatched point ray-casts into any polygon."""
+    from scidbgeo_spark.operators import pip as pip_ops
+
+    pts = model.points(spark, sf_correct)
+    hits = pip_ops.pip_join(spark, pts, fixtures.GEO_POLYGONS)
+    un = pts.join(hits.select("doc_id"), "doc_id", "left_anti")
+    hit_ids = {r["doc_id"] for r in hits.select("doc_id").distinct().collect()}
+    un_ids = {r["doc_id"] for r in un.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in pts.select("doc_id").collect()}
+    assert hit_ids | un_ids == all_ids
+    assert not (hit_ids & un_ids)

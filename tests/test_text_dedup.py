@@ -1038,3 +1038,34 @@ def test_boilerplate_spans_threshold_and_short_docs(spark):
                    (6, "tiny doc"), (7, "solo")]:
         assert out[i]["n_boiler"] == 0
         assert out[i]["clean_fp"] == hashlib.md5(txt.encode()).hexdigest()
+
+
+def test_crawl_delta_all_four_statuses(spark):
+    """Hand-built snapshots exercise added/removed/changed/unchanged,
+    url canonicalization applies before the diff, and absent sides
+    surface as -1 (never NULL/NaN)."""
+    old = spark.createDataFrame(
+        [
+            (1, "https://a.example/p/1", "alpha"),
+            (2, "https://a.example/p/2/", "beta"),
+            (3, "https://www.a.example/p/3", "gamma"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (11, "http://A.example/p/1", "alpha"),  # unchanged (canon match)
+            (13, "https://a.example/p/3", "gamma EDITED"),  # changed
+            (14, "https://a.example/p/4", "delta"),  # added
+        ],
+        "doc_id long, url string, text string",
+    )
+    got = {r["url_norm"]: r for r in dedup.crawl_delta(old, new).collect()}
+    assert got["a.example/p/1"]["status"] == "unchanged"
+    assert got["a.example/p/1"]["old_id"] == 1 and got["a.example/p/1"]["new_id"] == 11
+    assert got["a.example/p/2"]["status"] == "removed"
+    assert got["a.example/p/2"]["new_id"] == -1
+    assert got["a.example/p/3"]["status"] == "changed"
+    assert got["a.example/p/4"]["status"] == "added"
+    assert got["a.example/p/4"]["old_id"] == -1
+    assert len(got) == 4
