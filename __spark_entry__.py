@@ -740,6 +740,26 @@ def q_pip_poly_holes(spark, sf_dir):
     return pip.pip_join_df(spark, pts, poly).select("doc_id", "zone_id")
 
 
+def q_zone_geometry(spark, sf_dir):
+    """Vector-layer geometry audit: every fixture polygon (single-ring
+    layer + holed/multi layer) serialized as WKT, parsed distributed
+    into ring rows, then per-ring shoelace area / centroid / bbox —
+    zero shuffles, pure array-fold codegen."""
+    import os
+
+    from scidbgeo_spark.sources import vector
+
+    from scidbgeo_spark.operators import regions
+
+    d = _fixture_dir("wktgeom", sf_dir)
+    layer = [(z, [r], False) for z, r in fixtures.GEO_POLYGONS] + [
+        (z, rs, m) for z, rs, m in fixtures.GEO_POLYGONS_HOLED
+    ]
+    vector.write_wkt_rings_fixture(os.path.join(d, "layer.parquet"), layer)
+    rings = vector.rings_from_wkt(spark.read.parquet(d))
+    return regions.zone_geometry(rings)
+
+
 def q_pip_grid_salted(spark, sf_dir):
     """pip_grid with explicit two-phase salted aggregation over the hot
     cell (oracle identical to pip_grid: salting must not change results)."""
@@ -1499,6 +1519,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats_time": q_zonal_stats_time,
     "pip_unmatched": q_pip_unmatched,
     "crawl_delta": q_crawl_delta,
+    "zone_geometry": q_zone_geometry,
     "dedup_incremental": q_dedup_incremental,
     "bloom_prefilter": q_bloom_prefilter,
     "kmeans_assign": q_kmeans_assign,

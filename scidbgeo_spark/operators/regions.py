@@ -229,3 +229,64 @@ def region_stats(labeled_regions: DataFrame) -> DataFrame:
         F.min("x").alias("x_min"),
         F.max("x").alias("x_max"),
     )
+
+
+def zone_geometry(rings: DataFrame) -> DataFrame:
+    """Per-ring geometry audit of a vector layer ``(zone_id, ring_no,
+    xs, ys)``: vertex count, shoelace area, area-weighted centroid and
+    bbox — the distributed feature-table pass (OGR layer summary) a geo
+    pipeline runs before rasterize/PIP to sanity-check an ingested
+    layer.
+
+    All per-row array algebra (three F.aggregate folds over the vertex
+    index — codegen, zero shuffles, embarrassingly parallel over rings).
+    For integer-coordinate layers every product and sum is exact in
+    double, so the result is bitwise engine-independent; float layers
+    agree to summation order (the folds are left-to-right).  Degenerate
+    rings (signed area 0) emit NULL centroids rather than dividing by
+    zero under ANSI."""
+    n = F.size("xs")
+
+    def wrap(i):  # next vertex index with closure, 1-based element_at
+        return (i % n) + 1
+
+    def cross(i):  # x_i * y_{i+1} - x_{i+1} * y_i
+        return F.element_at("xs", i) * F.element_at("ys", wrap(i)) - F.element_at(
+            "xs", wrap(i)
+        ) * F.element_at("ys", i)
+
+    idx = F.sequence(F.lit(1), n)
+    s2 = F.aggregate(idx, F.lit(0.0), lambda a, i: a + cross(i))
+    sx = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda a, i: a + (F.element_at("xs", i) + F.element_at("xs", wrap(i))) * cross(i),
+    )
+    sy = F.aggregate(
+        idx,
+        F.lit(0.0),
+        lambda a, i: a + (F.element_at("ys", i) + F.element_at("ys", wrap(i))) * cross(i),
+    )
+    return rings.select(
+        "zone_id",
+        "ring_no",
+        n.cast("long").alias("n_vertices"),
+        s2.alias("_s2"),
+        sx.alias("_sx"),
+        sy.alias("_sy"),
+        F.array_min("xs").alias("min_x"),
+        F.array_max("xs").alias("max_x"),
+        F.array_min("ys").alias("min_y"),
+        F.array_max("ys").alias("max_y"),
+    ).select(
+        "zone_id",
+        "ring_no",
+        "n_vertices",
+        (F.abs(F.col("_s2")) / 2).alias("area"),
+        F.when(F.col("_s2") != 0, F.col("_sx") / (3 * F.col("_s2"))).alias("cx"),
+        F.when(F.col("_s2") != 0, F.col("_sy") / (3 * F.col("_s2"))).alias("cy"),
+        "min_x",
+        "max_x",
+        "min_y",
+        "max_y",
+    )

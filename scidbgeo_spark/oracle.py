@@ -1784,3 +1784,45 @@ SELECT coalesce(old.url_norm, new.url_norm) AS url_norm,
             ELSE 'unchanged' END AS status,
        coalesce(old_id, -1) AS old_id, coalesce(new_id, -1) AS new_id
 FROM old FULL OUTER JOIN new USING (url_norm)"""
+
+
+# regions.zone_geometry: per-ring shoelace area / centroid / bbox over
+# the SAME fixture layer, as literal ring rows.  All coordinates are
+# integer-valued doubles, so every product/sum is exact and the sums
+# are order-independent; centroid is one exact division.
+from scidbgeo_spark import fixtures as _fx  # noqa: E402
+
+
+def _geom_values() -> str:
+    layer = [(z, [r], False) for z, r in _fx.GEO_POLYGONS] + [
+        (z, rs, m) for z, rs, m in _fx.GEO_POLYGONS_HOLED
+    ]
+    rows = []
+    for z, rs, _m in layer:
+        for rn, r in enumerate(rs):
+            xs = ", ".join(repr(float(v)) for v in r[:, 0])
+            ys = ", ".join(repr(float(v)) for v in r[:, 1])
+            rows.append(f"({z}, {rn}, [{xs}], [{ys}])")
+    return ",\n  ".join(rows)
+
+
+SQL["zone_geometry"] = f"""WITH
+rings(zone_id, ring_no, xs, ys) AS (VALUES
+  {_geom_values()}),
+t AS (SELECT zone_id, ring_no, len(xs) AS n, xs, ys FROM rings),
+tm AS (SELECT zone_id, ring_no,
+         xs[i] * ys[(i % n) + 1] - xs[(i % n) + 1] * ys[i] AS cr,
+         xs[i] + xs[(i % n) + 1] AS xsum,
+         ys[i] + ys[(i % n) + 1] AS ysum
+       FROM t, LATERAL (SELECT unnest(generate_series(1, n)) AS i) u),
+ag AS (SELECT zone_id, ring_no, sum(cr) AS s2,
+              sum(xsum * cr) AS sx, sum(ysum * cr) AS sy
+       FROM tm GROUP BY 1, 2)
+SELECT CAST(t.zone_id AS INT) AS zone_id, CAST(t.ring_no AS INT) AS ring_no,
+       CAST(t.n AS BIGINT) AS n_vertices,
+       abs(s2) / 2 AS area,
+       CASE WHEN s2 <> 0 THEN sx / (3 * s2) END AS cx,
+       CASE WHEN s2 <> 0 THEN sy / (3 * s2) END AS cy,
+       list_min(xs) AS min_x, list_max(xs) AS max_x,
+       list_min(ys) AS min_y, list_max(ys) AS max_y
+FROM t JOIN ag USING (zone_id, ring_no)"""

@@ -561,3 +561,45 @@ def test_asof_join_rejects_state_column_collision(spark):
     )
     with pytest.raises(ValueError, match="state_id"):
         temporal.asof_join(left, right, on="user_id")
+
+
+def test_zone_geometry_matches_numpy_shoelace(spark):
+    """Per-ring area/centroid/bbox equal the NumPy shoelace reference on
+    triangles, rects, an L-shape, and a degenerate (collinear) ring —
+    which must yield area 0 and NULL centroid, not a division error."""
+    from scidbgeo_spark.operators import regions
+
+    ring_rows = [
+        (1, 0, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 2.0, 2.0]),  # rect 4x2
+        (2, 0, [0.0, 3.0, 0.0], [0.0, 0.0, 3.0]),  # triangle
+        (3, 0, [0.0, 2.0, 4.0], [0.0, 0.0, 0.0]),  # collinear: degenerate
+        (11, 0, [-120.0, -30.0, -30.0, -60.0, -60.0, -120.0],
+                [-60.0, -60.0, -30.0, -30.0, 0.0, 0.0]),  # L-shape fixture
+    ]
+    df = spark.createDataFrame(
+        ring_rows, "zone_id int, ring_no int, xs array<double>, ys array<double>"
+    )
+    got = {r["zone_id"]: r for r in regions.zone_geometry(df).collect()}
+
+    def ref(xs, ys):
+        xs, ys = np.asarray(xs), np.asarray(ys)
+        j = np.roll(np.arange(len(xs)), -1)
+        cr = xs * ys[j] - xs[j] * ys
+        s2 = cr.sum()
+        area = abs(s2) / 2
+        if s2 == 0:
+            return area, None, None
+        cx = ((xs + xs[j]) * cr).sum() / (3 * s2)
+        cy = ((ys + ys[j]) * cr).sum() / (3 * s2)
+        return area, cx, cy
+
+    for z, _rn, xs, ys in ring_rows:
+        area, cx, cy = ref(xs, ys)
+        r = got[z]
+        assert r["area"] == area, z
+        assert r["cx"] == cx and r["cy"] == cy, z
+        assert r["n_vertices"] == len(xs)
+        assert (r["min_x"], r["max_x"]) == (min(xs), max(xs))
+        assert (r["min_y"], r["max_y"]) == (min(ys), max(ys))
+    assert got[1]["area"] == 8.0 and got[1]["cx"] == 2.0 and got[1]["cy"] == 1.0
+    assert got[3]["area"] == 0.0 and got[3]["cx"] is None
