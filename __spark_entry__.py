@@ -831,6 +831,20 @@ def q_knn_bulk(spark, sf_dir):
     return knn_mod.knn_join_bulk(spark, pts, queries, k=10)
 
 
+def q_knn_classify(spark, sf_dir):
+    """Majority-vote kNN classification: dominant language among the 10
+    nearest geotagged pages per nation-derived query point (certified
+    ring-expansion path + one label join; ties to smallest lang)."""
+    from pyspark.sql import functions as F
+
+    pts = model.points(spark, sf_dir)
+    queries = knn_mod.knn_queries_from_nation(spark, sf_dir, limit=25)
+    labels = model.load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("label")
+    )
+    return knn_mod.knn_classify(spark, pts, queries, labels, k=10)
+
+
 def _docs(spark, sf_dir):
     return model.load_table(spark, sf_dir, "documents")
 
@@ -1479,6 +1493,13 @@ def q_crawl_refresh(spark, sf_dir):
     return curation.pack_sequences(kept)
 
 
+def q_quality_deciles(spark, sf_dir):
+    """Exact corpus-wide decile bucketing of the LM quality score —
+    pure integer arithmetic on the score key, value-based deciles
+    (tied scores share a bucket), partitioning-independent."""
+    return curation.quality_deciles(_docs(spark, sf_dir))
+
+
 def q_pack_sequences(spark, sf_dir):
     return curation.pack_sequences(_docs(spark, sf_dir))
 
@@ -1520,6 +1541,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_unmatched": q_pip_unmatched,
     "crawl_delta": q_crawl_delta,
     "zone_geometry": q_zone_geometry,
+    "knn_classify": q_knn_classify,
+    "quality_deciles": q_quality_deciles,
     "dedup_incremental": q_dedup_incremental,
     "bloom_prefilter": q_bloom_prefilter,
     "kmeans_assign": q_kmeans_assign,

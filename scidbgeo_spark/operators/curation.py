@@ -286,3 +286,42 @@ def url_filter(df: DataFrame, url_col: str = "url") -> DataFrame:
         (mask == F.lit(0)).alias("keep"),
         mask.alias("reason_mask"),
     )
+
+
+# quality deciles: score key = micro-units of the mean corpus token
+# frequency, computed in pure integer arithmetic (no float on the path)
+QD_SCALE = 1_000_000
+
+
+def quality_deciles(docs: DataFrame) -> DataFrame:
+    """Corpus-wide EXACT quantile bucketing by the unigram-LM quality
+    score — "keep the top 3 deciles" is the curation cut CCNet-style
+    pipelines apply after scoring.  decile(d) = (10 * #docs with a
+    strictly lower score) DIV N — value-based, so tied scores share a
+    decile and the result is partitioning-independent.
+
+    Scale shape: the score key is (sum_freq * 1e6) DIV n_toks — pure
+    integer arithmetic end to end (no float comparisons anywhere).  The
+    corpus reduces map-side to one row per DISTINCT key; only that
+    bounded key table (<= ~1e6 x frequency range, orders below corpus
+    size; coarsen QD_SCALE to bound it harder) passes through the
+    single-partition cumulative window, and the decile map joins back
+    broadcast.  N rides the plan as a 1-row aggregate — no driver
+    actions."""
+    from scidbgeo_spark.operators.text import lm_quality_score
+
+    scored = lm_quality_score(docs).select(
+        "doc_id",
+        F.expr(f"(sum_freq * {QD_SCALE}) DIV n_toks").alias("score_key"),
+    )
+    per_key = scored.groupBy("score_key").agg(F.count("*").alias("n"))
+    w = Window.orderBy("score_key").rowsBetween(Window.unboundedPreceding, -1)
+    keyed = per_key.withColumn(
+        "cum_below", F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long")
+    )
+    n_docs = docs.agg(F.count("*").alias("n_total"))
+    dec = keyed.join(F.broadcast(n_docs)).select(
+        "score_key",
+        F.expr("(10 * cum_below) DIV n_total").cast("int").alias("decile"),
+    )
+    return scored.join(dec, "score_key").select("doc_id", "score_key", "decile")

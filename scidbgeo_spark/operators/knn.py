@@ -314,3 +314,34 @@ def knn_queries_from_nation(spark: SparkSession, sf_dir: str, limit: int = 5) ->
         (F.lit(-180.0) + ((F.col("n_nationkey") * 77777) % 360000) / F.lit(1000.0)).alias("qlon"),
         (F.lit(-90.0) + ((F.col("n_nationkey") * 33333) % 180000) / F.lit(1000.0)).alias("qlat"),
     )
+
+
+def knn_classify(
+    spark: SparkSession,
+    points: DataFrame,
+    queries: DataFrame,
+    labels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Majority-vote kNN classification: each query point takes the most
+    common label among its k nearest neighbors (ties break to the
+    lexicographically smallest label — deterministic on any cluster).
+    The geo use: predict a region's dominant language from the nearest
+    geotagged pages.
+
+    Scale shape: rides knn_join_bulk's certified ring-expansion
+    sort-merge path (no cross join, no driver loop), then ONE label
+    join + per-query vote aggregate; the vote table is k rows per query
+    — the window input is bounded by k x |queries|."""
+    nn = knn_join_bulk(spark, points, queries, k=k)
+    votes = (
+        nn.join(labels, "doc_id")
+        .groupBy("q_id", "label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("votes"), F.asc("label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("q_id", "label", "votes")
+    )

@@ -1826,3 +1826,53 @@ SELECT CAST(t.zone_id AS INT) AS zone_id, CAST(t.ring_no AS INT) AS ring_no,
        list_min(xs) AS min_x, list_max(xs) AS max_x,
        list_min(ys) AS min_y, list_max(ys) AS max_y
 FROM t JOIN ag USING (zone_id, ring_no)"""
+
+
+# knn.knn_classify: brute-force 10-NN + majority lang per query point
+SQL["knn_classify"] = f"""WITH {PTS},
+q AS (
+  SELECT n_nationkey AS q_id,
+         -180.0 + ((n_nationkey * 77777) % 360000) / 1000.0 AS qlon,
+         -90.0 + ((n_nationkey * 33333) % 180000) / 1000.0 AS qlat
+  FROM nation WHERE n_nationkey < 25
+),
+nn AS (SELECT q_id, doc_id FROM (
+  SELECT q.q_id, p.doc_id,
+         row_number() OVER (
+           PARTITION BY q.q_id
+           ORDER BY (p.lon - q.qlon) * (p.lon - q.qlon)
+                  + (p.lat - q.qlat) * (p.lat - q.qlat),
+                    p.doc_id
+         ) AS rank
+  FROM q CROSS JOIN pts p
+) WHERE rank <= 10),
+v AS (SELECT q_id, lang AS label, CAST(count(*) AS BIGINT) AS votes
+      FROM nn JOIN documents USING (doc_id) GROUP BY 1, 2)
+SELECT q_id, label, votes FROM (
+  SELECT *, row_number() OVER (PARTITION BY q_id
+                               ORDER BY votes DESC, label) AS rn
+  FROM v
+) WHERE rn = 1"""
+
+
+# curation.quality_deciles: integer score key + value-based deciles
+from scidbgeo_spark.operators.curation import QD_SCALE  # noqa: E402
+
+SQL["quality_deciles"] = f"""WITH
+tok AS (SELECT doc_id, {_MD5INT.format(x='t')} AS h
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+              FROM documents)),
+freq AS (SELECT h, count(*) AS cnt FROM tok GROUP BY h),
+per AS (SELECT doc_id, count(*) AS n_toks, sum(cnt) AS sum_freq
+        FROM tok JOIN freq USING (h) GROUP BY doc_id),
+s AS (SELECT doc_id, (sum_freq * {QD_SCALE}) // n_toks AS score_key FROM per),
+pk AS (SELECT score_key, count(*) AS n FROM s GROUP BY 1),
+c AS (SELECT score_key,
+             coalesce(sum(n) OVER (ORDER BY score_key
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS cum_below
+      FROM pk),
+nt AS (SELECT count(*) AS n_total FROM documents)
+SELECT doc_id, CAST(score_key AS BIGINT) AS score_key,
+       CAST((10 * cum_below) // n_total AS INT) AS decile
+FROM s JOIN c USING (score_key) CROSS JOIN nt"""

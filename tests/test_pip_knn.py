@@ -603,3 +603,62 @@ def test_zone_geometry_matches_numpy_shoelace(spark):
         assert (r["min_y"], r["max_y"]) == (min(ys), max(ys))
     assert got[1]["area"] == 8.0 and got[1]["cx"] == 2.0 and got[1]["cy"] == 1.0
     assert got[3]["area"] == 0.0 and got[3]["cx"] is None
+
+
+def test_knn_classify_matches_bruteforce_vote(spark, sf_correct):
+    """Majority-vote labels equal a NumPy brute-force 10-NN + Counter
+    majority with the same smallest-label tie-break."""
+    from collections import Counter
+
+    from scidbgeo_spark.operators import knn as knn_ops
+
+    pts = model.points(spark, sf_correct)
+    queries = knn_ops.knn_queries_from_nation(spark, sf_correct, limit=25)
+    docs = model.load_table(spark, sf_correct, "documents")
+    labels = docs.select("doc_id", F.col("lang").alias("label"))
+    got = {
+        r["q_id"]: (r["label"], r["votes"])
+        for r in knn_ops.knn_classify(spark, pts, queries, labels).collect()
+    }
+
+    p = pts.collect()
+    lab = {r["doc_id"]: r["lang"] for r in docs.select("doc_id", "lang").collect()}
+    for q in queries.collect():
+        d2 = sorted(
+            ((r["lon"] - q["qlon"]) ** 2 + (r["lat"] - q["qlat"]) ** 2, r["doc_id"])
+            for r in p
+        )
+        top = [lab[doc] for _, doc in d2[:10]]
+        cnt = Counter(top)
+        best = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        assert got[q["q_id"]] == best, q["q_id"]
+
+
+def test_quality_deciles_value_based_and_partition_invariant(spark):
+    """Tied scores share a decile; decile counts follow the value-based
+    cum-below formula; repartitioning the input changes nothing."""
+    from scidbgeo_spark.operators import curation
+
+    # 10 docs: 5 share one score key, 5 distinct
+    rows = [(i, "common word " + ("x " * i).strip()) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["score_key"], r["decile"])
+           for r in curation.quality_deciles(df).collect()}
+    out2 = {r["doc_id"]: (r["score_key"], r["decile"])
+            for r in curation.quality_deciles(df.repartition(7)).collect()}
+    assert out == out2
+    # same score key -> same decile, monotone in score
+    by_key = {}
+    for sk, d in out.values():
+        by_key.setdefault(sk, set()).add(d)
+    assert all(len(v) == 1 for v in by_key.values())
+    keys = sorted(by_key)
+    decs = [next(iter(by_key[k])) for k in keys]
+    assert decs == sorted(decs)
+    # exact formula on the collected keys
+    import collections
+    cnt = collections.Counter(sk for sk, _ in out.values())
+    n = len(rows)
+    for sk, d in out.values():
+        cum_below = sum(v for k, v in cnt.items() if k < sk)
+        assert d == (10 * cum_below) // n
