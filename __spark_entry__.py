@@ -194,6 +194,13 @@ def q_downsample(spark, sf_dir):
     return pixel.downsample(model.raster_coo(spark, sf_dir), 2)
 
 
+def q_raster_pyramid(spark, sf_dir):
+    """Full overview pyramid (levels 1-3, factors 2/4/8) in one query:
+    pixels aggregate once, coarser levels cascade from (sum, count)
+    partials — true base-block means, base never rescanned."""
+    return pixel.raster_pyramid(model.raster_coo(spark, sf_dir), levels=3)
+
+
 def q_raster_histogram(spark, sf_dir):
     return pixel.histogram(model.raster_coo(spark, sf_dir))
 
@@ -1543,6 +1550,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zone_geometry": q_zone_geometry,
     "knn_classify": q_knn_classify,
     "quality_deciles": q_quality_deciles,
+    "raster_pyramid": q_raster_pyramid,
     "dedup_incremental": q_dedup_incremental,
     "bloom_prefilter": q_bloom_prefilter,
     "kmeans_assign": q_kmeans_assign,

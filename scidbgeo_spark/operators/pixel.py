@@ -215,3 +215,39 @@ def histogram(coo: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_pixels"))
         .select("value", "n_pixels")
     )
+
+
+def raster_pyramid(coo: DataFrame, levels: int = 3, factor: int = 2) -> DataFrame:
+    """Overview PYRAMID (GDAL BuildOverviews / repeated `regrid(A, f, f,
+    avg)`): every level's cell holds the true mean of its base-raster
+    block, all levels in ONE query — (level, y, x, value_avg).
+
+    Scale shape: pixels are aggregated ONCE (map-side-combined (sum,
+    count) partials at the finest level); every coarser level cascades
+    from the previous level's partials — sums and counts compose
+    exactly, so level L's mean is the true base-block mean (including
+    ragged edges), not a mean-of-means, and the base raster is never
+    rescanned.  Each cascade shuffles the previous level's cell table
+    (4x smaller each step)."""
+    cur = coo.groupBy(
+        F.expr(f"y DIV {factor}").alias("y"), F.expr(f"x DIV {factor}").alias("x")
+    ).agg(F.sum("value").alias("s"), F.count("*").alias("c"))
+    out = []
+    for lv in range(1, levels + 1):
+        out.append(
+            cur.select(
+                F.lit(lv).cast("int").alias("level"),
+                "y",
+                "x",
+                (F.col("s") / F.col("c")).alias("value_avg"),
+            )
+        )
+        if lv < levels:
+            cur = cur.groupBy(
+                F.expr(f"y DIV {factor}").alias("y"),
+                F.expr(f"x DIV {factor}").alias("x"),
+            ).agg(F.sum("s").alias("s"), F.sum("c").alias("c"))
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionAll(df)
+    return res

@@ -1876,3 +1876,13 @@ nt AS (SELECT count(*) AS n_total FROM documents)
 SELECT doc_id, CAST(score_key AS BIGINT) AS score_key,
        CAST((10 * cum_below) // n_total AS INT) AS decile
 FROM s JOIN c USING (score_key) CROSS JOIN nt"""
+
+
+# pixel.raster_pyramid: per-level true base-block means
+SQL["raster_pyramid"] = f"""WITH {COO}
+SELECT CAST(1 AS INT) AS level, y // 2 AS y, x // 2 AS x,
+       avg(value) AS value_avg FROM coo GROUP BY 2, 3
+UNION ALL
+SELECT CAST(2 AS INT), y // 4, x // 4, avg(value) FROM coo GROUP BY 2, 3
+UNION ALL
+SELECT CAST(3 AS INT), y // 8, x // 8, avg(value) FROM coo GROUP BY 2, 3"""

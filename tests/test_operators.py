@@ -399,3 +399,26 @@ def test_pip_unmatched_partitions_the_point_set(spark, sf_correct):
     all_ids = {r["doc_id"] for r in pts.select("doc_id").collect()}
     assert hit_ids | un_ids == all_ids
     assert not (hit_ids & un_ids)
+
+
+def test_raster_pyramid_cascades_exact_base_means(spark, sf_correct):
+    """Every pyramid level equals the direct base-raster block mean
+    (cascading (sum, count) partials is exact, NOT a mean-of-means —
+    ragged edge blocks included), and level 1 equals downsample(2)."""
+    coo = model.raster_coo(spark, sf_correct)
+    got = {}
+    for r in pixel.raster_pyramid(coo, levels=3).collect():
+        got[(r["level"], r["y"], r["x"])] = r["value_avg"]
+    rows = coo.collect()
+    from collections import defaultdict
+
+    for lv, f in [(1, 2), (2, 4), (3, 8)]:
+        acc = defaultdict(lambda: [0, 0])
+        for r in rows:
+            k = (r["y"] // f, r["x"] // f)
+            acc[k][0] += r["value"]
+            acc[k][1] += 1
+        for (y, x), (s, c) in acc.items():
+            assert got[(lv, y, x)] == s / c, (lv, y, x)
+    ds = {(1, r["y"], r["x"]): r["value_avg"] for r in pixel.downsample(coo, 2).collect()}
+    assert {k: v for k, v in got.items() if k[0] == 1} == ds
