@@ -194,6 +194,18 @@ def q_downsample(spark, sf_dir):
     return pixel.downsample(model.raster_coo(spark, sf_dir), 2)
 
 
+def q_focal_mean_time(spark, sf_dir):
+    """3-D focal mean (spatial window per time slice, band radius 0):
+    band rides the halo-message key, so one exchange covers every
+    slice — zero extra shuffles for the time dimension."""
+    from scidbgeo_spark.model import RASTER3_W
+
+    coo3 = model.raster3_coo(spark, sf_dir)
+    _, h3, _ = model.raster3_dims(spark, sf_dir)
+    tiles3 = tiling.pack_tiles_3d(coo3, CHUNK, h3, RASTER3_W)
+    return focal.focal_mean_time(tiles3, h3, RASTER3_W, CHUNK)
+
+
 def q_raster_pyramid(spark, sf_dir):
     """Full overview pyramid (levels 1-3, factors 2/4/8) in one query:
     pixels aggregate once, coarser levels cascade from (sum, count)
@@ -1551,6 +1563,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_classify": q_knn_classify,
     "quality_deciles": q_quality_deciles,
     "raster_pyramid": q_raster_pyramid,
+    "focal_mean_time": q_focal_mean_time,
     "dedup_incremental": q_dedup_incremental,
     "bloom_prefilter": q_bloom_prefilter,
     "kmeans_assign": q_kmeans_assign,

@@ -28,11 +28,15 @@ from scidbgeo_spark.kernels import focal_mean, focal_sum36
 _OFFSETS = [(oy, ox) for oy in (-1, 0, 1) for ox in (-1, 0, 1)]
 
 
-def _message_expr(oy: int, ox: int, nty: int, ntx: int, r: int = 1) -> str:
+def _message_expr(
+    oy: int, ox: int, nty: int, ntx: int, r: int = 1, extra: str = ""
+) -> str:
     """SQL expression for the halo message a chunk sends to neighbor
     (tile_y+oy, tile_x+ox): the r-cell border strip of px adjacent to
     it (r = window radius; the 8-neighbor scheme needs every tile to be
-    >= r cells in each dimension, validated by the caller)."""
+    >= r cells in each dimension, validated by the caller).  ``extra``
+    prepends additional key fields into the message struct (the 3-D
+    path routes 'band' through it so slices never mix)."""
     ry0 = f"(h-{r})" if oy == 1 else "0"
     nr = str(r) if oy != 0 else "h"
     cx0 = f"(w-{r})" if ox == 1 else "0"
@@ -49,7 +53,7 @@ def _message_expr(oy: int, ox: int, nty: int, ntx: int, r: int = 1) -> str:
         f"AND tile_x + {ox} >= 0 AND tile_x + {ox} < {ntx}"
     )
     s = (
-        f"named_struct('rty', tile_y + {oy}, 'rtx', tile_x + {ox}, "
+        f"named_struct({extra}'rty', tile_y + {oy}, 'rtx', tile_x + {ox}, "
         f"'sy', {-oy}, 'sx', {-ox}, 'fh', {nr}, 'fw', {nc}, 'frag', {frag})"
     )
     return f"CASE WHEN {cond} THEN {s} END"
@@ -245,4 +249,56 @@ def focal_mean_tiles(
     return msgs.groupBy("rty", "rtx").applyInPandas(
         _tile,
         schema="tile_y int, tile_x int, y0 long, x0 long, h int, w int, px array<double>",
+    )
+
+
+def focal_mean_time(
+    tiles3: DataFrame, height: int, width: int, chunk: int, radius: int = 1
+) -> DataFrame:
+    """3-D focal mean: the spatial shrinking-window average applied to
+    EVERY slice of a [band;y;x] time-series array (AFL
+    ``window(A, 0,0, 1,1, 1,1, avg)`` — band radius 0), one query for
+    all slices.
+
+    Scale shape: 'band' rides the halo-message KEY ('extra' field in
+    the message struct), so the ONE existing exchange covers every time
+    slice — slices can never mix (grouping is (band, tile)), the time
+    dimension adds zero extra shuffles, and a 1000-step series costs
+    the same shuffle count as one raster.  Kernel and assembly are the
+    verified 2-D ones, unchanged."""
+    _check_radius(height, width, chunk, radius)
+    nty = -(-height // chunk)
+    ntx = -(-width // chunk)
+    msgs = ", ".join(
+        _message_expr(oy, ox, nty, ntx, radius, extra="'band', band, ")
+        for oy, ox in _OFFSETS
+    )
+    m = (
+        tiles3.select(F.expr(f"filter(array({msgs}), m -> m IS NOT NULL)").alias("ms"))
+        .select(F.explode("ms").alias("m"))
+        .select("m.*")
+    )
+
+    def _tile(key, pdf):
+        vals, mask, interior = _assemble(pdf, radius)
+        out = focal_mean(vals, mask, interior, radius)
+        return pd.DataFrame(
+            {
+                "band": [int(key[0])],
+                "y0": [int(key[1]) * chunk],
+                "x0": [int(key[2]) * chunk],
+                "w": [out.shape[1]],
+                "px": [out.ravel()],
+            }
+        )
+
+    t = m.groupBy("band", "rty", "rtx").applyInPandas(
+        _tile, schema="band int, y0 long, x0 long, w int, px array<double>"
+    )
+    e = t.select("band", "y0", "x0", "w", F.posexplode("px").alias("pos", "value_avg"))
+    return e.select(
+        "band",
+        (F.col("y0") + F.expr("pos DIV w")).alias("y"),
+        (F.col("x0") + F.expr("pos % w")).alias("x"),
+        "value_avg",
     )

@@ -1886,3 +1886,18 @@ UNION ALL
 SELECT CAST(2 AS INT), y // 4, x // 4, avg(value) FROM coo GROUP BY 2, 3
 UNION ALL
 SELECT CAST(3 AS INT), y // 8, x // 8, avg(value) FROM coo GROUP BY 2, 3"""
+
+
+# focal.focal_mean_time: per-band spatial 3x3 shrinking-window mean
+SQL["focal_mean_time"] = f"""WITH {COO3},
+nb AS (
+  SELECT a.band, a.y AS y, a.x AS x,
+         CAST(sum(b.value) AS BIGINT) AS s, count(*) AS c
+  FROM coo3 a JOIN coo3 b
+    ON b.band = a.band
+   AND b.y BETWEEN a.y - 1 AND a.y + 1
+   AND b.x BETWEEN a.x - 1 AND a.x + 1
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(band AS INT) AS band, y, x,
+       CAST(s AS DOUBLE) / c AS value_avg FROM nb"""

@@ -422,3 +422,25 @@ def test_raster_pyramid_cascades_exact_base_means(spark, sf_correct):
             assert got[(lv, y, x)] == s / c, (lv, y, x)
     ds = {(1, r["y"], r["x"]): r["value_avg"] for r in pixel.downsample(coo, 2).collect()}
     assert {k: v for k, v in got.items() if k[0] == 1} == ds
+
+
+def test_focal_mean_time_matches_per_band_2d(spark, sf_correct):
+    """3-D focal mean == the verified 2-D focal operator run per slice,
+    including at a chunk size that fragments each band into many tiles
+    (band-keyed halo messages must never mix slices)."""
+    from scidbgeo_spark.model import RASTER3_W
+
+    coo3 = model.raster3_coo(spark, sf_correct)
+    bands, h3, w3 = model.raster3_dims(spark, sf_correct)
+    for ch in (CHUNK, 2):  # single tile per band, then 2x2-cell tiles
+        tiles3 = tiling.pack_tiles_3d(coo3, ch, h3, RASTER3_W)
+        got = {
+            (r["band"], r["y"], r["x"]): r["value_avg"]
+            for r in focal.focal_mean_time(tiles3, h3, RASTER3_W, ch).collect()
+        }
+        for b in range(bands):
+            t2 = tiling.pack_tiles(pixel.slice_band(coo3, b), ch, h3, w3)
+            means = tiling.tiles_to_coo(focal.focal_mean_tiles(t2, h3, w3, ch), "value_avg")
+            want = {(r["y"], r["x"]): r["value_avg"] for r in means.collect()}
+            per_band = {(y, x): v for (bb, y, x), v in got.items() if bb == b}
+            assert per_band == want, (ch, b)
