@@ -393,6 +393,45 @@ def q_zonal_stats_time(spark, sf_dir):
     return zonal.zonal_stats_time(tiles3, zt)
 
 
+def q_zonal_stats_shp(spark, sf_dir):
+    """The reference's ACTUAL zonal workflow end-to-end (SciDB_ZonalStats
+    _CL.py: boundary shapefile -> rasterize -> zonal stats), fully
+    distributed: the layer parses from binary .shp/.dbf executor-side,
+    every tile burns only bbox-overlapping rings (broadcast range join —
+    no whole-layer driver broadcast), then the chunk-join zonal
+    aggregate.  Oracle identical to zonal_stats_rect: neither the
+    binary round-trip nor the distributed rasterize may change a value."""
+    import os
+
+    from scidbgeo_spark.sources import shapefile
+
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    d = _fixture_dir("shp_zones", sf_dir)
+    shapefile.write_shp_fixture(
+        os.path.join(d, "zones.shp"),
+        [(zid, [ring]) for zid, ring in fixtures.rect_grid_polygons(h, w)],
+    )
+    layer = shapefile.polygons_from_shp(spark, os.path.join(d, "zones.shp"))
+    zt = zonal.rasterize_layer_df(spark, layer, h, w, CHUNK)
+    return zonal.zonal_stats_tiles(tiles, zt)
+
+
+def q_between_3d(spark, sf_dir):
+    """between() on the 3-D array: a band range x spatial window —
+    partition/predicate pruning along every dimension of [band;y;x]."""
+    from pyspark.sql import functions as F
+
+    coo3 = model.raster3_coo(spark, sf_dir)
+    return coo3.filter(
+        (F.col("band") >= 1)
+        & (F.col("band") <= 2)
+        & (F.col("y") >= 10)
+        & (F.col("y") <= 40)
+        & (F.col("x") >= 5)
+        & (F.col("x") <= 30)
+    ).select("band", "y", "x", "value")
+
+
 def q_zonal_stats_broadcast(spark, sf_dir):
     coo = model.raster_coo(spark, sf_dir)
     h, w = model.raster_dims(spark, sf_dir)
@@ -1564,6 +1603,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_deciles": q_quality_deciles,
     "raster_pyramid": q_raster_pyramid,
     "focal_mean_time": q_focal_mean_time,
+    "zonal_stats_shp": q_zonal_stats_shp,
+    "between_3d": q_between_3d,
     "dedup_incremental": q_dedup_incremental,
     "bloom_prefilter": q_bloom_prefilter,
     "kmeans_assign": q_kmeans_assign,

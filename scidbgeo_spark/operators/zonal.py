@@ -307,3 +307,64 @@ def zonal_stats_time(raster3_tiles: DataFrame, zone_tiles: DataFrame) -> DataFra
             "count_value",
         )
     )
+
+
+def rasterize_layer_df(
+    spark: SparkSession,
+    layer: DataFrame,
+    height: int,
+    width: int,
+    chunk: int,
+) -> DataFrame:
+    """Distributed rasterize for a DataFrame polygon layer ``(zone_id,
+    xs, ys)`` — the millions-of-polygons shape `rasterize_polygons`'s
+    whole-layer driver broadcast cannot reach: every tile joins ONLY
+    the rings whose bbox overlaps it (broadcast range join, pruned
+    JVM-side), and each task burns its tile from that pruned set.  Burn
+    order is ascending zone_id (the driver-list path burns in list
+    order; fixtures list zones ascending, pinned by the parity test).
+    Tiles no ring overlaps burn straight to the nodata zone."""
+    from scidbgeo_spark.kernels import PolyPack, rasterize_tile
+
+    grid = tiling.tile_grid(spark, height, width, chunk)
+    rings = layer.select(
+        F.col("zone_id").cast("long").alias("zid_in"),
+        "xs",
+        "ys",
+        F.array_min("xs").alias("bx0"),
+        F.array_max("xs").alias("bx1"),
+        F.array_min("ys").alias("by0"),
+        F.array_max("ys").alias("by1"),
+    )
+    cond = (
+        (F.col("bx1") >= F.col("x0"))
+        & (F.col("bx0") < F.col("x0") + F.col("w"))
+        & (F.col("by1") >= F.col("y0"))
+        & (F.col("by0") < F.col("y0") + F.col("h"))
+    )
+    j = grid.join(F.broadcast(rings), cond, "left")
+
+    def _burn(key, pdf):
+        first = pdf.iloc[0]
+        y0, x0, h, w = int(first.y0), int(first.x0), int(first.h), int(first.w)
+        hit = pdf[pdf.zid_in.notna()].sort_values("zid_in")
+        polys = PolyPack(
+            [
+                (int(r.zid_in), np.column_stack((np.asarray(r.xs), np.asarray(r.ys))))
+                for r in hit.itertuples()
+            ]
+        )
+        zid = rasterize_tile(y0, x0, h, w, polys)
+        return pd.DataFrame(
+            {
+                "tile_y": [int(key[0])],
+                "tile_x": [int(key[1])],
+                "y0": [y0],
+                "x0": [x0],
+                "h": [h],
+                "w": [w],
+                "zid": [zid],
+            }
+        )
+
+    return j.groupBy("tile_y", "tile_x").applyInPandas(_burn, schema=ZONE_TILE_SCHEMA)

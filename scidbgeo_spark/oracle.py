@@ -1901,3 +1901,13 @@ nb AS (
 )
 SELECT CAST(band AS INT) AS band, y, x,
        CAST(s AS DOUBLE) / c AS value_avg FROM nb"""
+
+
+# zonal_stats_shp: binary shapefile round-trip + DISTRIBUTED rasterize
+# must not change the zonal result — oracle identical to zonal_stats_rect
+SQL["zonal_stats_shp"] = SQL["zonal_stats_rect"]
+
+# between on the 3-D array
+SQL["between_3d"] = f"""WITH {COO3}
+SELECT band, y, x, value FROM coo3
+WHERE band BETWEEN 1 AND 2 AND y BETWEEN 10 AND 40 AND x BETWEEN 5 AND 30"""

@@ -444,3 +444,32 @@ def test_focal_mean_time_matches_per_band_2d(spark, sf_correct):
             want = {(r["y"], r["x"]): r["value_avg"] for r in means.collect()}
             per_band = {(y, x): v for (bb, y, x), v in got.items() if bb == b}
             assert per_band == want, (ch, b)
+
+
+def test_rasterize_layer_df_matches_driver_list_path(spark, sf_correct):
+    """DataFrame-layer rasterize (per-tile bbox-pruned broadcast range
+    join) == whole-layer broadcast rasterize, on the rect grid AND the
+    overlapping MIXED layer (burn order by ascending zone_id == list
+    order for the fixtures); tiles with no overlapping ring burn to the
+    nodata zone."""
+    from scidbgeo_spark.kernels import NODATA_ZONE
+
+    h = w = 100
+    for polys in (fixtures.rect_grid_polygons(h, w), fixtures.MIXED_POLYGONS):
+        rows = [
+            (int(z), [float(v) for v in r[:, 0]], [float(v) for v in r[:, 1]])
+            for z, r in polys
+        ]
+        layer = spark.createDataFrame(rows, "zone_id int, xs array<double>, ys array<double>")
+        got = {
+            (r.tile_y, r.tile_x): list(r.zid)
+            for r in zonal.rasterize_layer_df(spark, layer, h, w, 50).collect()
+        }
+        want = {
+            (r.tile_y, r.tile_x): list(r.zid)
+            for r in zonal.rasterize_polygons(spark, polys, h, w, 50).collect()
+        }
+        assert got == want
+    # MIXED covers only the upper-left: some tiles are pure nodata
+    nodata_tiles = [k for k, v in got.items() if set(v) == {NODATA_ZONE}]
+    assert nodata_tiles
