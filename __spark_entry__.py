@@ -185,6 +185,24 @@ def q_merge_insert_catalog(spark, sf_dir):
     return tiling.tiles_to_coo(cat.read("raster"), "value")
 
 
+def q_snapshot_rollback(spark, sf_dir):
+    """Create -> destructive merge -> rollback(1): the catalog's
+    metadata-only undo (Iceberg rollback_to_snapshot analog) must
+    restore the ORIGINAL raster bit-for-bit, with the undone snapshot
+    still time-travelable.  Oracle: the raw COO itself."""
+    from scidbgeo_spark.catalog import SnapshotCatalog
+
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    window = pixel.between(model.raster_coo(spark, sf_dir), 0, 0, 49, 99)
+    updated = pixel.reclassify(window, 87, 1000, other=-99)
+    up_tiles = tiling.pack_tiles(updated, CHUNK, h, w, value_col="newvalue")
+    cat = SnapshotCatalog(spark, _fixture_dir("snaproll", sf_dir, fresh=True))
+    cat.create("raster", tiles)
+    cat.merge("raster", up_tiles)
+    cat.rollback("raster", 1)
+    return tiling.tiles_to_coo(cat.read("raster"), "value")
+
+
 def q_reclassify_persist(spark, sf_dir):
     return pixel.reclassify(model.raster_coo(spark, sf_dir), 87, 1000, other=-99)
 
@@ -1605,6 +1623,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "focal_mean_time": q_focal_mean_time,
     "zonal_stats_shp": q_zonal_stats_shp,
     "between_3d": q_between_3d,
+    "snapshot_rollback": q_snapshot_rollback,
     "dedup_incremental": q_dedup_incremental,
     "bloom_prefilter": q_bloom_prefilter,
     "kmeans_assign": q_kmeans_assign,

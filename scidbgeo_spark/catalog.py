@@ -390,6 +390,36 @@ class SnapshotCatalog:
             )
         return new_v
 
+    def rollback(self, name: str, to_version: int) -> int:
+        """Roll the table back to an earlier snapshot (Iceberg
+        ``rollback_to_snapshot`` analog): commits a NEW snapshot whose
+        manifest references the TARGET version's data files verbatim —
+        a metadata-only operation, no data rewrite, history preserved
+        (time travel to the undone versions still works until
+        expire_snapshots drops them).  Shared data dirs are safe:
+        expiry retains any dir a kept snapshot references."""
+        cur = self.current_version(name)
+        if to_version == cur:
+            return cur
+        target = self._read_manifest(name, to_version)  # raises if absent
+        new_v = cur + 1
+        ok = self._commit(
+            name,
+            {
+                "version": new_v,
+                "parent": cur,
+                "operation": f"rollback:{to_version}",
+                "ts": time.time(),
+                "partitions": dict(target["partitions"]),
+            },
+        )
+        if not ok:
+            raise RuntimeError(
+                f"rollback of {name} to v{to_version} lost the commit race "
+                f"for v{new_v}; re-check the current snapshot and retry"
+            )
+        return new_v
+
     def diff(self, name: str, v_old: int, v_new: int) -> DataFrame:
         """Incremental CHANGE extraction between two snapshots (the
         Iceberg changelog-scan analog, and the raster-analysis "change

@@ -1911,3 +1911,9 @@ SQL["zonal_stats_shp"] = SQL["zonal_stats_rect"]
 SQL["between_3d"] = f"""WITH {COO3}
 SELECT band, y, x, value FROM coo3
 WHERE band BETWEEN 1 AND 2 AND y BETWEEN 10 AND 40 AND x BETWEEN 5 AND 30"""
+
+
+# SnapshotCatalog.rollback: current content after rollback(1) == the raw
+# raster, bit for bit
+SQL["snapshot_rollback"] = f"""WITH {COO}
+SELECT y, x, CAST(value AS BIGINT) AS value FROM coo"""

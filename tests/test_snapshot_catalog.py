@@ -306,3 +306,34 @@ def test_compact_rewrites_small_files_content_identical(spark, sf_correct, tmp_p
     b = sorted(tuple(r) for r in tiling.tiles_to_coo(cat.read("c", v2), "value").collect())
     assert a == b
     assert cat.versions("c")[-1]["operation"] == "compact"
+
+
+def test_rollback_restores_content_and_keeps_history(spark, sf_correct, tmp_path):
+    """rollback(v1) commits a NEW metadata-only snapshot with v1's
+    content: current read == v1, the undone v2 stays time-travelable,
+    no data dir is rewritten, and expiry after rollback keeps the data
+    files the rollback snapshot shares with v1."""
+    tiles, updates = _base_and_updates(spark, sf_correct)
+    cat = SnapshotCatalog(spark, str(tmp_path))
+    cat.create("a", tiles)
+    original = _content(cat, "a", 1)
+    cat.merge("a", updates)
+    changed = _content(cat, "a", 2)
+    assert changed != original
+
+    v3 = cat.rollback("a", 1)
+    assert v3 == 3
+    assert cat.current_version("a") == 3
+    assert _content(cat, "a") == original  # current == v1
+    assert _content(cat, "a", 2) == changed  # history preserved
+    m3 = cat._read_manifest("a", 3)
+    assert m3["operation"] == "rollback:1"
+    assert m3["partitions"] == cat._read_manifest("a", 1)["partitions"]
+    # metadata-only: no v000003 data dir exists
+    data_root = os.path.join(cat._dir("a"), "data")
+    assert not any("v000003" in d for d in os.listdir(data_root))
+    # expiry keeps shared dirs: only v3 kept, content must survive
+    cat.expire_snapshots("a", keep_last=1)
+    assert _content(cat, "a") == original
+    # no-op rollback to current returns current
+    assert cat.rollback("a", 3) == 3
