@@ -1447,6 +1447,20 @@ def q_ann_sq8_topk(spark, sf_dir):
     return similarity.ann_sq8_topk(_emb(spark, sf_dir))
 
 
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-k: per-subspace codebooks, corpus
+    encoded to PQ_M small codes, distance = broadcast LUT sum — the
+    raw vectors never re-enter the query.  All-integer, bitwise twin."""
+    return similarity.ann_pq_topk(_emb(spark, sf_dir))
+
+
+def q_ann_pq_recall(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return _ann_recall(
+        similarity.ann_pq_topk(emb), similarity.ann_bruteforce_topk(emb)
+    )
+
+
 def q_ann_sq8_recall(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return _ann_recall(
@@ -1624,6 +1638,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_stats_shp": q_zonal_stats_shp,
     "between_3d": q_between_3d,
     "snapshot_rollback": q_snapshot_rollback,
+    "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_recall": q_ann_pq_recall,
     "dedup_incremental": q_dedup_incremental,
     "bloom_prefilter": q_bloom_prefilter,
     "kmeans_assign": q_kmeans_assign,

@@ -398,3 +398,108 @@ def ann_sq8_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank")
     )
+
+
+# ---- product quantization (PQ / ADC) ------------------------------------
+PQ_M = 2  # subspaces (DIM/PQ_M dims each)
+PQ_K = 8  # codewords per subspace codebook
+
+
+def _pq_codebooks(emb: DataFrame) -> DataFrame:
+    """(m, cid, cv): per-subspace codebooks from the first PQ_K vectors'
+    scaled subvectors — the deterministic data-pick init (codebook
+    TRAINING is kmeans_assign's demonstrated job; PQ here exercises the
+    encode + ADC machinery, which is what runs at corpus scale)."""
+    sub = DIM // PQ_M
+    e = _scaled(emb).filter(F.col("vec_id") < PQ_K)
+    parts = [
+        e.select(
+            F.lit(m).cast("int").alias("m"),
+            F.col("vec_id").cast("int").alias("cid"),
+            F.slice("sv", m * sub + 1, sub).alias("cv"),
+        )
+        for m in range(PQ_M)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def pq_encode(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, code): nearest codeword per subspace by exact integer
+    L2 (ties -> smaller cid).  One corpus scan x a broadcast of
+    PQ_M * PQ_K tiny codewords; 100 TB shape: 8 bytes of code replace
+    512 bytes of vector in everything downstream."""
+    sub = DIM // PQ_M
+    e = _scaled(emb)
+    parts = [
+        e.select(
+            "vec_id",
+            F.lit(m).cast("int").alias("m"),
+            F.slice("sv", m * sub + 1, sub).alias("q"),
+        )
+        for m in range(PQ_M)
+    ]
+    allsub = parts[0]
+    for p in parts[1:]:
+        allsub = allsub.unionAll(p)
+    dist = F.aggregate(
+        F.zip_with("q", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy("dist", "cid")
+    return (
+        allsub.join(F.broadcast(_pq_codebooks(emb)), "m")
+        .select("vec_id", "m", "cid", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", F.col("cid").alias("code"))
+    )
+
+
+def ann_pq_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
+    """Top-k by PQ asymmetric distance (ADC): dist(q, v) = sum over
+    subspaces of L2(q_sub, codeword[v.code]) — (q_id, vec_id, rank).
+
+    Scale shape: the ADC lookup table (n_queries x PQ_M x PQ_K exact
+    integer distances) is tiny and broadcasts; the corpus side joins by
+    its CODE — the raw vectors never re-enter the query, so the scan
+    payload is PQ_M ints per vector.  All-integer arithmetic -> the
+    DuckDB twin is bitwise."""
+    sub = DIM // PQ_M
+    codes = pq_encode(emb)
+    qsubs = []
+    for m in range(PQ_M):
+        qsubs.append(
+            _scaled(emb)
+            .filter(F.col("vec_id") < n_queries)
+            .select(
+                F.col("vec_id").alias("q_id"),
+                F.lit(m).cast("int").alias("m"),
+                F.slice("sv", m * sub + 1, sub).alias("q"),
+            )
+        )
+    qs = qsubs[0]
+    for p in qsubs[1:]:
+        qs = qs.unionAll(p)
+    adist = F.aggregate(
+        F.zip_with("q", "cv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    lut = qs.join(F.broadcast(_pq_codebooks(emb)), "m").select(
+        "q_id", "m", "cid", adist.alias("d")
+    )
+    joined = codes.alias("c").join(
+        F.broadcast(lut).alias("l"),
+        (F.col("c.m") == F.col("l.m")) & (F.col("c.code") == F.col("l.cid")),
+    )
+    per = joined.groupBy("q_id", "vec_id").agg(F.sum("d").alias("dist"))
+    w = Window.partitionBy("q_id").orderBy("dist", "vec_id")
+    return (
+        per.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "vec_id", "rank")
+    )

