@@ -411,6 +411,60 @@ def q_zonal_stats_time(spark, sf_dir):
     return zonal.zonal_stats_time(tiles3, zt)
 
 
+def q_zonal_change(spark, sf_dir):
+    """Per-zone CHANGE DETECTION between two time slices of the 3-D
+    array (band 1 - band 0): positional chunk join aligns the slices,
+    then the zonal aggregate summarizes the delta — the classic
+    SciDB-style raster time-series analysis, zero extra machinery."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.model import RASTER3_W
+
+    coo3 = model.raster3_coo(spark, sf_dir)
+    _, h3, _ = model.raster3_dims(spark, sf_dir)
+    a = pixel.slice_band(coo3, 0)
+    b = pixel.slice_band(coo3, 1)
+    delta = a.alias("a").join(b.alias("b"), ["y", "x"]).select(
+        "y", "x", (F.col("b.value") - F.col("a.value")).alias("value")
+    )
+    tiles = tiling.pack_tiles(delta, CHUNK, h3, RASTER3_W)
+    zt = _zone_tiles(
+        spark, sf_dir, fixtures.rect_grid_polygons(h3, RASTER3_W), h3, RASTER3_W
+    )
+    return zonal.zonal_stats_tiles(tiles, zt)
+
+
+def q_traffic_spikes(spark, sf_dir):
+    """Hourly traffic-spike score per event type: this hour's count
+    versus the trailing 24-hour window (spike = cnt * window_hours /
+    trailing_sum, ONE exact division on integer counts).  Keyed window
+    — partitions bounded by event types, frames by 24 rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    ev = model.load_table(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = W.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    trail_sum = F.sum("cnt").over(w)
+    trail_n = F.count("cnt").over(w)
+    # sentinels, not NULLs: nullable sum/score columns decay to NaN in
+    # Arrow consumers, which no value-hash compares stably.  0 means
+    # "no trailing baseline yet" (real scores are always > 0).
+    return hourly.select(
+        "event_type",
+        "hour",
+        "cnt",
+        F.coalesce(trail_sum, F.lit(0)).alias("trailing_sum"),
+        trail_n.cast("long").alias("trailing_hours"),
+        F.when(trail_sum > 0, (F.col("cnt") * trail_n).cast("double") / trail_sum)
+        .otherwise(F.lit(0.0))
+        .alias("spike_score"),
+    )
+
+
 def q_zonal_stats_shp(spark, sf_dir):
     """The reference's ACTUAL zonal workflow end-to-end (SciDB_ZonalStats
     _CL.py: boundary shapefile -> rasterize -> zonal stats), fully
@@ -1640,6 +1694,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "snapshot_rollback": q_snapshot_rollback,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_pq_recall": q_ann_pq_recall,
+    "zonal_change": q_zonal_change,
+    "traffic_spikes": q_traffic_spikes,
     "dedup_incremental": q_dedup_incremental,
     "bloom_prefilter": q_bloom_prefilter,
     "kmeans_assign": q_kmeans_assign,

@@ -1965,3 +1965,39 @@ SELECT q_id, vec_id, CAST(rn AS INT) AS rank FROM (
 ) WHERE rn <= 5"""
 
 SQL["ann_pq_recall"] = _recall_sql(SQL["ann_pq_topk"])
+
+
+# per-zone change detection between time slices (band 1 - band 0)
+SQL["zonal_change"] = f"""WITH {COO3},
+a AS (SELECT y, x, value FROM coo3 WHERE band = 0),
+b AS (SELECT y, x, value FROM coo3 WHERE band = 1),
+d AS (SELECT y, x, b.value - a.value AS value FROM a JOIN b USING (y, x))
+SELECT CAST({_RECT_ZONE3} AS BIGINT) AS id,
+       min(value) AS min_value,
+       max(value) AS max_value,
+       avg(value) AS avg_value,
+       CAST(count(value) AS BIGINT) AS count_value
+FROM d GROUP BY 1"""
+
+
+# hourly spike score vs the trailing 24-hour window (sentinel 0, not
+# NULL, when no baseline exists yet)
+SQL["traffic_spikes"] = """WITH h AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(count(*) AS BIGINT) AS cnt
+  FROM events GROUP BY 1, 2
+),
+w AS (
+  SELECT event_type, hour, cnt,
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS ts_,
+         count(cnt) OVER (PARTITION BY event_type ORDER BY hour
+                          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS th
+  FROM h
+)
+SELECT event_type, hour, cnt,
+       CAST(coalesce(ts_, 0) AS BIGINT) AS trailing_sum,
+       CAST(th AS BIGINT) AS trailing_hours,
+       CASE WHEN ts_ > 0 THEN CAST(cnt * th AS DOUBLE) / ts_
+            ELSE 0.0 END AS spike_score
+FROM w"""

@@ -473,3 +473,78 @@ def test_rasterize_layer_df_matches_driver_list_path(spark, sf_correct):
     # MIXED covers only the upper-left: some tiles are pure nodata
     nodata_tiles = [k for k, v in got.items() if set(v) == {NODATA_ZONE}]
     assert nodata_tiles
+
+
+def test_zonal_change_zero_when_slices_equal(spark, sf_correct):
+    """Change detection sanity: diffing a slice against ITSELF yields
+    all-zero deltas in every zone; band1-band0 matches a per-pixel
+    Python diff aggregated per zone."""
+    from collections import defaultdict
+
+    from scidbgeo_spark.model import RASTER3_W
+
+    coo3 = model.raster3_coo(spark, sf_correct)
+    _, h3, w3 = model.raster3_dims(spark, sf_correct)
+    a = pixel.slice_band(coo3, 0)
+    same = a.alias("p").join(a.alias("q"), ["y", "x"]).select(
+        "y", "x", (F.col("q.value") - F.col("p.value")).alias("value")
+    )
+    tiles = tiling.pack_tiles(same, CHUNK, h3, RASTER3_W)
+    zt = zonal.rasterize_polygons(
+        spark, fixtures.rect_grid_polygons(h3, w3), h3, w3, CHUNK
+    )
+    for r in zonal.zonal_stats_tiles(tiles, zt).collect():
+        assert r["min_value"] == r["max_value"] == 0
+        assert r["avg_value"] == 0.0
+    # real diff vs python reference
+    av = {(r["y"], r["x"]): r["value"] for r in a.collect()}
+    bv = {(r["y"], r["x"]): r["value"] for r in pixel.slice_band(coo3, 1).collect()}
+    import __spark_entry__ as e
+
+    got = {r["id"]: (r["min_value"], r["max_value"], r["count_value"])
+           for r in e.queries()["zonal_change"](spark, sf_correct).collect()}
+    zones = defaultdict(list)
+    from scidbgeo_spark.fixtures import ZONE_H, ZONE_W
+
+    nzx = w3 // ZONE_W
+    for (y, x), v in av.items():
+        zid = (y // ZONE_H) * nzx + (x // ZONE_W)
+        if y >= (h3 // ZONE_H) * ZONE_H or x >= nzx * ZONE_W:
+            zid = -999
+        zones[zid].append(bv[(y, x)] - v)
+    want = {z: (min(d), max(d), len(d)) for z, d in zones.items()}
+    assert got == want
+
+
+def test_traffic_spikes_window_arithmetic(spark):
+    """Hand-built hourly stream: the trailing sum/count and the spike
+    ratio follow the 24-row frame exactly; the no-baseline sentinel is
+    0, never NULL."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    # 26 hours of 'click', hour h has h+1 events
+    eid = 0
+    for h in range(26):
+        for _ in range(h + 1):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=1), 7, "click", 0.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import __spark_entry__ as e
+    from unittest import mock
+
+    with mock.patch.object(model, "load_table", return_value=ev):
+        out = {r["hour"].hour + (r["hour"].day - 1) * 24: r
+               for r in e.queries()["traffic_spikes"](spark, "ignored").collect()}
+    assert out[0]["trailing_sum"] == 0 and out[0]["spike_score"] == 0.0
+    # hour 5: trailing = hours 0..4 -> sum 1+2+3+4+5=15, n=5, cnt=6
+    assert out[5]["trailing_sum"] == 15
+    assert out[5]["trailing_hours"] == 5
+    assert out[5]["spike_score"] == 6 * 5 / 15
+    # hour 25: frame = hours 1..24 (24 rows) -> sum 2..25 = 324, cnt 26
+    assert out[25]["trailing_hours"] == 24
+    assert out[25]["trailing_sum"] == sum(range(2, 26))
+    assert out[25]["spike_score"] == 26 * 24 / sum(range(2, 26))
