@@ -242,11 +242,110 @@ def dedup_smoke(spark, n_docs: int = 10_000_000, n_batch: int = 2_000_000) -> di
     }
 
 
+def temporal_smoke(spark, bands: int = 8, h: int = 2048, chunk: int = 256) -> dict:
+    """3-D temporal analytics at 33.5M cells: per-(zone, band) zonal
+    stats over an 8-slice series + per-zone change detection.  Exact
+    checks: the (zone, band) counts partition every cell; slice-vs-self
+    change is all-zero."""
+    from scidbgeo_spark import tiling
+    from scidbgeo_spark.kernels import PolyPack
+    from scidbgeo_spark.model import VALUE_MOD, VALUE_MULT
+    from scidbgeo_spark.operators import zonal
+
+    w = h
+    t0 = time.time()
+    coo3 = spark.range(bands * h * w).select(
+        (F.col("id") % bands).alias("band"),
+        F.expr(f"(id DIV {bands}) DIV {w}").alias("y"),
+        (F.expr(f"id DIV {bands}") % w).alias("x"),
+        ((F.col("id") * VALUE_MULT) % VALUE_MOD).alias("value"),
+    )
+    tiles3 = tiling.pack_tiles_3d(coo3, chunk, h, w)
+    pack = PolyPack.rect_grid(h, w, 64, 64)
+    zt = zonal.rasterize_polygons(spark, pack, h, w, chunk)
+    rows = zonal.zonal_stats_time(tiles3, zt).collect()
+    total = sum(r.count_value for r in rows)
+    n_bands_seen = len({r.band for r in rows})
+    # change detection: band 3 minus itself must be all-zero per zone
+    from scidbgeo_spark.operators import pixel
+
+    a = pixel.slice_band(coo3, 3)
+    same = a.alias("p").join(a.alias("q"), ["y", "x"]).select(
+        "y", "x", (F.col("q.value") - F.col("p.value")).alias("value")
+    )
+    dt = tiling.pack_tiles(same, chunk, h, w)
+    zeros = zonal.zonal_stats_tiles(dt, zt).collect()
+    all_zero = all(r.min_value == 0 and r.max_value == 0 for r in zeros)
+    wall = time.time() - t0
+    return {
+        "workload": "temporal_zonal+change",
+        "cells": bands * h * w,
+        "zones_x_bands": len(rows),
+        "wall_sec": round(wall, 1),
+        "exact": total == bands * h * w and n_bands_seen == bands and all_zero,
+    }
+
+
+def lm_deciles_smoke(spark, n_docs: int = 2_000_000) -> dict:
+    """LM scoring + exact decile bucketing at 2M synthetic docs.  Exact
+    checks: every doc lands in exactly one decile 0..9; bucket
+    boundaries are monotone in the score key (value-based semantics)."""
+    from scidbgeo_spark.operators import curation
+
+    t0 = time.time()
+    # score spread: doc i carries (i % 17) copies of the ubiquitous
+    # token plus one medium and one rare token, so mean corpus
+    # frequency varies smoothly and the deciles are non-degenerate
+    docs = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.array_join(
+                F.array_repeat(F.lit("the"), (F.col("id") % 17).cast("int") + 1), " "
+            ),
+            F.concat(F.lit("w"), (F.col("id") % 50_000).cast("string")),
+            F.concat(F.lit("v"), (F.col("id") % 997).cast("string")),
+        ).alias("text"),
+    )
+    out = curation.quality_deciles(docs)
+    agg = (
+        out.groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("score_key").alias("lo"),
+            F.max("score_key").alias("hi"),
+        )
+        .orderBy("decile")
+        .collect()
+    )
+    wall = time.time() - t0
+    total = sum(r.n for r in agg)
+    decs = [r.decile for r in agg]
+    monotone = all(
+        agg[i].hi <= agg[i + 1].lo for i in range(len(agg) - 1)
+    )
+    return {
+        "workload": "lm_quality_deciles",
+        "docs": n_docs,
+        "buckets": len(agg),
+        "wall_sec": round(wall, 1),
+        "exact": total == n_docs and monotone
+        and all(0 <= d <= 9 for d in decs),
+    }
+
+
 def main() -> None:
     cores = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     spark = get_spark("scale-smoke", cores=cores, shuffle_partitions=2 * cores)
     results = []
-    for fn in (zonal_smoke, pip_smoke, curation_smoke, dedup_smoke):
+    for fn in (
+        zonal_smoke,
+        pip_smoke,
+        curation_smoke,
+        dedup_smoke,
+        temporal_smoke,
+        lm_deciles_smoke,
+    ):
         r = fn(spark)
         results.append(r)
         print(json.dumps(r), flush=True)
