@@ -1094,3 +1094,74 @@ def test_pq_encode_and_adc_properties(spark, sf_correct):
     }
     for q in range(8):  # query IS a codebook member -> ADC dist 0 to itself
         assert top[(q, 1)] == q
+
+
+def test_boilerplate_spans_randomized_python_parity(spark):
+    """Randomized corpora (tiny vocab -> organic cross-doc n-gram
+    collisions, random sources, doc lengths 0-14 tokens) against the
+    sequential reference — seeds fixed, 3 corpora x 60 docs."""
+    import random
+
+    vocab = ["a", "b", "c", "d"]
+    for seed in (11, 23, 47):
+        rng = random.Random(seed)
+        rows = [
+            (
+                i,
+                f"src{rng.randrange(3)}",
+                " ".join(rng.choice(vocab) for _ in range(rng.randrange(15))),
+            )
+            for i in range(60)
+        ]
+        docs = spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+        ref = _boiler_reference(rows)
+        out = {
+            r["doc_id"]: (r["n_tokens"], r["n_boiler"], r["clean_fp"])
+            for r in text.boilerplate_spans(docs).collect()
+        }
+        assert out == ref, seed
+
+
+def test_crawl_delta_randomized_python_parity(spark):
+    """Random old/new snapshots (overlapping url spaces, random edits)
+    against a dict-diff reference."""
+    import hashlib
+    import random
+
+    for seed in (5, 17):
+        rng = random.Random(seed)
+        old_rows = [
+            (i, f"https://s.example/p/{rng.randrange(40)}", f"t{rng.randrange(6)}")
+            for i in range(30)
+        ]
+        new_rows = [
+            (100 + i, f"https://s.example/p/{rng.randrange(40)}", f"t{rng.randrange(6)}")
+            for i in range(30)
+        ]
+        # crawl_delta requires one capture per canonical url per side
+        o = {u: (i, t) for i, u, t in old_rows}
+        n = {u: (i, t) for i, u, t in new_rows}
+        old = spark.createDataFrame(
+            [(i, u, t) for u, (i, t) in o.items()], "doc_id long, url string, text string"
+        )
+        new = spark.createDataFrame(
+            [(i, u, t) for u, (i, t) in n.items()], "doc_id long, url string, text string"
+        )
+        got = {
+            r["url_norm"]: (r["status"], r["old_id"], r["new_id"])
+            for r in dedup.crawl_delta(old, new).collect()
+        }
+        want = {}
+        for u in set(o) | set(n):
+            key = u.replace("https://", "")
+            if u not in n:
+                want[key] = ("removed", o[u][0], -1)
+            elif u not in o:
+                want[key] = ("added", -1, n[u][0])
+            elif o[u][1] != n[u][1]:
+                want[key] = ("changed", o[u][0], n[u][0])
+            else:
+                want[key] = ("unchanged", o[u][0], n[u][0])
+        assert got == want, seed
