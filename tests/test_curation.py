@@ -246,3 +246,35 @@ def test_funnel_ordering_semantics(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     got = {r["stage"]: r["n_users"] for r in temporal.funnel(ev).collect()}
     assert got == {"signup": 3, "view": 2, "click": 1, "purchase": 1}
+
+
+def test_new_r5_operator_plan_shapes(spark, sf_smoke):
+    """Plan pins for the round-5 additions: the geometry audit is
+    exchange-free (pure array folds); the pyramid adds one cascade
+    exchange per extra level on top of the base aggregate (and never
+    rescans the base); the decile map and the PQ LUT reach the corpus
+    via broadcast joins."""
+    from scidbgeo_spark.operators import pixel, regions, similarity
+
+    docs = _docs(spark, sf_smoke)
+    rings = spark.createDataFrame(
+        [(1, 0, [0.0, 4.0, 4.0, 0.0], [0.0, 0.0, 2.0, 2.0])],
+        "zone_id int, ring_no int, xs array<double>, ys array<double>",
+    )
+    assert _plan(regions.zone_geometry(rings)).count("Exchange") == 0
+
+    coo = model.raster_coo(spark, sf_smoke)
+    pyr = pixel.raster_pyramid(coo, levels=3)
+    pyr.collect()  # AQE finalizes reuse only in the executed plan
+    p3 = _plan(pyr)
+    # the three union branches share the base-level aggregate exchange:
+    # without ReusedExchange the base raster would be re-aggregated per
+    # level, turning one scan into three at 100 TB
+    assert "isFinalPlan=true" in p3
+    assert p3.count("ReusedExchange") >= 1
+
+    assert "BroadcastHashJoin" in _plan(curation.quality_deciles(docs)) or (
+        "BroadcastExchange" in _plan(curation.quality_deciles(docs))
+    )
+    emb = model.load_table(spark, sf_smoke, "embeddings")
+    assert "BroadcastExchange" in _plan(similarity.ann_pq_topk(emb))
