@@ -446,8 +446,17 @@ def q_traffic_spikes(spark, sf_dir):
     hourly = (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
         .agg(F.count("*").alias("cnt"))
+        .withColumn("epoch", F.unix_timestamp("hour"))
     )
-    w = W.partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    # RANGE frame over event-time seconds, not a rows frame: an hourly
+    # series with silent hours must not stretch the baseline window in
+    # wall-clock time (a rows frame would pull counts from arbitrarily
+    # old hours across the gap)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("epoch")
+        .rangeBetween(-24 * 3600, -3600)
+    )
     trail_sum = F.sum("cnt").over(w)
     trail_n = F.count("cnt").over(w)
     # sentinels, not NULLs: nullable sum/score columns decay to NaN in
@@ -489,19 +498,17 @@ def q_zonal_stats_shp(spark, sf_dir):
 
 
 def q_between_3d(spark, sf_dir):
-    """between() on the 3-D array: a band range x spatial window —
-    partition/predicate pruning along every dimension of [band;y;x]."""
+    """between() on the 3-D array: the 2-D inclusive-window operator
+    composed with a band-range filter — predicate pruning along every
+    dimension of [band;y;x], window semantics defined once."""
     from pyspark.sql import functions as F
 
     coo3 = model.raster3_coo(spark, sf_dir)
-    return coo3.filter(
-        (F.col("band") >= 1)
-        & (F.col("band") <= 2)
-        & (F.col("y") >= 10)
-        & (F.col("y") <= 40)
-        & (F.col("x") >= 5)
-        & (F.col("x") <= 30)
-    ).select("band", "y", "x", "value")
+    return (
+        pixel.between(coo3, 10, 5, 40, 30)
+        .filter(F.col("band").between(1, 2))
+        .select("band", "y", "x", "value")
+    )
 
 
 def q_zonal_stats_broadcast(spark, sf_dir):

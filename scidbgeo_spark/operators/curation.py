@@ -310,9 +310,17 @@ def quality_deciles(docs: DataFrame) -> DataFrame:
     actions."""
     from scidbgeo_spark.operators.text import lm_quality_score
 
+    # overflow-safe exact key: floor(sum_freq * S / n) == q*S + (r*S) DIV n
+    # with q = sum_freq DIV n, r = sum_freq % n — the naive pre-multiply
+    # wraps int64 once sum_freq > 2^63/S (~9.2e12, reachable for a long
+    # doc of stopwords on a web corpus); the split form is exact up to a
+    # MEAN corpus frequency of 2^63/S, far past any real corpus
     scored = lm_quality_score(docs).select(
         "doc_id",
-        F.expr(f"(sum_freq * {QD_SCALE}) DIV n_toks").alias("score_key"),
+        F.expr(
+            f"(sum_freq DIV n_toks) * {QD_SCALE}"
+            f" + ((sum_freq % n_toks) * {QD_SCALE}) DIV n_toks"
+        ).alias("score_key"),
     )
     per_key = scored.groupBy("score_key").agg(F.count("*").alias("n"))
     w = Window.orderBy("score_key").rowsBetween(Window.unboundedPreceding, -1)

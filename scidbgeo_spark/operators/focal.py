@@ -75,12 +75,16 @@ def _check_radius(height: int, width: int, chunk: int, r: int) -> None:
 
 
 def _halo_messages(
-    tiles: DataFrame, height: int, width: int, chunk: int, r: int = 1
+    tiles: DataFrame, height: int, width: int, chunk: int, r: int = 1, extra: str = ""
 ) -> DataFrame:
+    """One exchange of border strips; ``extra`` prepends key fields into
+    every message struct (the 3-D path routes 'band' through it)."""
     _check_radius(height, width, chunk, r)
     nty = -(-height // chunk)
     ntx = -(-width // chunk)
-    msgs = ", ".join(_message_expr(oy, ox, nty, ntx, r) for oy, ox in _OFFSETS)
+    msgs = ", ".join(
+        _message_expr(oy, ox, nty, ntx, r, extra) for oy, ox in _OFFSETS
+    )
     return (
         tiles.select(F.expr(f"filter(array({msgs}), m -> m IS NOT NULL)").alias("ms"))
         .select(F.explode("ms").alias("m"))
@@ -266,17 +270,8 @@ def focal_mean_time(
     dimension adds zero extra shuffles, and a 1000-step series costs
     the same shuffle count as one raster.  Kernel and assembly are the
     verified 2-D ones, unchanged."""
-    _check_radius(height, width, chunk, radius)
-    nty = -(-height // chunk)
-    ntx = -(-width // chunk)
-    msgs = ", ".join(
-        _message_expr(oy, ox, nty, ntx, radius, extra="'band', band, ")
-        for oy, ox in _OFFSETS
-    )
-    m = (
-        tiles3.select(F.expr(f"filter(array({msgs}), m -> m IS NOT NULL)").alias("ms"))
-        .select(F.explode("ms").alias("m"))
-        .select("m.*")
+    m = _halo_messages(
+        tiles3, height, width, chunk, radius, extra="'band', band, "
     )
 
     def _tile(key, pdf):

@@ -405,25 +405,28 @@ PQ_M = 2  # subspaces (DIM/PQ_M dims each)
 PQ_K = 8  # codewords per subspace codebook
 
 
+def _subvectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, q): every vector's PQ_M scaled subvectors from ONE
+    corpus scan — posexplode over the in-row slice array, so the
+    subspace split never multiplies scans (a per-subspace unionAll
+    would read the 100 TB corpus PQ_M times)."""
+    sub = DIM // PQ_M
+    return _scaled(emb).select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("sv", m * sub + 1, sub) for m in range(PQ_M)])
+        ).alias("m", "q"),
+    )
+
+
 def _pq_codebooks(emb: DataFrame) -> DataFrame:
     """(m, cid, cv): per-subspace codebooks from the first PQ_K vectors'
     scaled subvectors — the deterministic data-pick init (codebook
     TRAINING is kmeans_assign's demonstrated job; PQ here exercises the
     encode + ADC machinery, which is what runs at corpus scale)."""
-    sub = DIM // PQ_M
-    e = _scaled(emb).filter(F.col("vec_id") < PQ_K)
-    parts = [
-        e.select(
-            F.lit(m).cast("int").alias("m"),
-            F.col("vec_id").cast("int").alias("cid"),
-            F.slice("sv", m * sub + 1, sub).alias("cv"),
-        )
-        for m in range(PQ_M)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    return _subvectors(emb).filter(F.col("vec_id") < PQ_K).select(
+        "m", F.col("vec_id").cast("int").alias("cid"), F.col("q").alias("cv")
+    )
 
 
 def pq_encode(emb: DataFrame) -> DataFrame:
@@ -431,19 +434,7 @@ def pq_encode(emb: DataFrame) -> DataFrame:
     L2 (ties -> smaller cid).  One corpus scan x a broadcast of
     PQ_M * PQ_K tiny codewords; 100 TB shape: 8 bytes of code replace
     512 bytes of vector in everything downstream."""
-    sub = DIM // PQ_M
-    e = _scaled(emb)
-    parts = [
-        e.select(
-            "vec_id",
-            F.lit(m).cast("int").alias("m"),
-            F.slice("sv", m * sub + 1, sub).alias("q"),
-        )
-        for m in range(PQ_M)
-    ]
-    allsub = parts[0]
-    for p in parts[1:]:
-        allsub = allsub.unionAll(p)
+    allsub = _subvectors(emb)
     dist = F.aggregate(
         F.zip_with("q", "cv", lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -468,22 +459,10 @@ def ann_pq_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
     its CODE — the raw vectors never re-enter the query, so the scan
     payload is PQ_M ints per vector.  All-integer arithmetic -> the
     DuckDB twin is bitwise."""
-    sub = DIM // PQ_M
     codes = pq_encode(emb)
-    qsubs = []
-    for m in range(PQ_M):
-        qsubs.append(
-            _scaled(emb)
-            .filter(F.col("vec_id") < n_queries)
-            .select(
-                F.col("vec_id").alias("q_id"),
-                F.lit(m).cast("int").alias("m"),
-                F.slice("sv", m * sub + 1, sub).alias("q"),
-            )
-        )
-    qs = qsubs[0]
-    for p in qsubs[1:]:
-        qs = qs.unionAll(p)
+    qs = _subvectors(emb).filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"), "m", "q"
+    )
     adist = F.aggregate(
         F.zip_with("q", "cv", lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),

@@ -73,6 +73,28 @@ def rasterize_polygons(
     return grid.mapInPandas(_rasterize, schema=ZONE_TILE_SCHEMA)
 
 
+def _zonal_agg(flat: DataFrame, keys: list[str]) -> DataFrame:
+    """Shared stats tail: codegen hash aggregate + the exact avg = sum /
+    count division, grouped by ``keys`` — the 2-D (zone) and 3-D (zone,
+    band) paths must never drift in column names or avg semantics."""
+    return (
+        flat.groupBy(*keys)
+        .agg(
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+            F.sum("v").alias("_s"),
+            F.count("v").alias("count_value"),
+        )
+        .select(
+            *keys,
+            "min_value",
+            "max_value",
+            (F.col("_s") / F.col("count_value")).alias("avg_value"),
+            "count_value",
+        )
+    )
+
+
 def zonal_stats_tiles(raster_tiles: DataFrame, zone_tiles: DataFrame) -> DataFrame:
     """Chunk-join + cellwise zip + codegen hash aggregate (all JVM).
 
@@ -105,22 +127,7 @@ def zonal_stats_tiles(raster_tiles: DataFrame, zone_tiles: DataFrame) -> DataFra
         F.element_at("zid", F.col("pos") + 1).cast("long").alias("id"),
         v.alias("v"),
     )
-    return (
-        flat.groupBy("id")
-        .agg(
-            F.min("v").alias("min_value"),
-            F.max("v").alias("max_value"),
-            F.sum("v").alias("_s"),
-            F.count("v").alias("count_value"),
-        )
-        .select(
-            "id",
-            "min_value",
-            "max_value",
-            (F.col("_s") / F.col("count_value")).alias("avg_value"),
-            "count_value",
-        )
-    )
+    return _zonal_agg(flat, ["id"])
 
 
 def zonal_variance(raster_tiles: DataFrame, zone_tiles: DataFrame) -> DataFrame:
@@ -285,28 +292,18 @@ def zonal_stats_time(raster3_tiles: DataFrame, zone_tiles: DataFrame) -> DataFra
     zt = zone_tiles.select(*TILE_KEYS, "zid")
     j = raster3_tiles.join(zt, TILE_KEYS)
     e = j.select("band", "zid", F.posexplode("px").alias("pos", "v"))
+    elem = raster3_tiles.schema["px"].dataType.elementType.simpleString()
+    v = (
+        F.col("v").cast("long")
+        if elem in ("tinyint", "smallint", "int", "bigint")
+        else F.col("v")
+    )
     flat = e.select(
         F.element_at("zid", F.col("pos") + 1).cast("long").alias("id"),
         F.col("band").cast("int").alias("band"),
-        F.col("v").cast("long").alias("v"),
+        v.alias("v"),
     )
-    return (
-        flat.groupBy("id", "band")
-        .agg(
-            F.min("v").alias("min_value"),
-            F.max("v").alias("max_value"),
-            F.sum("v").alias("_s"),
-            F.count("v").alias("count_value"),
-        )
-        .select(
-            "id",
-            "band",
-            "min_value",
-            "max_value",
-            (F.col("_s") / F.col("count_value")).alias("avg_value"),
-            "count_value",
-        )
-    )
+    return _zonal_agg(flat, ["id", "band"])
 
 
 def rasterize_layer_df(
@@ -319,30 +316,56 @@ def rasterize_layer_df(
     """Distributed rasterize for a DataFrame polygon layer ``(zone_id,
     xs, ys)`` — the millions-of-polygons shape `rasterize_polygons`'s
     whole-layer driver broadcast cannot reach: every tile joins ONLY
-    the rings whose bbox overlaps it (broadcast range join, pruned
-    JVM-side), and each task burns its tile from that pruned set.  Burn
+    the rings whose bbox overlaps it (rings explode to overlapped tile
+    keys, then a hash equi-join), and each task burns its tile from
+    that pruned set.  Burn
     order is ascending zone_id (the driver-list path burns in list
     order; fixtures list zones ascending, pinned by the parity test).
     Tiles no ring overlaps burn straight to the nodata zone."""
     from scidbgeo_spark.kernels import PolyPack, rasterize_tile
 
+    nty = -(-height // chunk)
+    ntx = -(-width // chunk)
     grid = tiling.tile_grid(spark, height, width, chunk)
-    rings = layer.select(
-        F.col("zone_id").cast("long").alias("zid_in"),
-        "xs",
-        "ys",
-        F.array_min("xs").alias("bx0"),
-        F.array_max("xs").alias("bx1"),
-        F.array_min("ys").alias("by0"),
-        F.array_max("ys").alias("by1"),
+    # EQUI-join shape, not an inequality join: each ring explodes into
+    # the tile keys its bbox overlaps (fan-out = bbox area / chunk², the
+    # same bound the PIP covering-cell gate uses), then a plain hash
+    # join on (tile_y, tile_x).  An inequality bbox condition would plan
+    # as BroadcastNestedLoopJoin — the whole layer to the driver and
+    # O(tiles x rings) comparisons, the exact bottleneck this function
+    # exists to avoid.
+    ty0 = F.greatest(F.lit(0), F.floor(F.array_min("ys") / chunk).cast("int"))
+    ty1 = F.least(F.lit(nty - 1), F.floor(F.array_max("ys") / chunk).cast("int"))
+    tx0 = F.greatest(F.lit(0), F.floor(F.array_min("xs") / chunk).cast("int"))
+    tx1 = F.least(F.lit(ntx - 1), F.floor(F.array_max("xs") / chunk).cast("int"))
+    rings = (
+        layer.select(
+            F.col("zone_id").cast("long").alias("zid_in"),
+            "xs",
+            "ys",
+            ty0.alias("ty0"),
+            ty1.alias("ty1"),
+            tx0.alias("tx0"),
+            tx1.alias("tx1"),
+        )
+        .filter((F.col("ty0") <= F.col("ty1")) & (F.col("tx0") <= F.col("tx1")))
+        .select(
+            "zid_in",
+            "xs",
+            "ys",
+            F.explode(F.sequence("ty0", "ty1")).alias("tile_y"),
+            F.col("tx0"),
+            F.col("tx1"),
+        )
+        .select(
+            "zid_in",
+            "xs",
+            "ys",
+            "tile_y",
+            F.explode(F.sequence("tx0", "tx1")).alias("tile_x"),
+        )
     )
-    cond = (
-        (F.col("bx1") >= F.col("x0"))
-        & (F.col("bx0") < F.col("x0") + F.col("w"))
-        & (F.col("by1") >= F.col("y0"))
-        & (F.col("by0") < F.col("y0") + F.col("h"))
-    )
-    j = grid.join(F.broadcast(rings), cond, "left")
+    j = grid.join(rings, ["tile_y", "tile_x"], "left")
 
     def _burn(key, pdf):
         first = pdf.iloc[0]

@@ -1865,7 +1865,9 @@ tok AS (SELECT doc_id, {_MD5INT.format(x='t')} AS h
 freq AS (SELECT h, count(*) AS cnt FROM tok GROUP BY h),
 per AS (SELECT doc_id, count(*) AS n_toks, sum(cnt) AS sum_freq
         FROM tok JOIN freq USING (h) GROUP BY doc_id),
-s AS (SELECT doc_id, (sum_freq * {QD_SCALE}) // n_toks AS score_key FROM per),
+s AS (SELECT doc_id,
+           (sum_freq // n_toks) * {QD_SCALE}
+           + ((sum_freq % n_toks) * {QD_SCALE}) // n_toks AS score_key FROM per),
 pk AS (SELECT score_key, count(*) AS n FROM s GROUP BY 1),
 c AS (SELECT score_key,
              coalesce(sum(n) OVER (ORDER BY score_key
@@ -1989,10 +1991,10 @@ SQL["traffic_spikes"] = """WITH h AS (
 ),
 w AS (
   SELECT event_type, hour, cnt,
-         sum(cnt) OVER (PARTITION BY event_type ORDER BY hour
-                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS ts_,
-         count(cnt) OVER (PARTITION BY event_type ORDER BY hour
-                          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS th
+         sum(cnt) OVER (PARTITION BY event_type ORDER BY epoch(hour)
+                        RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING) AS ts_,
+         count(cnt) OVER (PARTITION BY event_type ORDER BY epoch(hour)
+                          RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING) AS th
   FROM h
 )
 SELECT event_type, hour, cnt,

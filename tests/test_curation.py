@@ -278,3 +278,20 @@ def test_new_r5_operator_plan_shapes(spark, sf_smoke):
     )
     emb = model.load_table(spark, sf_smoke, "embeddings")
     assert "BroadcastExchange" in _plan(similarity.ann_pq_topk(emb))
+
+
+def test_rasterize_layer_df_plans_equi_join(spark):
+    """The tile x ring pruning must plan as a hash/sort-merge EQUI-join
+    on the exploded tile keys — a BroadcastNestedLoopJoin means the
+    bbox condition regressed to an inequality join (whole layer to the
+    driver, O(tiles x rings) comparisons)."""
+    from scidbgeo_spark import fixtures
+    from scidbgeo_spark.operators import zonal
+
+    rows = [
+        (int(z), [float(v) for v in r[:, 0]], [float(v) for v in r[:, 1]])
+        for z, r in fixtures.rect_grid_polygons(100, 100)
+    ]
+    layer = spark.createDataFrame(rows, "zone_id int, xs array<double>, ys array<double>")
+    plan = _plan(zonal.rasterize_layer_df(spark, layer, 100, 100, 50))
+    assert "BroadcastNestedLoopJoin" not in plan

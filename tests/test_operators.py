@@ -548,3 +548,30 @@ def test_traffic_spikes_window_arithmetic(spark):
     assert out[25]["trailing_hours"] == 24
     assert out[25]["trailing_sum"] == sum(range(2, 26))
     assert out[25]["spike_score"] == 26 * 24 / sum(range(2, 26))
+
+
+def test_traffic_spikes_time_range_not_rows(spark):
+    """The baseline is a TIME range, not a rows frame: after a 36-hour
+    silent gap, the burst hour has NO baseline (old hours must not leak
+    across the gap the way a trailing-24-ROWS frame would)."""
+    import datetime as dt
+    from unittest import mock
+
+    base = dt.datetime(2026, 1, 1)
+    rows = []
+    eid = 0
+    for h in [0, 1, 2, 3, 40, 41]:
+        for _ in range(5):
+            rows.append((eid, base + dt.timedelta(hours=h), 7, "buy", 0.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    import __spark_entry__ as e
+
+    with mock.patch.object(model, "load_table", return_value=ev):
+        out = {r["hour"].hour + (r["hour"].day - 1) * 24: r
+               for r in e.queries()["traffic_spikes"](spark, "ignored").collect()}
+    assert out[40]["trailing_hours"] == 0 and out[40]["trailing_sum"] == 0
+    assert out[40]["spike_score"] == 0.0
+    assert out[41]["trailing_hours"] == 1 and out[41]["trailing_sum"] == 5
