@@ -1299,6 +1299,77 @@ def q_crawl_delta(spark, sf_dir):
     return dedup.crawl_delta(old, new_same.unionAll(added))
 
 
+def q_lang_drift(spark, sf_dir):
+    """Language-share drift between two crawl snapshots (doc_id parity
+    split): per-lang doc share in each half and the share delta — the
+    distribution-shift audit run on every refresh before training-mix
+    decisions.  Two map-side-combined aggs + one tiny join; shares are
+    single exact divisions."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+
+    def half(pred, tag):
+        d = docs.filter(pred)
+        n = d.agg(F.count("*").alias("n"))
+        return (
+            d.groupBy("lang")
+            .agg(F.count("*").alias(f"n_{tag}"))
+            .join(F.broadcast(n))
+            .select(
+                "lang",
+                f"n_{tag}",
+                (F.col(f"n_{tag}").cast("double") / F.col("n")).alias(f"share_{tag}"),
+            )
+        )
+
+    a = half(F.col("doc_id") % 2 == 0, "old")
+    b = half(F.col("doc_id") % 2 == 1, "new")
+    return (
+        a.join(b, "lang", "full_outer")
+        .select(
+            "lang",
+            F.coalesce("n_old", F.lit(0)).alias("n_old"),
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+            F.coalesce("share_old", F.lit(0.0)).alias("share_old"),
+            F.coalesce("share_new", F.lit(0.0)).alias("share_new"),
+            (
+                F.coalesce("share_new", F.lit(0.0))
+                - F.coalesce("share_old", F.lit(0.0))
+            ).alias("drift"),
+        )
+    )
+
+
+def q_dup_rate_by_source(spark, sf_dir):
+    """Duplicate burden per source over the planted-dup corpus: docs,
+    distinct texts, and the duplicate fraction — the per-site dashboard
+    a curation team watches (template-heavy sites stand out).  One
+    map-side-combined agg on (source, md5); the rate is one exact
+    division."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    corpus = dedup.dup_corpus(docs).join(
+        docs.select("doc_id", "source"), "doc_id", "left"
+    ).select(
+        F.coalesce("source", F.lit("injected")).alias("source"),
+        F.md5("text").alias("h"),
+    )
+    per = corpus.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("h").alias("n_distinct"),
+    )
+    return per.select(
+        "source",
+        "n_docs",
+        "n_distinct",
+        (
+            (F.col("n_docs") - F.col("n_distinct")).cast("double") / F.col("n_docs")
+        ).alias("dup_rate"),
+    )
+
+
 def q_dedup_exact(spark, sf_dir):
     return dedup.dedup_exact(dedup.dup_corpus(_docs(spark, sf_dir)))
 
@@ -1703,6 +1774,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_recall": q_ann_pq_recall,
     "zonal_change": q_zonal_change,
     "traffic_spikes": q_traffic_spikes,
+    "lang_drift": q_lang_drift,
+    "dup_rate_by_source": q_dup_rate_by_source,
     "dedup_incremental": q_dedup_incremental,
     "bloom_prefilter": q_bloom_prefilter,
     "kmeans_assign": q_kmeans_assign,

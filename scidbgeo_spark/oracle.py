@@ -2003,3 +2003,34 @@ SELECT event_type, hour, cnt,
        CASE WHEN ts_ > 0 THEN CAST(cnt * th AS DOUBLE) / ts_
             ELSE 0.0 END AS spike_score
 FROM w"""
+
+
+# language-share drift between crawl halves (doc_id parity split)
+SQL["lang_drift"] = """WITH
+o AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_old,
+             count(*) / (SELECT count(*) FROM documents WHERE doc_id % 2 = 0)
+               AS share_old
+      FROM documents WHERE doc_id % 2 = 0 GROUP BY lang),
+n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_new,
+             count(*) / (SELECT count(*) FROM documents WHERE doc_id % 2 = 1)
+               AS share_new
+      FROM documents WHERE doc_id % 2 = 1 GROUP BY lang)
+SELECT lang,
+       coalesce(n_old, 0) AS n_old, coalesce(n_new, 0) AS n_new,
+       coalesce(share_old, 0.0) AS share_old,
+       coalesce(share_new, 0.0) AS share_new,
+       coalesce(share_new, 0.0) - coalesce(share_old, 0.0) AS drift
+FROM o FULL OUTER JOIN n USING (lang)"""
+
+
+# duplicate burden per source over the planted-dup corpus (injected
+# copies carry no source row -> the 'injected' bucket)
+SQL["dup_rate_by_source"] = f"""WITH {CORPUS},
+j AS (SELECT coalesce(d.source, 'injected') AS source, md5(c.text) AS h
+      FROM corpus c LEFT JOIN documents d ON c.doc_id = d.doc_id),
+per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_distinct
+        FROM j GROUP BY source)
+SELECT source, n_docs, n_distinct,
+       CAST(n_docs - n_distinct AS DOUBLE) / n_docs AS dup_rate
+FROM per"""

