@@ -53,11 +53,21 @@ SCALE_4N = 4 * SCALE_N
 # pairs + the median + the symmetric physical/control filters, which a
 # chain buys at half the cost of disjoint pairs — best-of-k retrying
 # (r3) paid double for each side and starved the pair count instead
-# (the r3 artifact stopped at 3 pairs).  H stays 3072: shrinking the
-# raster raises the fixed-per-job fraction (driver planning
-# ~0.2-0.5 s/action, identical at N and 4N) and measures the scheduler,
-# not the engine (measured: H=2048 reads 0.36 in a window where H=3072
-# reads 0.59).
+# (the r3 artifact stopped at 3 pairs).  Workload size: BIGGER jobs
+# read truer ratios — shrinking the raster raises the fixed-per-job
+# fraction (driver planning/scheduling ~0.2-0.5 s/action over the 4
+# timed actions, identical seconds at N and 4N) and measures the
+# scheduler, not the engine (measured: H=2048 reads 0.36 in a window
+# where H=3072 reads 0.59).  r5 raises H 3072->4608 / pts 2M->4M for
+# the same reason at the next level: per-phase Amdahl decomposition of
+# the r4 representative clean-window pair (N 8.19 s, 4N 2.97 s) puts
+# the aggregate fixed floor at ~1.2 s of the 2.97 s 4N side — a 41%
+# serial fraction that caps even a perfectly-scaling engine at ~0.69.
+# On the 100 TB target cluster stages run minutes, so a sub-3-second
+# measured side makes the scheduler floor the dominant term: a sandbox
+# artifact, like the shared DRAM bus, not an engine property.  ~2.2x
+# work amortizes it (same plan shapes, same partitioning) while a pair
+# still costs ~75 s — quorum stays reachable inside the hard wall.
 SCALE_TRIALS = int(os.environ.get("BENCH_SCALE_TRIALS", "1"))
 SCALE_TRIALS_4N = int(os.environ.get("BENCH_SCALE_TRIALS_4N", "1"))
 SCALE_BUDGET_S = int(os.environ.get("BENCH_SCALE_BUDGET_S", "360"))
@@ -65,16 +75,18 @@ SCALE_BUDGET_S = int(os.environ.get("BENCH_SCALE_BUDGET_S", "360"))
 # still short of SCALE_PAIRS sane pairs (collecting evidence beats an
 # under-powered median) but never past this hard wall.  640 s covers a
 # storm where several pairs drop on cratered controls (measured: a
-# 560 s wall cut one run at 5 kept pairs, one short of quorum).
-SCALE_HARD_S = int(os.environ.get("BENCH_SCALE_HARD_S", "640"))
+# 560 s wall cut one run at 5 kept pairs, one short of quorum; r5's
+# 2.2x workload costs ~75 s/pair, so 780 s keeps ~7 pairs reachable
+# with drop slack).
+SCALE_HARD_S = int(os.environ.get("BENCH_SCALE_HARD_S", "780"))
 # constant across core counts: same job, same partitioning.  8 (not 32):
 # 144 tiles / 9.4M rows need few reducers, and 32-way fan-out pays ~25%
 # task/scheduling overhead on BOTH sides (measured: N 10.5->8.2 s,
 # 4N 4.1->3.0 s at 8-way) while 2 waves per core at 4N still absorb a
 # stalled task; the RATIO also improves (0.64 -> 0.67 adjacent windows)
 SCALE_SHUFFLE = int(os.environ.get("BENCH_SCALE_SHUFFLE", "8"))
-SCALE_H = int(os.environ.get("BENCH_SCALE_H", "3072"))
-SCALE_PTS = int(os.environ.get("BENCH_SCALE_PTS", "2000000"))
+SCALE_H = int(os.environ.get("BENCH_SCALE_H", "4608"))
+SCALE_PTS = int(os.environ.get("BENCH_SCALE_PTS", "4000000"))
 SCALE_CHUNK = 256
 SCALE_PIP_VERTS = int(os.environ.get("BENCH_SCALE_VERTS", "160"))
 # zone span for the scale zonal layer: a "counties"-like layer over a
@@ -348,7 +360,7 @@ def run_scaling() -> tuple[dict, dict]:
             ],
             capture_output=True,
             text=True,
-            timeout=900,
+            timeout=1200,
             env=env,
         )
         if proc.returncode != 0 or not proc.stdout.strip():
@@ -392,15 +404,27 @@ def run_scaling() -> tuple[dict, dict]:
 
     sane, median_eff = _sane_pairs, _median_eff
 
+    failed_runs: list[str] = []
     # chain: N, 4N, N, 4N, ... — k runs yield k-1 adjacent pairs
     while len(runs) < SCALE_MAX_PAIRS + 1:
         t_run = time.time()
         side = "n" if len(runs) % 2 == 0 else "4n"
-        res = (
-            one(SCALE_N, SCALE_TRIALS)
-            if side == "n"
-            else one(SCALE_4N, SCALE_TRIALS_4N)
-        )
+        # a run lost to a deep-storm stall (subprocess timeout / crash)
+        # must not kill the whole artifact: record it, keep the chain.
+        # The side is derived from len(runs), so a failed run retries
+        # the SAME side and strict N/4N alternation is preserved.
+        try:
+            res = (
+                one(SCALE_N, SCALE_TRIALS)
+                if side == "n"
+                else one(SCALE_4N, SCALE_TRIALS_4N)
+            )
+        except Exception as exc:  # noqa: BLE001 — disclosed, never silent
+            failed_runs.append(f"{side}: {type(exc).__name__}: {exc}"[:300])
+            if time.time() - t_start > SCALE_HARD_S or len(failed_runs) >= 4:
+                break
+            time.sleep(PREFLIGHT_SLEEP_S)
+            continue
         # per-run hardware calibration: the streaming-triad control runs
         # adjacent to the run it calibrates, so a host-contended window
         # is visible on BOTH numbers
@@ -443,6 +467,7 @@ def run_scaling() -> tuple[dict, dict]:
             # the pair budget — a storm-bound start already cost 240 s
             # and still needs the full chain to reach quorum
             break
+    preflight["failed_runs"] = failed_runs
     return summarize_scaling(_pairs(), runs, preflight, compute_control())
 
 
@@ -479,6 +504,27 @@ def summarize_scaling(
     without subprocess chains (the r4 artifact overflow was exactly an
     untested worst case)."""
     import statistics
+
+    if not pairs:
+        # every chain run failed (deep-storm stalls past the subprocess
+        # timeout): record the failure honestly instead of crashing the
+        # whole artifact
+        empty = {
+            "n_runs": len(runs),
+            "pairing": "adjacent-overlapping",
+            "stop_rule": "quorum+budget",
+            "preflight": {k: preflight.get(k) for k in
+                          ("n_probes", "start_control", "waited_s",
+                           "storm_bound_start")},
+            "failed_runs": len(preflight.get("failed_runs", [])),
+            "median_efficiency": None,
+            "clean_window": {"min_control": CLEAN_CTRL, "n_pairs": 0,
+                             "median_efficiency": None},
+            "all_pairs_insane": True,
+            "detail": os.path.basename(DETAIL_PATH),
+        }
+        return empty, {"pairs": [], "preflight": preflight,
+                       "failed_runs": preflight.get("failed_runs", [])}
 
     med = round(_median_eff(pairs), 3)
     kept = _sane_pairs(pairs)
@@ -580,6 +626,9 @@ def summarize_scaling(
             # mid-chain host re-gate (see run_scaling): probes slept
             # through cratered windows instead of measuring in them
             "n_regate_probes": preflight.get("regate", {}).get("n_probes", 0),
+            # chain runs lost to deep-storm stalls (subprocess timeout),
+            # retried on the same side — full reasons in the detail file
+            "n_failed_runs": len(preflight.get("failed_runs", [])),
         },
         "pair_efficiencies": [p["efficiency"] for p in use],
         # headline = median over sane-control pairs (noise-robust)
@@ -613,6 +662,7 @@ def summarize_scaling(
         "dropped_pairs": dropped,
         "run_controls": [r["control"] for r in runs],
         "run_sides": [r["side"] for r in runs],
+        "failed_runs": preflight.get("failed_runs", []),
         "preflight": preflight,
         "compute_ceiling": ceiling,
         "clean_pair_efficiencies": [p["efficiency"] for p in clean],
