@@ -290,3 +290,97 @@ def zone_geometry(rings: DataFrame) -> DataFrame:
         "min_y",
         "max_y",
     )
+
+
+def areal_interpolate(
+    a: DataFrame,
+    b: DataFrame,
+    cell: int = 64,
+    value_col: str = "value",
+    area_a: int | None = None,
+) -> DataFrame:
+    """Areal interpolation: transfer a quantity between two INCOMPATIBLE
+    rect-zone systems by intersection-area weighting (the classic GIS
+    reaggregation between e.g. census tracts and weather grid cells —
+    the vector-vector overlay counterpart of zonal.rasterize_polygons'
+    vector-raster direction; the reference reaches the same result by
+    rasterizing both layers and joining pixels, SciDBParallel.py:700-706,
+    which moves AREA-scale data where this moves ZONE-scale data).
+
+    ``a``: source zones ``(zid_a, y0, y1, x0, x1, <value_col>)`` with
+    half-open pixel bounds; ``b``: target zones ``(zid_b, y0, y1, x0,
+    x1)``.  Coordinates must be non-negative integers (raster pixel
+    space).
+
+    100 TB shape: both layers key their rects by the coarse grid cells
+    they touch (``F.sequence`` explode, <= 4 cells per rect when spans
+    <= ``cell``) and meet in a plain EQUI-join on the cell id — never a
+    cross join, never an inequality join; skewed mega-zones fan out
+    over more cells and so spread over more reducers by construction.
+    Pairs sharing several cells are deduped BEFORE the rollup (the
+    intersection is computed identically in every shared cell).
+
+    With ``area_a`` given (uniform source-zone area, e.g. a full-band
+    rect grid), ``est_value`` is one exact bigint sum divided once by
+    the constant — bitwise engine-independent.  Without it, the
+    per-pair ``value * area_int / area_pair`` doubles are summed in
+    partition order (documented float caveat, same as zone_geometry's
+    float-layer path)."""
+
+    def cells(df: DataFrame, prefix: str) -> DataFrame:
+        out = df
+        for c in ("y0", "y1", "x0", "x1"):
+            out = out.withColumnRenamed(c, f"{prefix}{c}")
+        return out.withColumn(
+            "ccell",
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(
+                            F.expr(f"{prefix}y0 DIV {cell}"),
+                            F.expr(f"({prefix}y1 - 1) DIV {cell}"),
+                        ),
+                        lambda cy: F.transform(
+                            F.sequence(
+                                F.expr(f"{prefix}x0 DIV {cell}"),
+                                F.expr(f"({prefix}x1 - 1) DIV {cell}"),
+                            ),
+                            lambda cx: cy * F.lit(1 << 20) + cx,
+                        ),
+                    )
+                )
+            ),
+        )
+
+    j = cells(a, "a").join(cells(b, "b"), "ccell")
+    iy0 = F.greatest("ay0", "by0")
+    iy1 = F.least("ay1", "by1")
+    ix0 = F.greatest("ax0", "bx0")
+    ix1 = F.least("ax1", "bx1")
+    pairs = (
+        j.filter((iy1 > iy0) & (ix1 > ix0))
+        .select(
+            "zid_a",
+            "zid_b",
+            F.col(value_col).alias("_v"),
+            ((iy1 - iy0) * (ix1 - ix0)).cast("long").alias("_ia"),
+            ((F.col("ay1") - F.col("ay0")) * (F.col("ax1") - F.col("ax0")))
+            .cast("long")
+            .alias("_aa"),
+        )
+        .dropDuplicates(["zid_a", "zid_b"])
+    )
+    g = pairs.groupBy("zid_b").agg(
+        F.count("*").alias("n_parts"),
+        F.sum("_ia").alias("covered_area"),
+        F.sum(F.col("_v") * F.col("_ia")).alias("_num"),
+        F.sum(F.col("_v") * F.col("_ia") / F.col("_aa")).alias("_est_f"),
+    )
+    est = (
+        (F.col("_num") / F.lit(float(area_a)))
+        if area_a is not None
+        else F.col("_est_f")
+    )
+    return g.select(
+        "zid_b", "n_parts", "covered_area", est.alias("est_value")
+    )

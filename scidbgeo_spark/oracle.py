@@ -2034,3 +2034,51 @@ per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
 SELECT source, n_docs, n_distinct,
        CAST(n_docs - n_distinct AS DOUBLE) / n_docs AS dup_rate
 FROM per"""
+
+
+# areal interpolation: 20x20 'states' zonal sums -> offset 30x30
+# 'weather' grid by exact intersection-area weights.  The oracle joins
+# on raw bbox overlap (fine at sf0.01); the engine meets in a
+# covering-cell EQUI-join (regions.areal_interpolate).  est_value is
+# one exact integer sum divided once by the uniform source area —
+# bitwise engine-independent.
+SQL["areal_interp"] = f"""WITH {COO},
+dims AS (SELECT (((SELECT count(*) FROM events) // {RASTER_W}) // {ZONE_H})
+                * {ZONE_H} AS ext_y),
+a AS (
+  SELECT (y // {ZONE_H}) * {NZX} + (x // {ZONE_W}) AS zid_a,
+         CAST(SUM(value) AS BIGINT) AS value
+  FROM coo, dims WHERE y < ext_y
+  GROUP BY 1
+),
+ar AS (
+  SELECT zid_a, value,
+         (zid_a // {NZX}) * {ZONE_H} AS ay0,
+         (zid_a // {NZX}) * {ZONE_H} + {ZONE_H} AS ay1,
+         (zid_a % {NZX}) * {ZONE_W} AS ax0,
+         (zid_a % {NZX}) * {ZONE_W} + {ZONE_W} AS ax1
+  FROM a
+),
+br AS (
+  SELECT j * ((({RASTER_W} - 11) // 30) + 1) + i AS zid_b,
+         10 + j * 30 AS by0,
+         LEAST(10 + j * 30 + 30, ext_y) AS by1,
+         10 + i * 30 AS bx0,
+         LEAST(10 + i * 30 + 30, {RASTER_W}) AS bx1
+  FROM generate_series(0, 100000) t1(j),
+       generate_series(0, ({RASTER_W} - 11) // 30) t2(i),
+       dims
+  WHERE 10 + j * 30 < ext_y
+)
+SELECT zid_b,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM((LEAST(ay1, by1) - GREATEST(ay0, by0))
+              * (LEAST(ax1, bx1) - GREATEST(ax0, bx0))) AS BIGINT)
+         AS covered_area,
+       CAST(SUM(value * (LEAST(ay1, by1) - GREATEST(ay0, by0))
+                      * (LEAST(ax1, bx1) - GREATEST(ax0, bx0))) AS BIGINT)
+         / {400.0} AS est_value
+FROM br JOIN ar
+  ON LEAST(ay1, by1) > GREATEST(ay0, by0)
+ AND LEAST(ax1, bx1) > GREATEST(ax0, bx0)
+GROUP BY 1"""

@@ -575,3 +575,39 @@ def test_traffic_spikes_time_range_not_rows(spark):
     assert out[40]["trailing_hours"] == 0 and out[40]["trailing_sum"] == 0
     assert out[40]["spike_score"] == 0.0
     assert out[41]["trailing_hours"] == 1 and out[41]["trailing_sum"] == 5
+
+
+def test_areal_interpolate_exact_and_deduped(spark):
+    """Hand-checkable areal interpolation: two 10x10 source zones with
+    values 100 / 200, one 10x10 target straddling them evenly plus one
+    partially-covered target.  cell=8 forces every rect to span
+    SEVERAL covering cells, so the same (a, b) pair meets in more than
+    one cell and the pre-rollup dedup is load-bearing; the plan must
+    stay an equi-join (no cartesian/nested-loop from the overlap
+    filter)."""
+    from scidbgeo_spark.operators import regions
+
+    a = spark.createDataFrame(
+        [(0, 0, 10, 0, 10, 100), (1, 0, 10, 10, 20, 200)],
+        "zid_a long, y0 long, y1 long, x0 long, x1 long, value long",
+    )
+    b = spark.createDataFrame(
+        # b0 straddles a0|a1 evenly; b1 hangs off the covered extent
+        [(0, 0, 10, 5, 15), (1, 5, 15, 15, 25)],
+        "zid_b long, y0 long, y1 long, x0 long, x1 long",
+    )
+    out = regions.areal_interpolate(a, b, cell=8, area_a=100)
+    rows = {r.zid_b: r for r in out.collect()}
+    assert rows[0].n_parts == 2 and rows[0].covered_area == 100
+    # 100 * 50/100 + 200 * 50/100 = 150
+    assert rows[0].est_value == 150.0
+    # b1 overlaps only a1: 5x5 = 25 px -> 200 * 25/100 = 50
+    assert rows[1].n_parts == 1 and rows[1].covered_area == 25
+    assert rows[1].est_value == 50.0
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+    # float path (no uniform area): same numbers via per-pair division
+    outf = {r.zid_b: r for r in regions.areal_interpolate(a, b, cell=8).collect()}
+    assert outf[0].est_value == 150.0 and outf[1].est_value == 50.0
