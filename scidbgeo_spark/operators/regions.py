@@ -331,6 +331,13 @@ def areal_interpolate(
         out = df
         for c in ("y0", "y1", "x0", "x1"):
             out = out.withColumnRenamed(c, f"{prefix}{c}")
+        # degenerate (empty) rects would make F.sequence DESCEND
+        # (sequence(a, b) with b < a) and fabricate covering cells —
+        # drop them before the explode
+        out = out.filter(
+            (F.col(f"{prefix}y1") > F.col(f"{prefix}y0"))
+            & (F.col(f"{prefix}x1") > F.col(f"{prefix}x0"))
+        )
         return out.withColumn(
             "ccell",
             F.explode(
@@ -345,7 +352,7 @@ def areal_interpolate(
                                 F.expr(f"{prefix}x0 DIV {cell}"),
                                 F.expr(f"({prefix}x1 - 1) DIV {cell}"),
                             ),
-                            lambda cx: cy * F.lit(1 << 20) + cx,
+                            lambda cx: cy * F.lit(1 << 31).cast("long") + cx,
                         ),
                     )
                 )
