@@ -541,6 +541,24 @@ def q_focal_mean_cells(spark, sf_dir):
     return tiling.tiles_to_coo(means, "value_avg")
 
 
+def q_terrain(spark, sf_dir):
+    """Horn 3x3 terrain derivatives over the raster in ONE halo
+    exchange: integer gradients (gx, gy), bit-exact slope, 45-degree
+    aspect octant (d8), and az-315/alt-45 integer hillshade — the
+    classic raster-DB surface-analysis family (the reference's
+    window(...) shape with a derivative kernel).  Interior cells only
+    (all 8 neighbors present), matching GDAL's edge handling."""
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    return focal.terrain_coo(tiles, h, w, CHUNK)
+
+
+def q_point_density(spark, sf_dir):
+    """Smoothed point-density heatmap on the 1-degree grid: cell counts
+    convolved with the integer 3x3 binomial kernel.  The kernel runs on
+    the aggregated cell table (constant x9 scatter), never the points."""
+    return knn_mod.point_density(model.points(spark, sf_dir))
+
+
 def q_focal_minmax(spark, sf_dir):
     """window(A,1,1,1,1,min/max): per-cell shrinking-window extrema in
     one halo-exchange pass (separable sliding-extreme kernel)."""
@@ -1803,6 +1821,8 @@ def q_areal_interp(spark, sf_dir):
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
+    "terrain": q_terrain,
+    "point_density": q_point_density,
     "lm_quality_score": q_lm_quality_score,
     "boilerplate_spans": q_boilerplate_spans,
     "zonal_stats_time": q_zonal_stats_time,

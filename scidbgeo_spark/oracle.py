@@ -279,6 +279,65 @@ nb AS (
   GROUP BY a.y, a.x
 )
 SELECT y, x, CAST(s AS DOUBLE) / c AS value_avg FROM nb""",
+    # Horn 3x3 terrain derivatives: neighbor values are CLOSED-FORM
+    # modular arithmetic on event_id (id = y*W + x, so the (dy,dx)
+    # neighbor's value is ((id + dy*W + dx) * MULT) % MOD) — zero joins,
+    # fully independent of the engine's halo-exchange path.  Interior
+    # cells only (the raster has no ragged row: raster_dims fails fast).
+    # slope/hillshade reproduce bitwise: int->double conversions are
+    # exact, IEEE sqrt is correctly rounded, /8 /16 /64 are powers of
+    # two, and hillshade rounds to an int, collapsing residual ULP risk.
+    "terrain": f"""WITH g AS (
+  SELECT event_id // {RASTER_W} AS y, event_id % {RASTER_W} AS x,
+    (((event_id - {RASTER_W} + 1) * {VALUE_MULT}) % {VALUE_MOD}
+     + 2 * (((event_id + 1) * {VALUE_MULT}) % {VALUE_MOD})
+     + ((event_id + {RASTER_W} + 1) * {VALUE_MULT}) % {VALUE_MOD})
+    - (((event_id - {RASTER_W} - 1) * {VALUE_MULT}) % {VALUE_MOD}
+     + 2 * (((event_id - 1) * {VALUE_MULT}) % {VALUE_MOD})
+     + ((event_id + {RASTER_W} - 1) * {VALUE_MULT}) % {VALUE_MOD}) AS gx,
+    (((event_id + {RASTER_W} - 1) * {VALUE_MULT}) % {VALUE_MOD}
+     + 2 * (((event_id + {RASTER_W}) * {VALUE_MULT}) % {VALUE_MOD})
+     + ((event_id + {RASTER_W} + 1) * {VALUE_MULT}) % {VALUE_MOD})
+    - (((event_id - {RASTER_W} - 1) * {VALUE_MULT}) % {VALUE_MOD}
+     + 2 * (((event_id - {RASTER_W}) * {VALUE_MULT}) % {VALUE_MOD})
+     + ((event_id - {RASTER_W} + 1) * {VALUE_MULT}) % {VALUE_MOD}) AS gy
+  FROM events
+  WHERE event_id % {RASTER_W} BETWEEN 1 AND {RASTER_W - 2}
+    AND event_id // {RASTER_W}
+        BETWEEN 1 AND (SELECT count(*) FROM events) // {RASTER_W} - 2
+)
+SELECT y, x, gx, gy,
+  sqrt(CAST(gx*gx + gy*gy AS DOUBLE)) / 8.0 AS slope,
+  CAST(CASE WHEN gx = 0 AND gy = 0 THEN 0
+    WHEN gx > 0 AND gy >= 0 AND gy < gx THEN 1
+    WHEN gy > 0 AND gx > 0 THEN 2
+    WHEN gy > 0 AND gx <= 0 AND abs(gx) < gy THEN 3
+    WHEN gy > 0 AND gx < 0 THEN 4
+    WHEN gx < 0 AND gy <= 0 AND abs(gy) < abs(gx) THEN 5
+    WHEN gy < 0 AND gx < 0 THEN 6
+    WHEN gy < 0 AND gx >= 0 AND gx < abs(gy) THEN 7
+    ELSE 8 END AS INT) AS d8,
+  CAST(floor(greatest(0.0,
+    255.0 * ((gx + gy) / 16.0 + sqrt(0.5))
+      / sqrt(1.0 + (gx*gx + gy*gy) / 64.0)) + 0.5) AS INT) AS hillshade
+FROM g""",
+    # binomial-smoothed density: the kernel convolves the aggregated
+    # cell counts (offsets cross-join a 9-row VALUES table), mirroring
+    # the engine's scatter — weight (2-|dy|)*(2-|dx|)
+    "point_density": f"""WITH {PTS},
+cells AS (
+  SELECT CAST(floor(lat + 90.0) AS BIGINT) AS cy,
+         CAST(floor(lon + 180.0) AS BIGINT) AS cx, count(*) AS n
+  FROM pts GROUP BY 1, 2
+),
+offs AS (SELECT a.dy, b.dx
+         FROM (VALUES (-1), (0), (1)) a(dy), (VALUES (-1), (0), (1)) b(dx))
+SELECT c.cy + o.dy AS cy, c.cx + o.dx AS cx,
+       CAST(sum(c.n * (2 - abs(o.dy)) * (2 - abs(o.dx))) AS BIGINT)
+         AS density
+FROM cells c, offs o
+WHERE c.cy + o.dy BETWEEN 0 AND 179 AND c.cx + o.dx BETWEEN 0 AND 359
+GROUP BY 1, 2""",
     "between_tiles": f"""WITH {COO}
 SELECT y, x, value FROM coo
 WHERE y BETWEEN 25 AND 75 AND x BETWEEN 10 AND 60""",

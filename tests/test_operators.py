@@ -611,3 +611,91 @@ def test_areal_interpolate_exact_and_deduped(spark):
     # float path (no uniform area): same numbers via per-pair division
     outf = {r.zid_b: r for r in regions.areal_interpolate(a, b, cell=8).collect()}
     assert outf[0].est_value == 150.0 and outf[1].est_value == 50.0
+
+
+def test_terrain_vs_numpy_and_chunk_invariance(spark, coo, dense):
+    """Horn terrain derivatives == a scalar brute-force evaluation on the
+    dense NumPy twin (gx/gy/d8 integer-exact; slope/hillshade bit-exact
+    IEEE), at the default chunk AND a ragged chunk (3) that forces halo
+    strips across every tile edge."""
+    import math
+
+    a = dense.astype(np.int64)
+    h, w = a.shape
+    exp = {}
+    for y in range(1, h - 1):
+        for x in range(1, w - 1):
+            nw, n_, ne = int(a[y-1, x-1]), int(a[y-1, x]), int(a[y-1, x+1])
+            w_, e_ = int(a[y, x-1]), int(a[y, x+1])
+            sw, s_, se = int(a[y+1, x-1]), int(a[y+1, x]), int(a[y+1, x+1])
+            gx = (ne + 2 * e_ + se) - (nw + 2 * w_ + sw)
+            gy = (sw + 2 * s_ + se) - (nw + 2 * n_ + ne)
+            if gx == 0 and gy == 0:
+                d8 = 0
+            elif gx > 0 and gy >= 0 and gy < gx:
+                d8 = 1
+            elif gy > 0 and gx > 0:
+                d8 = 2
+            elif gy > 0 and gx <= 0 and abs(gx) < gy:
+                d8 = 3
+            elif gy > 0 and gx < 0:
+                d8 = 4
+            elif gx < 0 and gy <= 0 and abs(gy) < abs(gx):
+                d8 = 5
+            elif gy < 0 and gx < 0:
+                d8 = 6
+            elif gy < 0 and gx >= 0 and gx < abs(gy):
+                d8 = 7
+            else:
+                d8 = 8
+            sq = gx * gx + gy * gy
+            slope = math.sqrt(float(sq)) / 8.0
+            hs = math.floor(
+                max(
+                    0.0,
+                    255.0
+                    * ((gx + gy) / 16.0 + math.sqrt(0.5))
+                    / math.sqrt(1.0 + sq / 64.0),
+                )
+                + 0.5
+            )
+            exp[(y, x)] = (gx, gy, slope, d8, int(hs))
+    for ch in (CHUNK, 3):  # 3 leaves ragged 1-cell edge tiles both dims
+        t = tiling.pack_tiles(coo, ch, h, w)
+        got = {
+            (r["y"], r["x"]): (r["gx"], r["gy"], r["slope"], r["d8"], r["hillshade"])
+            for r in focal.terrain_coo(t, h, w, ch).collect()
+        }
+        assert got == exp, ch
+
+
+def test_point_density_vs_python(spark, sf_smoke):
+    """Binomial-smoothed density == a scalar convolution of Python-float
+    cell counts (same doubles end to end)."""
+    from scidbgeo_spark.operators import knn as knn_mod
+
+    pts = model.points(spark, sf_smoke)
+    counts = {}
+    for r in pts.collect():
+        key = (math_floor(r["lat"] + 90.0), math_floor(r["lon"] + 180.0))
+        counts[key] = counts.get(key, 0) + 1
+    exp = {}
+    for (cy, cx), n in counts.items():
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                ty, tx = cy + dy, cx + dx
+                if 0 <= ty < 180 and 0 <= tx < 360:
+                    exp[(ty, tx)] = exp.get((ty, tx), 0) + n * (2 - abs(dy)) * (
+                        2 - abs(dx)
+                    )
+    got = {
+        (r["cy"], r["cx"]): r["density"]
+        for r in knn_mod.point_density(pts).collect()
+    }
+    assert got == exp
+
+
+def math_floor(v: float) -> int:
+    import math
+
+    return int(math.floor(v))
