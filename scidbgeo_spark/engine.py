@@ -87,6 +87,12 @@ class SciDBGeoEngine:
         h, w, chunk = self._dims(name)
         return focal.focal_extrema_coo(self._tiles(name), h, w, chunk, radius)
 
+    def terrain(self, name: str) -> DataFrame:
+        """Horn 3x3 surface derivatives as COO rows: integer gradients,
+        slope, aspect octant (d8), hillshade (interior cells)."""
+        h, w, chunk = self._dims(name)
+        return focal.terrain_coo(self._tiles(name), h, w, chunk)
+
     def zonal_mode(self, name: str, polygons) -> DataFrame:
         """Majority pixel value per zone."""
         h, w, chunk = self._dims(name)

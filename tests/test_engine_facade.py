@@ -192,3 +192,28 @@ def test_facade_pyramid_and_layer_geometry(spark, sf_smoke):
     )
     g = eng.layer_geometry(rings).collect()
     assert len(g) == 1 and g[0].area == 40.0 and g[0].n_vertices == 4
+
+
+def test_facade_terrain_verb(spark, sf_smoke):
+    """terrain through the stored-array facade: interior-cell count and
+    a spot-checked Horn gradient against the dense NumPy twin."""
+    eng = SciDBGeoEngine(spark)
+    coo = model.raster_coo(spark, sf_smoke)
+    n = coo.count()
+    h, w = n // RASTER_W, RASTER_W
+    eng.create_array("rt", coo, height=h, width=w, chunk=50)
+    dense = ((np.arange(n, dtype=np.int64) * VALUE_MULT) % VALUE_MOD).reshape(h, w)
+
+    rows = {(r.y, r.x): r for r in eng.terrain("rt").collect()}
+    assert len(rows) == (h - 2) * (w - 2)
+    y, x = 4, 9
+    win = dense[y - 1 : y + 2, x - 1 : x + 2].astype(int)
+    gx = (win[0, 2] + 2 * win[1, 2] + win[2, 2]) - (
+        win[0, 0] + 2 * win[1, 0] + win[2, 0]
+    )
+    gy = (win[2, 0] + 2 * win[2, 1] + win[2, 2]) - (
+        win[0, 0] + 2 * win[0, 1] + win[0, 2]
+    )
+    r = rows[(y, x)]
+    assert (r.gx, r.gy) == (gx, gy)
+    assert 0 <= r.hillshade <= 255 and 0 <= r.d8 <= 8
