@@ -552,6 +552,26 @@ def q_terrain(spark, sf_dir):
     return focal.terrain_coo(tiles, h, w, CHUNK)
 
 
+def q_moran_i(spark, sf_dir):
+    """Global Moran's I of point counts on occupied 1-degree cells
+    (queen adjacency, binary weights): is the geotag density spatially
+    clustered?  All-integer algebra (n*z_i = n*x_i - S cancels the
+    mean's denominator) with decimal-38 sums; the only floats are the
+    final int->double casts and one division (zonal_var precedent)."""
+    return knn_mod.moran_i(model.points(spark, sf_dir))
+
+
+def q_flow_accum(spark, sf_dir):
+    """D8 flow accumulation — hydrology's iterative raster workload.
+    One halo exchange derives each cell's steepest-descent outflow edge
+    (strict descent => acyclic), then a distributed topological peel
+    counts, per cell, exactly how many cells drain through it; rounds =
+    drainage depth, one emptiness boolean to the driver per round.
+    Oracle: recursive path-pair CTE over the same edge rule."""
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    return focal.flow_accum_coo(tiles, h, w, CHUNK)
+
+
 def q_point_density(spark, sf_dir):
     """Smoothed point-density heatmap on the 1-degree grid: cell counts
     convolved with the integer 3x3 binomial kernel.  The kernel runs on
@@ -1822,6 +1842,8 @@ def q_areal_interp(spark, sf_dir):
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
     "terrain": q_terrain,
+    "flow_accum": q_flow_accum,
+    "moran_i": q_moran_i,
     "point_density": q_point_density,
     "lm_quality_score": q_lm_quality_score,
     "boilerplate_spans": q_boilerplate_spans,

@@ -399,3 +399,143 @@ def focal_mean_time(
         (F.col("x0") + F.expr("pos % w")).alias("x"),
         "value_avg",
     )
+
+
+# ---------------------------------------------------------------------------
+# D8 flow accumulation: hydrology's classic iterative raster workload
+# (the reference's window(...) family stops at one-shot kernels; flow
+# accumulation chains them — each cell drains to its steepest-descent
+# neighbor and the engine counts, per cell, how many cells drain
+# through it.  SciDB ships this shape as stream()/iterate loops; here
+# it is a halo-exchange edge kernel + a distributed topological peel).
+# ---------------------------------------------------------------------------
+
+
+def flow_edges_coo(
+    tiles: DataFrame, height: int, width: int, chunk: int
+) -> DataFrame:
+    """(uy, ux, ty, tx): each cell's single D8 outflow edge — the
+    in-grid 8-neighbor with the smallest value, ties broken by smallest
+    (ty, tx) — emitted only where that neighbor's value is STRICTLY
+    below the cell's own (otherwise the cell is a pit/sink and has no
+    edge).  Strict descent makes the flow graph acyclic by
+    construction, so the downstream peel always terminates.
+
+    One JVM-side halo exchange (the same ~(1 + 4/chunk) border-strip
+    shuffle every focal op here uses), then a vectorized NumPy argmin
+    per tile; output is edge rows, never a dense matrix."""
+    msgs = _halo_messages(tiles, height, width, chunk)
+
+    def _tile(key, pdf):
+        vals, mask, (iy, ix) = _assemble(pdf)
+        th = iy.stop - iy.start
+        tw = ix.stop - ix.start
+        center = vals[1 : 1 + th, 1 : 1 + tw]
+        cmask = mask[1 : 1 + th, 1 : 1 + tw]
+        big = np.iinfo(np.int64).max
+        bv = np.full((th, tw), big, dtype=np.int64)
+        bdy = np.zeros((th, tw), dtype=np.int64)
+        bdx = np.zeros((th, tw), dtype=np.int64)
+        # scan order (dy, dx) == target (ty, tx) order, and the strict <
+        # keeps the FIRST minimum — exactly ORDER BY value, ty, tx.
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == 0 and dx == 0:
+                    continue
+                nv = vals[1 + dy : 1 + dy + th, 1 + dx : 1 + dx + tw]
+                nm = mask[1 + dy : 1 + dy + th, 1 + dx : 1 + dx + tw]
+                better = nm & (nv < bv)
+                bv[better] = nv[better]
+                bdy[better] = dy
+                bdx[better] = dx
+        sel = cmask & (bv < center)
+        yy = (
+            np.repeat(np.arange(th, dtype=np.int64), tw).reshape(th, tw)
+            + int(key[0]) * chunk
+        )
+        xx = (
+            np.tile(np.arange(tw, dtype=np.int64), th).reshape(th, tw)
+            + int(key[1]) * chunk
+        )
+        return pd.DataFrame(
+            {
+                "uy": yy[sel],
+                "ux": xx[sel],
+                "ty": (yy + bdy)[sel],
+                "tx": (xx + bdx)[sel],
+            }
+        )
+
+    return msgs.groupBy("rty", "rtx").applyInPandas(
+        _tile, schema="uy long, ux long, ty long, tx long"
+    )
+
+
+def flow_accum_coo(
+    tiles: DataFrame,
+    height: int,
+    width: int,
+    chunk: int,
+    max_rounds: int = 512,
+) -> DataFrame:
+    """(y, x, acc): D8 flow accumulation — for every cell with at least
+    one upstream cell, the exact count of cells whose iterated
+    steepest-descent path passes through it.
+
+    Distributed topological peel: per-node state (pend = unresolved
+    in-edges, acc so far); each round every fully-resolved node pushes
+    acc+1 down its out-edge, targets subtract resolved in-edges — rounds
+    equal the drainage depth, each round two key-partitioned shuffles on
+    a monotonically shrinking frontier plus ONE emptiness boolean to the
+    driver (no collected graph).  On pseudo-random fields the depth is
+    tiny (pits everywhere); real DEMs with continental rivers would want
+    the O(log depth) ancestor-doubling variant of regions._resolve_roots
+    — the state here stays O(cells) either way, never O(paths)."""
+    edges = flow_edges_coo(tiles, height, width, chunk).localCheckpoint()
+    indeg = edges.groupBy(
+        F.col("ty").alias("y"), F.col("tx").alias("x")
+    ).agg(F.count("*").alias("pend"))
+    nodes = (
+        edges.select(F.col("uy").alias("y"), F.col("ux").alias("x"))
+        .unionByName(indeg.select("y", "x"))
+        .distinct()
+    )
+    state = (
+        nodes.join(indeg, ["y", "x"], "left")
+        .select(
+            "y",
+            "x",
+            F.coalesce("pend", F.lit(0)).alias("pend"),
+            F.lit(0).cast("long").alias("acc"),
+            F.lit(False).alias("sent"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        front = state.filter((F.col("pend") == 0) & ~F.col("sent"))
+        if front.isEmpty():
+            return state.filter(F.col("acc") > 0).select("y", "x", "acc")
+        contrib = (
+            front.join(
+                edges,
+                (front.y == edges.uy) & (front.x == edges.ux),
+            )
+            .groupBy(F.col("ty").alias("y"), F.col("tx").alias("x"))
+            .agg(
+                F.sum(F.col("acc") + 1).alias("add"),
+                F.count("*").alias("k"),
+            )
+        )
+        state = (
+            state.withColumn("sent", F.col("sent") | (F.col("pend") == 0))
+            .join(contrib, ["y", "x"], "left")
+            .select(
+                "y",
+                "x",
+                (F.col("pend") - F.coalesce("k", F.lit(0))).alias("pend"),
+                (F.col("acc") + F.coalesce("add", F.lit(0))).alias("acc"),
+                "sent",
+            )
+            .localCheckpoint()
+        )
+    raise RuntimeError(f"flow peel did not drain in {max_rounds} rounds")

@@ -2141,3 +2141,57 @@ FROM br JOIN ar
   ON LEAST(ay1, by1) > GREATEST(ay0, by0)
  AND LEAST(ax1, bx1) > GREATEST(ax0, bx0)
 GROUP BY 1"""
+
+# focal.flow_accum_coo: D8 flow accumulation.  Edges = each cell's
+# in-grid 8-neighbor with the smallest value (ties: smallest ty, tx),
+# kept only when STRICTLY below the cell's own value (strict descent =>
+# acyclic, so the recursion terminates).  acc(c) = count of (src, cur)
+# path pairs landing on c — identical to the engine's topological peel.
+SQL["flow_accum"] = f"""WITH RECURSIVE {COO},
+cand AS (
+  SELECT a.y AS uy, a.x AS ux, b.y AS ty, b.x AS tx,
+         row_number() OVER (PARTITION BY a.y, a.x
+                            ORDER BY b.value, b.y, b.x) AS rn
+  FROM coo a JOIN coo b
+    ON b.y BETWEEN a.y - 1 AND a.y + 1
+   AND b.x BETWEEN a.x - 1 AND a.x + 1
+   AND NOT (b.y = a.y AND b.x = a.x)
+  WHERE b.value < a.value
+),
+edges AS (SELECT uy, ux, ty, tx FROM cand WHERE rn = 1),
+paths AS (
+  SELECT uy AS sy, ux AS sx, ty AS cy, tx AS cx FROM edges
+  UNION ALL
+  SELECT p.sy, p.sx, e.ty, e.tx
+  FROM paths p JOIN edges e ON e.uy = p.cy AND e.ux = p.cx
+)
+SELECT cy AS y, cx AS x, count(*) AS acc FROM paths GROUP BY 1, 2"""
+
+# knn.moran_i: queen-adjacency Moran's I over occupied 1-degree cells.
+# All-integer algebra (n*z_i = n*x_i - S), HUGEINT sums, one final
+# int->double division — the zonal_var exactness precedent.
+SQL["moran_i"] = f"""WITH {PTS},
+cells AS (
+  SELECT CAST(floor((lat + 90.0) / 10.0) AS BIGINT) AS cy,
+         CAST(floor((lon + 180.0) / 10.0) AS BIGINT) AS cx, count(*) AS x
+  FROM pts GROUP BY 1, 2
+),
+st AS (SELECT count(*) AS n, sum(x) AS s FROM cells),
+z AS (
+  SELECT cy, cx, CAST(x AS HUGEINT) * (SELECT n FROM st)
+                 - (SELECT s FROM st) AS z
+  FROM cells
+),
+agg AS (
+  SELECT count(*) AS w, sum(a.z * b.z) AS num
+  FROM z a JOIN z b
+    ON b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND NOT (b.cy = a.cy AND b.cx = a.cx)
+),
+d AS (SELECT sum(z * z) AS den FROM z)
+SELECT (SELECT n FROM st) AS n_cells,
+       (SELECT w FROM agg) AS w_pairs,
+       CAST((SELECT n FROM st) AS DOUBLE) * CAST((SELECT num FROM agg) AS DOUBLE)
+         / (CAST((SELECT w FROM agg) AS DOUBLE)
+            * CAST((SELECT den FROM d) AS DOUBLE)) AS moran_i"""

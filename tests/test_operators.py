@@ -699,3 +699,54 @@ def math_floor(v: float) -> int:
     import math
 
     return int(math.floor(v))
+
+
+def _flow_bruteforce(dense):
+    """Pure-Python twin: D8 steepest-descent edges (ties: smallest
+    (ty, tx)), then walk every cell's path to its sink, counting
+    pass-throughs."""
+    h, w = dense.shape
+    tgt = {}
+    for y in range(h):
+        for x in range(w):
+            best = None
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    ny, nx = y + dy, x + dx
+                    if not (0 <= ny < h and 0 <= nx < w):
+                        continue
+                    key = (int(dense[ny, nx]), ny, nx)
+                    if best is None or key < best:
+                        best = key
+            if best is not None and best[0] < int(dense[y, x]):
+                tgt[(y, x)] = (best[1], best[2])
+    acc = {}
+    for start in tgt:
+        cur = start
+        while cur in tgt:
+            cur = tgt[cur]
+            acc[cur] = acc.get(cur, 0) + 1
+    return acc
+
+
+def test_flow_accum_vs_bruteforce(spark, tiles, dense):
+    h, w = dense.shape
+    got = {
+        (r.y, r.x): r.acc
+        for r in focal.flow_accum_coo(tiles, h, w, CHUNK).collect()
+    }
+    assert got == _flow_bruteforce(dense)
+
+
+def test_flow_accum_chunk_invariant(spark, coo, dense):
+    h, w = dense.shape
+    base = None
+    for chunk in (7, 50):
+        t = tiling.pack_tiles(coo, chunk, h, w)
+        cur = sorted(
+            map(tuple, focal.flow_accum_coo(t, h, w, chunk).collect())
+        )
+        base = cur if base is None else base
+        assert cur == base

@@ -662,3 +662,46 @@ def test_quality_deciles_value_based_and_partition_invariant(spark):
     for sk, d in out.values():
         cum_below = sum(v for k, v in cnt.items() if k < sk)
         assert d == (10 * cum_below) // n
+
+
+def test_moran_i_vs_bruteforce(spark, sf_correct):
+    """Exact-fraction Python twin: I = (n/W) * sum_adj z_i z_j / sum z_i^2
+    over occupied 1-degree cells, queen adjacency — computed with
+    Fraction so the comparison has no float slop beyond the engine's
+    own final division."""
+    from fractions import Fraction
+    from math import floor
+
+    pts = model.points(spark, sf_correct).collect()
+    counts = {}
+    for p in pts:
+        c = (floor((p.lat + 90.0) / 10.0), floor((p.lon + 180.0) / 10.0))
+        counts[c] = counts.get(c, 0) + 1
+    n, s = len(counts), sum(counts.values())
+    z = {c: n * x - s for c, x in counts.items()}
+    num = w = 0
+    for (cy, cx), za in z.items():
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dy, dx) == (0, 0):
+                    continue
+                zb = z.get((cy + dy, cx + dx))
+                if zb is not None:
+                    num += za * zb
+                    w += 1
+    den = sum(v * v for v in z.values())
+    want = Fraction(n * num, w * den)
+
+    row = knn_mod.moran_i(model.points(spark, sf_correct)).collect()[0]
+    assert (row.n_cells, row.w_pairs) == (n, w)
+    assert abs(row.moran_i - float(want)) < 1e-12
+    # non-degenerate adjacency graph at the 10-degree default
+    assert w > 100
+
+
+def test_moran_i_one_degree_degenerates(spark, sf_correct):
+    """At 1 degree the sf0.01 fixture has exactly two ordered adjacent
+    pairs, both hot-cell/singleton, and I collapses to -1 exactly —
+    the degeneracy that motivated the 10-degree default."""
+    row = knn_mod.moran_i(model.points(spark, sf_correct), cell=1.0).collect()[0]
+    assert row.w_pairs == 2 and row.moran_i == -1.0
