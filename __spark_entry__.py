@@ -1833,10 +1833,11 @@ def q_areal_interp(spark, sf_dir):
 # Ordered so the driver's per-round correctness window (the FIRST 50
 # entries) always holds the queries with the FEWEST driver rows: any
 # query with zero rows outranks any query with >= 1 (round-3 verdict
-# policy).  r5 rotation: `minhash_recall` (new, never driver-verified)
-# leads, the 42 queries that sat in the r4 tail follow (their newest
-# driver rows are r3), then representative fillers from the r4 window —
-# including the four queries whose operators carry r5 fixes.  The
+# policy).  r5 rotation: the never-driver-verified r5 additions lead
+# (terrain, flow_accum, moran_i, minhash_recall, point_density, ...),
+# the queries that sat in the r4 tail follow (their newest driver rows
+# are r3), then representative fillers from the r4 window — including
+# the four queries whose operators carry r5 fixes.  The
 # demoted tail still has exact oracles, checked each round by
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -1844,6 +1845,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "terrain": q_terrain,
     "flow_accum": q_flow_accum,
     "moran_i": q_moran_i,
+    "minhash_recall": q_minhash_recall,
     "point_density": q_point_density,
     "lm_quality_score": q_lm_quality_score,
     "boilerplate_spans": q_boilerplate_spans,
@@ -1893,7 +1895,6 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "corpus_freeze": q_corpus_freeze,
     "url_dedup_latest": q_url_dedup_latest,
-    "minhash_recall": q_minhash_recall,
     # --- r4 tail rotation (last driver rows: r3) ---
     "dedup_exact": q_dedup_exact,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
