@@ -1111,6 +1111,16 @@ def q_events_cube(spark, sf_dir):
     )
 
 
+def q_trajectory_stats(spark, sf_dir):
+    """Per-user trajectory rollup: order each user's geotagged events,
+    difference consecutive milli-degree lattice positions, aggregate
+    exact integer path/displacement/bbox stats — one user-keyed shuffle
+    (the lag window and the groupBy share the hash partitioning)."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.trajectory_stats(model.load_table(spark, sf_dir, "events"))
+
+
 def q_events_asof(spark, sf_dir):
     """AS-OF join (custom operator Spark lacks natively): every event
     picks up the user's most recent signup-state row at or before its
@@ -1846,6 +1856,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flow_accum": q_flow_accum,
     "moran_i": q_moran_i,
     "minhash_recall": q_minhash_recall,
+    "trajectory_stats": q_trajectory_stats,
     "point_density": q_point_density,
     "lm_quality_score": q_lm_quality_score,
     "boilerplate_spans": q_boilerplate_spans,

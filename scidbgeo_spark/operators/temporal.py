@@ -112,3 +112,68 @@ def funnel(events: DataFrame, stages: list[str] = FUNNEL_STAGES) -> DataFrame:
         )
         result = row if result is None else result.unionAll(row)
     return result
+
+
+def trajectory_stats(events: DataFrame) -> DataFrame:
+    """Per-user movement statistics over a geotagged event stream:
+    order each user's events by (ts, event_id), difference consecutive
+    positions, and aggregate — the trajectory rollup every
+    mobility/crawl-geography pipeline runs (no reference analog; the
+    reference is single-raster batch).
+
+    Positions live on the integer milli-degree lattice (py, px) =
+    (event_id*7919 % 180000, event_id*9973 % 360000) — the events table
+    carries no geo columns, so the fixture derives them exactly like
+    model.points does for documents; with real columns only the two
+    SELECT lines change.  Every output is EXACT integer algebra:
+    path_len2 = sum of squared planar step lengths, net_disp2 = squared
+    first-to-last displacement, bbox_h/bbox_w = bounding-box extents.
+
+    Scale shape: ONE shuffle — the lag window and the groupBy share the
+    user_id hash partitioning, so AQE reuses the exchange; skew is
+    bounded by the hottest user's event count (a keyed window, same
+    contract as asof_join)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * 7919) % 180000).alias("py"),
+        ((F.col("event_id") * 9973) % 360000).alias("px"),
+    )
+    stepped = pts.select(
+        "user_id",
+        "py",
+        "px",
+        (F.col("py") - F.lag("py").over(w)).alias("dy"),
+        (F.col("px") - F.lag("px").over(w)).alias("dx"),
+        F.row_number().over(w).alias("rn"),
+    )
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.sum(
+                F.col("dy") * F.col("dy") + F.col("dx") * F.col("dx")
+            ).alias("path_len2"),
+            (F.max("py") - F.min("py")).alias("bbox_h"),
+            (F.max("px") - F.min("px")).alias("bbox_w"),
+            F.max(F.struct(F.col("rn"), F.col("py"))).getField("py").alias("_last_py"),
+            F.max(F.struct(F.col("rn"), F.col("px"))).getField("px").alias("_last_px"),
+            F.min(F.struct(F.col("rn"), F.col("py"))).getField("py").alias("_first_py"),
+            F.min(F.struct(F.col("rn"), F.col("px"))).getField("px").alias("_first_px"),
+        )
+        .select(
+            "user_id",
+            "n_pts",
+            F.coalesce("path_len2", F.lit(0)).alias("path_len2"),
+            (
+                (F.col("_last_py") - F.col("_first_py"))
+                * (F.col("_last_py") - F.col("_first_py"))
+                + (F.col("_last_px") - F.col("_first_px"))
+                * (F.col("_last_px") - F.col("_first_px"))
+            ).alias("net_disp2"),
+            "bbox_h",
+            "bbox_w",
+        )
+    )

@@ -2195,3 +2195,32 @@ SELECT (SELECT n FROM st) AS n_cells,
        CAST((SELECT n FROM st) AS DOUBLE) * CAST((SELECT num FROM agg) AS DOUBLE)
          / (CAST((SELECT w FROM agg) AS DOUBLE)
             * CAST((SELECT den FROM d) AS DOUBLE)) AS moran_i"""
+
+# temporal.trajectory_stats: per-user movement rollup on the integer
+# milli-degree lattice — lag window + grouped integer algebra; first/
+# last positions via arg-ordered aggregates, all exact.
+SQL["trajectory_stats"] = """WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 7919) % 180000 AS py,
+         (event_id * 9973) % 360000 AS px
+  FROM events
+),
+stepped AS (
+  SELECT user_id, py, px,
+         py - lag(py) OVER w AS dy,
+         px - lag(px) OVER w AS dx,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS np
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, count(*) AS n_pts,
+       CAST(COALESCE(sum(dy*dy + dx*dx), 0) AS BIGINT) AS path_len2,
+       (max(CASE WHEN rn = np THEN py END) - max(CASE WHEN rn = 1 THEN py END))
+         * (max(CASE WHEN rn = np THEN py END) - max(CASE WHEN rn = 1 THEN py END))
+       + (max(CASE WHEN rn = np THEN px END) - max(CASE WHEN rn = 1 THEN px END))
+         * (max(CASE WHEN rn = np THEN px END) - max(CASE WHEN rn = 1 THEN px END))
+         AS net_disp2,
+       max(py) - min(py) AS bbox_h,
+       max(px) - min(px) AS bbox_w
+FROM stepped GROUP BY user_id"""

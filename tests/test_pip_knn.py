@@ -705,3 +705,38 @@ def test_moran_i_one_degree_degenerates(spark, sf_correct):
     the degeneracy that motivated the 10-degree default."""
     row = knn_mod.moran_i(model.points(spark, sf_correct), cell=1.0).collect()[0]
     assert row.w_pairs == 2 and row.moran_i == -1.0
+
+
+def test_trajectory_stats_vs_python(spark, sf_smoke):
+    """Pure-Python twin of the per-user trajectory rollup on the smoke
+    events table: sort, difference, aggregate — exact integers."""
+    from scidbgeo_spark.operators import temporal
+
+    ev = model.load_table(spark, sf_smoke, "events")
+    rows = sorted(
+        ev.select("user_id", "ts", "event_id").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    want = {}
+    byuser = {}
+    for r in rows:
+        byuser.setdefault(r.user_id, []).append(
+            ((r.event_id * 7919) % 180000, (r.event_id * 9973) % 360000)
+        )
+    for u, ps in byuser.items():
+        plen = sum(
+            (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2
+            for a, b in zip(ps[1:], ps[:-1])
+        )
+        want[u] = (
+            len(ps),
+            plen,
+            (ps[-1][0] - ps[0][0]) ** 2 + (ps[-1][1] - ps[0][1]) ** 2,
+            max(p[0] for p in ps) - min(p[0] for p in ps),
+            max(p[1] for p in ps) - min(p[1] for p in ps),
+        )
+    got = {
+        r.user_id: (r.n_pts, r.path_len2, r.net_disp2, r.bbox_h, r.bbox_w)
+        for r in temporal.trajectory_stats(ev).collect()
+    }
+    assert got == want
