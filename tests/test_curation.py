@@ -295,3 +295,28 @@ def test_rasterize_layer_df_plans_equi_join(spark):
     layer = spark.createDataFrame(rows, "zone_id int, xs array<double>, ys array<double>")
     plan = _plan(zonal.rasterize_layer_df(spark, layer, 100, 100, 50))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_flow_moran_trajectory_plan_shapes(spark, sf_smoke):
+    """Plan pins for the late-r5 additions: Moran's I reaches the cell
+    self-join via BROADCAST (the cell table caps at 64,800 rows
+    forever); the trajectory rollup runs ONE exchange — the lag window
+    and the groupBy share the user_id hash partitioning; the flow-edge
+    kernel is a single halo exchange + applyInPandas, no join."""
+    from scidbgeo_spark import tiling
+    from scidbgeo_spark.operators import focal, knn, temporal
+
+    pts = model.points(spark, sf_smoke)
+    assert "BroadcastExchange" in _plan(knn.moran_i(pts))
+
+    ev = model.load_table(spark, sf_smoke, "events")
+    tplan = _plan(temporal.trajectory_stats(ev))
+    assert tplan.count("Exchange hashpartitioning") == 1
+
+    coo = model.raster_coo(spark, sf_smoke)
+    n = coo.count()
+    h, w = n // 100, 100
+    tiles = tiling.pack_tiles(coo, 50, h, w)
+    eplan = _plan(focal.flow_edges_coo(tiles, h, w, 50))
+    assert "FlatMapGroupsInPandas" in eplan
+    assert "Join" not in eplan
