@@ -292,3 +292,31 @@ def label_tile(cls_arr: np.ndarray, y0: int, x0: int, width: int) -> np.ndarray:
         if np.array_equal(new, lab):
             return lab
         lab = new
+
+
+def steepest_descent(vals: np.ndarray, mask: np.ndarray):
+    """Per-cell D8 steepest-descent target over a 1-padded array: for
+    every interior cell of ``vals`` (shape (h+2, w+2), ``mask`` marks
+    present cells), find the masked 8-neighbor with the smallest value
+    — ties broken by smallest (dy, dx) scan order, i.e. smallest target
+    (ty, tx) — and keep it only where STRICTLY below the cell's own
+    value.  Returns (sel, bdy, bdx) for the (h, w) interior: a boolean
+    outflow mask and the step offsets."""
+    th, tw = vals.shape[0] - 2, vals.shape[1] - 2
+    center = vals[1 : 1 + th, 1 : 1 + tw]
+    cmask = mask[1 : 1 + th, 1 : 1 + tw]
+    big = np.iinfo(np.int64).max
+    bv = np.full((th, tw), big, dtype=np.int64)
+    bdy = np.zeros((th, tw), dtype=np.int64)
+    bdx = np.zeros((th, tw), dtype=np.int64)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            nv = vals[1 + dy : 1 + dy + th, 1 + dx : 1 + dx + tw]
+            nm = mask[1 + dy : 1 + dy + th, 1 + dx : 1 + dx + tw]
+            better = nm & (nv < bv)
+            bv[better] = nv[better]
+            bdy[better] = dy
+            bdx[better] = dx
+    return cmask & (bv < center), bdy, bdx

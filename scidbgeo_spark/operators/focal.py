@@ -23,7 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from scidbgeo_spark.kernels import focal_mean, focal_sum36
+from scidbgeo_spark.kernels import focal_mean, focal_sum36, steepest_descent
 
 _OFFSETS = [(oy, ox) for oy in (-1, 0, 1) for ox in (-1, 0, 1)]
 
@@ -430,25 +430,9 @@ def flow_edges_coo(
         vals, mask, (iy, ix) = _assemble(pdf)
         th = iy.stop - iy.start
         tw = ix.stop - ix.start
-        center = vals[1 : 1 + th, 1 : 1 + tw]
-        cmask = mask[1 : 1 + th, 1 : 1 + tw]
-        big = np.iinfo(np.int64).max
-        bv = np.full((th, tw), big, dtype=np.int64)
-        bdy = np.zeros((th, tw), dtype=np.int64)
-        bdx = np.zeros((th, tw), dtype=np.int64)
         # scan order (dy, dx) == target (ty, tx) order, and the strict <
         # keeps the FIRST minimum — exactly ORDER BY value, ty, tx.
-        for dy in (-1, 0, 1):
-            for dx in (-1, 0, 1):
-                if dy == 0 and dx == 0:
-                    continue
-                nv = vals[1 + dy : 1 + dy + th, 1 + dx : 1 + dx + tw]
-                nm = mask[1 + dy : 1 + dy + th, 1 + dx : 1 + dx + tw]
-                better = nm & (nv < bv)
-                bv[better] = nv[better]
-                bdy[better] = dy
-                bdx[better] = dx
-        sel = cmask & (bv < center)
+        sel, bdy, bdx = steepest_descent(vals, mask)
         yy = (
             np.repeat(np.arange(th, dtype=np.int64), tw).reshape(th, tw)
             + int(key[0]) * chunk

@@ -264,3 +264,48 @@ def test_box_extrema_matches_bruteforce(h, w, r, seed):
             win = a[y0:y1, x0:x1]
             assert mn[y, x] == win.min()
             assert mx[y, x] == win.max()
+
+
+@given(
+    st.integers(1, 6),
+    st.integers(1, 6),
+    st.integers(0, 10**6),
+)
+@settings(max_examples=60, deadline=None)
+def test_steepest_descent_matches_bruteforce(h, w, seed):
+    """kernels.steepest_descent on random small grids (values drawn mod
+    7 to force heavy ties, random holes in the mask) == scalar argmin
+    with (value, ty, tx) tie-break and strict-descent edge rule."""
+    import numpy as np
+
+    from scidbgeo_spark.kernels import steepest_descent
+
+    rng = np.random.RandomState(seed % 2**31)
+    vals = np.zeros((h + 2, w + 2), dtype=np.int64)
+    mask = np.zeros((h + 2, w + 2), dtype=bool)
+    inner = rng.randint(0, 7, size=(h, w))
+    vals[1 : 1 + h, 1 : 1 + w] = inner
+    mask[1 : 1 + h, 1 : 1 + w] = rng.rand(h, w) < 0.9
+    sel, bdy, bdx = steepest_descent(vals, mask)
+
+    for y in range(h):
+        for x in range(w):
+            best = None
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if (dy, dx) == (0, 0):
+                        continue
+                    yy, xx = 1 + y + dy, 1 + x + dx
+                    if not mask[yy, xx]:
+                        continue
+                    key = (int(vals[yy, xx]), dy, dx)
+                    if best is None or key < best:
+                        best = key
+            expect = (
+                mask[1 + y, 1 + x]
+                and best is not None
+                and best[0] < int(vals[1 + y, 1 + x])
+            )
+            assert bool(sel[y, x]) == expect
+            if expect:
+                assert (bdy[y, x], bdx[y, x]) == (best[1], best[2])
