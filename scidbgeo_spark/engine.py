@@ -93,6 +93,12 @@ class SciDBGeoEngine:
         h, w, chunk = self._dims(name)
         return focal.terrain_coo(self._tiles(name), h, w, chunk)
 
+    def flow_accum(self, name: str) -> DataFrame:
+        """D8 flow accumulation: per cell, the exact count of cells
+        whose steepest-descent path drains through it (acc > 0 only)."""
+        h, w, chunk = self._dims(name)
+        return focal.flow_accum_coo(self._tiles(name), h, w, chunk)
+
     def zonal_mode(self, name: str, polygons) -> DataFrame:
         """Majority pixel value per zone."""
         h, w, chunk = self._dims(name)

@@ -217,3 +217,24 @@ def test_facade_terrain_verb(spark, sf_smoke):
     r = rows[(y, x)]
     assert (r.gx, r.gy) == (gx, gy)
     assert 0 <= r.hillshade <= 255 and 0 <= r.d8 <= 8
+
+
+def test_facade_flow_accum_verb(spark, sf_smoke):
+    """flow_accum through the stored-array facade: totals match the
+    direct operator run and every count is positive."""
+    from scidbgeo_spark import tiling
+    from scidbgeo_spark.operators import focal
+
+    eng = SciDBGeoEngine(spark)
+    coo = model.raster_coo(spark, sf_smoke)
+    n = coo.count()
+    eng.create_array("fa", coo, height=n // RASTER_W, width=RASTER_W, chunk=50)
+    rows = eng.flow_accum("fa").collect()
+    assert rows and all(r.acc > 0 for r in rows)
+    direct = focal.flow_accum_coo(
+        tiling.pack_tiles(coo, 50, n // RASTER_W, RASTER_W),
+        n // RASTER_W,
+        RASTER_W,
+        50,
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, direct))
