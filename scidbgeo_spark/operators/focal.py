@@ -466,15 +466,17 @@ def flow_accum_coo(
     one upstream cell, the exact count of cells whose iterated
     steepest-descent path passes through it.
 
-    Distributed topological peel: per-node state (pend = unresolved
-    in-edges, acc so far); each round every fully-resolved node pushes
-    acc+1 down its out-edge, targets subtract resolved in-edges — rounds
-    equal the drainage depth, each round two key-partitioned shuffles on
-    a monotonically shrinking frontier plus ONE emptiness boolean to the
-    driver (no collected graph).  On pseudo-random fields the depth is
-    tiny (pits everywhere); real DEMs with continental rivers would want
-    the O(log depth) ancestor-doubling variant of regions._resolve_roots
-    — the state here stays O(cells) either way, never O(paths)."""
+    Distributed topological peel: LIVE nodes carry (pend = unresolved
+    in-edges, acc so far); each round the pend==0 frontier pushes acc+1
+    down its out-edge, leaves the loop for good (appended to the result
+    parts — finished nodes are never rescanned), and the remaining live
+    set subtracts the resolved in-edges.  Rounds = drainage depth, each
+    round two key-partitioned shuffles over a MONOTONICALLY SHRINKING
+    live set plus ONE emptiness boolean to the driver (no collected
+    graph).  On pseudo-random fields the depth is tiny (pits
+    everywhere); real DEMs with continental rivers would want the
+    O(log depth) ancestor-doubling variant of regions._resolve_roots —
+    the state here stays O(cells) either way, never O(paths)."""
     edges = flow_edges_coo(tiles, height, width, chunk).localCheckpoint()
     indeg = edges.groupBy(
         F.col("ty").alias("y"), F.col("tx").alias("x")
@@ -484,21 +486,27 @@ def flow_accum_coo(
         .unionByName(indeg.select("y", "x"))
         .distinct()
     )
-    state = (
+    live = (
         nodes.join(indeg, ["y", "x"], "left")
         .select(
             "y",
             "x",
             F.coalesce("pend", F.lit(0)).alias("pend"),
             F.lit(0).cast("long").alias("acc"),
-            F.lit(False).alias("sent"),
         )
         .localCheckpoint()
     )
+    parts: list[DataFrame] = []
     for _ in range(max_rounds):
-        front = state.filter((F.col("pend") == 0) & ~F.col("sent"))
+        if live.isEmpty():
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out.filter(F.col("acc") > 0).select("y", "x", "acc")
+        front = live.filter(F.col("pend") == 0)
         if front.isEmpty():
-            return state.filter(F.col("acc") > 0).select("y", "x", "acc")
+            raise RuntimeError("flow graph has a cycle (broken edge rule)")
+        parts.append(front.select("y", "x", "acc"))
         contrib = (
             front.join(
                 edges,
@@ -510,15 +518,14 @@ def flow_accum_coo(
                 F.count("*").alias("k"),
             )
         )
-        state = (
-            state.withColumn("sent", F.col("sent") | (F.col("pend") == 0))
+        live = (
+            live.filter(F.col("pend") > 0)
             .join(contrib, ["y", "x"], "left")
             .select(
                 "y",
                 "x",
                 (F.col("pend") - F.coalesce("k", F.lit(0))).alias("pend"),
                 (F.col("acc") + F.coalesce("add", F.lit(0))).alias("acc"),
-                "sent",
             )
             .localCheckpoint()
         )
