@@ -561,6 +561,15 @@ def q_moran_i(spark, sf_dir):
     return knn_mod.moran_i(model.points(spark, sf_dir))
 
 
+def q_join_counts(spark, sf_dir):
+    """Join-count statistics (Cliff & Ord): rook-adjacent pair counts
+    by binary color (black = value >= 126) — the categorical complement
+    of Moran's I, exact integers, ONE halo exchange, no raster
+    self-join."""
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    return focal.join_counts_coo(tiles, h, w, CHUNK)
+
+
 def q_flow_accum(spark, sf_dir):
     """D8 flow accumulation — hydrology's iterative raster workload.
     One halo exchange derives each cell's steepest-descent outflow edge
@@ -1854,6 +1863,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
     "terrain": q_terrain,
     "flow_accum": q_flow_accum,
+    "join_counts": q_join_counts,
     "moran_i": q_moran_i,
     "minhash_recall": q_minhash_recall,
     "trajectory_stats": q_trajectory_stats,

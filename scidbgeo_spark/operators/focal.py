@@ -530,3 +530,48 @@ def flow_accum_coo(
             .localCheckpoint()
         )
     raise RuntimeError(f"flow peel did not drain in {max_rounds} rounds")
+
+
+def join_counts_coo(
+    tiles: DataFrame, height: int, width: int, chunk: int, threshold: int = 126
+) -> DataFrame:
+    """Join-count statistics — the binary/categorical complement of
+    Moran's I: classify each cell black (value >= threshold) or white,
+    then count rook-adjacent unordered pairs by color (n_bb, n_bw,
+    n_ww).  Classic lattice autocorrelation screen (Cliff & Ord);
+    exact integers end to end.
+
+    Scale shape: ONE halo exchange (right and down neighbors come from
+    the same border strips every focal op ships), a vectorized NumPy
+    pair count per tile, and a single-row global sum — no self-join of
+    the raster at any scale."""
+    msgs = _halo_messages(tiles, height, width, chunk)
+
+    def _tile(key, pdf):
+        vals, mask, (iy, ix) = _assemble(pdf)
+        th = iy.stop - iy.start
+        tw = ix.stop - ix.start
+        b = (vals >= threshold).astype(np.int64)
+        cm = mask[1 : 1 + th, 1 : 1 + tw]
+        bc = b[1 : 1 + th, 1 : 1 + tw]
+        out = np.zeros(3, dtype=np.int64)  # bb, bw, ww
+        for dy, dx in ((0, 1), (1, 0)):
+            nb = b[1 + dy : 1 + dy + th, 1 + dx : 1 + dx + tw]
+            nm = mask[1 + dy : 1 + dy + th, 1 + dx : 1 + dx + tw]
+            ok = cm & nm
+            s = bc[ok] + nb[ok]
+            out[0] += int((s == 2).sum())
+            out[1] += int((s == 1).sum())
+            out[2] += int((s == 0).sum())
+        return pd.DataFrame(
+            {"bb": [out[0]], "bw": [out[1]], "ww": [out[2]]}
+        )
+
+    parts = msgs.groupBy("rty", "rtx").applyInPandas(
+        _tile, schema="bb long, bw long, ww long"
+    )
+    return parts.agg(
+        F.sum("bb").alias("n_bb"),
+        F.sum("bw").alias("n_bw"),
+        F.sum("ww").alias("n_ww"),
+    )

@@ -2224,3 +2224,18 @@ SELECT user_id, count(*) AS n_pts,
        max(py) - min(py) AS bbox_h,
        max(px) - min(px) AS bbox_w
 FROM stepped GROUP BY user_id"""
+
+# focal.join_counts_coo: rook-adjacent unordered pair counts by binary
+# color (black = value >= 126) — right + down equi-joins count each
+# pair exactly once, mirroring the kernel's per-cell (0,1)/(1,0) scan.
+SQL["join_counts"] = f"""WITH {COO},
+b AS (SELECT y, x, CASE WHEN value >= 126 THEN 1 ELSE 0 END AS c FROM coo),
+prs AS (
+  SELECT a.c + t.c AS s FROM b a JOIN b t ON t.y = a.y AND t.x = a.x + 1
+  UNION ALL
+  SELECT a.c + t.c AS s FROM b a JOIN b t ON t.y = a.y + 1 AND t.x = a.x
+)
+SELECT CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bb,
+       CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bw,
+       CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ww
+FROM prs"""

@@ -750,3 +750,20 @@ def test_flow_accum_chunk_invariant(spark, coo, dense):
         )
         base = cur if base is None else base
         assert cur == base
+
+
+def test_join_counts_vs_numpy(spark, tiles, dense):
+    h, w = dense.shape
+    b = (dense >= 126).astype(int)
+    bb = bw = ww = 0
+    for dy, dx in ((0, 1), (1, 0)):
+        a = b[: h - dy, : w - dx]
+        t = b[dy:, dx:]
+        s = a + t
+        bb += int((s == 2).sum())
+        bw += int((s == 1).sum())
+        ww += int((s == 0).sum())
+    row = focal.join_counts_coo(tiles, h, w, CHUNK).collect()[0]
+    assert (row.n_bb, row.n_bw, row.n_ww) == (bb, bw, ww)
+    # every rook pair counted exactly once
+    assert row.n_bb + row.n_bw + row.n_ww == h * (w - 1) + (h - 1) * w
