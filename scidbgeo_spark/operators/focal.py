@@ -496,7 +496,7 @@ def flow_accum_coo(
         )
         .localCheckpoint()
     )
-    parts: list[DataFrame] = []
+    parts: list[DataFrame] = [live.select("y", "x", "acc").limit(0)]
     for _ in range(max_rounds):
         if live.isEmpty():
             out = parts[0]

@@ -767,3 +767,15 @@ def test_join_counts_vs_numpy(spark, tiles, dense):
     assert (row.n_bb, row.n_bw, row.n_ww) == (bb, bw, ww)
     # every rook pair counted exactly once
     assert row.n_bb + row.n_bw + row.n_ww == h * (w - 1) + (h - 1) * w
+
+
+def test_flow_accum_constant_raster_is_empty(spark):
+    """A constant field has no strictly-descending neighbor anywhere:
+    zero flow edges, zero accumulation rows (and no crash on the
+    empty-forest path)."""
+    coo = spark.range(100).selectExpr(
+        "id DIV 10 AS y", "id % 10 AS x", "CAST(7 AS BIGINT) AS value"
+    )
+    t = tiling.pack_tiles(coo, 5, 10, 10)
+    assert focal.flow_edges_coo(t, 10, 10, 5).count() == 0
+    assert focal.flow_accum_coo(t, 10, 10, 5).count() == 0
