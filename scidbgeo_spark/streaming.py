@@ -420,3 +420,66 @@ def incremental_dedup_stream(
         .dropDuplicatesWithinWatermark(["content_hash"])
         .select("doc_id", "content_hash")
     )
+
+
+def click_attribution_stream(
+    spark: SparkSession, events_dir: str, horizon: str = "30 minutes"
+) -> DataFrame:
+    """STREAM-STREAM interval join — the one streaming join class the
+    rest of this module doesn't exercise (zone_page_stream is
+    stream-static, dedup/sessionize are single-stream stateful):
+    multi-touch attribution — every ``click`` joins ALL of the same
+    user's ``view`` rows within ``horizon`` before it.
+
+    Both sides are watermarked, so Spark bounds the join state: a view
+    row is held only until (event-time watermark) passes view_ts +
+    horizon, then evicted — state is O(views inside the horizon), never
+    O(stream).  The interval condition is a REQUIREMENT for append-mode
+    stream-stream joins; an unconstrained equi-join would be unbounded
+    state and Spark rejects it.
+
+    Scale shape: both streams hash-partition on user_id (the join key),
+    exactly like the batch join; the watermark horizon is the ONLY
+    state knob.  Returns (user_id, click_id, view_id, gap_s) append
+    rows — deterministic per micro-batch composition, pinned against
+    the batch interval join by the tests."""
+    schema = spark.read.parquet(events_dir).schema
+    ev = (
+        spark.readStream.schema(schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", horizon)
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("user_id"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "0 seconds")
+    )
+    return clicks.join(
+        views,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("click_ts") - F.expr(f"INTERVAL {horizon}")
+        ),
+    ).select(
+        "user_id",
+        "click_id",
+        "view_id",
+        (
+            F.unix_timestamp("click_ts") - F.unix_timestamp("view_ts")
+        ).alias("gap_s"),
+    )

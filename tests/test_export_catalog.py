@@ -694,3 +694,62 @@ def test_incremental_dedup_stream_matches_batch(spark, tmp_path):
         for r in dedup.incremental_dedup(frozen, b1.unionAll(b2)).collect()
     }
     assert batch_keep == got
+
+
+def test_click_attribution_stream_matches_batch_interval_join(
+    spark, tmp_path
+):
+    """Stream-stream interval join == the batch interval join on the
+    same events, across two micro-batch deliveries; state stays bounded
+    by the watermark horizon (append mode accepts the plan at all)."""
+    import datetime as dt
+
+    from scidbgeo_spark import streaming
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, uid, kind, offset_min):
+        return (
+            eid,
+            t0 + dt.timedelta(minutes=offset_min),
+            uid,
+            kind,
+            0.0,
+            "{}",
+        )
+
+    rows = [
+        ev(1, 7, "view", 0),
+        ev(2, 7, "click", 10),   # attributed to view 1 (gap 600s)
+        ev(3, 7, "click", 45),   # outside 30-min horizon of view 1
+        ev(4, 8, "view", 5),
+        ev(5, 8, "view", 20),
+        ev(6, 8, "click", 25),   # matches BOTH views of user 8
+        ev(7, 9, "click", 30),   # user with no view at all
+    ]
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    df = spark.createDataFrame(rows, schema)
+    d = str(tmp_path / "events_stream")
+    df.filter("event_id <= 4").write.parquet(d)
+
+    stream = streaming.click_attribution_stream(spark, d)
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_test")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        df.filter("event_id > 4").write.mode("append").parquet(d)
+        q.processAllAvailable()
+        got = {
+            (r.user_id, r.click_id, r.view_id, r.gap_s)
+            for r in spark.sql("SELECT * FROM attr_test").collect()
+        }
+    finally:
+        q.stop()
+    assert got == {(7, 2, 1, 600), (8, 6, 4, 1200), (8, 6, 5, 300)}
