@@ -561,6 +561,16 @@ def q_moran_i(spark, sf_dir):
     return knn_mod.moran_i(model.points(spark, sf_dir))
 
 
+def q_rotate90(spark, sf_dir):
+    """90-degree clockwise raster rotation via the unimodular integer
+    affine warp ((y,x) -> (x, H-1-y)) — pure projection, zero shuffle,
+    the lattice-exact GDAL-warp analog (transpose is the (0,1,1,0)
+    special case)."""
+    coo = model.raster_coo(spark, sf_dir)
+    h, _ = model.raster_dims(spark, sf_dir)
+    return pixel.affine_warp(coo, 0, 1, -1, 0, ty=0, tx=h - 1)
+
+
 def q_join_counts(spark, sf_dir):
     """Join-count statistics (Cliff & Ord): rook-adjacent pair counts
     by binary color (black = value >= 126) — the categorical complement
@@ -1864,6 +1874,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "terrain": q_terrain,
     "flow_accum": q_flow_accum,
     "join_counts": q_join_counts,
+    "rotate90": q_rotate90,
     "moran_i": q_moran_i,
     "minhash_recall": q_minhash_recall,
     "trajectory_stats": q_trajectory_stats,

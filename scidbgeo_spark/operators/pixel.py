@@ -251,3 +251,45 @@ def raster_pyramid(coo: DataFrame, levels: int = 3, factor: int = 2) -> DataFram
     for df in out[1:]:
         res = res.unionAll(df)
     return res
+
+
+def affine_warp(
+    coo: DataFrame,
+    a: int,
+    b: int,
+    c: int,
+    d: int,
+    ty: int = 0,
+    tx: int = 0,
+    out_h: int | None = None,
+    out_w: int | None = None,
+) -> DataFrame:
+    """Integer affine warp (y', x') = (a*y + b*x + ty, c*y + d*x + tx)
+    — the GDAL-warp / SciDB reshape family for lattice-exact transforms.
+    The matrix must be UNIMODULAR (|ad - bc| = 1: all rotations, flips,
+    shears, translations and their compositions), which makes the map
+    bijective on the integer lattice — every output cell has exactly
+    one source, so nearest-neighbor resampling is exact, not an
+    approximation.  Non-unimodular zooms are upsample()/downsample().
+
+    Pure projection (+ an optional bounds filter): NO shuffle, no
+    kernel, no gather join — the same scale shape as transpose().
+    transpose() itself is affine_warp(0,1,1,0)."""
+    if abs(a * d - b * c) != 1:
+        raise ValueError(
+            f"affine matrix [[{a},{b}],[{c},{d}]] is not unimodular "
+            "(|det| must be 1 for a lattice-exact warp)"
+        )
+    out = coo.select(
+        (F.col("y") * a + F.col("x") * b + ty).alias("y"),
+        (F.col("y") * c + F.col("x") * d + tx).alias("x"),
+        "value",
+    )
+    if out_h is not None:
+        out = out.where(
+            (F.col("y") >= 0)
+            & (F.col("y") < out_h)
+            & (F.col("x") >= 0)
+            & (F.col("x") < out_w)
+        )
+    return out

@@ -2239,3 +2239,11 @@ SELECT CAST(sum(CASE WHEN s = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bb,
        CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bw,
        CAST(sum(CASE WHEN s = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ww
 FROM prs"""
+
+# pixel.affine_warp: 90-degree clockwise rotation of the raster
+# ((y,x) -> (x, H-1-y): a=0,b=1,ty=0; c=-1,d=0,tx=H-1) — closed-form
+# column algebra, H derived from the row count like every COO oracle.
+SQL["rotate90"] = f"""WITH {COO},
+dims AS (SELECT count(*) // {RASTER_W} AS h FROM coo)
+SELECT x AS y, (SELECT h FROM dims) - 1 - y AS x, value
+FROM coo"""

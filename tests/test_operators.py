@@ -779,3 +779,22 @@ def test_flow_accum_constant_raster_is_empty(spark):
     t = tiling.pack_tiles(coo, 5, 10, 10)
     assert focal.flow_edges_coo(t, 10, 10, 5).count() == 0
     assert focal.flow_accum_coo(t, 10, 10, 5).count() == 0
+
+
+def test_affine_warp_rotation_identity_and_unimodular_guard(coo, dense):
+    h, w = dense.shape
+    # four 90-degree rotations compose to the identity (dims swap each
+    # turn, so the translation alternates h-1 / w-1)
+    r1 = pixel.affine_warp(coo, 0, 1, -1, 0, ty=0, tx=h - 1)
+    r2 = pixel.affine_warp(r1, 0, 1, -1, 0, ty=0, tx=w - 1)
+    r3 = pixel.affine_warp(r2, 0, 1, -1, 0, ty=0, tx=h - 1)
+    r4 = pixel.affine_warp(r3, 0, 1, -1, 0, ty=0, tx=w - 1)
+    assert sorted(map(tuple, r4.collect())) == sorted(map(tuple, coo.collect()))
+    # one rotation spot-check against the dense twin
+    got = {(r.y, r.x): r.value for r in r1.collect()}
+    assert got[(0, h - 1)] == dense[0, 0]
+    assert got[(w - 1, 0)] == dense[h - 1, w - 1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unimodular"):
+        pixel.affine_warp(coo, 2, 0, 0, 1)
