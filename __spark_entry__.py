@@ -561,6 +561,15 @@ def q_moran_i(spark, sf_dir):
     return knn_mod.moran_i(model.points(spark, sf_dir))
 
 
+def q_cost_reach(spark, sf_dir):
+    """K-step cost propagation from the zero-valued source cells
+    (bounded-K Dijkstra prefix): per reached cell, the cheapest
+    8-connected path cost within 4 steps — exact integers, one
+    map-side-combinable x8 scatter + min-agg per round, K fixed.
+    Oracle: the SAME four rounds unrolled as chained CTEs."""
+    return focal.cost_reach_coo(model.raster_coo(spark, sf_dir))
+
+
 def q_rotate90(spark, sf_dir):
     """90-degree clockwise raster rotation via the unimodular integer
     affine warp ((y,x) -> (x, H-1-y)) — pure projection, zero shuffle,
@@ -1928,6 +1937,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_freeze": q_corpus_freeze,
     "url_dedup_latest": q_url_dedup_latest,
     # --- r4 tail rotation (last driver rows: r3) ---
+    "cost_reach": q_cost_reach,
     "dedup_exact": q_dedup_exact,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "focal_mean_sum": q_focal_mean_sum,

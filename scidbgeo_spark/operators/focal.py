@@ -575,3 +575,48 @@ def join_counts_coo(
         F.sum("bw").alias("n_bw"),
         F.sum("ww").alias("n_ww"),
     )
+
+
+def cost_reach_coo(coo: DataFrame, rounds: int = 4) -> DataFrame:
+    """K-step cost propagation (accessibility / cost-distance screen):
+    cells with value 0 are sources (cost 0); entering any other cell
+    costs its value; after ``rounds`` relaxations every cell knows the
+    cheapest 8-connected path of <= ``rounds`` steps from a source —
+    (y, x, cost) for the reached cells, exact integers (the bounded-K
+    prefix of Dijkstra that a tile-local accessibility pass uses).
+
+    Pure DataFrame algebra, no kernel: each round scatters the current
+    frontier to its 9 neighbor offsets (constant x9, like
+    point_density) and min-aggregates — one map-side-combinable shuffle
+    per round, K fixed and small.  The oracle unrolls the SAME K
+    rounds as chained CTEs, so the semantics are pinned exactly."""
+    msgs = ", ".join(
+        f"named_struct('y2', y + {dy}, 'x2', x + {dx}, 'c', cost)"
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if (dy, dx) != (0, 0)
+    )
+    vals = coo.select("y", "x", "value")
+    dist = coo.where(F.col("value") == 0).select(
+        "y", "x", F.lit(0).cast("long").alias("cost")
+    )
+    for _ in range(rounds):
+        best = (
+            dist.select(F.explode(F.expr(f"array({msgs})")).alias("m"))
+            .select("m.*")
+            .groupBy(F.col("y2").alias("y"), F.col("x2").alias("x"))
+            .agg(F.min("c").alias("best_in"))
+        )
+        cand = best.join(vals, ["y", "x"]).select(
+            "y",
+            "x",
+            F.when(F.col("value") == 0, F.lit(0).cast("long"))
+            .otherwise(F.col("best_in") + F.col("value"))
+            .alias("cost"),
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("y", "x")
+            .agg(F.min("cost").alias("cost"))
+        )
+    return dist

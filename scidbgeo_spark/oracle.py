@@ -2247,3 +2247,42 @@ SQL["rotate90"] = f"""WITH {COO},
 dims AS (SELECT count(*) // {RASTER_W} AS h FROM coo)
 SELECT x AS y, (SELECT h FROM dims) - 1 - y AS x, value
 FROM coo"""
+
+
+def _cost_reach_sql(rounds: int = 4) -> str:
+    """Unroll the K cost-propagation rounds as chained CTEs — the exact
+    twin of focal.cost_reach_coo's unrolled DataFrame loop."""
+    offs = ", ".join(
+        f"({dy}, {dx})"
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if (dy, dx) != (0, 0)
+    )
+    parts = [
+        COO.strip(),
+        "offs(dy, dx) AS (VALUES " + offs + ")",
+        "d0 AS (SELECT y, x, CAST(0 AS BIGINT) AS cost FROM coo WHERE value = 0)",
+    ]
+    for k in range(1, rounds + 1):
+        parts.append(
+            f"s{k} AS (SELECT d.y + o.dy AS y, d.x + o.dx AS x,"
+            f" min(d.cost) AS best_in FROM d{k-1} d, offs o GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"c{k} AS (SELECT s.y, s.x, CASE WHEN v.value = 0 THEN 0"
+            f" ELSE s.best_in + v.value END AS cost"
+            f" FROM s{k} s JOIN coo v ON v.y = s.y AND v.x = s.x)"
+        )
+        parts.append(
+            f"d{k} AS (SELECT y, x, min(cost) AS cost FROM"
+            f" (SELECT * FROM d{k-1} UNION ALL SELECT * FROM c{k})"
+            f" GROUP BY 1, 2)"
+        )
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT y, x, CAST(cost AS BIGINT) AS cost FROM d{rounds}"
+    )
+
+
+SQL["cost_reach"] = _cost_reach_sql()

@@ -798,3 +798,38 @@ def test_affine_warp_rotation_identity_and_unimodular_guard(coo, dense):
 
     with _pytest.raises(ValueError, match="unimodular"):
         pixel.affine_warp(coo, 2, 0, 0, 1)
+
+
+def test_cost_reach_vs_python_dijkstra_prefix(spark, coo, dense):
+    """cost_reach == the bounded-K Bellman-Ford prefix computed
+    scalar-side (which for K rounds equals cheapest <=K-step paths)."""
+    h, w = dense.shape
+    INF = float("inf")
+    dist = {
+        (y, x): (0 if dense[y, x] == 0 else INF)
+        for y in range(h)
+        for x in range(w)
+    }
+    for _ in range(4):
+        new = dict(dist)
+        for (y, x), d0 in dist.items():
+            if dense[y, x] == 0:
+                continue
+            best = min(
+                (
+                    dist.get((y + dy, x + dx), INF)
+                    for dy in (-1, 0, 1)
+                    for dx in (-1, 0, 1)
+                    if (dy, dx) != (0, 0)
+                ),
+                default=INF,
+            )
+            if best + dense[y, x] < new[(y, x)]:
+                new[(y, x)] = best + int(dense[y, x])
+        dist = new
+    want = {c: d for c, d in dist.items() if d < INF}
+    got = {
+        (r.y, r.x): r.cost
+        for r in focal.cost_reach_coo(coo).collect()
+    }
+    assert got == want
