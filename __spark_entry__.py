@@ -561,6 +561,14 @@ def q_moran_i(spark, sf_dir):
     return knn_mod.moran_i(model.points(spark, sf_dir))
 
 
+def q_local_moran(spark, sf_dir):
+    """LISA (Anselin local Moran) per occupied 10-degree cell: exact
+    n-scaled deviation, queen-lag sum, and their product — the hot/
+    cold-spot map whose global average is moran_i; same broadcast x8
+    scatter scale shape."""
+    return knn_mod.local_moran(model.points(spark, sf_dir))
+
+
 def q_cost_reach(spark, sf_dir):
     """K-step cost propagation from the zero-valued source cells
     (bounded-K Dijkstra prefix): per reached cell, the cheapest
@@ -1938,6 +1946,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dedup_latest": q_url_dedup_latest,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
+    "local_moran": q_local_moran,
     "dedup_exact": q_dedup_exact,
     "ann_bruteforce_topk": q_ann_bruteforce_topk,
     "focal_mean_sum": q_focal_mean_sum,

@@ -2286,3 +2286,33 @@ def _cost_reach_sql(rounds: int = 4) -> str:
 
 
 SQL["cost_reach"] = _cost_reach_sql()
+
+# knn.local_moran: LISA per occupied 10-degree cell — exact n-scaled
+# deviations, queen-lag sums, product emitted as the deterministic
+# int->double cast.  Cells with no occupied neighbor emit no row
+# (inner join), matching the engine.
+SQL["local_moran"] = f"""WITH {PTS},
+cells AS (
+  SELECT CAST(floor((lat + 90.0) / 10.0) AS BIGINT) AS cy,
+         CAST(floor((lon + 180.0) / 10.0) AS BIGINT) AS cx, count(*) AS x
+  FROM pts GROUP BY 1, 2
+),
+st AS (SELECT count(*) AS n, sum(x) AS s FROM cells),
+z AS (
+  SELECT cy, cx, CAST(x AS HUGEINT) * (SELECT n FROM st)
+                 - (SELECT s FROM st) AS nz
+  FROM cells
+),
+lag AS (
+  SELECT a.cy, a.cx, sum(b.nz) AS lag_nz, count(*) AS n_nbrs
+  FROM z a JOIN z b
+    ON b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND NOT (b.cy = a.cy AND b.cx = a.cx)
+  GROUP BY a.cy, a.cx
+)
+SELECT z.cy, z.cx, CAST(z.nz AS BIGINT) AS nz,
+       CAST(lag.lag_nz AS BIGINT) AS lag_nz,
+       lag.n_nbrs AS n_nbrs,
+       CAST(z.nz * lag.lag_nz AS DOUBLE) AS local_num
+FROM z JOIN lag ON lag.cy = z.cy AND lag.cx = z.cx"""

@@ -740,3 +740,27 @@ def test_trajectory_stats_vs_python(spark, sf_smoke):
         for r in temporal.trajectory_stats(ev).collect()
     }
     assert got == want
+
+
+def test_local_moran_aggregates_to_global(spark, sf_correct):
+    """Consistency identity: sum(local_num) over LISA cells ==
+    moran_i's pair-sum numerator (each adjacent ordered pair appears
+    exactly once in exactly one cell's lag), and n_nbrs sums to
+    w_pairs."""
+    lisa = knn_mod.local_moran(model.points(spark, sf_correct)).collect()
+    glob = knn_mod.moran_i(model.points(spark, sf_correct)).collect()[0]
+    assert sum(r.n_nbrs for r in lisa) == glob.w_pairs
+    num = sum(r.nz * r.lag_nz for r in lisa)
+    # reconstruct the global I from the exact local parts
+    n = glob.n_cells
+    den = None
+    pts = model.points(spark, sf_correct).collect()
+    from math import floor
+
+    counts = {}
+    for p in pts:
+        c = (floor((p.lat + 90.0) / 10.0), floor((p.lon + 180.0) / 10.0))
+        counts[c] = counts.get(c, 0) + 1
+    s = sum(counts.values())
+    den = sum((n * x - s) ** 2 for x in counts.values())
+    assert abs(glob.moran_i - (n * num) / (glob.w_pairs * den)) < 1e-12
