@@ -608,6 +608,19 @@ def q_flow_accum(spark, sf_dir):
     return focal.flow_accum_coo(tiles, h, w, CHUNK)
 
 
+def q_watershed_basins(spark, sf_dir):
+    """Watershed/basin decomposition of the D8 flow graph: every cell
+    labeled with its terminal sink via pointer jumping (ancestor
+    doubling) — O(log drainage-depth) self-joins of a constant-size
+    pointer table, the scale companion to flow_accum's peel.  Oracle:
+    recursive walk down the same edge rule, keeping the step whose
+    position has no out-edge."""
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    return focal.watershed_basins_coo(
+        model.raster_coo(spark, sf_dir), tiles, h, w, CHUNK
+    )
+
+
 def q_point_density(spark, sf_dir):
     """Smoothed point-density heatmap on the 1-degree grid: cell counts
     convolved with the integer 3x3 binomial kernel.  The kernel runs on
@@ -1944,6 +1957,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "corpus_freeze": q_corpus_freeze,
     "url_dedup_latest": q_url_dedup_latest,
+    "watershed_basins": q_watershed_basins,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

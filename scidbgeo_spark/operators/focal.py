@@ -620,3 +620,70 @@ def cost_reach_coo(coo: DataFrame, rounds: int = 4) -> DataFrame:
             .agg(F.min("cost").alias("cost"))
         )
     return dist
+
+
+def watershed_basins_coo(
+    coo: DataFrame,
+    tiles: DataFrame,
+    height: int,
+    width: int,
+    chunk: int,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(y, x, basin_y, basin_x): every cell labeled with the terminal
+    D8 sink its iterated steepest-descent path drains to — the
+    watershed/basin decomposition of the same flow graph
+    :func:`flow_accum_coo` peels (sinks and any cell with no strict
+    descent label themselves).
+
+    Pointer jumping (ancestor doubling), the O(log depth) companion the
+    flow-accumulation docstring promises: ptr starts as the single
+    out-edge (self for sinks), and each round rewrites
+    ptr(u) <- ptr(ptr(u)).  Because sinks self-loop, ptr(u) is the
+    2^k-step ancestor after k rounds and freezes at the sink, so a
+    continental-scale river network converges in ~log2(path length)
+    rounds.  Per round: ONE key-partitioned self-join of the
+    constant-size pointer table (never O(paths) state) plus one
+    emptiness boolean to the driver.  Reference analog: none —
+    SciDBGeo stops at one-shot window kernels (SciDB_analysis.py
+    window family); this is the iterative drainage workload SciDB
+    would hand to stream()/iterate."""
+    edges = flow_edges_coo(tiles, height, width, chunk)
+    ptr = (
+        coo.select("y", "x")
+        .join(edges, (F.col("y") == edges.uy) & (F.col("x") == edges.ux), "left")
+        .select(
+            "y",
+            "x",
+            F.coalesce("ty", F.col("y")).alias("by"),
+            F.coalesce("tx", F.col("x")).alias("bx"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        hop = ptr.select(
+            F.col("y").alias("hy"),
+            F.col("x").alias("hx"),
+            F.col("by").alias("nby"),
+            F.col("bx").alias("nbx"),
+        )
+        nxt = (
+            ptr.join(hop, (ptr.by == hop.hy) & (ptr.bx == hop.hx))
+            .select("y", "x", "by", "bx", "nby", "nbx")
+            .localCheckpoint()
+        )
+        if nxt.filter(
+            (F.col("nby") != F.col("by")) | (F.col("nbx") != F.col("bx"))
+        ).isEmpty():
+            break
+        ptr = nxt.select(
+            "y", "x", F.col("nby").alias("by"), F.col("nbx").alias("bx")
+        )
+    else:
+        raise RuntimeError(f"pointer jumping did not converge in {max_rounds} rounds")
+    return ptr.select(
+        "y",
+        "x",
+        F.col("by").alias("basin_y"),
+        F.col("bx").alias("basin_x"),
+    )

@@ -2316,3 +2316,30 @@ SELECT z.cy, z.cx, CAST(z.nz AS BIGINT) AS nz,
        lag.n_nbrs AS n_nbrs,
        CAST(z.nz * lag.lag_nz AS DOUBLE) AS local_num
 FROM z JOIN lag ON lag.cy = z.cy AND lag.cx = z.cx"""
+
+# focal.watershed_basins_coo: per-cell terminal D8 sink (watershed
+# decomposition).  Same edge rule as flow_accum; the walk CTE follows
+# each cell's single out-path and the final filter keeps the step whose
+# position has no outgoing edge (= the sink); sinks/isolated cells seed
+# the walk pointing at themselves.
+SQL["watershed_basins"] = f"""WITH RECURSIVE {COO},
+cand AS (
+  SELECT a.y AS uy, a.x AS ux, b.y AS ty, b.x AS tx,
+         row_number() OVER (PARTITION BY a.y, a.x
+                            ORDER BY b.value, b.y, b.x) AS rn
+  FROM coo a JOIN coo b
+    ON b.y BETWEEN a.y - 1 AND a.y + 1
+   AND b.x BETWEEN a.x - 1 AND a.x + 1
+   AND NOT (b.y = a.y AND b.x = a.x)
+  WHERE b.value < a.value
+),
+edges AS (SELECT uy, ux, ty, tx FROM cand WHERE rn = 1),
+walk AS (
+  SELECT y, x, y AS cy, x AS cx FROM coo
+  UNION ALL
+  SELECT w.y, w.x, e.ty, e.tx
+  FROM walk w JOIN edges e ON e.uy = w.cy AND e.ux = w.cx
+)
+SELECT y, x, cy AS basin_y, cx AS basin_x
+FROM walk w
+WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.uy = w.cy AND e.ux = w.cx)"""

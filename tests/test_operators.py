@@ -833,3 +833,57 @@ def test_cost_reach_vs_python_dijkstra_prefix(spark, coo, dense):
         for r in focal.cost_reach_coo(coo).collect()
     }
     assert got == want
+
+
+def _watershed_bruteforce(dense):
+    """Pure-Python twin: walk every cell's D8 steepest-descent path to
+    its terminal sink (cells with no strict descent are their own)."""
+    h, w = dense.shape
+    tgt = {}
+    for y in range(h):
+        for x in range(w):
+            best = None
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    ny, nx = y + dy, x + dx
+                    if not (0 <= ny < h and 0 <= nx < w):
+                        continue
+                    key = (int(dense[ny, nx]), ny, nx)
+                    if best is None or key < best:
+                        best = key
+            if best is not None and best[0] < int(dense[y, x]):
+                tgt[(y, x)] = (best[1], best[2])
+    out = {}
+    for y in range(h):
+        for x in range(w):
+            cur = (y, x)
+            while cur in tgt:
+                cur = tgt[cur]
+            out[(y, x)] = cur
+    return out
+
+
+def test_watershed_vs_bruteforce(spark, coo, tiles, dense):
+    h, w = dense.shape
+    got = {
+        (r.y, r.x): (r.basin_y, r.basin_x)
+        for r in focal.watershed_basins_coo(coo, tiles, h, w, CHUNK).collect()
+    }
+    assert got == _watershed_bruteforce(dense)
+    # every basin label is a genuine sink: it maps to itself
+    for sink in set(got.values()):
+        assert got[sink] == sink
+
+
+def test_watershed_constant_raster_self_basins(spark):
+    """A constant field has no flow edges: every cell is its own basin
+    (and pointer jumping converges on round one)."""
+    c = spark.range(100).selectExpr(
+        "id DIV 10 AS y", "id % 10 AS x", "CAST(7 AS BIGINT) AS value"
+    )
+    t = tiling.pack_tiles(c, 5, 10, 10)
+    rows = focal.watershed_basins_coo(c, t, 10, 10, 5).collect()
+    assert len(rows) == 100
+    assert all((r.basin_y, r.basin_x) == (r.y, r.x) for r in rows)
