@@ -569,6 +569,14 @@ def q_local_moran(spark, sf_dir):
     return knn_mod.local_moran(model.points(spark, sf_dir))
 
 
+def q_gi_star(spark, sf_dir):
+    """Getis-Ord Gi* hot-spot z-map per occupied 10-degree cell (queen
+    + self): exact integer interior, one sqrt-only double expression —
+    the third member of the spatial-autocorrelation family (moran_i,
+    local_moran, gi_star), same x9-scatter scale shape."""
+    return knn_mod.gi_star(model.points(spark, sf_dir))
+
+
 def q_cost_reach(spark, sf_dir):
     """K-step cost propagation from the zero-valued source cells
     (bounded-K Dijkstra prefix): per reached cell, the cheapest
@@ -1958,6 +1966,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_freeze": q_corpus_freeze,
     "url_dedup_latest": q_url_dedup_latest,
     "watershed_basins": q_watershed_basins,
+    "gi_star": q_gi_star,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

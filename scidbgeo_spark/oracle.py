@@ -2343,3 +2343,37 @@ walk AS (
 SELECT y, x, cy AS basin_y, cx AS basin_x
 FROM walk w
 WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.uy = w.cy AND e.ux = w.cx)"""
+
+# knn.gi_star: Getis-Ord Gi* per occupied 10-degree cell (queen + self).
+# All-integer interior (HUGEINT), then one double expression whose only
+# irrational steps are IEEE-correctly-rounded sqrts — identical bits in
+# both engines; degenerate neighborhoods yield NULL on both sides.
+SQL["gi_star"] = f"""WITH {PTS},
+cells AS (
+  SELECT CAST(floor((lat + 90.0) / 10.0) AS BIGINT) AS cy,
+         CAST(floor((lon + 180.0) / 10.0) AS BIGINT) AS cx, count(*) AS x
+  FROM pts GROUP BY 1, 2
+),
+st AS (SELECT count(*) AS n, sum(x) AS s,
+              sum(CAST(x AS HUGEINT) * x) AS s2 FROM cells),
+nbr AS (
+  SELECT a.cy, a.cx, sum(b.x) AS sum_nbr, count(*) AS w
+  FROM cells a JOIN cells b
+    ON b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
+  GROUP BY a.cy, a.cx
+)
+SELECT c.cy, c.cx, c.x, nbr.w AS w_nbrs,
+       CAST(nbr.sum_nbr AS BIGINT) AS sum_nbr,
+       CAST(CAST(nbr.sum_nbr AS HUGEINT) * st.n - st.s * nbr.w AS DOUBLE)
+         AS gi_num,
+       CASE WHEN st.n > 1 AND nbr.w < st.n
+                 AND st.n * st.s2 - CAST(st.s AS HUGEINT) * st.s > 0
+            THEN CAST(CAST(nbr.sum_nbr AS HUGEINT) * st.n
+                      - st.s * nbr.w AS DOUBLE)
+                 / (sqrt(CAST(st.n * st.s2
+                              - CAST(st.s AS HUGEINT) * st.s AS DOUBLE))
+                    * sqrt(CAST(nbr.w * (st.n - nbr.w) AS DOUBLE)
+                           / CAST(st.n - 1 AS DOUBLE)))
+            END AS gi_z
+FROM cells c JOIN nbr ON nbr.cy = c.cy AND nbr.cx = c.cx, st"""

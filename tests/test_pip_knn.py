@@ -764,3 +764,55 @@ def test_local_moran_aggregates_to_global(spark, sf_correct):
     s = sum(counts.values())
     den = sum((n * x - s) ** 2 for x in counts.values())
     assert abs(glob.moran_i - (n * num) / (glob.w_pairs * den)) < 1e-12
+
+
+def test_gi_star_vs_bruteforce(spark, sf_correct):
+    """Exact Python twin of the Gi* z-map: integer interior recomputed
+    with arbitrary-precision ints, the z-score with math.sqrt in the
+    engine's own operation order — bit-identical expected values."""
+    from math import floor, sqrt
+
+    pts = model.points(spark, sf_correct).collect()
+    counts = {}
+    for p in pts:
+        c = (floor((p.lat + 90.0) / 10.0), floor((p.lon + 180.0) / 10.0))
+        counts[c] = counts.get(c, 0) + 1
+    n = len(counts)
+    s = sum(counts.values())
+    s2 = sum(x * x for x in counts.values())
+    a = n * s2 - s * s
+    want = {}
+    for (cy, cx), x in counts.items():
+        w = sum_nbr = 0
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                xb = counts.get((cy + dy, cx + dx))
+                if xb is not None:
+                    w += 1
+                    sum_nbr += xb
+        num = n * sum_nbr - s * w
+        z = (
+            num / (sqrt(a) * sqrt((w * (n - w)) / (n - 1)))
+            if n > 1 and w < n and a > 0
+            else None
+        )
+        want[(cy, cx)] = (x, w, sum_nbr, float(num), z)
+    got = {
+        (r.cy, r.cx): (r.x, r.w_nbrs, r.sum_nbr, r.gi_num, r.gi_z)
+        for r in knn_mod.gi_star(model.points(spark, sf_correct)).collect()
+    }
+    assert got == want
+    # hot cells exist: at least one strongly positive z in the fixture
+    assert max(v[4] for v in want.values()) > 2.0
+
+
+def test_gi_star_constant_field_is_null(spark):
+    """A uniform one-point-per-cell field has zero variance (A == 0):
+    every z must be NULL, never inf/NaN, in line with the oracle."""
+    pts = spark.range(9).selectExpr(
+        "CAST(10.0 * (id DIV 3) - 80.0 AS DOUBLE) AS lat",
+        "CAST(10.0 * (id % 3) - 170.0 AS DOUBLE) AS lon",
+    )
+    rows = knn_mod.gi_star(pts).collect()
+    assert len(rows) == 9
+    assert all(r.gi_z is None for r in rows)
