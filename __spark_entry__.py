@@ -569,6 +569,16 @@ def q_local_moran(spark, sf_dir):
     return knn_mod.local_moran(model.points(spark, sf_dir))
 
 
+def q_mk_trend(spark, sf_dir):
+    """Mann-Kendall monotone-trend S per cell across the band/time
+    axis (emerging-hot-spot screen): constant-length array fold inside
+    codegen, one map-side-combinable shuffle, exact integers.  Oracle:
+    the literal band-pair join."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.mk_trend(model.raster3_coo(spark, sf_dir))
+
+
 def q_gi_star(spark, sf_dir):
     """Getis-Ord Gi* hot-spot z-map per occupied 10-degree cell (queen
     + self): exact integer interior, one sqrt-only double expression —
@@ -1967,6 +1977,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dedup_latest": q_url_dedup_latest,
     "watershed_basins": q_watershed_basins,
     "gi_star": q_gi_star,
+    "mk_trend": q_mk_trend,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

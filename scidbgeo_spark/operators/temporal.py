@@ -177,3 +177,38 @@ def trajectory_stats(events: DataFrame) -> DataFrame:
             "bbox_w",
         )
     )
+
+
+def mk_trend(coo3: DataFrame) -> DataFrame:
+    """Mann-Kendall trend statistic per (y, x) cell across the band /
+    time axis of a 3-D raster: S = sum over ordered band pairs
+    (b1 < b2) of sign(v_b2 - v_b1) — the standard nonparametric
+    monotone-trend screen behind "emerging hot spot" analysis (S near
+    +n_pairs = strictly rising series, near -n_pairs = falling).
+    Exact integers end to end.
+
+    Scale shape: ONE map-side-combinable groupBy collects each cell's
+    (band, value) series — a CONSTANT-length array (the band count) —
+    sorts it JVM-side, and folds the pairwise signs with array algebra
+    inside codegen: no raster self-join (the naive pair join ships
+    n_bands copies of every cell), no Python in the loop.  Oracle: the
+    literal pair join, band-restricted, in DuckDB."""
+    g = coo3.groupBy("y", "x").agg(
+        F.sort_array(F.collect_list(F.struct("band", "value"))).alias("tv")
+    )
+    s = F.expr(
+        "aggregate(flatten(transform(tv, (a, i) -> "
+        "transform(slice(tv, i + 2, size(tv)), b -> "
+        "CAST(CASE WHEN b.value > a.value THEN 1 "
+        "WHEN b.value < a.value THEN -1 ELSE 0 END AS BIGINT)))), "
+        "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+    return g.select(
+        "y",
+        "x",
+        F.size("tv").cast("long").alias("n_bands"),
+        F.expr("CAST(size(tv) * (size(tv) - 1) DIV 2 AS BIGINT)").alias(
+            "n_pairs"
+        ),
+        s.alias("s_stat"),
+    )

@@ -2377,3 +2377,20 @@ SELECT c.cy, c.cx, c.x, nbr.w AS w_nbrs,
                            / CAST(st.n - 1 AS DOUBLE)))
             END AS gi_z
 FROM cells c JOIN nbr ON nbr.cy = c.cy AND nbr.cx = c.cx, st"""
+
+# temporal.mk_trend: Mann-Kendall S per cell across bands — the literal
+# ordered pair join the engine's array fold replaces.
+SQL["mk_trend"] = f"""WITH {COO3},
+pairs AS (
+  SELECT a.y, a.x,
+         CASE WHEN b.value > a.value THEN 1
+              WHEN b.value < a.value THEN -1 ELSE 0 END AS sgn
+  FROM coo3 a JOIN coo3 b ON b.y = a.y AND b.x = a.x AND b.band > a.band
+),
+nb AS (SELECT y, x, count(*) AS n_bands FROM coo3 GROUP BY 1, 2)
+SELECT nb.y, nb.x, nb.n_bands,
+       nb.n_bands * (nb.n_bands - 1) // 2 AS n_pairs,
+       COALESCE(p.s_stat, 0) AS s_stat
+FROM nb LEFT JOIN (
+  SELECT y, x, CAST(sum(sgn) AS BIGINT) AS s_stat FROM pairs GROUP BY 1, 2
+) p ON p.y = nb.y AND p.x = nb.x"""

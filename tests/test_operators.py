@@ -887,3 +887,31 @@ def test_watershed_constant_raster_self_basins(spark):
     rows = focal.watershed_basins_coo(c, t, 10, 10, 5).collect()
     assert len(rows) == 100
     assert all((r.basin_y, r.basin_x) == (r.y, r.x) for r in rows)
+
+
+def test_mk_trend_vs_python(spark, sf_smoke):
+    """Pure-Python twin of the per-cell Mann-Kendall fold on the smoke
+    3-D raster: exact pairwise signs over the band axis."""
+    from scidbgeo_spark.operators import temporal
+
+    coo3 = model.raster3_coo(spark, sf_smoke)
+    series = {}
+    for r in coo3.collect():
+        series.setdefault((r.y, r.x), []).append((r.band, r.value))
+    want = {}
+    for c, tv in series.items():
+        tv.sort()
+        s = sum(
+            (0 if b[1] == a[1] else (1 if b[1] > a[1] else -1))
+            for i, a in enumerate(tv)
+            for b in tv[i + 1 :]
+        )
+        n = len(tv)
+        want[c] = (n, n * (n - 1) // 2, s)
+    got = {
+        (r.y, r.x): (r.n_bands, r.n_pairs, r.s_stat)
+        for r in temporal.mk_trend(coo3).collect()
+    }
+    assert got == want
+    # the multiplicative-hash field is non-degenerate: both signs occur
+    assert min(v[2] for v in want.values()) < 0 < max(v[2] for v in want.values())
