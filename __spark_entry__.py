@@ -1136,6 +1136,14 @@ def q_lm_quality_score(spark, sf_dir):
     return text.lm_quality_score(_docs(spark, sf_dir))
 
 
+def q_vocab_growth(spark, sf_dir):
+    """Heaps-law vocabulary-growth curve over doc-id deciles: new terms
+    per slice + cumulative vocabulary — the diminishing-returns screen
+    for crawl expansion.  One term-keyed min-agg, constant-size final
+    window, exact integers."""
+    return text.vocab_growth(_docs(spark, sf_dir))
+
+
 def q_boilerplate_spans(spark, sf_dir):
     """Per-source template-boilerplate removal over the planted-chrome
     corpus: coverage by source-frequent 5-grams + cleaned fingerprint."""
@@ -1978,6 +1986,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "watershed_basins": q_watershed_basins,
     "gi_star": q_gi_star,
     "mk_trend": q_mk_trend,
+    "vocab_growth": q_vocab_growth,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

@@ -546,3 +546,42 @@ def boilerplate_spans(
             clean_fp.alias("clean_fp"),
         )
     )
+
+
+def vocab_growth(docs: DataFrame, buckets: int = 10) -> DataFrame:
+    """Heaps-law vocabulary-growth curve: split the corpus into
+    ``buckets`` equal doc-id slices and report, per slice, how many
+    NEVER-SEEN-BEFORE terms it introduces plus the cumulative
+    vocabulary size — the standard diminishing-returns screen for "is
+    more crawl adding new language or just more of the same?".  The
+    "term" here is the 3-word shingle (the hll_shingle_ndv vocabulary
+    unit — single words saturate any corpus in the first slice; phrase
+    vocabulary is what actually keeps growing).
+
+    Scale shape: shingles hash to 60-bit longs before any exchange
+    (the lm_quality_score convention), ONE term-keyed min-aggregate
+    finds each term's first document, the bucket histogram is map-side
+    combinable, and the final cumulative window runs over ``buckets``
+    rows — constant-size, not corpus-size.  The corpus count rides the
+    plan as a broadcast (no driver action).  Exact integers end to
+    end."""
+    from scidbgeo_spark.operators.dedup import shingles_col
+
+    tok = docs.select(
+        "doc_id", F.explode(shingles_col("text")).alias("t")
+    ).select("doc_id", md5_int("t").alias("h"))
+    first = tok.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    b = first.crossJoin(F.broadcast(n)).select(
+        F.least(
+            F.expr(f"first_doc * {buckets} DIV n_docs"),
+            F.lit(buckets - 1).cast("long"),
+        ).alias("bucket")
+    )
+    per = b.groupBy("bucket").agg(F.count("*").alias("new_terms"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return per.select(
+        "bucket",
+        "new_terms",
+        F.sum("new_terms").over(w).alias("vocab_cum"),
+    )

@@ -2394,3 +2394,19 @@ SELECT nb.y, nb.x, nb.n_bands,
 FROM nb LEFT JOIN (
   SELECT y, x, CAST(sum(sgn) AS BIGINT) AS s_stat FROM pairs GROUP BY 1, 2
 ) p ON p.y = nb.y AND p.x = nb.x"""
+
+# text.vocab_growth: Heaps-law curve over the 3-word shingle vocabulary
+# — per doc-id slice, the count of first-seen phrases and the cumulative
+# vocabulary (same 60-bit md5 hash + shingle rule as the engine).
+SQL["vocab_growth"] = f"""WITH
+tok AS (SELECT doc_id, {_MD5INT.format(x='t')} AS h
+        FROM (SELECT doc_id, unnest(sh) AS t
+              FROM {_kshingles('documents', 3)})),
+n AS (SELECT count(*) AS n_docs FROM documents),
+first AS (SELECT h, min(doc_id) AS first_doc FROM tok GROUP BY h),
+b AS (SELECT LEAST(first_doc * 10 // n_docs, 9) AS bucket FROM first, n),
+per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_terms
+        FROM b GROUP BY bucket)
+SELECT bucket, new_terms,
+       CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum
+FROM per"""

@@ -1196,3 +1196,45 @@ def test_lang_drift_and_dup_rate_arithmetic(spark, sf_correct):
     for src, r in rates.items():
         assert 0.0 <= r["dup_rate"] < 1.0
         assert r["n_distinct"] <= r["n_docs"]
+
+
+def test_vocab_growth_vs_python(spark, sf_smoke):
+    """Pure-Python twin of the Heaps-law shingle-vocabulary curve, and
+    the structural invariants: buckets partition the vocabulary, the
+    cumulative column is the running sum, and growth is sub-linear
+    (later slices introduce no more than the first)."""
+    from scidbgeo_spark import model
+    from scidbgeo_spark.operators import text as text_mod
+
+    docs = model.load_table(spark, sf_smoke, "documents")
+    rows = docs.select("doc_id", "text").collect()
+    n_docs = len(rows)
+    first = {}
+    for r in rows:
+        toks = r.text.split(" ")
+        k = 3
+        sh = {
+            " ".join(toks[i : i + k])
+            for i in range(max(len(toks) - k, 0) + 1)
+        }
+        for s in sh:
+            if s not in first or r.doc_id < first[s]:
+                first[s] = r.doc_id
+    want = {}
+    for d in first.values():
+        b = min(d * 10 // n_docs, 9)
+        want[b] = want.get(b, 0) + 1
+    got = {
+        r.bucket: r.new_terms
+        for r in text_mod.vocab_growth(docs).collect()
+    }
+    assert got == want
+    out = sorted(
+        (r.bucket, r.new_terms, r.vocab_cum)
+        for r in text_mod.vocab_growth(docs).collect()
+    )
+    run = 0
+    for b, new, cum in out:
+        run += new
+        assert cum == run
+    assert out[0][1] == max(v for _, v, _ in out)
