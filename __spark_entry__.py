@@ -1065,6 +1065,21 @@ def q_distance_join(spark, sf_dir):
     return knn_mod.distance_join(pts, pois, radius=12.0)
 
 
+def q_idw_interp(spark, sf_dir):
+    """Distance-decay (IDW-style) interpolation at the 10 nation POIs
+    from in-radius points on the milli-degree lattice: exact integer
+    weight sums (w = R^2 - d^2), one double division — the
+    point-sample -> site interpolation workload, distance_join's
+    aggregate sibling."""
+    from pyspark.sql import functions as F
+
+    pts = model.points(spark, sf_dir).withColumn(
+        "v", F.col("doc_id") % 997
+    )
+    pois = knn_mod.knn_queries_from_nation(spark, sf_dir, limit=10)
+    return knn_mod.idw_interp(pts, pois, radius=12.0)
+
+
 def q_knn_bulk(spark, sf_dir):
     """Many-query kNN join (all 25 nation-derived query points, no
     broadcast/driver loop — the sort-merge path)."""
@@ -1987,6 +2002,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gi_star": q_gi_star,
     "mk_trend": q_mk_trend,
     "vocab_growth": q_vocab_growth,
+    "idw_interp": q_idw_interp,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

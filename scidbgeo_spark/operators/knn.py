@@ -589,3 +589,108 @@ def gi_star(points: DataFrame, cell: float = 10.0) -> DataFrame:
             (F.col("n") > 1) & (F.col("w") < F.col("n")) & (a_term > 0), z
         ).alias("gi_z"),
     )
+
+
+def idw_interp(
+    points: DataFrame,
+    pois: DataFrame,
+    radius: float = 12.0,
+    cell: float = CELL,
+    value_col: str = "v",
+) -> DataFrame:
+    """Distance-decay (IDW-style) interpolation at each POI site from
+    the points within ``radius`` degrees: (q_id, n_pts, sum_w,
+    idw_value) with weight = R^2 - d^2 (linear decay in squared
+    distance, zero at the rim) over the integer MILLI-DEGREE lattice.
+
+    The kernel choice is the exactness contract: classic 1/d^2 weights
+    make both sums irrational, so their order-dependent float
+    accumulation could never value-hash across engines.  R^2 - d^2 on
+    milli-degree integers keeps numerator and denominator EXACT
+    decimal(38,0) sums in any aggregation order (the zonal_var
+    precedent); the interpolated value is then one double division.
+    Coordinates snap to the lattice with round((coord+offset)*1000) —
+    the fixture's points are milli-degree-born, so the snap is
+    lossless, and both engines round the same doubles.
+
+    Scale shape: the distance_join pattern — POIs replicate x9 to
+    their cell neighborhood (requires radius <= cell), points compute
+    ONE cell id, candidates come from a broadcast equi-join, and the
+    exact integer rim test makes cell over-coverage invisible; one
+    map-side-combinable aggregate per POI.  No cross join, no driver
+    loop.  No reference analog (north-rule addition: point-sample ->
+    site interpolation over the geotagged corpus)."""
+    if radius > cell:
+        raise ValueError(f"idw_interp requires radius <= cell ({radius} > {cell})")
+    if cell <= 0 or 360.0 % cell != 0.0 or 180.0 % cell != 0.0:
+        raise ValueError(f"cell size {cell} must divide 360 and 180 evenly")
+    ny, nx = int(round(180.0 / cell)), int(round(360.0 / cell))
+    rmd = int(round(radius * 1000))
+    r2 = rmd * rmd
+    dec = "decimal(38,0)"
+    p = pois.select(
+        "q_id",
+        F.round((F.col("qlon") + 180.0) * 1000.0).cast("long").alias("qmx"),
+        F.round((F.col("qlat") + 90.0) * 1000.0).cast("long").alias("qmy"),
+        F.floor((F.col("qlat") + 90.0) / cell).alias("cy"),
+        F.floor((F.col("qlon") + 180.0) / cell).alias("cx"),
+    )
+    p = p.select(
+        "q_id",
+        "qmx",
+        "qmy",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("cy") - 1, F.lit(0)),
+                F.least(F.col("cy") + 1, F.lit(ny - 1)),
+            )
+        ).alias("ncy"),
+        "cx",
+    ).select(
+        "q_id",
+        "qmx",
+        "qmy",
+        "ncy",
+        F.explode(
+            F.sequence(
+                F.greatest(F.col("cx") - 1, F.lit(0)),
+                F.least(F.col("cx") + 1, F.lit(nx - 1)),
+            )
+        ).alias("ncx"),
+    )
+    cand = p.select(
+        "q_id",
+        "qmx",
+        "qmy",
+        (F.col("ncy") * nx + F.col("ncx")).cast("long").alias("cell"),
+    )
+    pts = points.select(
+        F.col(value_col).alias("__v"),
+        F.round((F.col("lon") + 180.0) * 1000.0).cast("long").alias("mx"),
+        F.round((F.col("lat") + 90.0) * 1000.0).cast("long").alias("my"),
+        _point_cell_col(cell, ny, nx).alias("cell"),
+    )
+    dm2 = (F.col("mx") - F.col("qmx")) * (F.col("mx") - F.col("qmx")) + (
+        F.col("my") - F.col("qmy")
+    ) * (F.col("my") - F.col("qmy"))
+    w = (F.lit(r2) - F.col("dm2")).cast(dec)
+    return (
+        pts.join(F.broadcast(cand), "cell")
+        .select("q_id", "__v", dm2.alias("dm2"))
+        .filter(F.col("dm2") <= r2)
+        .groupBy("q_id")
+        .agg(
+            F.count("*").alias("n_pts"),
+            F.sum(w).cast(dec).alias("__sw"),
+            F.sum((F.col("__v").cast(dec) * w)).cast(dec).alias("__swv"),
+        )
+        .select(
+            "q_id",
+            "n_pts",
+            F.col("__sw").cast("double").alias("sum_w"),
+            (
+                F.col("__swv").cast("double")
+                / F.nullif(F.col("__sw").cast("double"), F.lit(0.0))
+            ).alias("idw_value"),
+        )
+    )

@@ -2410,3 +2410,34 @@ per AS (SELECT bucket, CAST(count(*) AS BIGINT) AS new_terms
 SELECT bucket, new_terms,
        CAST(sum(new_terms) OVER (ORDER BY bucket) AS BIGINT) AS vocab_cum
 FROM per"""
+
+# knn.idw_interp: distance-decay interpolation at the 10 nation-derived
+# POI sites, weight = R^2 - d^2 on the milli-degree integer lattice —
+# exact HUGEINT sums, one double division (v = doc_id % 997).
+SQL["idw_interp"] = f"""WITH {PTS},
+q AS (
+  SELECT n_nationkey AS q_id,
+         -180.0 + ((n_nationkey * 77777) % 360000) / 1000.0 AS qlon,
+         -90.0 + ((n_nationkey * 33333) % 180000) / 1000.0 AS qlat
+  FROM nation WHERE n_nationkey < 10
+),
+ip AS (SELECT doc_id % 997 AS v,
+              CAST(round((lon + 180.0) * 1000.0) AS BIGINT) AS mx,
+              CAST(round((lat + 90.0) * 1000.0) AS BIGINT) AS my
+       FROM pts),
+iq AS (SELECT q_id,
+              CAST(round((qlon + 180.0) * 1000.0) AS BIGINT) AS qmx,
+              CAST(round((qlat + 90.0) * 1000.0) AS BIGINT) AS qmy
+       FROM q),
+pairs AS (
+  SELECT q_id, v,
+         (mx - qmx) * (mx - qmx) + (my - qmy) * (my - qmy) AS dm2
+  FROM ip CROSS JOIN iq
+  WHERE (mx - qmx) * (mx - qmx) + (my - qmy) * (my - qmy) <= 144000000
+)
+SELECT q_id, CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(sum(CAST(144000000 - dm2 AS HUGEINT)) AS DOUBLE) AS sum_w,
+       CAST(sum(CAST(v AS HUGEINT) * (144000000 - dm2)) AS DOUBLE)
+         / nullif(CAST(sum(CAST(144000000 - dm2 AS HUGEINT)) AS DOUBLE), 0)
+         AS idw_value
+FROM pairs GROUP BY q_id"""

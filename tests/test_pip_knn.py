@@ -816,3 +816,49 @@ def test_gi_star_constant_field_is_null(spark):
     rows = knn_mod.gi_star(pts).collect()
     assert len(rows) == 9
     assert all(r.gi_z is None for r in rows)
+
+
+def test_idw_interp_vs_bruteforce(spark, sf_correct):
+    """Exact Python twin on the milli-degree lattice: integer weight
+    sums, one float division — bit-identical expected values — plus the
+    rim contract (a point at exactly d == R carries zero weight)."""
+    pts = model.points(spark, sf_correct).collect()
+    qs = knn_mod.knn_queries_from_nation(spark, sf_correct, limit=10).collect()
+    R2 = 12000 * 12000
+    want = {}
+    for q in qs:
+        qmx = round((q.qlon + 180.0) * 1000.0)
+        qmy = round((q.qlat + 90.0) * 1000.0)
+        n = sw = swv = 0
+        for p in pts:
+            mx = round((p.lon + 180.0) * 1000.0)
+            my = round((p.lat + 90.0) * 1000.0)
+            dm2 = (mx - qmx) ** 2 + (my - qmy) ** 2
+            if dm2 <= R2:
+                n += 1
+                sw += R2 - dm2
+                swv += (p.doc_id % 997) * (R2 - dm2)
+        if n:
+            want[q.q_id] = (
+                n,
+                float(sw),
+                (swv / sw) if sw else None,
+            )
+    pdf = model.points(spark, sf_correct).withColumn(
+        "v", F.col("doc_id") % 997
+    )
+    pois = knn_mod.knn_queries_from_nation(spark, sf_correct, limit=10)
+    got = {
+        r.q_id: (r.n_pts, r.sum_w, r.idw_value)
+        for r in knn_mod.idw_interp(pdf, pois, radius=12.0).collect()
+    }
+    assert got == want and len(got) > 0
+
+
+def test_idw_interp_radius_guard(spark, sf_correct):
+    pdf = model.points(spark, sf_correct).withColumn("v", F.col("doc_id") % 997)
+    pois = knn_mod.knn_queries_from_nation(spark, sf_correct, limit=2)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        knn_mod.idw_interp(pdf, pois, radius=20.0, cell=15.0)
