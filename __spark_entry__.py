@@ -1065,6 +1065,14 @@ def q_distance_join(spark, sf_dir):
     return knn_mod.distance_join(pts, pois, radius=12.0)
 
 
+def q_grid_dbscan(spark, sf_dir):
+    """Grid-DBSCAN density clustering on the 10-degree occupied grid:
+    core cells, queen-reachability merge (min-label propagation over
+    the bounded cell graph), border attachment, NULL noise.  Oracle:
+    recursive reachability CTE."""
+    return knn_mod.grid_dbscan(model.points(spark, sf_dir))
+
+
 def q_idw_interp(spark, sf_dir):
     """Distance-decay (IDW-style) interpolation at the 10 nation POIs
     from in-radius points on the milli-degree lattice: exact integer
@@ -2003,6 +2011,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mk_trend": q_mk_trend,
     "vocab_growth": q_vocab_growth,
     "idw_interp": q_idw_interp,
+    "grid_dbscan": q_grid_dbscan,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

@@ -694,3 +694,94 @@ def idw_interp(
             ).alias("idw_value"),
         )
     )
+
+
+def grid_dbscan(
+    points: DataFrame, cell: float = 10.0, minpts: int = 2, max_rounds: int = 128
+) -> DataFrame:
+    """Grid-DBSCAN density clustering of the point corpus: cells with
+    >= ``minpts`` points are CORE; queen-adjacent core cells merge into
+    one cluster (labeled by the component's minimum linear cell id);
+    non-core cells adjacent to a core cell join its cluster (border
+    semantics); the rest are noise (cluster -1 — a NULL would hash as
+    engine-specific NaN).  The grid variant of
+    DBSCAN every web-scale pipeline actually runs — the eps-ball pair
+    join is replaced by cell adjacency, so no point-level self-join
+    exists at any scale.
+
+    Scale shape: one map-side-combinable points agg (<= 64,800 rows
+    forever), then min-label propagation over the CELL graph — a x8
+    scatter + broadcast join per round, rounds bounded by the occupied
+    grid's diameter, one emptiness boolean to the driver per round (the
+    regions/knn certification-loop shape).  Exact integers; label = min
+    reachable cell id, pinned by the oracle's recursive reachability."""
+    nx = int(round(360.0 / cell))
+    cells = (
+        points.select(
+            F.floor((F.col("lat") + 90.0) / cell).cast("long").alias("cy"),
+            F.floor((F.col("lon") + 180.0) / cell).cast("long").alias("cx"),
+        )
+        .groupBy("cy", "cx")
+        .agg(F.count("*").alias("npts"))
+    )
+    core = cells.filter(F.col("npts") >= minpts).select(
+        "cy", "cx", (F.col("cy") * nx + F.col("cx")).alias("lbl")
+    )
+    msgs = ", ".join(
+        f"named_struct('cy2', cy + {dy}, 'cx2', cx + {dx}, 'l', lbl)"
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if (dy, dx) != (0, 0)
+    )
+    cur = core.localCheckpoint()
+    for _ in range(max_rounds):
+        nbr = (
+            cur.select(F.explode(F.expr(f"array({msgs})")).alias("m"))
+            .select("m.*")
+            .groupBy(F.col("cy2").alias("cy"), F.col("cx2").alias("cx"))
+            .agg(F.min("l").alias("nb_min"))
+        )
+        nxt = (
+            cur.join(F.broadcast(nbr), ["cy", "cx"], "left")
+            .select(
+                "cy",
+                "cx",
+                F.least(
+                    F.col("lbl"), F.coalesce("nb_min", F.col("lbl"))
+                ).alias("lbl2"),
+                "lbl",
+            )
+            .localCheckpoint()
+        )
+        if nxt.filter(F.col("lbl2") != F.col("lbl")).isEmpty():
+            break
+        cur = nxt.select("cy", "cx", F.col("lbl2").alias("lbl"))
+    else:
+        raise RuntimeError(f"label propagation did not converge in {max_rounds}")
+    lbl = cur.select("cy", "cx", F.col("lbl").alias("core_cluster"))
+    # border attachment: min cluster among queen-adjacent core cells
+    bmsgs = ", ".join(
+        f"named_struct('cy2', cy + {dy}, 'cx2', cx + {dx}, 'l', core_cluster)"
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if (dy, dx) != (0, 0)
+    )
+    badj = (
+        lbl.select(F.explode(F.expr(f"array({bmsgs})")).alias("m"))
+        .select("m.*")
+        .groupBy(F.col("cy2").alias("cy"), F.col("cx2").alias("cx"))
+        .agg(F.min("l").alias("border_cluster"))
+    )
+    return (
+        cells.join(F.broadcast(lbl), ["cy", "cx"], "left")
+        .join(F.broadcast(badj), ["cy", "cx"], "left")
+        .select(
+            "cy",
+            "cx",
+            "npts",
+            (F.col("npts") >= minpts).alias("is_core"),
+            F.coalesce(
+                "core_cluster", "border_cluster", F.lit(-1).cast("long")
+            ).alias("cluster"),
+        )
+    )

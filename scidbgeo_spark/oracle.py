@@ -2441,3 +2441,38 @@ SELECT q_id, CAST(count(*) AS BIGINT) AS n_pts,
          / nullif(CAST(sum(CAST(144000000 - dm2 AS HUGEINT)) AS DOUBLE), 0)
          AS idw_value
 FROM pairs GROUP BY q_id"""
+
+# knn.grid_dbscan: density clustering on the 10-degree occupied grid —
+# core cells (npts >= 2), recursive queen reachability among cores, label
+# = min reachable linear cell id, borders take the min adjacent core
+# cluster, noise stays NULL.
+SQL["grid_dbscan"] = f"""WITH RECURSIVE {PTS},
+cells AS (
+  SELECT CAST(floor((lat + 90.0) / 10.0) AS BIGINT) AS cy,
+         CAST(floor((lon + 180.0) / 10.0) AS BIGINT) AS cx, count(*) AS npts
+  FROM pts GROUP BY 1, 2
+),
+core AS (SELECT cy, cx, cy * 36 + cx AS id FROM cells WHERE npts >= 2),
+edge AS (
+  SELECT a.id AS ida, b.id AS idb
+  FROM core a JOIN core b
+    ON b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND NOT (b.cy = a.cy AND b.cx = a.cx)
+),
+reach AS (
+  SELECT id AS src, id AS dst FROM core
+  UNION
+  SELECT r.src, e.idb FROM reach r JOIN edge e ON e.ida = r.dst
+),
+lbl AS (SELECT src AS id, min(dst) AS cluster FROM reach GROUP BY src),
+cl AS (SELECT core.cy, core.cx, lbl.cluster
+       FROM core JOIN lbl ON lbl.id = core.id)
+SELECT c.cy, c.cx, CAST(c.npts AS BIGINT) AS npts,
+       c.npts >= 2 AS is_core,
+       COALESCE(cl.cluster,
+                (SELECT min(c2.cluster) FROM cl c2
+                 WHERE c2.cy BETWEEN c.cy - 1 AND c.cy + 1
+                   AND c2.cx BETWEEN c.cx - 1 AND c.cx + 1),
+                -1) AS cluster
+FROM cells c LEFT JOIN cl ON cl.cy = c.cy AND cl.cx = c.cx"""

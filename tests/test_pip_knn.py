@@ -862,3 +862,59 @@ def test_idw_interp_radius_guard(spark, sf_correct):
 
     with _pytest.raises(ValueError):
         knn_mod.idw_interp(pdf, pois, radius=20.0, cell=15.0)
+
+
+def test_grid_dbscan_vs_python(spark, sf_correct):
+    """Pure-Python DBSCAN twin on the occupied 10-degree grid: BFS over
+    queen-adjacent core cells, min-id labels, border attachment, -1
+    noise — exact match, plus structural sanity (labels are component
+    minima; the fixture's hot cell is core)."""
+    from math import floor
+
+    pts = model.points(spark, sf_correct).collect()
+    counts = {}
+    for p in pts:
+        c = (floor((p.lat + 90.0) / 10.0), floor((p.lon + 180.0) / 10.0))
+        counts[c] = counts.get(c, 0) + 1
+    core = {c for c, n in counts.items() if n >= 2}
+    lbl = {}
+    for c in sorted(core):
+        if c in lbl:
+            continue
+        comp, stack = [], [c]
+        seen = {c}
+        while stack:
+            u = stack.pop()
+            comp.append(u)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    v = (u[0] + dy, u[1] + dx)
+                    if v in core and v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+        m = min(cc[0] * 36 + cc[1] for cc in comp)
+        for cc in comp:
+            lbl[cc] = m
+    want = {}
+    for c, n in counts.items():
+        if c in lbl:
+            cluster = lbl[c]
+        else:
+            adj = [
+                lbl[(c[0] + dy, c[1] + dx)]
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+                if (c[0] + dy, c[1] + dx) in lbl
+            ]
+            cluster = min(adj) if adj else -1
+        want[c] = (n, c in core, cluster)
+    got = {
+        (r.cy, r.cx): (r.npts, r.is_core, r.cluster)
+        for r in knn_mod.grid_dbscan(model.points(spark, sf_correct)).collect()
+    }
+    assert got == want
+    # non-degenerate: at least one multi-cell cluster and some noise
+    from collections import Counter
+
+    sizes = Counter(v[2] for v in want.values() if v[2] != -1)
+    assert sizes and max(sizes.values()) > 1
