@@ -653,6 +653,14 @@ def q_focal_minmax(spark, sf_dir):
     return focal.focal_extrema_coo(tiles, h, w, CHUNK)
 
 
+def q_focal_mode(spark, sf_dir):
+    """window(A,1,1,1,1,mode): 3x3 categorical majority filter, ties to
+    the smallest value — one halo exchange + sorted-stack run-length
+    kernel.  Oracle: neighbor join + count rank."""
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    return focal.focal_mode_coo(tiles, h, w, CHUNK)
+
+
 def q_focal_mean_r2(spark, sf_dir):
     """window(A, 2, 2, 2, 2, avg(value)): ARBITRARY-radius focal window
     (5x5 shrinking box; 2-cell halo strips in the same 9-message JVM
@@ -2012,6 +2020,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_growth": q_vocab_growth,
     "idw_interp": q_idw_interp,
     "grid_dbscan": q_grid_dbscan,
+    "focal_mode": q_focal_mode,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

@@ -102,6 +102,42 @@ def box_extrema(
     return vmin[interior], vmax[interior]
 
 
+def box_mode(
+    vals: np.ndarray,
+    mask: np.ndarray,
+    interior: tuple[slice, slice],
+):
+    """Majority value over the 3x3 shrinking window for every interior
+    cell (ties -> SMALLEST value; masked/outside cells drop out) — the
+    categorical smoothing filter (majority/mode resample).
+
+    Vectorized: the 9 shifted copies stack to (9, h, w) with invalid
+    entries at int64-max sentinel, sort along the stack axis, compute
+    per-position run lengths in 8 vector passes (runs of the sentinel
+    are forced to 0), and argmax picks the FIRST maximal run — which,
+    on a sorted stack, is exactly max-count-then-smallest-value."""
+    pos = np.iinfo(np.int64).max
+    iy, ix = interior
+    h = iy.stop - iy.start
+    w = ix.stop - ix.start
+    stack = np.empty((9, h, w), dtype=np.int64)
+    k = 0
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            sy = slice(iy.start + dy, iy.stop + dy)
+            sx = slice(ix.start + dx, ix.stop + dx)
+            stack[k] = np.where(mask[sy, sx], vals[sy, sx], pos)
+            k += 1
+    stack.sort(axis=0)
+    rl = np.ones((9, h, w), dtype=np.int64)
+    for i in range(7, -1, -1):
+        rl[i] = np.where(stack[i] == stack[i + 1], rl[i + 1] + 1, 1)
+    rl[stack == pos] = 0
+    best = np.argmax(rl, axis=0)
+    gy, gx = np.ogrid[:h, :w]
+    return stack[best, gy, gx]
+
+
 def focal_mean(
     vals: np.ndarray,
     mask: np.ndarray,

@@ -224,6 +224,39 @@ def focal_extrema_coo(
     )
 
 
+def focal_mode_coo(
+    tiles: DataFrame, height: int, width: int, chunk: int
+) -> DataFrame:
+    """``window(A, 1, 1, 1, 1, mode(value))`` — the categorical
+    majority/mode smoothing filter (the resampling kernel GIS stacks
+    call "majority filter"), ties broken to the SMALLEST value so the
+    result is deterministic on any cluster: (y, x, mode_value) rows.
+    Same single halo exchange as every focal op here; the kernel is a
+    sorted-stack run-length argmax (kernels.box_mode), no Python loop
+    over cells."""
+    from scidbgeo_spark.kernels import box_mode
+
+    msgs = _halo_messages(tiles, height, width, chunk)
+
+    def _tile(key, pdf):
+        vals, mask, interior = _assemble(pdf)
+        m = box_mode(vals, mask, interior)
+        th, tw = m.shape
+        y0 = int(key[0]) * chunk
+        x0 = int(key[1]) * chunk
+        return pd.DataFrame(
+            {
+                "y": np.repeat(np.arange(th, dtype=np.int64) + y0, tw),
+                "x": np.tile(np.arange(tw, dtype=np.int64) + x0, th),
+                "mode_value": m.ravel(),
+            }
+        )
+
+    return msgs.groupBy("rty", "rtx").applyInPandas(
+        _tile, schema="y long, x long, mode_value long"
+    )
+
+
 def focal_mean_tiles(
     tiles: DataFrame, height: int, width: int, chunk: int, radius: int = 1
 ) -> DataFrame:

@@ -2476,3 +2476,19 @@ SELECT c.cy, c.cx, CAST(c.npts AS BIGINT) AS npts,
                    AND c2.cx BETWEEN c.cx - 1 AND c.cx + 1),
                 -1) AS cluster
 FROM cells c LEFT JOIN cl ON cl.cy = c.cy AND cl.cx = c.cx"""
+
+# focal.focal_mode_coo: 3x3 majority filter, ties -> smallest value —
+# the literal neighbor-join + count-rank the kernel's sorted-stack
+# argmax replaces.
+SQL["focal_mode"] = f"""WITH {COO},
+nbr AS (
+  SELECT a.y, a.x, b.value AS v
+  FROM coo a JOIN coo b
+    ON b.y BETWEEN a.y - 1 AND a.y + 1
+   AND b.x BETWEEN a.x - 1 AND a.x + 1
+),
+cnt AS (SELECT y, x, v, count(*) AS n FROM nbr GROUP BY 1, 2, 3),
+r AS (SELECT y, x, v,
+             row_number() OVER (PARTITION BY y, x ORDER BY n DESC, v) AS rn
+      FROM cnt)
+SELECT y, x, v AS mode_value FROM r WHERE rn = 1"""

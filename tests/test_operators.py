@@ -915,3 +915,44 @@ def test_mk_trend_vs_python(spark, sf_smoke):
     assert got == want
     # the multiplicative-hash field is non-degenerate: both signs occur
     assert min(v[2] for v in want.values()) < 0 < max(v[2] for v in want.values())
+
+
+def test_focal_mode_vs_bruteforce(spark, tiles, dense):
+    """Python twin of the 3x3 majority filter (max count, ties to the
+    smallest value, borders shrink)."""
+    from collections import Counter
+
+    h, w = dense.shape
+    want = {}
+    for y in range(h):
+        for x in range(w):
+            c = Counter(
+                int(dense[y + dy, x + dx])
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+                if 0 <= y + dy < h and 0 <= x + dx < w
+            )
+            best = max(c.items(), key=lambda kv: (kv[1], -kv[0]))
+            want[(y, x)] = best[0]
+    got = {
+        (r.y, r.x): r.mode_value
+        for r in focal.focal_mode_coo(tiles, h, w, CHUNK).collect()
+    }
+    assert got == want
+
+
+def test_focal_mode_chunk_invariant_and_constant(spark, coo, dense):
+    h, w = dense.shape
+    base = None
+    for chunk in (7, 50):
+        t = tiling.pack_tiles(coo, chunk, h, w)
+        cur = sorted(map(tuple, focal.focal_mode_coo(t, h, w, chunk).collect()))
+        base = cur if base is None else base
+        assert cur == base
+    # constant field: mode is the constant everywhere
+    c = spark.range(100).selectExpr(
+        "id DIV 10 AS y", "id % 10 AS x", "CAST(7 AS BIGINT) AS value"
+    )
+    t = tiling.pack_tiles(c, 5, 10, 10)
+    rows = focal.focal_mode_coo(t, 10, 10, 5).collect()
+    assert len(rows) == 100 and all(r.mode_value == 7 for r in rows)
