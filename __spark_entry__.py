@@ -653,6 +653,16 @@ def q_focal_minmax(spark, sf_dir):
     return focal.focal_extrema_coo(tiles, h, w, CHUNK)
 
 
+def q_upsample_bilinear(spark, sf_dir):
+    """2x bilinear resample on the quarter-shifted lattice: constant
+    16-message scatter + one map-side-combinable sum, exact x16
+    integers, one IEEE division — the GDAL-warp bilinear analog
+    (upsample/xgrid is its nearest-neighbor sibling)."""
+    coo = model.raster_coo(spark, sf_dir)
+    h, w = model.raster_dims(spark, sf_dir)
+    return pixel.upsample_bilinear(coo, h, w)
+
+
 def q_focal_mode(spark, sf_dir):
     """window(A,1,1,1,1,mode): 3x3 categorical majority filter, ties to
     the smallest value — one halo exchange + sorted-stack run-length
@@ -2021,6 +2031,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "idw_interp": q_idw_interp,
     "grid_dbscan": q_grid_dbscan,
     "focal_mode": q_focal_mode,
+    "upsample_bilinear": q_upsample_bilinear,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

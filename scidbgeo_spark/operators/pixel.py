@@ -293,3 +293,42 @@ def affine_warp(
             & (F.col("x") < out_w)
         )
     return out
+
+
+def upsample_bilinear(coo: DataFrame, height: int, width: int) -> DataFrame:
+    """2x bilinear upsample (the GDAL-warp ``bilinear`` resample on the
+    integer lattice): output cell (Y, X) samples the input at
+    (Y/2 - 0.25, X/2 - 0.25), edge-clamped — quarter-lattice sample
+    points make every bilinear weight a multiple of 1/16, so the engine
+    emits ``value16`` = the EXACT integer 16x-scaled result (and
+    ``value`` = value16/16.0, one IEEE division) — no float
+    accumulation anywhere.
+
+    Scale shape: pure scatter — each input cell sends a CONSTANT 16
+    messages (4 vertical x 4 horizontal contributions, out-of-lattice
+    neighbors folded back onto the clamped edge cell), one
+    map-side-combinable sum per output cell; no join, no kernel, no
+    halo.  Every output cell's weights sum to 16 exactly (pinned by
+    test), so borders never renormalize."""
+    v_msgs = []
+    for dy, wy in ((0, 3), (1, 3), (-1, 1), (2, 1)):
+        for dx, wx in ((0, 3), (1, 3), (-1, 1), (2, 1)):
+            ty = f"greatest(least(y * 2 + {dy}, {2 * height - 1}), 0)"
+            tx = f"greatest(least(x * 2 + {dx}, {2 * width - 1}), 0)"
+            v_msgs.append(
+                f"named_struct('ty', {ty}, 'tx', {tx}, "
+                f"'c', value * {wy * wx})"
+            )
+    msgs = ", ".join(v_msgs)
+    return (
+        coo.select(F.explode(F.expr(f"array({msgs})")).alias("m"))
+        .select("m.*")
+        .groupBy(F.col("ty").alias("y"), F.col("tx").alias("x"))
+        .agg(F.sum("c").alias("value16"))
+        .select(
+            "y",
+            "x",
+            "value16",
+            (F.col("value16").cast("double") / F.lit(16.0)).alias("value"),
+        )
+    )

@@ -2492,3 +2492,24 @@ r AS (SELECT y, x, v,
              row_number() OVER (PARTITION BY y, x ORDER BY n DESC, v) AS rn
       FROM cnt)
 SELECT y, x, v AS mode_value FROM r WHERE rn = 1"""
+
+# pixel.upsample_bilinear: 2x bilinear resample at quarter-lattice
+# sample points — the same 16-message scatter, clamped at edges, exact
+# x16 integers + one division.
+_BIL_OFFS = ", ".join(
+    f"({dy}, {dx}, {wy * wx})"
+    for dy, wy in ((0, 3), (1, 3), (-1, 1), (2, 1))
+    for dx, wx in ((0, 3), (1, 3), (-1, 1), (2, 1))
+)
+SQL["upsample_bilinear"] = f"""WITH {COO},
+dims AS (SELECT 2 * (count(*) // {RASTER_W}) AS h2 FROM events),
+offs(dy, dx, w) AS (VALUES {_BIL_OFFS}),
+msg AS (
+  SELECT greatest(least(y * 2 + dy, h2 - 1), 0) AS ty,
+         greatest(least(x * 2 + dx, {2 * RASTER_W} - 1), 0) AS tx,
+         value * w AS c
+  FROM coo CROSS JOIN offs CROSS JOIN dims
+)
+SELECT ty AS y, tx AS x, CAST(sum(c) AS BIGINT) AS value16,
+       CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 16.0 AS value
+FROM msg GROUP BY 1, 2"""

@@ -956,3 +956,44 @@ def test_focal_mode_chunk_invariant_and_constant(spark, coo, dense):
     t = tiling.pack_tiles(c, 5, 10, 10)
     rows = focal.focal_mode_coo(t, 10, 10, 5).collect()
     assert len(rows) == 100 and all(r.mode_value == 7 for r in rows)
+
+
+def test_upsample_bilinear_vs_numpy(spark, coo, dense):
+    """Python gather twin: every output cell samples the input at
+    (Y/2 - 0.25, X/2 - 0.25) with edge clamp — exact x16 integers —
+    plus mass conservation (each input scatters total weight 64)."""
+    h, w = dense.shape
+    got = {
+        (r.y, r.x): r.value16
+        for r in pixel.upsample_bilinear(coo, h, w).collect()
+    }
+    assert len(got) == 4 * h * w
+    d = dense.astype(np.int64)
+
+    def cl(i, n):
+        return min(max(i, 0), n - 1)
+
+    def vert(Y):
+        # (near cell, weight 3), (far cell, weight 1), x4 scale
+        if Y % 2 == 0:
+            return ((Y // 2, 3), (Y // 2 - 1, 1))
+        return ((Y // 2, 3), (Y // 2 + 1, 1))
+
+    for Y in range(2 * h):
+        for X in range(2 * w):
+            want = sum(
+                int(d[cl(yy, h), cl(xx, w)]) * wy * wx
+                for yy, wy in vert(Y)
+                for xx, wx in vert(X)
+            )
+            assert got[(Y, X)] == want, (Y, X)
+    assert sum(got.values()) == 64 * int(d.sum())
+
+
+def test_upsample_bilinear_constant_and_mass(spark):
+    c = spark.range(100).selectExpr(
+        "id DIV 10 AS y", "id % 10 AS x", "CAST(5 AS BIGINT) AS value"
+    )
+    rows = pixel.upsample_bilinear(c, 10, 10).collect()
+    assert len(rows) == 400
+    assert all(r.value16 == 80 and r.value == 5.0 for r in rows)
