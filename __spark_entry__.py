@@ -653,6 +653,14 @@ def q_focal_minmax(spark, sf_dir):
     return focal.focal_extrema_coo(tiles, h, w, CHUNK)
 
 
+def q_los_visibility(spark, sf_dir):
+    """West-edge line-of-sight per raster row (1-D viewshed scan):
+    segmented prefix max — chunk maxes first, so no partition ever
+    holds a whole raster row — exact integers.  Oracle: the plain
+    row window."""
+    return pixel.los_visibility(model.raster_coo(spark, sf_dir))
+
+
 def q_upsample_bilinear(spark, sf_dir):
     """2x bilinear resample on the quarter-shifted lattice: constant
     16-message scatter + one map-side-combinable sum, exact x16
@@ -2032,6 +2040,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grid_dbscan": q_grid_dbscan,
     "focal_mode": q_focal_mode,
     "upsample_bilinear": q_upsample_bilinear,
+    "los_visibility": q_los_visibility,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

@@ -11,7 +11,7 @@ Reference semantics cited per function (file:line into /root/reference).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from scidbgeo_spark.tiling import TILE_KEYS
@@ -330,5 +330,57 @@ def upsample_bilinear(coo: DataFrame, height: int, width: int) -> DataFrame:
             "x",
             "value16",
             (F.col("value16").cast("double") / F.lit(16.0)).alias("value"),
+        )
+    )
+
+
+def los_visibility(coo: DataFrame, chunk: int = 50) -> DataFrame:
+    """West-edge line-of-sight along each raster row: cell (y, x) is
+    VISIBLE iff its value strictly exceeds every value at x' < x in its
+    row (the 1-D viewshed scan terrain stacks run per azimuth); also
+    emits the ``horizon`` (running prefix max, -1 for x = 0).
+
+    Scale shape: a single row-partitioned window would put a WHOLE
+    raster row in one partition — fine at test widths, a straggler at a
+    10^6-cell-wide mosaic.  Instead the prefix max is SEGMENTED: (1)
+    per-(row, x-chunk) max — map-side combinable; (2) a window over the
+    CHUNK maxes only (width/chunk rows per raster row); (3) one
+    chunk-key join back + a chunk-local window whose partitions are
+    bounded by ``chunk`` cells regardless of raster width.  Exact
+    integers."""
+    tx = (F.col("x") / chunk).cast("long")  # x DIV chunk for non-neg x
+    seg = coo.groupBy(F.col("y"), tx.alias("tx")).agg(
+        F.max("value").alias("tmax")
+    )
+    wseg = (
+        Window.partitionBy("y")
+        .orderBy("tx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = seg.select(
+        "y", "tx", F.coalesce(F.max("tmax").over(wseg), F.lit(-1)).alias("carry")
+    )
+    wloc = (
+        Window.partitionBy("y", "tx")
+        .orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        coo.withColumn("tx", tx)
+        .join(carry, ["y", "tx"])
+        .select(
+            "y",
+            "x",
+            "value",
+            F.greatest(
+                F.col("carry"),
+                F.coalesce(F.max("value").over(wloc), F.lit(-1)),
+            ).alias("horizon"),
+        )
+        .select(
+            "y",
+            "x",
+            "horizon",
+            (F.col("value") > F.col("horizon")).alias("visible"),
         )
     )

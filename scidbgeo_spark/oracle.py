@@ -2513,3 +2513,15 @@ msg AS (
 SELECT ty AS y, tx AS x, CAST(sum(c) AS BIGINT) AS value16,
        CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / 16.0 AS value
 FROM msg GROUP BY 1, 2"""
+
+# pixel.los_visibility: west-edge line of sight per raster row — the
+# plain prefix-max window the engine's segmented two-level scan equals.
+SQL["los_visibility"] = f"""WITH {COO},
+pm AS (
+  SELECT y, x, value,
+         COALESCE(max(value) OVER (PARTITION BY y ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+           AS horizon
+  FROM coo
+)
+SELECT y, x, horizon, value > horizon AS visible FROM pm"""

@@ -997,3 +997,24 @@ def test_upsample_bilinear_constant_and_mass(spark):
     rows = pixel.upsample_bilinear(c, 10, 10).collect()
     assert len(rows) == 400
     assert all(r.value16 == 80 and r.value == 5.0 for r in rows)
+
+
+def test_los_visibility_vs_python_and_chunk_invariant(spark, coo, dense):
+    """Python prefix-max twin, plus invariance of the segmented scan to
+    the chunk size (1 -> trivial segments, width -> single segment)."""
+    h, w = dense.shape
+    want = {}
+    for y in range(h):
+        best = -1
+        for x in range(w):
+            v = int(dense[y, x])
+            want[(y, x)] = (best, v > best)
+            best = max(best, v)
+    for chunk in (1, 7, w):
+        got = {
+            (r.y, r.x): (r.horizon, r.visible)
+            for r in pixel.los_visibility(coo, chunk=chunk).collect()
+        }
+        assert got == want
+    # x == 0 is always visible (horizon -1, values are non-negative)
+    assert all(want[(y, 0)][1] for y in range(h))
