@@ -653,6 +653,13 @@ def q_focal_minmax(spark, sf_dir):
     return focal.focal_extrema_coo(tiles, h, w, CHUNK)
 
 
+def q_hist_equalize(spark, sf_dir):
+    """Histogram equalization: the raster remapped through its own
+    integer CDF — one <=256-row histogram agg + a broadcast remap join;
+    the raster shuffles never.  Exact integer formula on both sides."""
+    return pixel.hist_equalize(model.raster_coo(spark, sf_dir))
+
+
 def q_los_visibility(spark, sf_dir):
     """West-edge line-of-sight per raster row (1-D viewshed scan):
     segmented prefix max — chunk maxes first, so no partition ever
@@ -2041,6 +2048,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "focal_mode": q_focal_mode,
     "upsample_bilinear": q_upsample_bilinear,
     "los_visibility": q_los_visibility,
+    "hist_equalize": q_hist_equalize,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

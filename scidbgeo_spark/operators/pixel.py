@@ -384,3 +384,37 @@ def los_visibility(coo: DataFrame, chunk: int = 50) -> DataFrame:
             (F.col("value") > F.col("horizon")).alias("visible"),
         )
     )
+
+
+def hist_equalize(coo: DataFrame, levels: int = 256) -> DataFrame:
+    """Histogram equalization (contrast stretch): every cell's value is
+    remapped through the raster's own cumulative distribution,
+    eq = ((cdf(v) - cdf_min) * (levels-1)) DIV (N - cdf_min) — the
+    classic integer formula, so the result is EXACT (no float CDF).
+    A constant raster (N == cdf_min) maps to 0 by convention on both
+    engines.
+
+    Scale shape: the value histogram is one map-side-combinable agg to
+    <= ``levels`` rows; the CDF window and the remap table stay that
+    size forever and broadcast back onto the scan — the raster itself
+    is touched exactly twice (histogram + remap), shuffled never."""
+    hist = coo.groupBy("value").agg(F.count("*").alias("cnt"))
+    stats = hist.agg(
+        F.min(F.struct("value", "cnt")).getField("cnt").alias("cdf_min"),
+        F.sum("cnt").alias("n"),
+    )
+    wc = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = hist.select("value", F.sum("cnt").over(wc).alias("cum")).crossJoin(
+        F.broadcast(stats)
+    )
+    remap = cdf.select(
+        "value",
+        F.when(
+            F.col("n") > F.col("cdf_min"),
+            F.expr(f"(cum - cdf_min) * {levels - 1} DIV (n - cdf_min)"),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("eq_value"),
+    )
+    return coo.join(F.broadcast(remap), "value").select("y", "x", "eq_value")

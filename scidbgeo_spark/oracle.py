@@ -2525,3 +2525,23 @@ pm AS (
   FROM coo
 )
 SELECT y, x, horizon, value > horizon AS visible FROM pm"""
+
+# pixel.hist_equalize: integer histogram equalization — value-keyed CDF
+# remap, (cum - cdf_min)*(levels-1) // (n - cdf_min), constant -> 0.
+SQL["hist_equalize"] = f"""WITH {COO},
+hist AS (SELECT value, count(*) AS cnt FROM coo GROUP BY value),
+st AS (SELECT min_by(cnt, value) AS cdf_min, sum(cnt) AS n FROM hist),
+cdf AS (
+  SELECT value, sum(cnt) OVER (ORDER BY value
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM hist
+),
+remap AS (
+  SELECT value,
+         CASE WHEN st.n > st.cdf_min
+              THEN CAST((cdf.cum - st.cdf_min) * 255
+                        // (st.n - st.cdf_min) AS BIGINT)
+              ELSE 0 END AS eq_value
+  FROM cdf, st
+)
+SELECT c.y, c.x, r.eq_value FROM coo c JOIN remap r USING (value)"""

@@ -1018,3 +1018,37 @@ def test_los_visibility_vs_python_and_chunk_invariant(spark, coo, dense):
         assert got == want
     # x == 0 is always visible (horizon -1, values are non-negative)
     assert all(want[(y, 0)][1] for y in range(h))
+
+
+def test_hist_equalize_vs_python(spark, coo, dense):
+    """Python CDF twin plus the classic invariants: order-preserving
+    (monotone in the input value), full range hit (max maps to 255),
+    constant raster maps to all-zero."""
+    import collections
+
+    h, w = dense.shape
+    cnt = collections.Counter(int(v) for v in dense.ravel())
+    n = h * w
+    cdf_min = cnt[min(cnt)]
+    cum, run = {}, 0
+    for v in sorted(cnt):
+        run += cnt[v]
+        cum[v] = run
+    remap = {
+        v: (cum[v] - cdf_min) * 255 // (n - cdf_min) if n > cdf_min else 0
+        for v in cnt
+    }
+    got = {
+        (r.y, r.x): r.eq_value for r in pixel.hist_equalize(coo).collect()
+    }
+    assert got == {
+        (y, x): remap[int(dense[y, x])] for y in range(h) for x in range(w)
+    }
+    assert max(got.values()) == 255 and min(got.values()) == 0
+    ks = sorted(remap)
+    assert all(remap[a] <= remap[b] for a, b in zip(ks, ks[1:]))
+    c = spark.range(100).selectExpr(
+        "id DIV 10 AS y", "id % 10 AS x", "CAST(7 AS BIGINT) AS value"
+    )
+    rows = pixel.hist_equalize(c).collect()
+    assert len(rows) == 100 and all(r.eq_value == 0 for r in rows)
