@@ -1717,6 +1717,13 @@ def q_host_pagerank(spark, sf_dir):
     return graph.host_pagerank(_docs(spark, sf_dir))
 
 
+def q_host_degree_stats(spark, sf_dir):
+    """Host-graph degree/weight/reciprocity profile (link-farm screen):
+    two host-keyed aggregates + one reversed-key self-join of the small
+    edge list — exact integers."""
+    return graph.host_degree_stats(_docs(spark, sf_dir))
+
+
 def q_cms_heavy_hitters(spark, sf_dir):
     """Count-min sketch probed for the true top-10 tokens (overestimate
     visible in-result).  Oracle: identical affine cell hashing and
@@ -2049,6 +2056,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "upsample_bilinear": q_upsample_bilinear,
     "los_visibility": q_los_visibility,
     "hist_equalize": q_hist_equalize,
+    "host_degree_stats": q_host_degree_stats,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

@@ -110,3 +110,44 @@ def host_pagerank(docs: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     return pagerank(host_graph(docs), iters).select(
         F.col("node").alias("source"), "rank_scaled"
     )
+
+
+def host_degree_stats(docs: DataFrame) -> DataFrame:
+    """Per-host link-graph degree profile: (host, out_deg, in_deg,
+    out_w, in_w, n_reciprocal) — distinct out/in neighbor counts, total
+    out/in edge weight, and how many of the host's out-neighbors link
+    back (reciprocity, the classic link-spam / link-farm screen next to
+    rank itself).  Exact integers.
+
+    Scale shape: two map-side-combinable aggregates of the host-level
+    edge list (already orders of magnitude smaller than the corpus) +
+    one self-join of edges on the REVERSED key pair for reciprocity —
+    all host-keyed, nothing page-level shuffles."""
+    edges = host_graph(docs)
+    out = edges.groupBy(F.col("src").alias("host")).agg(
+        F.count("*").alias("out_deg"), F.sum("w").alias("out_w")
+    )
+    inn = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count("*").alias("in_deg"), F.sum("w").alias("in_w")
+    )
+    rev = edges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst")
+    ).distinct()
+    recip = (
+        edges.join(rev, ["src", "dst"])
+        .groupBy(F.col("src").alias("host"))
+        .agg(F.count("*").alias("n_reciprocal"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        out.join(inn, "host", "full")
+        .join(recip, "host", "left")
+        .select(
+            "host",
+            F.coalesce("out_deg", z).alias("out_deg"),
+            F.coalesce("in_deg", z).alias("in_deg"),
+            F.coalesce("out_w", z).alias("out_w"),
+            F.coalesce("in_w", z).alias("in_w"),
+            F.coalesce("n_reciprocal", z).alias("n_reciprocal"),
+        )
+    )

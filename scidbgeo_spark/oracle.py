@@ -2545,3 +2545,33 @@ remap AS (
   FROM cdf, st
 )
 SELECT c.y, c.x, r.eq_value FROM coo c JOIN remap r USING (value)"""
+
+# graph.host_degree_stats: degree/weight/reciprocity profile of the
+# deterministic host graph (same edge derivation as host_pagerank).
+SQL["host_degree_stats"] = """WITH
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+e0 AS (
+  SELECT d1.source AS src, d2.source AS dst
+  FROM documents d1 CROSS JOIN nd
+  JOIN documents d2 ON d2.doc_id = (d1.doc_id * 7 + 3) % nd.n_docs
+),
+edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w
+          FROM e0 GROUP BY src, dst),
+o AS (SELECT src AS host, CAST(count(*) AS BIGINT) AS out_deg,
+             CAST(sum(w) AS BIGINT) AS out_w FROM edges GROUP BY src),
+i AS (SELECT dst AS host, CAST(count(*) AS BIGINT) AS in_deg,
+             CAST(sum(w) AS BIGINT) AS in_w FROM edges GROUP BY dst),
+rc AS (
+  SELECT e.src AS host, CAST(count(*) AS BIGINT) AS n_reciprocal
+  FROM edges e JOIN (SELECT DISTINCT dst AS src, src AS dst FROM edges) r
+    ON r.src = e.src AND r.dst = e.dst
+  GROUP BY e.src
+)
+SELECT COALESCE(o.host, i.host) AS host,
+       COALESCE(o.out_deg, 0) AS out_deg,
+       COALESCE(i.in_deg, 0) AS in_deg,
+       COALESCE(o.out_w, 0) AS out_w,
+       COALESCE(i.in_w, 0) AS in_w,
+       COALESCE(rc.n_reciprocal, 0) AS n_reciprocal
+FROM o FULL JOIN i ON i.host = o.host
+LEFT JOIN rc ON rc.host = COALESCE(o.host, i.host)"""

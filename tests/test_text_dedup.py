@@ -1238,3 +1238,42 @@ def test_vocab_growth_vs_python(spark, sf_smoke):
         run += new
         assert cum == run
     assert out[0][1] == max(v for _, v, _ in out)
+
+
+def test_host_degree_stats_vs_python(spark, sf_smoke):
+    """Pure-Python twin of the host degree/reciprocity profile, plus
+    the handshake identities: sum(out_deg) == sum(in_deg) == |edges|,
+    sum(out_w) == sum(in_w) == |docs|, and reciprocity is symmetric in
+    total (sum over hosts counts each mutual pair twice... once per
+    direction)."""
+    from scidbgeo_spark import model
+    from scidbgeo_spark.operators import graph
+
+    docs = model.load_table(spark, sf_smoke, "documents")
+    rows = docs.select("doc_id", "source").collect()
+    n = len(rows)
+    src_of = {r.doc_id: r.source for r in rows}
+    w = {}
+    for r in rows:
+        e = (r.source, src_of[(r.doc_id * 7 + 3) % n])
+        w[e] = w.get(e, 0) + 1
+    hosts = {h for e in w for h in e}
+    want = {}
+    for h in hosts:
+        outs = [e for e in w if e[0] == h]
+        ins = [e for e in w if e[1] == h]
+        recip = sum(1 for e in outs if (e[1], e[0]) in w)
+        want[h] = (
+            len(outs),
+            len(ins),
+            sum(w[e] for e in outs),
+            sum(w[e] for e in ins),
+            recip,
+        )
+    got = {
+        r.host: (r.out_deg, r.in_deg, r.out_w, r.in_w, r.n_reciprocal)
+        for r in graph.host_degree_stats(docs).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in want.values()) == sum(v[1] for v in want.values()) == len(w)
+    assert sum(v[2] for v in want.values()) == sum(v[3] for v in want.values()) == n
