@@ -264,6 +264,18 @@ def q_region_label(spark, sf_dir):
     return regions.region_label(spark, coo, h, w, CHUNK)
 
 
+def q_region_sieve(spark, sf_dir):
+    """One-pass GDAL SieveFilter analog: regions under 3 pixels flip to
+    the class of their largest 4-adjacent neighbor region (ties to the
+    smallest region id) — region CC + a perimeter-only adjacency join +
+    broadcast-size region joins."""
+    from scidbgeo_spark.operators import regions
+
+    coo = model.raster_coo(spark, sf_dir)
+    h, w = model.raster_dims(spark, sf_dir)
+    return regions.region_sieve(spark, coo, h, w, CHUNK)
+
+
 def q_region_stats(spark, sf_dir):
     """Vector-feature attribute table over the extracted regions (pixel
     count + bbox per region) — the raster->vector conversion's output."""
@@ -2057,6 +2069,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "los_visibility": q_los_visibility,
     "hist_equalize": q_hist_equalize,
     "host_degree_stats": q_host_degree_stats,
+    "region_sieve": q_region_sieve,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

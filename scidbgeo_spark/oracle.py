@@ -2575,3 +2575,35 @@ SELECT COALESCE(o.host, i.host) AS host,
        COALESCE(rc.n_reciprocal, 0) AS n_reciprocal
 FROM o FULL JOIN i ON i.host = o.host
 LEFT JOIN rc ON rc.host = COALESCE(o.host, i.host)"""
+
+# regions.region_sieve: one-pass GDAL SieveFilter analog — regions under
+# min_pixels flip to the class of their largest 4-adjacent neighbor
+# region (ties -> smallest region id), no-neighbor regions keep theirs.
+SQL["region_sieve"] = f"""WITH rl AS ({SQL["region_label"]}),
+st AS (SELECT region, count(*) AS n_pixels, min(cls) AS rcls
+       FROM rl GROUP BY 1),
+adj0 AS (
+  SELECT a.region AS region, b.region AS region_b FROM rl a JOIN rl b
+    ON b.y = a.y AND b.x = a.x + 1 AND b.region <> a.region
+  UNION ALL
+  SELECT a.region, b.region FROM rl a JOIN rl b
+    ON b.y = a.y + 1 AND b.x = a.x AND b.region <> a.region
+),
+adj AS (SELECT DISTINCT region, region_b FROM (
+  SELECT region, region_b FROM adj0
+  UNION ALL
+  SELECT region_b AS region, region AS region_b FROM adj0
+)),
+ch AS (
+  SELECT adj.region, nb.rcls,
+         row_number() OVER (PARTITION BY adj.region
+                            ORDER BY nb.n_pixels DESC, adj.region_b) AS rn
+  FROM adj JOIN st nb ON nb.region = adj.region_b
+),
+choice AS (SELECT region, rcls AS new_cls FROM ch WHERE rn = 1),
+small AS (SELECT region FROM st WHERE n_pixels < 3)
+SELECT rl.y, rl.x,
+       CAST(CASE WHEN small.region IS NOT NULL AND choice.new_cls IS NOT NULL
+                 THEN choice.new_cls ELSE rl.cls END AS BIGINT) AS cls_out
+FROM rl LEFT JOIN small ON small.region = rl.region
+LEFT JOIN choice ON choice.region = rl.region"""

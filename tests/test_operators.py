@@ -1052,3 +1052,46 @@ def test_hist_equalize_vs_python(spark, coo, dense):
     )
     rows = pixel.hist_equalize(c).collect()
     assert len(rows) == 100 and all(r.eq_value == 0 for r in rows)
+
+
+def test_region_sieve_vs_python(spark, sf_correct):
+    """Python twin of the one-pass sieve on the union-find ground
+    truth: small regions flip to the class of the largest 4-adjacent
+    neighbor region (ties -> smallest region id), others are
+    untouched."""
+    from scidbgeo_spark import model
+    from scidbgeo_spark.model import CHUNK as MCHUNK
+    from scidbgeo_spark.operators import regions
+
+    coo = model.raster_coo(spark, sf_correct)
+    h, w = model.raster_dims(spark, sf_correct)
+    lbl = {
+        (r.y, r.x): (r.cls, r.region)
+        for r in regions.region_label(spark, coo, h, w, MCHUNK).collect()
+    }
+    from collections import Counter, defaultdict
+
+    n_px = Counter(v[1] for v in lbl.values())
+    rcls = {v[1]: v[0] for v in lbl.values()}
+    adj = defaultdict(set)
+    for (y, x), (_, ra) in lbl.items():
+        for dy, dx in ((0, 1), (1, 0)):
+            nb = lbl.get((y + dy, x + dx))
+            if nb and nb[1] != ra:
+                adj[ra].add(nb[1])
+                adj[nb[1]].add(ra)
+    flip = {}
+    for r, cnt in n_px.items():
+        if cnt < 3 and adj[r]:
+            best = max(adj[r], key=lambda b: (n_px[b], -b))
+            flip[r] = rcls[best]
+    want = {
+        c: flip.get(reg, cls) for c, (cls, reg) in lbl.items()
+    }
+    got = {
+        (r.y, r.x): r.cls_out
+        for r in regions.region_sieve(spark, coo, h, w, MCHUNK).collect()
+    }
+    assert got == want
+    # the fixture actually exercises the flip path
+    assert flip and any(want[c] != lbl[c][0] for c in want)
