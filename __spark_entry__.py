@@ -1212,6 +1212,13 @@ def q_vocab_growth(spark, sf_dir):
     return text.vocab_growth(_docs(spark, sf_dir))
 
 
+def q_doc_novelty(spark, sf_dir):
+    """Per-doc novelty: fraction of its distinct shingles first seen in
+    this doc (pointwise vocab_growth) — the add-new-language curation
+    signal.  One shingle-keyed min-agg + probe join, exact integers."""
+    return text.doc_novelty(_docs(spark, sf_dir))
+
+
 def q_boilerplate_spans(spark, sf_dir):
     """Per-source template-boilerplate removal over the planted-chrome
     corpus: coverage by source-frequent 5-grams + cleaned fingerprint."""
@@ -2070,6 +2077,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hist_equalize": q_hist_equalize,
     "host_degree_stats": q_host_degree_stats,
     "region_sieve": q_region_sieve,
+    "doc_novelty": q_doc_novelty,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

@@ -585,3 +585,42 @@ def vocab_growth(docs: DataFrame, buckets: int = 10) -> DataFrame:
         "new_terms",
         F.sum("new_terms").over(w).alias("vocab_cum"),
     )
+
+
+def doc_novelty(docs: DataFrame) -> DataFrame:
+    """Per-document NOVELTY score: the fraction of the document's
+    distinct 3-word shingles whose corpus-wide FIRST appearance is this
+    document (first = min doc_id) — the per-doc contribution signal
+    behind "does adding this page add new language?" curation (the
+    pointwise form of :func:`vocab_growth`; near-duplicates and
+    boilerplate-heavy pages score ~0).
+
+    Scale shape: one shingle-keyed min-aggregate (60-bit hashes, raw
+    strings never shuffle), probe join back onto the (doc, shingle)
+    stream — Spark reuses the exchange — then one doc-keyed count agg.
+    Exact integers + one IEEE division."""
+    from scidbgeo_spark.operators.dedup import shingles_col
+
+    tok = docs.select(
+        "doc_id", F.explode(shingles_col("text")).alias("t")
+    ).select("doc_id", md5_int("t").alias("h"))
+    first = tok.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        tok.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                (F.col("first_doc") == F.col("doc_id")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )

@@ -2607,3 +2607,16 @@ SELECT rl.y, rl.x,
                  THEN choice.new_cls ELSE rl.cls END AS BIGINT) AS cls_out
 FROM rl LEFT JOIN small ON small.region = rl.region
 LEFT JOIN choice ON choice.region = rl.region"""
+
+# text.doc_novelty: per-doc fraction of distinct shingles first seen in
+# this doc (same shingle rule + 60-bit hash as the engine).
+SQL["doc_novelty"] = f"""WITH
+tok AS (SELECT doc_id, {_MD5INT.format(x='t')} AS h
+        FROM (SELECT doc_id, unnest(sh) AS t
+              FROM {_kshingles('documents', 3)})),
+first AS (SELECT h, min(doc_id) AS first_doc FROM tok GROUP BY h)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum((first_doc = doc_id)::INT) AS BIGINT) AS n_novel,
+       CAST(sum((first_doc = doc_id)::INT) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS novelty
+FROM tok JOIN first USING (h) GROUP BY doc_id"""

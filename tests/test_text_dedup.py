@@ -1277,3 +1277,39 @@ def test_host_degree_stats_vs_python(spark, sf_smoke):
     assert got == want
     assert sum(v[0] for v in want.values()) == sum(v[1] for v in want.values()) == len(w)
     assert sum(v[2] for v in want.values()) == sum(v[3] for v in want.values()) == n
+
+
+def test_doc_novelty_vs_python(spark, sf_smoke):
+    """Python twin + identities: doc 0 is fully novel; counts aggregate
+    to the shingle-vocabulary size (sum of n_novel == distinct
+    shingles); exact duplicate of an earlier doc scores 0."""
+    from scidbgeo_spark import model
+    from scidbgeo_spark.operators import text as text_mod
+
+    docs = model.load_table(spark, sf_smoke, "documents")
+    rows = sorted(docs.select("doc_id", "text").collect(), key=lambda r: r.doc_id)
+    first = {}
+    sh_of = {}
+    for r in rows:
+        toks = r.text.split(" ")
+        sh = {" ".join(toks[i : i + 3]) for i in range(max(len(toks) - 3, 0) + 1)}
+        sh_of[r.doc_id] = sh
+        for s in sh:
+            if s not in first or r.doc_id < first[s]:
+                first[s] = r.doc_id
+    want = {
+        d: (
+            len(sh),
+            sum(1 for s in sh if first[s] == d),
+        )
+        for d, sh in sh_of.items()
+    }
+    got = {
+        r.doc_id: (r.n_shingles, r.n_novel, r.novelty)
+        for r in text_mod.doc_novelty(docs).collect()
+    }
+    assert {d: v[:2] for d, v in got.items()} == want
+    for d, (ns, nn, nov) in got.items():
+        assert nov == nn / ns
+    assert got[rows[0].doc_id][1] == got[rows[0].doc_id][0]  # doc 0 all-novel
+    assert sum(v[1] for v in want.values()) == len(first)
