@@ -1271,6 +1271,15 @@ def q_trajectory_stats(spark, sf_dir):
     return temporal.trajectory_stats(model.load_table(spark, sf_dir, "events"))
 
 
+def q_trajectory_rose(spark, sf_dir):
+    """Per-user 8-octant direction rose over consecutive trajectory
+    steps — integer sign tests only, one keyed-window shuffle + a
+    map-side-combinable (user, octant) count."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.trajectory_rose(model.load_table(spark, sf_dir, "events"))
+
+
 def q_events_asof(spark, sf_dir):
     """AS-OF join (custom operator Spark lacks natively): every event
     picks up the user's most recent signup-state row at or before its
@@ -2078,6 +2087,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_degree_stats": q_host_degree_stats,
     "region_sieve": q_region_sieve,
     "doc_novelty": q_doc_novelty,
+    "trajectory_rose": q_trajectory_rose,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

@@ -212,3 +212,49 @@ def mk_trend(coo3: DataFrame) -> DataFrame:
         ),
         s.alias("s_stat"),
     )
+
+
+def trajectory_rose(events: DataFrame) -> DataFrame:
+    """Per-user DIRECTION ROSE: each consecutive step of the user's
+    trajectory classified into one of 8 compass octants by integer sign
+    tests (N, NE, E, SE, S, SW, W, NW; diagonals only on exact
+    |dy| == |dx|, zero-length steps dropped) — the movement-pattern
+    histogram (octant, n_steps) per user, exact integers end to end.
+    Octant code: 0=N (dy<0, |dy|>|dx|), 1=NE, 2=E, 3=SE, 4=S, 5=SW,
+    6=W, 7=NW — screen coordinates, north = decreasing y.
+
+    Scale shape: the trajectory_stats single keyed-window shuffle, then
+    a map-side-combinable (user, octant) count — no extra exchange
+    beyond the agg."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * 7919) % 180000).alias("py"),
+        ((F.col("event_id") * 9973) % 360000).alias("px"),
+    )
+    stepped = pts.select(
+        "user_id",
+        (F.col("py") - F.lag("py").over(w)).alias("dy"),
+        (F.col("px") - F.lag("px").over(w)).alias("dx"),
+    ).filter(
+        F.col("dy").isNotNull() & ((F.col("dy") != 0) | (F.col("dx") != 0))
+    )
+    ady, adx = F.abs(F.col("dy")), F.abs(F.col("dx"))
+    octant = (
+        F.when((F.col("dy") < 0) & (ady > adx), 0)
+        .when((F.col("dy") < 0) & (F.col("dx") > 0) & (ady == adx), 1)
+        .when((F.col("dx") > 0) & (adx > ady), 2)
+        .when((F.col("dy") > 0) & (F.col("dx") > 0) & (ady == adx), 3)
+        .when((F.col("dy") > 0) & (ady > adx), 4)
+        .when((F.col("dy") > 0) & (F.col("dx") < 0) & (ady == adx), 5)
+        .when((F.col("dx") < 0) & (adx > ady), 6)
+        .otherwise(7)
+        .cast("long")
+    )
+    return (
+        stepped.select("user_id", octant.alias("octant"))
+        .groupBy("user_id", "octant")
+        .agg(F.count("*").alias("n_steps"))
+    )

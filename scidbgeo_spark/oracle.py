@@ -2620,3 +2620,37 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
        CAST(sum((first_doc = doc_id)::INT) AS DOUBLE)
          / CAST(count(*) AS DOUBLE) AS novelty
 FROM tok JOIN first USING (h) GROUP BY doc_id"""
+
+# temporal.trajectory_rose: per-user 8-octant step histogram — identical
+# integer sign tests over the lag differences.
+SQL["trajectory_rose"] = """WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 7919) % 180000 AS py,
+         (event_id * 9973) % 360000 AS px
+  FROM events
+),
+st AS (
+  SELECT user_id,
+         py - lag(py) OVER w AS dy,
+         px - lag(px) OVER w AS dx
+  FROM pts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+oc AS (
+  SELECT user_id,
+         CASE
+           WHEN dy < 0 AND abs(dy) > abs(dx) THEN 0
+           WHEN dy < 0 AND dx > 0 AND abs(dy) = abs(dx) THEN 1
+           WHEN dx > 0 AND abs(dx) > abs(dy) THEN 2
+           WHEN dy > 0 AND dx > 0 AND abs(dy) = abs(dx) THEN 3
+           WHEN dy > 0 AND abs(dy) > abs(dx) THEN 4
+           WHEN dy > 0 AND dx < 0 AND abs(dy) = abs(dx) THEN 5
+           WHEN dx < 0 AND abs(dx) > abs(dy) THEN 6
+           ELSE 7
+         END AS octant
+  FROM st
+  WHERE dy IS NOT NULL AND NOT (dy = 0 AND dx = 0)
+)
+SELECT user_id, CAST(octant AS BIGINT) AS octant,
+       CAST(count(*) AS BIGINT) AS n_steps
+FROM oc GROUP BY 1, 2"""

@@ -742,6 +742,61 @@ def test_trajectory_stats_vs_python(spark, sf_smoke):
     assert got == want
 
 
+def test_trajectory_rose_vs_python(spark, sf_smoke):
+    """Pure-Python twin of the per-user 8-octant direction rose, plus
+    the conservation identity: each user's rose sums to their step
+    count (n_pts - 1 minus zero-length steps)."""
+    from scidbgeo_spark.operators import temporal
+
+    ev = model.load_table(spark, sf_smoke, "events")
+    rows = sorted(
+        ev.select("user_id", "ts", "event_id").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    byuser = {}
+    for r in rows:
+        byuser.setdefault(r.user_id, []).append(
+            ((r.event_id * 7919) % 180000, (r.event_id * 9973) % 360000)
+        )
+    want = {}
+    steps_per_user = {}
+    for u, ps in byuser.items():
+        n_steps = 0
+        for (y1, x1), (y0, x0) in zip(ps[1:], ps[:-1]):
+            dy, dx = y1 - y0, x1 - x0
+            if dy == 0 and dx == 0:
+                continue
+            n_steps += 1
+            ady, adx = abs(dy), abs(dx)
+            if dy < 0 and ady > adx:
+                o = 0
+            elif dy < 0 and dx > 0 and ady == adx:
+                o = 1
+            elif dx > 0 and adx > ady:
+                o = 2
+            elif dy > 0 and dx > 0 and ady == adx:
+                o = 3
+            elif dy > 0 and ady > adx:
+                o = 4
+            elif dy > 0 and dx < 0 and ady == adx:
+                o = 5
+            elif dx < 0 and adx > ady:
+                o = 6
+            else:
+                o = 7
+            want[(u, o)] = want.get((u, o), 0) + 1
+        steps_per_user[u] = n_steps
+    got = {
+        (r.user_id, r.octant): r.n_steps
+        for r in temporal.trajectory_rose(ev).collect()
+    }
+    assert got == want
+    per_user = {}
+    for (u, _o), n in got.items():
+        per_user[u] = per_user.get(u, 0) + n
+    assert per_user == {u: n for u, n in steps_per_user.items() if n > 0}
+
+
 def test_local_moran_aggregates_to_global(spark, sf_correct):
     """Consistency identity: sum(local_num) over LISA cells ==
     moran_i's pair-sum numerator (each adjacent ordered pair appears
