@@ -1212,6 +1212,55 @@ def q_vocab_growth(spark, sf_dir):
     return text.vocab_growth(_docs(spark, sf_dir))
 
 
+def q_phrase_search(spark, sf_dir):
+    """Positional-index phrase query ("table key"): posting-list
+    intersection via an adjacent-position equi-join — per matching doc
+    the occurrence count and first position."""
+    return text.phrase_search(_docs(spark, sf_dir))
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Training-window chunking: 64-token windows every 48 tokens per
+    doc (LM-pipeline context windows with continuity overlap) — pure
+    codegen column algebra, zero shuffle; md5 window fingerprints."""
+    return text.doc_chunks(_docs(spark, sf_dir))
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user behavior:
+    consecutive (prev_type -> event_type) counts + conditional
+    probabilities; one keyed-window shuffle + constant-size normalize."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.event_transitions(model.load_table(spark, sf_dir, "events"))
+
+
+def q_band_argmax(spark, sf_dir):
+    """Per-cell argmax composite across the band axis (max-NDVI
+    greenest-pixel mosaic): struct-max inside ONE map-side-combinable
+    hash agg, ties to the smallest band."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.band_argmax(model.raster3_coo(spark, sf_dir))
+
+
+def q_gap_fill(spark, sf_dir):
+    """Temporal LOCF gap-fill along the band axis (cloud-mask
+    compositing): value-derived miss mask, one keyed growing window —
+    leading gaps stay NULL."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.gap_fill(model.raster3_coo(spark, sf_dir))
+
+
+def q_focal_var(spark, sf_dir):
+    """window(A,1,1,1,1,var): local-variance texture filter — the
+    focal halo exchange + two cumsum box passes (v, v^2); exact-integer
+    nvar = n*S2 - S1^2 plus the one-double var_pop finish."""
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    return focal.focal_var_coo(tiles, h, w, CHUNK)
+
+
 def q_doc_novelty(spark, sf_dir):
     """Per-doc novelty: fraction of its distinct shingles first seen in
     this doc (pointwise vocab_growth) — the add-new-language curation
@@ -2088,6 +2137,12 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_sieve": q_region_sieve,
     "doc_novelty": q_doc_novelty,
     "trajectory_rose": q_trajectory_rose,
+    "phrase_search": q_phrase_search,
+    "doc_chunks": q_doc_chunks,
+    "event_transitions": q_event_transitions,
+    "band_argmax": q_band_argmax,
+    "gap_fill": q_gap_fill,
+    "focal_var": q_focal_var,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

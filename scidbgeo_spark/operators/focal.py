@@ -224,6 +224,53 @@ def focal_extrema_coo(
     )
 
 
+def focal_var_coo(
+    tiles: DataFrame, height: int, width: int, chunk: int, radius: int = 1
+) -> DataFrame:
+    """``window(A, r, r, r, r, var(value))`` — the local-variance
+    (texture / edge-energy) filter, the screening layer GIS stacks run
+    before segmentation.  Exact-integer interior: per cell the
+    shrinking-window count ``n_cells``, sum ``sum_v`` and the scaled
+    population variance ``nvar = n*sum(v^2) - sum(v)^2`` (= n^2 * var,
+    always a non-negative integer), plus ``var_pop = nvar / n^2`` as
+    the one double finish — both engines divide the same exact
+    integers, so the double matches bitwise.
+
+    Scale shape: the focal_mean halo exchange (9 border-strip messages,
+    one shuffle) + two cumsum box passes per tile (value and value^2 —
+    values < 2^9 so v^2 box sums sit far inside int64); no extra
+    exchange over the mean filter.
+    """
+    from scidbgeo_spark.kernels import box_sum_count
+
+    msgs = _halo_messages(tiles, height, width, chunk, radius)
+
+    def _tile(key, pdf):
+        vals, mask, interior = _assemble(pdf, radius)
+        s1, n = box_sum_count(vals, mask, radius)
+        s2, _ = box_sum_count(vals * vals, mask, radius)
+        s1, s2, n = s1[interior], s2[interior], n[interior]
+        nvar = n * s2 - s1 * s1
+        th, tw = n.shape
+        y0 = int(key[0]) * chunk
+        x0 = int(key[1]) * chunk
+        return pd.DataFrame(
+            {
+                "y": np.repeat(np.arange(th, dtype=np.int64) + y0, tw),
+                "x": np.tile(np.arange(tw, dtype=np.int64) + x0, th),
+                "n_cells": n.ravel(),
+                "sum_v": s1.ravel(),
+                "nvar": nvar.ravel(),
+                "var_pop": (nvar / (n * n)).ravel(),
+            }
+        )
+
+    return msgs.groupBy("rty", "rtx").applyInPandas(
+        _tile,
+        schema="y long, x long, n_cells long, sum_v long, nvar long, var_pop double",
+    )
+
+
 def focal_mode_coo(
     tiles: DataFrame, height: int, width: int, chunk: int
 ) -> DataFrame:

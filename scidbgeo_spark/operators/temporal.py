@@ -258,3 +258,98 @@ def trajectory_rose(events: DataFrame) -> DataFrame:
         .groupBy("user_id", "octant")
         .agg(F.count("*").alias("n_steps"))
     )
+
+
+def band_argmax(coo3: DataFrame) -> DataFrame:
+    """Per-cell ARGMAX COMPOSITE across the band/time axis — the
+    max-value composite (max-NDVI greenest-pixel mosaic analog): for
+    every (y, x) the band holding the maximum value, ties broken to the
+    SMALLEST band so the result is deterministic on any cluster.
+
+    Scale shape: one map-side-combinable groupBy over (y, x) — the
+    struct-max trick ``max(struct(value, -band))`` keeps argmax inside
+    the JVM hash aggregate (partial combine on every map task), no
+    window, no self-join."""
+    best = F.max(F.struct(F.col("value"), (-F.col("band")).alias("nb")))
+    return (
+        coo3.groupBy("y", "x")
+        .agg(best.alias("b"))
+        .select(
+            "y",
+            "x",
+            (-F.col("b.nb")).alias("best_band"),
+            F.col("b.value").alias("best_value"),
+        )
+    )
+
+
+# Deterministic "missing observation" rule for gap_fill: a cell whose
+# value is divisible by GAP_K is treated as cloud-masked.  Derived from
+# the value itself so the DuckDB oracle rebuilds the identical mask.
+GAP_K = 10
+
+
+def gap_fill(coo3: DataFrame) -> DataFrame:
+    """Temporal GAP-FILL (last-observation-carried-forward along the
+    band/time axis) — the cloud-mask compositing step remote-sensing
+    time series run before any per-pixel analysis: observations where
+    ``value % GAP_K == 0`` are masked missing, and each masked slot
+    takes the most recent unmasked value at the same (y, x); leading
+    gaps (no prior observation) read the -1 sentinel — NOT NULL, so
+    downstream kernels keep fixed-width integer columns (the
+    traffic_spikes sentinel convention).  Output one row per
+    (band, y, x) with the filled value and an ``is_gap`` flag.
+
+    Scale shape: ONE keyed-window shuffle partitioned on the cell —
+    the same running ``last(..., ignorenulls=True)`` trick as the AS-OF
+    join; the frame is growing-only so Spark keeps O(1) state per cell,
+    and partition count = H*W cells bounds skew by BANDS rows per key.
+    """
+    w = (
+        Window.partitionBy("y", "x")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    obs = F.when(F.col("value") % GAP_K != 0, F.col("value"))
+    return coo3.select(
+        "band",
+        "y",
+        "x",
+        F.coalesce(F.last(obs, ignorenulls=True).over(w), F.lit(-1)).alias(
+            "filled"
+        ),
+        (F.col("value") % GAP_K == 0).alias("is_gap"),
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order MARKOV TRANSITION profile of user behavior: for every
+    ordered pair of consecutive events within a user's stream (ordered
+    by ts, event_id), count the (prev_type -> event_type) transition and
+    report its conditional probability p = n / sum(n over prev_type) —
+    the navigation model behind next-action prediction and bot
+    screening (a scraper's transition matrix is near-degenerate).
+
+    Scale shape: the trajectory keyed-window shuffle (lag over user
+    streams), a map-side-combinable pair count, then the conditional
+    normalization as a window over the TYPE-PAIR table — whose size is
+    |event_type|^2, constant in the corpus.  The double division runs
+    on exact integers, identical on both engines."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            "event_type",
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n_trans"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "event_type",
+        "n_trans",
+        (F.col("n_trans") / F.sum("n_trans").over(tot)).alias("p_trans"),
+    )

@@ -624,3 +624,71 @@ def doc_novelty(docs: DataFrame) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+def phrase_search(docs: DataFrame, w1: str = "table", w2: str = "key") -> DataFrame:
+    """Positional-index PHRASE query: the docs containing the exact
+    2-word phrase ``"w1 w2"`` with occurrence count and first match
+    position — the serving-side lookup a positional inverted index
+    (inverted_index's posting lists + positions) exists to answer.
+
+    Scale shape: the classic posting-list INTERSECTION join — explode
+    to (doc_id, pos, tok) postings, filter each side to ONE term
+    (predicate pushes below the generate), equi-join on
+    (doc_id, adjacent position).  Both sides of the join are single
+    posting lists (corpus-frequency-sized, not corpus-sized), the join
+    key is (doc_id, pos) so no skew beyond a term's in-doc frequency;
+    one shuffle per side + the map-side-combinable per-doc count."""
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    a = pos.filter(F.col("tok") == w1).select("doc_id", "pos")
+    b = pos.filter(F.col("tok") == w2).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )
+
+
+def doc_chunks(docs: DataFrame, chunk: int = 64, stride: int = 48) -> DataFrame:
+    """Training-window CHUNKING: split every document's token stream
+    into fixed-size windows of ``chunk`` tokens advancing by ``stride``
+    (overlap = chunk - stride, the context-continuity overlap LM
+    pipelines keep so no span is only ever seen truncated).  One row
+    per (doc_id, chunk_no) with the window's start offset, its actual
+    token count (the tail window may be short) and an md5 fingerprint
+    of the window text — the downstream shard-dedup / packing key.
+
+    Scale shape: pure per-row column algebra — ``sequence`` generates
+    the start offsets, ``slice`` takes each window straight from the
+    token array, all inside codegen; the explode multiplies rows by
+    ~n_tokens/stride with ZERO shuffle (narrow dependency), so the op
+    pipelines into whatever consumes the chunks."""
+    if not (0 < stride <= chunk):
+        raise ValueError(f"need 0 < stride <= chunk, got {stride} > {chunk}")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    t = docs.select("doc_id", toks.alias("toks"), n.alias("n"))
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride))
+    ex = t.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.posexplode(starts).alias("chunk_no", "start_pos"),
+    )
+    win = F.slice(F.col("toks"), F.col("start_pos") + 1, chunk)
+    return ex.select(
+        "doc_id",
+        F.col("chunk_no").cast("long").alias("chunk_no"),
+        F.col("start_pos").cast("long").alias("start_pos"),
+        F.least(F.lit(chunk), F.col("n") - F.col("start_pos"))
+        .cast("long")
+        .alias("n_tokens"),
+        F.md5(F.concat_ws(" ", win)).alias("chunk_md5"),
+    )

@@ -2654,3 +2654,91 @@ oc AS (
 SELECT user_id, CAST(octant AS BIGINT) AS octant,
        CAST(count(*) AS BIGINT) AS n_steps
 FROM oc GROUP BY 1, 2"""
+
+# focal.focal_var_coo: local-variance texture filter — literal 3x3
+# neighbor join; nvar = n*sum(v^2) - sum(v)^2 exactly as the kernel.
+SQL["focal_var"] = f"""WITH {COO},
+nb AS (
+  SELECT a.y AS y, a.x AS x,
+         count(*) AS n_cells,
+         CAST(sum(b.value) AS BIGINT) AS sum_v,
+         CAST(sum(b.value * b.value) AS BIGINT) AS s2
+  FROM coo a JOIN coo b
+    ON b.y BETWEEN a.y - 1 AND a.y + 1
+   AND b.x BETWEEN a.x - 1 AND a.x + 1
+  GROUP BY a.y, a.x
+)
+SELECT y, x, CAST(n_cells AS BIGINT) AS n_cells, sum_v,
+       CAST(n_cells * s2 - sum_v * sum_v AS BIGINT) AS nvar,
+       CAST(n_cells * s2 - sum_v * sum_v AS DOUBLE)
+         / CAST(n_cells * n_cells AS DOUBLE) AS var_pop
+FROM nb"""
+
+# temporal.band_argmax: max-value composite across bands, ties to the
+# smallest band — max per cell, then min(band) among the maxima.
+SQL["band_argmax"] = f"""WITH {COO3},
+m AS (SELECT y, x, max(value) AS best_value FROM coo3 GROUP BY y, x)
+SELECT c.y, c.x, CAST(min(c.band) AS BIGINT) AS best_band,
+       CAST(m.best_value AS BIGINT) AS best_value
+FROM coo3 c JOIN m ON c.y = m.y AND c.x = m.x AND c.value = m.best_value
+GROUP BY c.y, c.x, m.best_value"""
+
+# temporal.gap_fill: LOCF along the band axis; the identical value-
+# derived miss mask (value % 10 = 0) and growing-frame window.
+SQL["gap_fill"] = f"""WITH {COO3}
+SELECT band, y, x,
+       CAST(COALESCE(
+            last_value(CASE WHEN value % 10 != 0 THEN value END IGNORE NULLS)
+            OVER (PARTITION BY y, x ORDER BY band
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            -1) AS BIGINT) AS filled,
+       (value % 10 = 0) AS is_gap
+FROM coo3"""
+
+# text.phrase_search: positional posting-list intersection for the
+# exact 2-word phrase "table key" (0-based positions, adjacency join).
+SQL["phrase_search"] = """WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+p AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS tokv
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g
+),
+a AS (SELECT doc_id, pos FROM p WHERE tokv = 'table'),
+b AS (SELECT doc_id, pos - 1 AS pos FROM p WHERE tokv = 'key')
+SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(a.pos) AS BIGINT) AS first_pos
+FROM a JOIN b ON a.doc_id = b.doc_id AND a.pos = b.pos
+GROUP BY a.doc_id"""
+
+# text.doc_chunks: 64-token windows advancing by 48; chunk_no is the
+# 0-based window ordinal (= start // stride), md5 over the window text.
+SQL["doc_chunks"] = """WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+st AS (
+  SELECT doc_id, l, n, s.sp AS start_pos
+  FROM tok, LATERAL (SELECT unnest(generate_series(0, n - 1, 48)) AS sp) s
+)
+SELECT doc_id,
+       CAST(start_pos // 48 AS BIGINT) AS chunk_no,
+       CAST(start_pos AS BIGINT) AS start_pos,
+       CAST(LEAST(64, n - start_pos) AS BIGINT) AS n_tokens,
+       md5(array_to_string(l[start_pos + 1 : start_pos + 64], ' ')) AS chunk_md5
+FROM st"""
+
+# temporal.event_transitions: first-order Markov transition counts +
+# conditional probabilities over per-user consecutive event pairs.
+SQL["event_transitions"] = """WITH st AS (
+  SELECT lag(event_type) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+         event_type
+  FROM events
+)
+SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n_trans,
+       CAST(count(*) AS DOUBLE)
+         / CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS DOUBLE) AS p_trans
+FROM st WHERE prev_type IS NOT NULL
+GROUP BY prev_type, event_type"""

@@ -1095,3 +1095,97 @@ def test_region_sieve_vs_python(spark, sf_correct):
     assert got == want
     # the fixture actually exercises the flip path
     assert flip and any(want[c] != lbl[c][0] for c in want)
+
+
+def test_focal_var_vs_bruteforce(spark, tiles, dense):
+    """Python twin of the local-variance filter: shrinking 3x3 windows,
+    nvar = n*S2 - S1^2 exact, var_pop the same double division."""
+    h, w = dense.shape
+    want = {}
+    for y in range(h):
+        for x in range(w):
+            vs = [
+                int(dense[y + dy, x + dx])
+                for dy in (-1, 0, 1)
+                for dx in (-1, 0, 1)
+                if 0 <= y + dy < h and 0 <= x + dx < w
+            ]
+            n, s1 = len(vs), sum(vs)
+            nvar = n * sum(v * v for v in vs) - s1 * s1
+            want[(y, x)] = (n, s1, nvar, nvar / (n * n))
+    got = {
+        (r.y, r.x): (r.n_cells, r.sum_v, r.nvar, r.var_pop)
+        for r in focal.focal_var_coo(tiles, h, w, CHUNK).collect()
+    }
+    assert got == want
+    assert all(v[2] >= 0 for v in want.values())
+
+
+def test_focal_var_constant_field_zero(spark):
+    """A constant field has zero variance everywhere (and nvar == 0
+    exactly — no cancellation residue in the integer encoding)."""
+    c = spark.range(100).selectExpr(
+        "id DIV 10 AS y", "id % 10 AS x", "CAST(7 AS BIGINT) AS value"
+    )
+    t = tiling.pack_tiles(c, 5, 10, 10)
+    rows = focal.focal_var_coo(t, 10, 10, 5).collect()
+    assert len(rows) == 100
+    assert all(r.nvar == 0 and r.var_pop == 0.0 for r in rows)
+
+
+def test_band_argmax_vs_python_and_ties(spark, sf_smoke):
+    """Python twin of the max-value composite + a constructed tie frame
+    pinning the ties-to-smallest-band contract."""
+    from scidbgeo_spark.operators import temporal
+
+    coo3 = model.raster3_coo(spark, sf_smoke)
+    series = {}
+    for r in coo3.collect():
+        series.setdefault((r.y, r.x), []).append((r.band, r.value))
+    want = {}
+    for c, tv in series.items():
+        best_v = max(v for _, v in tv)
+        best_b = min(b for b, v in tv if v == best_v)
+        want[c] = (best_b, best_v)
+    got = {
+        (r.y, r.x): (r.best_band, r.best_value)
+        for r in temporal.band_argmax(coo3).collect()
+    }
+    assert got == want
+    # explicit tie: bands 0..3 all value 5 except band 2 dips -> band 0
+    tie = spark.createDataFrame(
+        [(b, 0, 0, 5 if b != 2 else 1) for b in range(4)],
+        "band long, y long, x long, value long",
+    )
+    [r] = temporal.band_argmax(tie).collect()
+    assert (r.best_band, r.best_value) == (0, 5)
+
+
+def test_gap_fill_vs_python(spark, sf_smoke):
+    """Python LOCF twin on the smoke 3-D raster: mask value%10==0,
+    carry the last unmasked value along bands, -1 before any
+    observation; non-gap rows pass their own value through."""
+    from scidbgeo_spark.operators import temporal
+
+    coo3 = model.raster3_coo(spark, sf_smoke)
+    series = {}
+    for r in coo3.collect():
+        series.setdefault((r.y, r.x), []).append((r.band, r.value))
+    want = {}
+    for (y, x), tv in series.items():
+        tv.sort()
+        carry = -1
+        for b, v in tv:
+            if v % 10 != 0:
+                carry = v
+            want[(b, y, x)] = (carry, v % 10 == 0)
+    got = {
+        (r.band, r.y, r.x): (r.filled, r.is_gap)
+        for r in temporal.gap_fill(coo3).collect()
+    }
+    assert got == want
+    # the fixture exercises all three regimes
+    assert any(f == -1 for f, _ in want.values())
+    assert any(g for _, g in want.values()) and any(
+        not g for _, g in want.values()
+    )

@@ -973,3 +973,35 @@ def test_grid_dbscan_vs_python(spark, sf_correct):
 
     sizes = Counter(v[2] for v in want.values() if v[2] != -1)
     assert sizes and max(sizes.values()) > 1
+
+
+def test_event_transitions_vs_python(spark, sf_smoke):
+    """Python twin of the Markov transition profile + row-stochastic
+    identity: each prev_type's probabilities sum to 1."""
+    from scidbgeo_spark.operators import temporal
+
+    ev = model.load_table(spark, sf_smoke, "events")
+    rows = sorted(
+        ev.select("user_id", "ts", "event_id", "event_type").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    byuser = {}
+    for r in rows:
+        byuser.setdefault(r.user_id, []).append(r.event_type)
+    n = {}
+    for seq in byuser.values():
+        for a, b in zip(seq, seq[1:]):
+            n[(a, b)] = n.get((a, b), 0) + 1
+    tot = {}
+    for (a, _b), c in n.items():
+        tot[a] = tot.get(a, 0) + c
+    want = {k: (c, c / tot[k[0]]) for k, c in n.items()}
+    got = {
+        (r.prev_type, r.event_type): (r.n_trans, r.p_trans)
+        for r in temporal.event_transitions(ev).collect()
+    }
+    assert got == want
+    per_prev = {}
+    for (a, _b), (_c, p) in got.items():
+        per_prev[a] = per_prev.get(a, 0.0) + p
+    assert all(abs(s - 1.0) < 1e-12 for s in per_prev.values())

@@ -1313,3 +1313,63 @@ def test_doc_novelty_vs_python(spark, sf_smoke):
         assert nov == nn / ns
     assert got[rows[0].doc_id][1] == got[rows[0].doc_id][0]  # doc 0 all-novel
     assert sum(v[1] for v in want.values()) == len(first)
+
+
+def test_phrase_search_vs_python(spark, sf_smoke):
+    """Python twin of the positional phrase query: overlapping adjacent
+    occurrences of "table key" counted identically, 0-based first_pos."""
+    docs = _docs(spark, sf_smoke)
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = r.text.split(" ")
+        hits = [
+            i
+            for i in range(len(toks) - 1)
+            if toks[i] == "table" and toks[i + 1] == "key"
+        ]
+        if hits:
+            want[r.doc_id] = (len(hits), hits[0])
+    got = {
+        r.doc_id: (r.n_matches, r.first_pos)
+        for r in text.phrase_search(docs).collect()
+    }
+    assert got == want
+    assert want  # the fixture corpus actually contains the phrase
+
+
+def test_doc_chunks_vs_python_and_coverage(spark, sf_smoke):
+    """Python twin of the 64/48 training-window chunking + coverage
+    property: every token position falls in >= 1 window and chunk_no
+    is the dense 0-based window ordinal."""
+    import hashlib
+
+    docs = _docs(spark, sf_smoke)
+    chunk, stride = 64, 48
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = r.text.split(" ")
+        n = len(toks)
+        covered = set()
+        for cno, start in enumerate(range(0, n, stride)):
+            win = toks[start : start + chunk]
+            covered.update(range(start, min(start + chunk, n)))
+            want[(r.doc_id, cno)] = (
+                start,
+                len(win),
+                hashlib.md5(" ".join(win).encode()).hexdigest(),
+            )
+        assert covered == set(range(n))
+    got = {
+        (r.doc_id, r.chunk_no): (r.start_pos, r.n_tokens, r.chunk_md5)
+        for r in text.doc_chunks(docs).collect()
+    }
+    assert got == want
+    # the fixture exercises short tail windows (n_tokens < chunk)
+    assert any(v[1] < chunk for v in want.values())
+
+
+def test_doc_chunks_rejects_bad_stride(spark, sf_smoke):
+    import pytest
+
+    with pytest.raises(ValueError):
+        text.doc_chunks(_docs(spark, sf_smoke), chunk=16, stride=17)
