@@ -1261,6 +1261,84 @@ def q_focal_var(spark, sf_dir):
     return focal.focal_var_coo(tiles, h, w, CHUNK)
 
 
+def q_ripley_k(spark, sf_dir):
+    """Ripley's K point-pattern statistic at three radii: the
+    distance_join cell pattern turned self-join (x9 replication of one
+    side, never a cross join), exact milli-degree pair tests, one
+    map-side-combinable conditional-sum aggregate."""
+    from scidbgeo_spark.operators import knn as knn_ops
+
+    return knn_ops.ripley_k(model.points(spark, sf_dir))
+
+
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing fingerprints (min 3-gram hash per 4-hash window,
+    ties to the rightmost position via the packed int64 key) — sparse
+    guaranteed-coverage near-dup index; all in-array codegen, the only
+    shuffle is the per-doc distinct over selected fingerprints."""
+    return text.winnow_fingerprints(_docs(spark, sf_dir))
+
+
+def q_edge_density(spark, sf_dir):
+    """Landscape edge/adjacency matrix: rook-adjacent unordered class
+    pairs (value DIV 86) — one halo exchange + a constant-key-space
+    map-side-combinable sum; no raster self-join."""
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    return focal.edge_density_coo(tiles, h, w, CHUNK)
+
+
+def q_geary_c(spark, sf_dir):
+    """Global Geary's C spatial autocorrelation (queen adjacency on
+    occupied 10-degree cells) — the difference-based sibling of
+    moran_i, same broadcast x8 scatter over the bounded cell table."""
+    from scidbgeo_spark.operators import knn as knn_ops
+
+    return knn_ops.geary_c(model.points(spark, sf_dir))
+
+
+def q_semivariogram(spark, sf_dir):
+    """Empirical semivariogram at 3 distance lags (v = doc_id % 997):
+    the ripley_k cell-candidate machinery with per-bin conditional
+    sums; exact integer ssd, one double division per lag."""
+    from scidbgeo_spark.operators import knn as knn_ops
+
+    return knn_ops.semivariogram(model.points(spark, sf_dir))
+
+
+def q_simpson_diversity(spark, sf_dir):
+    """Per-language Simpson source-concentration index — the
+    domain-dominance curation screen; two map-side-combinable aggs,
+    exact rational D."""
+    from scidbgeo_spark.operators import curation
+
+    return curation.simpson_diversity(_docs(spark, sf_dir))
+
+
+def q_user_burst(spark, sf_dir):
+    """Per-user burstiness (peak events-per-minute, active minutes,
+    totals) — the rate-limit / bot screen; two map-side-combinable
+    aggregates."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.user_burst(model.load_table(spark, sf_dir, "events"))
+
+
+def q_winnow_dup_pairs(spark, sf_dir):
+    """MOSS near-dup pairs from winnowing fingerprints (>= 2 shared
+    hashes, 200-doc hot-hash cap mirrored by the oracle) — the fourth
+    near-dup family, sensitive to local copied spans."""
+    return text.winnow_dup_pairs(_docs(spark, sf_dir))
+
+
+def q_session_stats(spark, sf_dir):
+    """Corpus-wide session-length distribution (count, exact
+    median/p90 duration, events/session) — sessionize + one rollup,
+    all shuffles sharing the user key."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.session_stats(model.load_table(spark, sf_dir, "events"))
+
+
 def q_doc_novelty(spark, sf_dir):
     """Per-doc novelty: fraction of its distinct shingles first seen in
     this doc (pointwise vocab_growth) — the add-new-language curation
@@ -1666,6 +1744,14 @@ def q_dedup_clusters(spark, sf_dir):
     singletons included) — the distributed min-propagation engine shared
     with region_label, here on text instead of raster adjacency."""
     return dedup.dedup_clusters(dedup.dup_corpus(_docs(spark, sf_dir)))
+
+
+def q_cluster_survivors(spark, sf_dir):
+    """Quality-aware near-dup survivor per transitive cluster (keep
+    the LONGEST member, ties to smallest doc_id) — the
+    most-complete-copy curation rule; pair-scale clustering + one
+    probe join + struct-max argmax."""
+    return dedup.cluster_survivors(dedup.dup_corpus(_docs(spark, sf_dir)))
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
@@ -2143,6 +2229,16 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "band_argmax": q_band_argmax,
     "gap_fill": q_gap_fill,
     "focal_var": q_focal_var,
+    "ripley_k": q_ripley_k,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "edge_density": q_edge_density,
+    "geary_c": q_geary_c,
+    "semivariogram": q_semivariogram,
+    "simpson_diversity": q_simpson_diversity,
+    "user_burst": q_user_burst,
+    "winnow_dup_pairs": q_winnow_dup_pairs,
+    "session_stats": q_session_stats,
+    "cluster_survivors": q_cluster_survivors,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

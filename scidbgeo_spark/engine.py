@@ -87,6 +87,18 @@ class SciDBGeoEngine:
         h, w, chunk = self._dims(name)
         return focal.focal_extrema_coo(self._tiles(name), h, w, chunk, radius)
 
+    def focal_variance(self, name: str, radius: int = 1) -> DataFrame:
+        """window(A, r, r, r, r, var) as COO rows: exact-integer
+        n/sum/nvar plus the var_pop double (texture filter)."""
+        h, w, chunk = self._dims(name)
+        return focal.focal_var_coo(self._tiles(name), h, w, chunk, radius)
+
+    def edge_density(self, name: str, class_div: int = 86) -> DataFrame:
+        """Rook-adjacent unordered class-pair edge counts (landscape
+        adjacency/contagion matrix) over value DIV class_div classes."""
+        h, w, chunk = self._dims(name)
+        return focal.edge_density_coo(self._tiles(name), h, w, chunk, class_div)
+
     def terrain(self, name: str) -> DataFrame:
         """Horn 3x3 surface derivatives as COO rows: integer gradients,
         slope, aspect octant (d8), hillshade (interior cells)."""

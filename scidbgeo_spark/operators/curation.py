@@ -333,3 +333,36 @@ def quality_deciles(docs: DataFrame) -> DataFrame:
         F.expr("(10 * cum_below) DIV n_total").cast("int").alias("decile"),
     )
     return scored.join(dec, "score_key").select("doc_id", "score_key", "decile")
+
+
+def simpson_diversity(docs: DataFrame) -> DataFrame:
+    """Per-language SOURCE-CONCENTRATION profile: Simpson's index
+    D = sum_i n_i*(n_i-1) / (N*(N-1)) over the language's source counts
+    — the probability two random docs share a source, the
+    domain-concentration red flag curation dashboards track (D -> 1
+    means one domain dominates the language's data).
+
+    Exact rational: both sums are integers; D is one double division.
+    Scale shape: two map-side-combinable aggs ((lang, source) then
+    lang), key spaces bounded by the catalog, never by the corpus."""
+    per = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    return (
+        per.groupBy("lang")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count("*").alias("n_sources"),
+            F.sum(F.col("n") * (F.col("n") - 1)).alias("pair_sum"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_sources",
+            F.when(
+                F.col("n_docs") > 1,
+                F.col("pair_sum").cast("double")
+                / (F.col("n_docs") * (F.col("n_docs") - 1)).cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("simpson"),
+        )
+    )

@@ -809,3 +809,34 @@ def crawl_delta(old: DataFrame, new: DataFrame) -> DataFrame:
         F.coalesce("old_id", F.lit(-1)).alias("old_id"),
         F.coalesce("new_id", F.lit(-1)).alias("new_id"),
     )
+
+
+def cluster_survivors(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """QUALITY-AWARE survivor selection per near-dup cluster: instead of
+    the min-doc_id canonical (cluster_drop_ids), keep the LONGEST
+    member (ties -> smallest doc_id) — the "keep the most complete
+    copy" rule real curation pipelines apply when near-dups differ by
+    truncation or chrome.  Output one row per cluster:
+    (cluster, keep_id, keep_chars, n_members).
+
+    Scale shape: dedup_clusters' pair-scale component resolution, one
+    probe join back to (doc_id, length) — lengths ride as longs, text
+    never re-shuffles — and a map-side-combinable struct-max argmax
+    (the band_argmax trick), so ties stay deterministic on any
+    cluster."""
+    cl = dedup_clusters(corpus, threshold)
+    sized = cl.join(
+        corpus.select("doc_id", F.length("text").cast("long").alias("len")),
+        "doc_id",
+    )
+    best = F.max(F.struct(F.col("len"), (-F.col("doc_id")).alias("nd")))
+    return (
+        sized.groupBy("cluster")
+        .agg(F.count("*").alias("n_members"), best.alias("b"))
+        .select(
+            "cluster",
+            (-F.col("b.nd")).alias("keep_id"),
+            F.col("b.len").alias("keep_chars"),
+            "n_members",
+        )
+    )

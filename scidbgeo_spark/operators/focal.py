@@ -767,3 +767,52 @@ def watershed_basins_coo(
         F.col("by").alias("basin_y"),
         F.col("bx").alias("basin_x"),
     )
+
+
+def edge_density_coo(
+    tiles: DataFrame, height: int, width: int, chunk: int, class_div: int = 86
+) -> DataFrame:
+    """Landscape-ecology EDGE/adjacency matrix: classify cells
+    (``value DIV class_div``, the region-labeling reclass) and count
+    rook-adjacent unordered cell pairs per (class, class) combination —
+    the contagion/fragmentation input (diagonal = interior adjacency,
+    off-diagonal = boundary length between the two classes).  Rows
+    (cls_a <= cls_b, n_edges), exact integers.
+
+    Scale shape: the join_counts generalization — ONE halo exchange,
+    per-tile vectorized pair encoding + bincount, then a
+    map-side-combinable (cls_a, cls_b) sum whose key space is
+    |classes|^2, constant in the raster."""
+    msgs = _halo_messages(tiles, height, width, chunk)
+
+    def _tile(key, pdf):
+        vals, mask, (iy, ix) = _assemble(pdf)
+        th = iy.stop - iy.start
+        tw = ix.stop - ix.start
+        cls = vals // class_div
+        out = {}
+        for dy, dx in ((0, 1), (1, 0)):
+            cm = mask[1 : 1 + th, 1 : 1 + tw]
+            nm = mask[1 + dy : 1 + dy + th, 1 + dx : 1 + dx + tw]
+            ok = cm & nm
+            a = cls[1 : 1 + th, 1 : 1 + tw][ok]
+            b = cls[1 + dy : 1 + dy + th, 1 + dx : 1 + dx + tw][ok]
+            lo = np.minimum(a, b)
+            hi = np.maximum(a, b)
+            pairs, counts = np.unique(
+                np.stack([lo, hi], axis=1), axis=0, return_counts=True
+            )
+            for (pa, pb), c in zip(pairs, counts):
+                out[(int(pa), int(pb))] = out.get((int(pa), int(pb)), 0) + int(c)
+        return pd.DataFrame(
+            {
+                "cls_a": [p[0] for p in out],
+                "cls_b": [p[1] for p in out],
+                "n": list(out.values()),
+            }
+        )
+
+    parts = msgs.groupBy("rty", "rtx").applyInPandas(
+        _tile, schema="cls_a long, cls_b long, n long"
+    )
+    return parts.groupBy("cls_a", "cls_b").agg(F.sum("n").alias("n_edges"))

@@ -785,3 +785,279 @@ def grid_dbscan(
             ).alias("cluster"),
         )
     )
+
+
+RIPLEY_RADII = (2000, 6000, 12000)  # milli-degrees; all <= RIPLEY_CELL
+RIPLEY_CELL = 12.0  # degrees; divides 360 and 180 evenly
+
+
+def ripley_k(points: DataFrame, radii=RIPLEY_RADII, cell: float = RIPLEY_CELL) -> DataFrame:
+    """Ripley's K point-pattern statistic: for each radius r the count
+    of ordered point pairs (i != j) within distance r, plus the K
+    estimate ``k_hat = A * n_pairs / (n * (n-1))`` (planar, no edge
+    correction) — the clustered-vs-dispersed screen run on the
+    geotagged corpus before any density modeling (the hot-cell spike is
+    exactly what K detects).
+
+    Exactness: distances are squared integer MILLI-DEGREE lattice
+    deltas (the idw_interp contract) so every pair test and count is
+    exact; k_hat is one double division of exact integers.
+
+    Scale shape: the distance_join pattern turned self-join — ONE side
+    replicates x9 to its cell neighborhood (requires max(r) <= cell),
+    the other computes one clamped cell id, candidates come from the
+    cell equi-join, and per-radius counts are conditional sums inside
+    ONE map-side-combinable aggregate (unpivoted to rows at the end —
+    constant-size, len(radii) rows).  The corpus count rides the plan
+    as a broadcast one-row aggregate, no driver action.  Never a cross
+    join: worst case is the hot cell's own 3x3 neighborhood."""
+    rmax = max(radii)
+    if rmax > cell * 1000:
+        raise ValueError(f"max radius {rmax} milli-deg must be <= cell {cell} deg")
+    ny, nx = int(round(180.0 / cell)), int(round(360.0 / cell))
+    mx = F.round((F.col("lon") + 180.0) * 1000.0).cast("long")
+    my = F.round((F.col("lat") + 90.0) * 1000.0).cast("long")
+    base = points.select(
+        F.col("doc_id").alias("id"),
+        mx.alias("mx"),
+        my.alias("my"),
+        _point_cell_col(cell, ny, nx).alias("cell"),
+        F.floor((F.col("lat") + 90.0) / cell).alias("cy"),
+        F.floor((F.col("lon") + 180.0) / cell).alias("cx"),
+    )
+    rep = (
+        base.select(
+            F.col("id").alias("jid"),
+            F.col("mx").alias("jmx"),
+            F.col("my").alias("jmy"),
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("cy") - 1, F.lit(0)),
+                    F.least(F.col("cy") + 1, F.lit(ny - 1)),
+                )
+            ).alias("ncy"),
+            "cx",
+        )
+        .select(
+            "jid",
+            "jmx",
+            "jmy",
+            "ncy",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("cx") - 1, F.lit(0)),
+                    F.least(F.col("cx") + 1, F.lit(nx - 1)),
+                )
+            ).alias("ncx"),
+        )
+        .select(
+            "jid", "jmx", "jmy", (F.col("ncy") * nx + F.col("ncx")).cast("long").alias("cell")
+        )
+    )
+    cand = base.select("id", "mx", "my", "cell").join(rep, "cell").filter(
+        F.col("id") != F.col("jid")
+    )
+    d2 = (F.col("mx") - F.col("jmx")) * (F.col("mx") - F.col("jmx")) + (
+        F.col("my") - F.col("jmy")
+    ) * (F.col("my") - F.col("jmy"))
+    sums = cand.agg(
+        *[
+            F.sum(F.when(d2 <= r * r, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"c{r}")
+            for r in radii
+        ]
+    )
+    n = points.agg(F.count("*").alias("n_pts"))
+    stacked = sums.crossJoin(F.broadcast(n)).select(
+        F.expr(
+            "stack({}, {}) AS (r_milli, n_pairs)".format(
+                len(radii), ", ".join(f"CAST({r} AS BIGINT), c{r}" for r in radii)
+            )
+        ),
+        "n_pts",
+    )
+    area = 360000.0 * 180000.0
+    return stacked.select(
+        "r_milli",
+        "n_pairs",
+        (
+            F.col("n_pairs") * F.lit(area) / (F.col("n_pts") * (F.col("n_pts") - 1))
+        ).alias("k_hat"),
+    )
+
+
+def geary_c(points: DataFrame, cell: float = 10.0) -> DataFrame:
+    """Global GEARY'S C spatial autocorrelation of point counts on the
+    occupied ``cell``-degree grid (queen adjacency, binary weights) —
+    Moran's I's difference-based sibling, more sensitive to local
+    deviations: C = (n-1) * sum_ij (x_i - x_j)^2 / (2W * sum(x_i - xbar)^2).
+
+    Exactness: the numerator needs NO mean (differences cancel it), and
+    n * sum(x_i - xbar)^2 = n*sum(x^2) - S^2 is an exact integer, so
+    C = n*(n-1)*num / (2W * (n*sum_x2 - S^2)) is one double division of
+    exact decimal(38,0) products (the moran_i contract).
+
+    Scale shape: identical to moran_i — one map-side-combinable
+    points->cells agg (<= 64,800 rows forever), a broadcast x8 scatter
+    self-join of the CELL table, three one-row aggregates riding the
+    plan; nothing point-level ever joins."""
+    dec = "decimal(38,0)"
+    cells = (
+        points.select(
+            F.floor((F.col("lat") + 90.0) / cell).cast("long").alias("cy"),
+            F.floor((F.col("lon") + 180.0) / cell).cast("long").alias("cx"),
+        )
+        .groupBy("cy", "cx")
+        .agg(F.count("*").alias("x"))
+    )
+    msgs = ", ".join(
+        f"named_struct('cy2', cy + {dy}, 'cx2', cx + {dx}, 'xa', x)"
+        for dy in (-1, 0, 1)
+        for dx in (-1, 0, 1)
+        if (dy, dx) != (0, 0)
+    )
+    scattered = cells.select(F.explode(F.expr(f"array({msgs})")).alias("m")).select(
+        "m.*"
+    )
+    prs = scattered.join(
+        F.broadcast(
+            cells.select(
+                F.col("cy").alias("cy2"), F.col("cx").alias("cx2"), F.col("x").alias("xb")
+            )
+        ),
+        ["cy2", "cx2"],
+    ).agg(
+        F.count("*").alias("w"),
+        F.sum(
+            ((F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb"))).cast(dec)
+        ).alias("num"),
+    )
+    st = cells.agg(
+        F.count("*").alias("n"),
+        F.sum("x").cast(dec).alias("s"),
+        F.sum((F.col("x").cast(dec) * F.col("x"))).alias("sx2"),
+    )
+    return st.crossJoin(prs).select(
+        F.col("n").alias("n_cells"),
+        F.col("w").alias("w_pairs"),
+        (
+            (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+            * F.col("num").cast("double")
+            / (
+                (F.lit(2.0) * F.col("w").cast("double"))
+                * (F.col("n").cast(dec) * F.col("sx2") - F.col("s") * F.col("s")).cast(
+                    "double"
+                )
+            )
+        ).alias("geary_c"),
+    )
+
+
+SEMIVAR_LAGS = (2000, 6000, 12000)  # milli-degree lag-bin upper edges
+
+
+def semivariogram(
+    points: DataFrame, lags=SEMIVAR_LAGS, cell: float = RIPLEY_CELL
+) -> DataFrame:
+    """Empirical SEMIVARIOGRAM of the point attribute v = doc_id % 997
+    (the idw_interp value convention): for each distance-lag bin
+    (lo, hi] the ordered-pair count and gamma = sum((v_i - v_j)^2) /
+    (2 * n_pairs) — the spatial-continuity curve kriging starts from.
+
+    Exactness: squared milli-degree distances pick the bin and squared
+    integer value differences sum exactly; gamma is one double division.
+
+    Scale shape: the ripley_k candidate machinery (x9 cell replication
+    of one side, never a cross join) with per-bin conditional sums in
+    ONE map-side-combinable aggregate; constant-size output."""
+    rmax = max(lags)
+    if rmax > cell * 1000:
+        raise ValueError(f"max lag {rmax} milli-deg must be <= cell {cell} deg")
+    ny, nx = int(round(180.0 / cell)), int(round(360.0 / cell))
+    mx = F.round((F.col("lon") + 180.0) * 1000.0).cast("long")
+    my = F.round((F.col("lat") + 90.0) * 1000.0).cast("long")
+    v = (F.col("doc_id") % 997).cast("long")
+    base = points.select(
+        F.col("doc_id").alias("id"),
+        v.alias("v"),
+        mx.alias("mx"),
+        my.alias("my"),
+        _point_cell_col(cell, ny, nx).alias("cell"),
+        F.floor((F.col("lat") + 90.0) / cell).alias("cy"),
+        F.floor((F.col("lon") + 180.0) / cell).alias("cx"),
+    )
+    rep = (
+        base.select(
+            F.col("id").alias("jid"),
+            F.col("v").alias("jv"),
+            F.col("mx").alias("jmx"),
+            F.col("my").alias("jmy"),
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("cy") - 1, F.lit(0)),
+                    F.least(F.col("cy") + 1, F.lit(ny - 1)),
+                )
+            ).alias("ncy"),
+            "cx",
+        )
+        .select(
+            "jid",
+            "jv",
+            "jmx",
+            "jmy",
+            "ncy",
+            F.explode(
+                F.sequence(
+                    F.greatest(F.col("cx") - 1, F.lit(0)),
+                    F.least(F.col("cx") + 1, F.lit(nx - 1)),
+                )
+            ).alias("ncx"),
+        )
+        .select(
+            "jid",
+            "jv",
+            "jmx",
+            "jmy",
+            (F.col("ncy") * nx + F.col("ncx")).cast("long").alias("cell"),
+        )
+    )
+    cand = base.select("id", "v", "mx", "my", "cell").join(rep, "cell").filter(
+        F.col("id") != F.col("jid")
+    )
+    d2 = (F.col("mx") - F.col("jmx")) * (F.col("mx") - F.col("jmx")) + (
+        F.col("my") - F.col("jmy")
+    ) * (F.col("my") - F.col("jmy"))
+    dv2 = ((F.col("v") - F.col("jv")) * (F.col("v") - F.col("jv"))).cast(
+        "decimal(38,0)"
+    )
+    bounds = [0] + list(lags)
+    aggs = []
+    for lo, hi in zip(bounds, bounds[1:]):
+        inbin = (d2 > lo * lo) & (d2 <= hi * hi)
+        aggs.append(
+            F.sum(F.when(inbin, F.lit(1)).otherwise(F.lit(0)))
+            .cast("long")
+            .alias(f"c{hi}")
+        )
+        aggs.append(
+            F.sum(F.when(inbin, dv2).otherwise(F.lit(0).cast("decimal(38,0)")))
+            .alias(f"s{hi}")
+        )
+    sums = cand.agg(*aggs)
+    stacked = sums.select(
+        F.expr(
+            "stack({}, {}) AS (lag_milli, n_pairs, ssd)".format(
+                len(lags),
+                ", ".join(
+                    f"CAST({hi} AS BIGINT), c{hi}, s{hi}" for hi in lags
+                ),
+            )
+        )
+    )
+    gamma = F.when(
+        F.col("n_pairs") > 0,
+        F.col("ssd").cast("double")
+        / (F.lit(2.0) * F.col("n_pairs").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return stacked.select("lag_milli", "n_pairs", gamma.alias("gamma"))

@@ -353,3 +353,63 @@ def event_transitions(events: DataFrame) -> DataFrame:
         "n_trans",
         (F.col("n_trans") / F.sum("n_trans").over(tot)).alias("p_trans"),
     )
+
+
+def user_burst(events: DataFrame) -> DataFrame:
+    """Per-user BURSTINESS profile — the rate-limit / bot screen: bucket
+    each user's events into minutes and report the peak events-in-one-
+    minute, the active-minute count, the total, and the mean
+    events-per-active-minute (one double division of exact integers).
+
+    Scale shape: two map-side-combinable aggregates — (user, minute)
+    then user; the first combines on every map task so the exchange
+    carries minute buckets, not raw events."""
+    per_min = events.groupBy(
+        "user_id", F.date_trunc("minute", F.col("ts")).alias("minute")
+    ).agg(F.count("*").alias("n"))
+    return per_min.groupBy("user_id").agg(
+        F.max("n").alias("peak_min_events"),
+        F.count("*").alias("n_active_minutes"),
+        F.sum("n").alias("n_events"),
+        (F.sum("n") / F.count("*")).alias("events_per_minute"),
+    )
+
+
+def session_stats(events: DataFrame, gap_s: int = 3600) -> DataFrame:
+    """Corpus-wide SESSION-LENGTH distribution: sessionize (1-hour
+    inactivity gap, the q_sessionize contract), then per-session
+    duration (exact microseconds) and event count, rolled up to the
+    one-row profile dashboards track — session count, exact
+    median/p90 duration, total events and events-per-session.
+
+    Scale shape: ONE user-keyed window shuffle (lag + running
+    session-number sum share the partition), a map-side-combinable
+    (user, session) agg on the SAME key prefix (AQE reuses the
+    exchange), then a single-row rollup.  The percentile aggregate is
+    Spark's exact implementation — interpolation matches DuckDB
+    quantile_cont bitwise on integer microseconds (the zonal_median
+    precedent)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = events.withColumn("prev_ts", F.lag("ts").over(w))
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    marked = prev.withColumn(
+        "new_sess",
+        F.when(
+            F.col("prev_ts").isNull() | (gap_us > gap_s * 1000000), 1
+        ).otherwise(0),
+    )
+    sess = marked.withColumn(
+        "sess_no",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per = sess.groupBy("user_id", "sess_no").agg(
+        F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))").alias("dur_us"),
+        F.count("*").alias("n_ev"),
+    )
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.expr("percentile(dur_us, 0.5)").alias("median_dur_us"),
+        F.expr("percentile(dur_us, 0.9)").alias("p90_dur_us"),
+        F.sum("n_ev").alias("n_events"),
+        (F.sum("n_ev") / F.count("*")).alias("events_per_session"),
+    )

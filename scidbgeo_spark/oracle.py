@@ -2742,3 +2742,200 @@ SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n_trans,
          / CAST(sum(count(*)) OVER (PARTITION BY prev_type) AS DOUBLE) AS p_trans
 FROM st WHERE prev_type IS NOT NULL
 GROUP BY prev_type, event_type"""
+
+# knn.ripley_k: ordered pairs within each radius on the milli-degree
+# lattice — the oracle is the plain self-join (candidate cells only
+# change the plan, never the exact d^2 <= r^2 test).
+SQL["ripley_k"] = f"""WITH {PTS},
+ip AS (SELECT doc_id,
+              CAST(round((lon + 180.0) * 1000.0) AS BIGINT) AS mx,
+              CAST(round((lat + 90.0) * 1000.0) AS BIGINT) AS my
+       FROM pts),
+rr AS (SELECT CAST(r AS BIGINT) AS r_milli FROM (VALUES (2000), (6000), (12000)) t(r)),
+cnt AS (
+  SELECT rr.r_milli, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM rr, ip a, ip b
+  WHERE a.doc_id != b.doc_id
+    AND (a.mx - b.mx) * (a.mx - b.mx) + (a.my - b.my) * (a.my - b.my)
+        <= rr.r_milli * rr.r_milli
+  GROUP BY rr.r_milli
+),
+n AS (SELECT count(*) AS n_pts FROM pts)
+SELECT rr.r_milli, COALESCE(c.n_pairs, 0) AS n_pairs,
+       COALESCE(c.n_pairs, 0) * 64800000000.0
+         / (n.n_pts * (n.n_pts - 1)) AS k_hat
+FROM rr LEFT JOIN cnt c USING (r_milli), n"""
+
+# text.winnow_fingerprints: identical packed-key winnowing (min over
+# each 4-hash window of 3-gram hashes, ties to the rightmost position).
+SQL["winnow_fingerprints"] = f"""WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+),
+kg AS (
+  SELECT doc_id, i,
+         (({_MD5INT.format(x="array_to_string(l[i+1:i+3], ' ')")}
+            % 1099511627776) * 1048576 + (1048575 - i)) AS key
+  FROM tok, LATERAL (SELECT unnest(generate_series(0, n - 3)) AS i) g
+  WHERE n >= 6
+),
+wj AS (SELECT doc_id, unnest(generate_series(0, n - 6)) AS j
+       FROM tok WHERE n >= 6),
+wins AS (
+  SELECT kg.doc_id, wj.j, min(kg.key) AS key
+  FROM kg JOIN wj ON kg.doc_id = wj.doc_id
+                 AND kg.i BETWEEN wj.j AND wj.j + 3
+  GROUP BY kg.doc_id, wj.j
+),
+sel AS (SELECT DISTINCT doc_id, key FROM wins)
+SELECT doc_id,
+       CAST(1048575 - (key % 1048576) AS BIGINT) AS pos,
+       CAST(key // 1048576 AS BIGINT) AS h40
+FROM sel"""
+
+# focal.edge_density_coo: rook-adjacent unordered class-pair counts
+# (value // 86 classes) — the literal adjacency self-join.
+SQL["edge_density"] = f"""WITH {COO},
+c AS (SELECT y, x, value // 86 AS cls FROM coo),
+e AS (
+  SELECT LEAST(a.cls, b.cls) AS cls_a, GREATEST(a.cls, b.cls) AS cls_b
+  FROM c a JOIN c b
+    ON (b.y = a.y AND b.x = a.x + 1) OR (b.y = a.y + 1 AND b.x = a.x)
+)
+SELECT cls_a, cls_b, CAST(count(*) AS BIGINT) AS n_edges
+FROM e GROUP BY 1, 2"""
+
+# knn.geary_c: difference-based global autocorrelation — the moran_i
+# oracle shape with (x_a - x_b)^2 pair sums (no mean in the numerator).
+SQL["geary_c"] = f"""WITH {PTS},
+cells AS (
+  SELECT CAST(floor((lat + 90.0) / 10.0) AS BIGINT) AS cy,
+         CAST(floor((lon + 180.0) / 10.0) AS BIGINT) AS cx, count(*) AS x
+  FROM pts GROUP BY 1, 2
+),
+st AS (SELECT count(*) AS n, sum(x) AS s,
+              sum(CAST(x AS HUGEINT) * x) AS sx2 FROM cells),
+agg AS (
+  SELECT count(*) AS w,
+         sum(CAST((a.x - b.x) AS HUGEINT) * (a.x - b.x)) AS num
+  FROM cells a JOIN cells b
+    ON b.cy BETWEEN a.cy - 1 AND a.cy + 1
+   AND b.cx BETWEEN a.cx - 1 AND a.cx + 1
+   AND NOT (b.cy = a.cy AND b.cx = a.cx)
+)
+SELECT (SELECT n FROM st) AS n_cells,
+       (SELECT w FROM agg) AS w_pairs,
+       (CAST((SELECT n FROM st) AS DOUBLE)
+          * CAST((SELECT n FROM st) - 1 AS DOUBLE))
+         * CAST((SELECT num FROM agg) AS DOUBLE)
+       / ((2.0 * CAST((SELECT w FROM agg) AS DOUBLE))
+          * CAST((SELECT n FROM st) * (SELECT sx2 FROM st)
+                 - (SELECT s FROM st) * (SELECT s FROM st) AS DOUBLE))
+         AS geary_c"""
+
+# knn.semivariogram: per-lag-bin pair counts + squared value-difference
+# sums (v = doc_id % 997) — plain self-join oracle, bins by d^2.
+SQL["semivariogram"] = f"""WITH {PTS},
+ip AS (SELECT doc_id, doc_id % 997 AS v,
+              CAST(round((lon + 180.0) * 1000.0) AS BIGINT) AS mx,
+              CAST(round((lat + 90.0) * 1000.0) AS BIGINT) AS my
+       FROM pts),
+rr AS (SELECT lo, hi FROM (VALUES (0, 2000), (2000, 6000), (6000, 12000)) t(lo, hi)),
+cnt AS (
+  SELECT rr.hi, CAST(count(*) AS BIGINT) AS n_pairs,
+         sum(CAST((a.v - b.v) AS HUGEINT) * (a.v - b.v)) AS ssd
+  FROM rr, ip a, ip b
+  WHERE a.doc_id != b.doc_id
+    AND (a.mx - b.mx) * (a.mx - b.mx) + (a.my - b.my) * (a.my - b.my)
+        > rr.lo * rr.lo
+    AND (a.mx - b.mx) * (a.mx - b.mx) + (a.my - b.my) * (a.my - b.my)
+        <= rr.hi * rr.hi
+  GROUP BY rr.hi
+)
+SELECT CAST(rr.hi AS BIGINT) AS lag_milli,
+       COALESCE(c.n_pairs, 0) AS n_pairs,
+       CASE WHEN COALESCE(c.n_pairs, 0) > 0
+            THEN CAST(c.ssd AS DOUBLE) / (2.0 * CAST(c.n_pairs AS DOUBLE))
+            ELSE 0.0 END AS gamma
+FROM rr LEFT JOIN cnt c ON c.hi = rr.hi"""
+
+# curation.simpson_diversity: per-language Simpson source concentration.
+SQL["simpson_diversity"] = """WITH per AS (
+  SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2
+)
+SELECT lang, CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_sources,
+       CASE WHEN sum(n) > 1
+            THEN CAST(sum(n * (n - 1)) AS DOUBLE)
+                 / CAST(sum(n) * (sum(n) - 1) AS DOUBLE)
+            ELSE 0.0 END AS simpson
+FROM per GROUP BY lang"""
+
+# temporal.user_burst: per-user peak-minute profile.
+SQL["user_burst"] = """WITH pm AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute, count(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(max(n) AS BIGINT) AS peak_min_events,
+       CAST(count(*) AS BIGINT) AS n_active_minutes,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(n) AS DOUBLE) / count(*) AS events_per_minute
+FROM pm GROUP BY user_id"""
+
+# text.winnow_dup_pairs: pairs sharing >= 2 winnowing fingerprint
+# hashes, hot hashes (> 200 docs) dropped — nested winnow CTE reuse.
+SQL["winnow_dup_pairs"] = f"""WITH fpq AS ({SQL["winnow_fingerprints"]}),
+fp AS (SELECT DISTINCT doc_id, h40 FROM fpq),
+capped AS (
+  SELECT doc_id, h40 FROM (
+    SELECT doc_id, h40, count(*) OVER (PARTITION BY h40) AS hsz FROM fp
+  ) WHERE hsz <= 200
+)
+SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS n_shared
+FROM capped a JOIN capped b ON a.h40 = b.h40 AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= 2"""
+
+# temporal.session_stats: sessionize -> per-session duration/count ->
+# one-row rollup; quantile_cont matches Spark's exact percentile.
+SQL["session_stats"] = """WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_no
+  FROM marked
+),
+per AS (
+  SELECT user_id, sess_no,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us,
+         count(*) AS n_ev
+  FROM sess GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+       quantile_cont(dur_us, 0.5) AS median_dur_us,
+       quantile_cont(dur_us, 0.9) AS p90_dur_us,
+       CAST(sum(n_ev) AS BIGINT) AS n_events,
+       CAST(sum(n_ev) AS DOUBLE) / count(*) AS events_per_session
+FROM per"""
+
+# dedup.cluster_survivors: longest member per transitive near-dup
+# cluster (ties -> smallest doc_id) — nested dedup_clusters CTE + one
+# length probe join; arg-ordered max mirrors the struct-max trick.
+SQL["cluster_survivors"] = f"""WITH {CORPUS},
+cl AS (SELECT doc_id, cluster FROM ({SQL["dedup_clusters"]})),
+sized AS (
+  SELECT cl.cluster, cl.doc_id, length(c.text) AS len
+  FROM cl JOIN corpus c ON c.doc_id = cl.doc_id
+)
+SELECT cluster,
+       CAST(first(doc_id ORDER BY len DESC, doc_id) AS BIGINT) AS keep_id,
+       CAST(max(len) AS BIGINT) AS keep_chars,
+       CAST(count(*) AS BIGINT) AS n_members
+FROM sized GROUP BY cluster"""

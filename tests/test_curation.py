@@ -320,3 +320,62 @@ def test_flow_moran_trajectory_plan_shapes(spark, sf_smoke):
     eplan = _plan(focal.flow_edges_coo(tiles, h, w, 50))
     assert "FlatMapGroupsInPandas" in eplan
     assert "Join" not in eplan
+
+
+def test_simpson_diversity_vs_python(spark, sf_smoke):
+    """Python twin of per-language Simpson source concentration +
+    range/pure-concentration identities."""
+    from scidbgeo_spark import model
+    from scidbgeo_spark.operators import curation
+
+    docs = model.load_table(spark, sf_smoke, "documents")
+    per = {}
+    for r in docs.select("lang", "source").collect():
+        per.setdefault(r.lang, {}).setdefault(r.source, 0)
+        per[r.lang][r.source] += 1
+    want = {}
+    for lang, srcs in per.items():
+        nd = sum(srcs.values())
+        ps = sum(n * (n - 1) for n in srcs.values())
+        want[lang] = (
+            nd,
+            len(srcs),
+            ps / (nd * (nd - 1)) if nd > 1 else 0.0,
+        )
+    got = {
+        r.lang: (r.n_docs, r.n_sources, r.simpson)
+        for r in curation.simpson_diversity(docs).collect()
+    }
+    assert got == want
+    assert all(0.0 <= v[2] <= 1.0 for v in got.values())
+
+
+def test_late_r5_batch_plan_shapes(spark, sf_smoke):
+    """Plan pins for the late-r5 additions: doc_chunks is exchange-FREE
+    (sequence+slice+explode pipeline, narrow all the way); the
+    winnowing fingerprint set reaches the output through exactly ONE
+    exchange (the per-doc distinct — hashing and window minima are
+    in-array codegen); ripley_k and the semivariogram must never plan a
+    CartesianProduct (cell-candidate equi-joins only); the band-axis
+    composites run ONE hash exchange each."""
+    from scidbgeo_spark.operators import knn, temporal, text
+
+    docs = _docs(spark, sf_smoke)
+    assert _plan(text.doc_chunks(docs)).count("Exchange") == 0
+    assert (
+        _plan(text.winnow_fingerprints(docs)).count("Exchange hashpartitioning")
+        == 1
+    )
+
+    pts = model.points(spark, sf_smoke)
+    for df in (knn.ripley_k(pts), knn.semivariogram(pts)):
+        p = _plan(df)
+        assert "CartesianProduct" not in p
+
+    coo3 = model.raster3_coo(spark, sf_smoke)
+    assert _plan(temporal.band_argmax(coo3)).count(
+        "Exchange hashpartitioning"
+    ) == 1
+    assert _plan(temporal.gap_fill(coo3)).count(
+        "Exchange hashpartitioning"
+    ) == 1

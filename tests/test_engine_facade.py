@@ -238,3 +238,24 @@ def test_facade_flow_accum_verb(spark, sf_smoke):
         50,
     ).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, direct))
+
+
+def test_facade_variance_and_edge_density_verbs(spark, sf_smoke):
+    """focal_variance/edge_density through the stored-array facade
+    agree with NumPy ground truth on a spot window / global identity."""
+    eng = SciDBGeoEngine(spark)
+    coo = model.raster_coo(spark, sf_smoke)
+    n = coo.count()
+    h, w = n // RASTER_W, RASTER_W
+    eng.create_array("rv", coo, height=h, width=w, chunk=50)
+    dense = ((np.arange(n, dtype=np.int64) * VALUE_MULT) % VALUE_MOD).reshape(h, w)
+
+    fv = {(r.y, r.x): (r.n_cells, r.nvar) for r in eng.focal_variance("rv").collect()}
+    assert len(fv) == n
+    y, x = 3, 7
+    win = dense[y - 1 : y + 2, x - 1 : x + 2].astype(np.int64)
+    nvar = 9 * int((win * win).sum()) - int(win.sum()) ** 2
+    assert fv[(y, x)] == (9, nvar)
+
+    ed = {(r.cls_a, r.cls_b): r.n_edges for r in eng.edge_density("rv").collect()}
+    assert sum(ed.values()) == h * (w - 1) + (h - 1) * w

@@ -1189,3 +1189,24 @@ def test_gap_fill_vs_python(spark, sf_smoke):
     assert any(g for _, g in want.values()) and any(
         not g for _, g in want.values()
     )
+
+
+def test_edge_density_vs_bruteforce(spark, tiles, dense):
+    """Python twin of the rook class-adjacency matrix + the edge-total
+    identity sum(n_edges) == h*(w-1) + (h-1)*w."""
+    h, w = dense.shape
+    want = {}
+    for y in range(h):
+        for x in range(w):
+            for dy, dx in ((0, 1), (1, 0)):
+                yy, xx = y + dy, x + dx
+                if yy < h and xx < w:
+                    a, b = int(dense[y, x]) // 86, int(dense[yy, xx]) // 86
+                    k = (min(a, b), max(a, b))
+                    want[k] = want.get(k, 0) + 1
+    got = {
+        (r.cls_a, r.cls_b): r.n_edges
+        for r in focal.edge_density_coo(tiles, h, w, CHUNK).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == h * (w - 1) + (h - 1) * w

@@ -1005,3 +1005,168 @@ def test_event_transitions_vs_python(spark, sf_smoke):
     for (a, _b), (_c, p) in got.items():
         per_prev[a] = per_prev.get(a, 0.0) + p
     assert all(abs(s - 1.0) < 1e-12 for s in per_prev.values())
+
+
+def test_ripley_k_vs_python(spark, sf_smoke):
+    """Brute-force O(n^2) twin of Ripley's K on the smoke points +
+    monotonicity in r; the hot cell guarantees pairs at every radius."""
+    from scidbgeo_spark.operators import knn as knn_ops
+
+    pts = [
+        (round((r.lon + 180.0) * 1000.0), round((r.lat + 90.0) * 1000.0))
+        for r in model.points(spark, sf_smoke).collect()
+    ]
+    n = len(pts)
+    want = {}
+    for r_milli in knn_ops.RIPLEY_RADII:
+        c = sum(
+            1
+            for i in range(n)
+            for j in range(n)
+            if i != j
+            and (pts[i][0] - pts[j][0]) ** 2 + (pts[i][1] - pts[j][1]) ** 2
+            <= r_milli * r_milli
+        )
+        want[r_milli] = (c, c * 64800000000.0 / (n * (n - 1)))
+    got = {
+        r.r_milli: (r.n_pairs, r.k_hat)
+        for r in knn_ops.ripley_k(model.points(spark, sf_smoke)).collect()
+    }
+    assert got == want
+    counts = [want[r][0] for r in sorted(want)]
+    assert counts == sorted(counts) and counts[0] > 0
+
+
+def test_geary_c_vs_python(spark, sf_smoke):
+    """Fraction-exact Python twin of Geary's C on the 10-degree cell
+    grid (queen adjacency), plus the no-autocorrelation sanity range."""
+    from fractions import Fraction
+    from math import floor
+
+    from scidbgeo_spark.operators import knn as knn_ops
+
+    cells = {}
+    for r in model.points(spark, sf_smoke).collect():
+        k = (floor((r.lat + 90.0) / 10.0), floor((r.lon + 180.0) / 10.0))
+        cells[k] = cells.get(k, 0) + 1
+    n = len(cells)
+    s = sum(cells.values())
+    sx2 = sum(v * v for v in cells.values())
+    w = num = 0
+    for (cy, cx), xa in cells.items():
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if (dy, dx) == (0, 0):
+                    continue
+                xb = cells.get((cy + dy, cx + dx))
+                if xb is not None:
+                    w += 1
+                    num += (xa - xb) ** 2
+    want = float(
+        Fraction(n * (n - 1) * num, 2 * w * (n * sx2 - s * s))
+    )
+    [row] = knn_ops.geary_c(model.points(spark, sf_smoke)).collect()
+    assert (row.n_cells, row.w_pairs) == (n, w)
+    assert abs(row.geary_c - want) < 1e-12
+    assert row.geary_c >= 0.0
+
+
+def test_semivariogram_vs_python(spark, sf_smoke):
+    """O(n^2) Python twin of the 3-lag empirical semivariogram."""
+    from scidbgeo_spark.operators import knn as knn_ops
+
+    pts = [
+        (
+            r.doc_id % 997,
+            round((r.lon + 180.0) * 1000.0),
+            round((r.lat + 90.0) * 1000.0),
+        )
+        for r in model.points(spark, sf_smoke).collect()
+    ]
+    bounds = [0, *knn_ops.SEMIVAR_LAGS]
+    want = {}
+    for lo, hi in zip(bounds, bounds[1:]):
+        c = ssd = 0
+        for i, (vi, xi, yi) in enumerate(pts):
+            for j, (vj, xj, yj) in enumerate(pts):
+                if i == j:
+                    continue
+                d2 = (xi - xj) ** 2 + (yi - yj) ** 2
+                if lo * lo < d2 <= hi * hi:
+                    c += 1
+                    ssd += (vi - vj) ** 2
+        want[hi] = (c, ssd / (2.0 * c) if c else 0.0)
+    got = {
+        r.lag_milli: (r.n_pairs, r.gamma)
+        for r in knn_ops.semivariogram(model.points(spark, sf_smoke)).collect()
+    }
+    assert got == want
+    assert any(c > 0 for c, _ in want.values())
+
+
+def test_user_burst_vs_python(spark, sf_smoke):
+    """Python twin of the per-user burstiness profile + the identity
+    sum(n_events) == table row count."""
+    from scidbgeo_spark.operators import temporal
+
+    ev = model.load_table(spark, sf_smoke, "events")
+    pm = {}
+    total = 0
+    for r in ev.select("user_id", "ts").collect():
+        total += 1
+        mk = (r.user_id, r.ts.replace(second=0, microsecond=0))
+        pm[mk] = pm.get(mk, 0) + 1
+    want = {}
+    for (u, _m), c in pm.items():
+        peak, mins, tot = want.get(u, (0, 0, 0))
+        want[u] = (max(peak, c), mins + 1, tot + c)
+    got = {
+        r.user_id: (r.peak_min_events, r.n_active_minutes, r.n_events)
+        for r in temporal.user_burst(ev).collect()
+    }
+    assert got == want
+    assert sum(v[2] for v in got.values()) == total
+
+
+def test_session_stats_vs_python(spark, sf_smoke):
+    """Python twin of the corpus-wide session-length rollup (1-hour
+    gap sessionization, exact-interpolation percentiles)."""
+    from scidbgeo_spark.operators import temporal
+
+    ev = model.load_table(spark, sf_smoke, "events")
+    rows = sorted(
+        ev.select("user_id", "ts", "event_id").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    sessions = []
+    cur_user = cur_start = cur_last = None
+    n_ev = 0
+    for r in rows:
+        new = (
+            r.user_id != cur_user
+            or (r.ts - cur_last).total_seconds() > 3600
+        )
+        if new:
+            if cur_user is not None:
+                sessions.append(((cur_last - cur_start).total_seconds() * 1e6, n_ev))
+            cur_user, cur_start, n_ev = r.user_id, r.ts, 0
+        cur_last = r.ts
+        n_ev += 1
+    sessions.append(((cur_last - cur_start).total_seconds() * 1e6, n_ev))
+
+    def pct(vals, p):
+        s = sorted(vals)
+        idx = p * (len(s) - 1)
+        f = int(idx)
+        if f == idx:
+            return float(s[f])
+        return s[f] + (s[f + 1] - s[f]) * (idx - f)
+
+    durs = [d for d, _ in sessions]
+    total = sum(n for _, n in sessions)
+    [row] = temporal.session_stats(ev).collect()
+    assert row.n_sessions == len(sessions)
+    assert abs(row.median_dur_us - pct(durs, 0.5)) < 1e-6
+    assert abs(row.p90_dur_us - pct(durs, 0.9)) < 1e-6
+    assert row.n_events == total
+    assert abs(row.events_per_session - total / len(sessions)) < 1e-12

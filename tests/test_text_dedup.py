@@ -1373,3 +1373,107 @@ def test_doc_chunks_rejects_bad_stride(spark, sf_smoke):
 
     with pytest.raises(ValueError):
         text.doc_chunks(_docs(spark, sf_smoke), chunk=16, stride=17)
+
+
+def _winnow_python(text_s, k=3, w=4):
+    import hashlib
+
+    toks = text_s.split(" ")
+    n = len(toks)
+    if n < k + w - 1:
+        return set()
+    keys = []
+    for i in range(n - k + 1):
+        h = int(hashlib.md5(" ".join(toks[i : i + k]).encode()).hexdigest()[:15], 16)
+        keys.append((h % (1 << 40)) * (1 << 20) + ((1 << 20) - 1 - i))
+    sel = set()
+    for j in range(len(keys) - w + 1):
+        sel.add(min(keys[j : j + w]))
+    return {((1 << 20) - 1 - kk % (1 << 20), kk // (1 << 20)) for kk in sel}
+
+
+def test_winnow_fingerprints_vs_python_and_coverage(spark, sf_smoke):
+    """Python twin of MOSS winnowing (min hash per window, rightmost
+    tie) + the winnowing COVERAGE guarantee: every window of w
+    consecutive k-grams contains at least one selected fingerprint."""
+    docs = _docs(spark, sf_smoke)
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        for pos, h40 in _winnow_python(r.text):
+            want[(r.doc_id, pos, h40)] = True
+    got = {
+        (r.doc_id, r.pos, r.h40): True
+        for r in text.winnow_fingerprints(docs).collect()
+    }
+    assert got == want and want
+    # coverage guarantee per doc
+    bydoc = {}
+    for d, pos, _h in want:
+        bydoc.setdefault(d, set()).add(pos)
+    for r in docs.select("doc_id", "text").collect():
+        n_h = len(r.text.split(" ")) - 2
+        if n_h < 4:
+            continue
+        sel = bydoc[r.doc_id]
+        for j in range(n_h - 3):
+            assert any(j <= p <= j + 3 for p in sel)
+
+
+def test_winnow_dup_pairs_vs_python(spark, sf_smoke):
+    """Python twin of the MOSS pair detector over the winnowing
+    fingerprints (>= 2 shared hashes, hot-hash cap), plus symmetry
+    a < b and agreement with a planted duplicate if present."""
+    docs = _docs(spark, sf_smoke)
+    byhash = {}
+    for r in docs.select("doc_id", "text").collect():
+        for _pos, h40 in _winnow_python(r.text):
+            byhash.setdefault(h40, set()).add(r.doc_id)
+    shared = {}
+    for h, ds in byhash.items():
+        if len(ds) > 200:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                k = (ds[i], ds[j])
+                shared[k] = shared.get(k, 0) + 1
+    want = {k: v for k, v in shared.items() if v >= 2}
+    got = {
+        (r.a, r.b): r.n_shared
+        for r in text.winnow_dup_pairs(docs).collect()
+    }
+    assert got == want
+    assert all(a < b for a, b in got)
+
+
+def test_cluster_survivors_vs_python(spark, sf_smoke):
+    """Python twin of longest-member survivor selection over the
+    planted-dup corpus + identities: one survivor per cluster, the
+    mutated (longer) planted copy beats its original, survivors are
+    cluster members."""
+    corpus = dedup.dup_corpus(_docs(spark, sf_smoke))
+    cl = {
+        r.doc_id: r.cluster for r in dedup.dedup_clusters(corpus).collect()
+    }
+    lens = {r.doc_id: len(r.text) for r in corpus.collect()}
+    want = {}
+    for d, c in cl.items():
+        cand = (lens[d], d)
+        best = want.get(c)
+        if best is None or (-cand[0], cand[1]) < (-best[0], best[1]):
+            want[c] = cand
+    got = {
+        r.cluster: (r.keep_chars, r.keep_id, r.n_members)
+        for r in dedup.cluster_survivors(corpus).collect()
+    }
+    assert {c: (v[0], v[1]) for c, v in {k: (x[0], x[1]) for k, x in got.items()}.items()} == {
+        c: (l, d) for c, (l, d) in want.items()
+    }
+    members = {}
+    for d, c in cl.items():
+        members[c] = members.get(c, 0) + 1
+    assert {c: v[2] for c, v in got.items()} == members
+    # a planted mutated copy ('mutated ' prefix, +8 chars) that landed
+    # in its original's cluster must win the survivor pick
+    mutated_winners = [c for c, (l, d) in want.items() if d >= 100000]
+    assert mutated_winners
