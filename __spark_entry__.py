@@ -1261,6 +1261,24 @@ def q_focal_var(spark, sf_dir):
     return focal.focal_var_coo(tiles, h, w, CHUNK)
 
 
+def q_integral_image(spark, sf_dir):
+    """Distributed summed-area table: per-tile marginals + a 2-D tile
+    prefix + one finishing pass — a global dependency with no halo
+    exchange and no raster self-join (oracle: the 2-window closed
+    form)."""
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    return pixel.integral_image(tiles, h, w, CHUNK)
+
+
+def q_host_triangles(spark, sf_dir):
+    """Triangle count + global clustering coefficient of the host
+    graph via degree-ordered orientation (out-degree bounded by
+    sqrt(2m) — the celebrity-host-proof wedge join)."""
+    from scidbgeo_spark.operators import graph
+
+    return graph.host_triangles(_docs(spark, sf_dir))
+
+
 def q_ripley_k(spark, sf_dir):
     """Ripley's K point-pattern statistic at three radii: the
     distance_join cell pattern turned self-join (x9 replication of one
@@ -2239,6 +2257,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_dup_pairs": q_winnow_dup_pairs,
     "session_stats": q_session_stats,
     "cluster_survivors": q_cluster_survivors,
+    "integral_image": q_integral_image,
+    "host_triangles": q_host_triangles,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

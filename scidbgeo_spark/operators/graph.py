@@ -151,3 +151,98 @@ def host_degree_stats(docs: DataFrame) -> DataFrame:
             F.coalesce("n_reciprocal", z).alias("n_reciprocal"),
         )
     )
+
+
+def host_triangles(docs: DataFrame) -> DataFrame:
+    """TRIANGLE COUNT + global clustering coefficient of the (simple,
+    undirected) host graph — the link-farm / community-density screen:
+    organic link neighborhoods close triangles, spam rings mostly
+    don't.  One row: (n_nodes, n_edges, n_triangles, gcc) with
+    gcc = 3*T / wedges, wedges = sum(deg*(deg-1)/2) — exact integers,
+    one double division.
+
+    Scale shape: the classic DEGREE-ORDERED orientation — every edge
+    points from its lower-(degree, name) endpoint to the higher, so
+    each node's out-degree is bounded by sqrt(2m) on any graph
+    (arboricity bound) and the wedge self-join can never blow up on a
+    celebrity host.  Two equi-joins on host keys (wedge build + closing
+    -edge probe), all shuffles on the same small host-graph table.
+
+    Edge derivation: TWO deterministic link functions per document
+    (doc i -> (7i+3) mod n and -> (i*i DIV 5 + 2) mod n) instead of
+    host_graph's single one — affine maps compose to affine maps on
+    the source residue classes, so the single-function graph is
+    triangle-FREE at every fixture scale and would leave the closing
+    join untested; the integer-division quadratic breaks the residue
+    structure (392 triangles at sf0.001).  Fixture-side derivation
+    like host_graph's: with a real link column only these two SELECT
+    lines change (and i*i stays in int64 for doc_id < ~3e9 — fixture
+    ids are far below)."""
+    cnt = docs.agg(F.count("*").alias("n_docs"))
+    d1 = docs.select("doc_id", "source").crossJoin(F.broadcast(cnt))
+    d2 = docs.select(
+        F.col("doc_id").alias("dst_doc"), F.col("source").alias("dst")
+    )
+    links = d1.select(
+        F.col("source").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * 7 + 3) % F.col("n_docs"),
+                (F.expr("doc_id * doc_id DIV 5") + 2) % F.col("n_docs"),
+            )
+        ).alias("dst_doc"),
+    ).join(d2, "dst_doc")
+    e = (
+        links.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionAll(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    ed = (
+        e.join(deg.select(F.col("node").alias("a"), F.col("deg").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("deg").alias("db")), "b")
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = ed.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+    )
+    wedge = o.alias("e1").join(
+        o.alias("e2"), F.col("e1.v") == F.col("e2.u")
+    ).select(
+        F.col("e1.u").alias("u"), F.col("e1.v").alias("v"), F.col("e2.v").alias("w")
+    )
+    tri = wedge.alias("wg").join(
+        o.alias("e3"),
+        (F.col("wg.u") == F.col("e3.u")) & (F.col("wg.w") == F.col("e3.v")),
+    ).agg(F.count("*").alias("n_triangles"))
+    stats = deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.expr("sum(deg * (deg - 1) DIV 2)").alias("wedges"),
+    )
+    ne = e.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(ne)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            F.when(
+                F.col("wedges") > 0,
+                (F.lit(3.0) * F.col("n_triangles").cast("double"))
+                / F.col("wedges").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("gcc"),
+        )
+    )

@@ -418,3 +418,134 @@ def hist_equalize(coo: DataFrame, levels: int = 256) -> DataFrame:
         .alias("eq_value"),
     )
     return coo.join(F.broadcast(remap), "value").select("y", "x", "eq_value")
+
+
+def integral_image(
+    tiles: DataFrame, height: int, width: int, chunk: int
+) -> DataFrame:
+    """Distributed SUMMED-AREA TABLE (integral image): every cell's
+    exact 2-D prefix sum ``sat(y,x) = sum(v[y'<=y, x'<=x])`` — the O(1)
+    box-query index (any-rectangle sums, adaptive-window filters) GIS
+    and vision stacks precompute.  A genuinely GLOBAL dependency made
+    scale-shaped by tile decomposition:
+
+        sat = local_SAT(tile)                       (per-tile kernel)
+            + rowLeft[yl]   (tiles left, same tile row:  cum row totals)
+            + colAbove[xl]  (tiles above, same tile col: cum col totals)
+            + corner        (tiles strictly above-left:  grand totals)
+
+    Scale shape: pass 1 extracts per-tile MARGINALS (two cumsum vectors
+    per tile — HW/chunk rows, 1/chunk of the raster); the corner matrix
+    is a 2-D prefix over the ntiles-row totals table (two keyed
+    windows); the vector prefixes are one keyed-window cumsum each over
+    the marginal rows; pass 2 re-reads the tiles once, joins the three
+    small aux tables on the tile key and finishes with a vectorized
+    NumPy kernel.  No halo exchange, no raster self-join — total
+    exchange volume ~ the tile scan + three tile-keyed small shuffles.
+    """
+    import numpy as np
+    import pandas as pd
+
+    def _marginals(it):
+        for pdf in it:
+            out = []
+            for r in pdf.itertuples():
+                arr = np.asarray(r.px, dtype=np.int64).reshape(r.h, r.w)
+                out.append(
+                    (
+                        int(r.tile_y),
+                        int(r.tile_x),
+                        np.cumsum(arr.sum(axis=1)).tolist(),
+                        np.cumsum(arr.sum(axis=0)).tolist(),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["tile_y", "tile_x", "rowcum", "colcum"]
+            )
+
+    marg = tiles.mapInPandas(
+        _marginals,
+        "tile_y int, tile_x int, rowcum array<long>, colcum array<long>",
+    ).cache()
+
+    # corner matrix: 2-D prefix over tile grand totals (ntiles rows)
+    tot = marg.select(
+        "tile_y", "tile_x", F.element_at("rowcum", -1).alias("tot")
+    )
+    wx = (
+        Window.partitionBy("tile_y")
+        .orderBy("tile_x")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wy = (
+        Window.partitionBy("tile_x")
+        .orderBy("tile_y")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p2d = tot.withColumn("rp", F.sum("tot").over(wx)).withColumn(
+        "p", F.sum("rp").over(wy)
+    )
+    corner = p2d.select(
+        (F.col("tile_y") + 1).alias("tile_y"),
+        (F.col("tile_x") + 1).alias("tile_x"),
+        F.col("p").alias("corner"),
+    )
+
+    def _vector_prefix(col: str, part: str, order: str):
+        ex = marg.select(
+            "tile_y", "tile_x", F.posexplode(col).alias("i", "v")
+        )
+        w = (
+            Window.partitionBy(part, "i")
+            .orderBy(order)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum = ex.withColumn("c", F.coalesce(F.sum("v").over(w), F.lit(0)))
+        return cum.groupBy("tile_y", "tile_x").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "c"))),
+                lambda s: s["c"],
+            ).alias(col + "_above")
+        )
+
+    col_above = _vector_prefix("colcum", "tile_x", "tile_y")
+    row_left = _vector_prefix("rowcum", "tile_y", "tile_x")
+
+    joined = (
+        tiles.join(col_above.withColumnRenamed("colcum_above", "ca"), TILE_KEYS)
+        .join(row_left.withColumnRenamed("rowcum_above", "rl"), TILE_KEYS)
+        .join(corner, TILE_KEYS, "left")
+        .select(
+            "tile_y", "tile_x", "y0", "x0", "h", "w", "px",
+            "ca", "rl", F.coalesce("corner", F.lit(0)).alias("corner"),
+        )
+    )
+
+    def _finish(it):
+        for pdf in it:
+            frames = []
+            for r in pdf.itertuples():
+                h, w = int(r.h), int(r.w)
+                arr = np.asarray(r.px, dtype=np.int64).reshape(h, w)
+                sat = arr.cumsum(axis=0).cumsum(axis=1)
+                sat += np.asarray(r.rl, dtype=np.int64)[:, None]
+                sat += np.asarray(r.ca, dtype=np.int64)[None, :]
+                sat += int(r.corner)
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "y": np.repeat(
+                                np.arange(h, dtype=np.int64) + int(r.y0), w
+                            ),
+                            "x": np.tile(
+                                np.arange(w, dtype=np.int64) + int(r.x0), h
+                            ),
+                            "sat": sat.ravel(),
+                        }
+                    )
+                )
+            yield pd.concat(frames) if frames else pd.DataFrame(
+                {"y": [], "x": [], "sat": []}
+            )
+
+    return joined.mapInPandas(_finish, "y long, x long, sat long")

@@ -2939,3 +2939,54 @@ SELECT cluster,
        CAST(max(len) AS BIGINT) AS keep_chars,
        CAST(count(*) AS BIGINT) AS n_members
 FROM sized GROUP BY cluster"""
+
+# pixel.integral_image: the 2-window closed form — row prefix then
+# column prefix of the row prefixes IS the summed-area table.
+SQL["integral_image"] = f"""WITH {COO},
+r AS (SELECT y, x, sum(value) OVER (PARTITION BY y ORDER BY x) AS rp
+      FROM coo)
+SELECT y, x, CAST(sum(rp) OVER (PARTITION BY x ORDER BY y) AS BIGINT) AS sat
+FROM r"""
+
+# graph.host_triangles: degree-ordered oriented triangle count + global
+# clustering coefficient over the deterministic host link graph.
+SQL["host_triangles"] = """WITH
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+e0 AS (
+  SELECT d1.source AS src, d2.source AS dst
+  FROM documents d1 CROSS JOIN nd
+  JOIN documents d2 ON d2.doc_id = (d1.doc_id * 7 + 3) % nd.n_docs
+  UNION ALL
+  SELECT d1.source AS src, d2.source AS dst
+  FROM documents d1 CROSS JOIN nd
+  JOIN documents d2
+    ON d2.doc_id = (d1.doc_id * d1.doc_id // 5 + 2) % nd.n_docs
+),
+e AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+      FROM e0 WHERE src != dst),
+deg AS (SELECT node, count(*) AS deg FROM (
+          SELECT a AS node FROM e UNION ALL SELECT b AS node FROM e)
+        GROUP BY node),
+o AS (
+  SELECT CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS u,
+         CASE WHEN (da.deg < db.deg) OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS v
+  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b
+),
+tri AS (
+  SELECT count(*) AS n_triangles
+  FROM o e1 JOIN o e2 ON e2.u = e1.v
+            JOIN o e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+st AS (SELECT count(*) AS n_nodes,
+              sum(deg * (deg - 1) // 2) AS wedges FROM deg),
+ne AS (SELECT count(*) AS n_edges FROM e)
+SELECT CAST(st.n_nodes AS BIGINT) AS n_nodes,
+       CAST(ne.n_edges AS BIGINT) AS n_edges,
+       CAST(tri.n_triangles AS BIGINT) AS n_triangles,
+       CASE WHEN st.wedges > 0
+            THEN (3.0 * CAST(tri.n_triangles AS DOUBLE))
+                 / CAST(st.wedges AS DOUBLE)
+            ELSE 0.0 END AS gcc
+FROM st, ne, tri"""

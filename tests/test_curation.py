@@ -379,3 +379,64 @@ def test_late_r5_batch_plan_shapes(spark, sf_smoke):
     assert _plan(temporal.gap_fill(coo3)).count(
         "Exchange hashpartitioning"
     ) == 1
+
+
+def test_host_triangles_vs_python(spark, sf_smoke):
+    """Brute-force Python twin of the degree-ordered triangle count +
+    clustering coefficient on the deterministic host graph."""
+    from itertools import combinations
+
+    from scidbgeo_spark.operators import graph
+
+    docs = model.load_table(spark, sf_smoke, "documents")
+    rows = docs.select("doc_id", "source").collect()
+    n = len(rows)
+    src_of = {r.doc_id: r.source for r in rows}
+    edges = set()
+    for r in rows:
+        for dst_doc in (
+            (r.doc_id * 7 + 3) % n,
+            (r.doc_id * r.doc_id // 5 + 2) % n,
+        ):
+            dst = src_of[dst_doc]
+            if dst != r.source:
+                edges.add((min(r.source, dst), max(r.source, dst)))
+    nodes = sorted({x for e in edges for x in e})
+    adj = {v: set() for v in nodes}
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    tri = sum(
+        1
+        for a, b, c in combinations(nodes, 3)
+        if b in adj[a] and c in adj[a] and c in adj[b]
+    )
+    wedges = sum(len(adj[v]) * (len(adj[v]) - 1) // 2 for v in nodes)
+    [row] = graph.host_triangles(docs).collect()
+    assert (row.n_nodes, row.n_edges, row.n_triangles) == (
+        len(nodes),
+        len(edges),
+        tri,
+    )
+    assert abs(row.gcc - (3.0 * tri / wedges if wedges else 0.0)) < 1e-12
+    assert tri > 0
+
+
+def test_integral_image_and_triangles_plan_shapes(spark, sf_smoke):
+    """Plan pins: the SAT never plans a cartesian/NL join (all aux
+    tables join on tile keys) and never exchanges the raster more than
+    the tile scan + the marginal windows; the triangle count joins on
+    host keys only — no CartesianProduct anywhere."""
+    from scidbgeo_spark import tiling
+    from scidbgeo_spark.operators import graph, pixel
+
+    coo = model.raster_coo(spark, sf_smoke)
+    n = coo.count()
+    h, w = n // 100, 100
+    tiles = tiling.pack_tiles(coo, 50, h, w)
+    p = _plan(pixel.integral_image(tiles, h, w, 50))
+    assert "CartesianProduct" not in p
+
+    docs = _docs(spark, sf_smoke)
+    p2 = _plan(graph.host_triangles(docs))
+    assert "CartesianProduct" not in p2

@@ -1210,3 +1210,24 @@ def test_edge_density_vs_bruteforce(spark, tiles, dense):
     }
     assert got == want
     assert sum(got.values()) == h * (w - 1) + (h - 1) * w
+
+
+def test_integral_image_vs_numpy(spark, coo, dense):
+    """NumPy cumsum twin of the distributed summed-area table + the
+    grand-total identity and chunk invariance (the tile decomposition
+    must be invisible)."""
+    h, w = dense.shape
+    sat = dense.astype(np.int64).cumsum(axis=0).cumsum(axis=1)
+    base = None
+    for chunk in (7, 50):
+        t = tiling.pack_tiles(coo, chunk, h, w)
+        got = {
+            (r.y, r.x): r.sat
+            for r in pixel.integral_image(t, h, w, chunk).collect()
+        }
+        assert got == {
+            (y, x): int(sat[y, x]) for y in range(h) for x in range(w)
+        }
+        base = got if base is None else base
+        assert got == base
+    assert got[(h - 1, w - 1)] == int(dense.sum())
