@@ -345,6 +345,34 @@ def q_geotiff_ingest(spark, sf_dir):
     return geotiff.geotiff_coo(spark, d)
 
 
+def q_geotiff_ingest_big(spark, sf_dir):
+    """geotiff_ingest through the BIGTIFF layout (magic 43, 64-bit
+    offsets, 20-byte IFD entries — the only TIFF variant that exists
+    past 4 GB, i.e. the production raster size): same tiled
+    Deflate/Predictor-2 image, same oracle — the header format must be
+    invisible to the windowed parse path."""
+    import os
+
+    import numpy as np
+
+    from scidbgeo_spark.model import VALUE_MOD, VALUE_MULT
+    from scidbgeo_spark.sources import geotiff
+
+    h, w = model.raster_dims(spark, sf_dir)
+    if h * w > 50_000_000:
+        raise ValueError("fixture writer is driver-side; raster too large")
+    eid = np.arange(h * w, dtype=np.int64)
+    arr = ((eid * VALUE_MULT) % VALUE_MOD).astype(np.int32).reshape(h, w)
+    d = _fixture_dir("bigtiff", sf_dir)
+    with open(os.path.join(d, "raster.tif"), "wb") as f:
+        f.write(
+            geotiff.write_tiff(
+                arr, tile=(64, 64), compression="deflate", predictor=2, bigtiff=True
+            )
+        )
+    return geotiff.geotiff_coo(spark, d)
+
+
 def q_geotiff_ingest_3d(spark, sf_dir):
     """Multiband raster ingest end-to-end: serialize the deterministic
     3-D raster as a REAL pixel-interleaved multiband GeoTIFF, ingest it
@@ -531,6 +559,26 @@ def q_zonal_stats_broadcast(spark, sf_dir):
         zt.withColumnRenamed("zid", "px"), "id"
     )
     return zonal.zonal_stats_broadcast(coo, zones_coo)
+
+
+def q_zonal_ivm(spark, sf_dir):
+    """Incremental zonal-view maintenance: a materialized per-zone
+    (sum, count) aggregate absorbs an additive 1-in-97-cell delta with
+    DELTA-SIZED work (broadcast zone join + merge join) — the base
+    raster is never rescanned.  Oracle: the closed-form base+delta
+    recompute."""
+    from pyspark.sql import functions as F
+
+    coo = model.raster_coo(spark, sf_dir)
+    h, w = model.raster_dims(spark, sf_dir)
+    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zones_coo = tiling.tiles_to_coo(zt.withColumnRenamed("zid", "px"), "id")
+    base = zonal.zonal_sums(coo, zones_coo)
+    eid = F.col("y") * w + F.col("x")
+    delta = coo.filter(eid % 97 == 0).select(
+        "y", "x", ((eid * 31) % 11).alias("dv")
+    )
+    return zonal.zonal_ivm_apply(base, delta, zones_coo)
 
 
 def q_join_reclass(spark, sf_dir):
@@ -986,6 +1034,25 @@ def q_pip_poly_shp(spark, sf_dir):
         [(zid, [ring]) for zid, ring in fixtures.GEO_POLYGONS],
     )
     poly = shapefile.polygons_from_shp(spark, os.path.join(d, "layer.shp"))
+    pts = model.points(spark, sf_dir)
+    return pip.pip_join_df(spark, pts, poly).select("doc_id", "zone_id")
+
+
+def q_pip_poly_gpkg(spark, sf_dir):
+    """pip_poly with the layer read from a GeoPackage (.gpkg) via the
+    pure-stdlib sqlite3 + WKB reader (sources/geopackage.py), rowid-
+    range SPLITTABLE scan forced to split the 3-feature fixture.  Same
+    oracle as pip_poly: the SQLite round-trip must not change results."""
+    import os
+
+    from scidbgeo_spark.sources import geopackage
+
+    d = _fixture_dir("gpkg", sf_dir)
+    p = os.path.join(d, "layer.gpkg")
+    geopackage.write_gpkg_fixture(
+        p, [(zid, [ring]) for zid, ring in fixtures.GEO_POLYGONS]
+    )
+    poly = geopackage.polygons_from_gpkg(spark, p, n_splits=2)
     pts = model.points(spark, sf_dir)
     return pip.pip_join_df(spark, pts, poly).select("doc_id", "zone_id")
 
@@ -2259,6 +2326,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cluster_survivors": q_cluster_survivors,
     "integral_image": q_integral_image,
     "host_triangles": q_host_triangles,
+    "pip_poly_gpkg": q_pip_poly_gpkg,
+    "geotiff_ingest_big": q_geotiff_ingest_big,
+    "zonal_ivm": q_zonal_ivm,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

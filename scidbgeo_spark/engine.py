@@ -207,13 +207,19 @@ class SciDBGeoEngine:
         """Vector layer file -> polygon-layer DataFrame, parsed
         distributed (the OGR shapefile-load analog,
         SciDB_ZonalStats_CL.py:443-445).  ``fmt``: 'wkt' / 'geojson'
-        emit single-ring (zone_id, xs, ys); 'wkt_rings' and 'shp' emit
-        the multi-ring (zone_id, ring_no, xs, ys) shape (holes /
-        MULTIPOLYGON, even-odd recombined by pip_join_df)."""
+        emit single-ring (zone_id, xs, ys); 'wkt_rings', 'shp' and
+        'gpkg' emit the multi-ring (zone_id, ring_no, xs, ys) shape
+        (holes / MULTIPOLYGON, even-odd recombined by pip_join_df)."""
         from scidbgeo_spark.sources import shapefile, vector
 
         if fmt == "shp":
             return shapefile.polygons_from_shp(
+                self.spark, path, zone_field=geom_col or "zone_id"
+            )
+        if fmt == "gpkg":
+            from scidbgeo_spark.sources import geopackage
+
+            return geopackage.polygons_from_gpkg(
                 self.spark, path, zone_field=geom_col or "zone_id"
             )
         df = self.spark.read.parquet(path)

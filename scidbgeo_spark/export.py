@@ -55,6 +55,7 @@ def write_geotiff(
     height: int,
     width: int,
     transform: "GeoTransform | None" = None,
+    bigtiff: bool = False,
 ) -> None:
     """Array -> GeoTIFF write-back (scidb.py:192-250 ``WriteRaster``):
     assemble the (guarded-small) tile table and serialize a real
@@ -68,7 +69,7 @@ def write_geotiff(
     if transform is not None:
         origin = (transform.ul_x, transform.ul_y)
         pixel_size = (transform.x_dist, abs(transform.y_dist))
-    data = write_tiff(arr, origin=origin, pixel_size=pixel_size)
+    data = write_tiff(arr, origin=origin, pixel_size=pixel_size, bigtiff=bigtiff)
     with open(path, "wb") as f:
         f.write(data)
 

@@ -391,3 +391,48 @@ def rasterize_layer_df(
         )
 
     return j.groupBy("tile_y", "tile_x").applyInPandas(_burn, schema=ZONE_TILE_SCHEMA)
+
+
+def zonal_ivm_apply(
+    base_agg: DataFrame, delta_coo: DataFrame, zones_coo: DataFrame
+) -> DataFrame:
+    """INCREMENTAL VIEW MAINTENANCE for zonal statistics: merge an
+    ADDITIVE cell delta ``(y, x, dv)`` into a materialized per-zone
+    aggregate ``(id, sum_value, count_value)`` without rescanning the
+    base raster — the update path a 100 TB store needs when 0.1% of
+    cells change (re-aggregable measures only: sum/count/avg compose;
+    min/max do not survive removals and stay on the recompute path).
+
+    Scale shape: ALL work is delta-sized — the delta joins the
+    broadcast zone layer, one map-side-combinable per-zone sum, then a
+    broadcast-able merge join against the (zone-count-sized) base
+    aggregate.  The base raster is never read.  Identity pinned by
+    test: apply(base_agg, delta) == recompute(base ⊎ delta)."""
+    dsum = (
+        delta_coo.join(F.broadcast(zones_coo), ["y", "x"])
+        .groupBy("id")
+        .agg(F.sum("dv").alias("dsum"))
+    )
+    merged = base_agg.join(dsum, "id", "left")
+    s = F.col("sum_value") + F.coalesce(F.col("dsum"), F.lit(0))
+    return merged.select(
+        F.col("id").cast("long").alias("id"),
+        s.cast("long").alias("sum_value"),
+        F.col("count_value").cast("long").alias("count_value"),
+        (s.cast("double") / F.col("count_value").cast("double")).alias(
+            "avg_value"
+        ),
+    )
+
+
+def zonal_sums(raster_coo: DataFrame, zones_coo: DataFrame) -> DataFrame:
+    """(id, sum_value, count_value): the materialized additive base
+    aggregate zonal_ivm_apply maintains."""
+    return (
+        raster_coo.join(F.broadcast(zones_coo), ["y", "x"])
+        .groupBy("id")
+        .agg(
+            F.sum("value").alias("sum_value"),
+            F.count("value").alias("count_value"),
+        )
+    )

@@ -2990,3 +2990,33 @@ SELECT CAST(st.n_nodes AS BIGINT) AS n_nodes,
                  / CAST(st.wedges AS DOUBLE)
             ELSE 0.0 END AS gcc
 FROM st, ne, tri"""
+
+# GeoPackage layer (pure-sqlite3 + WKB reader): the SQLite round-trip
+# must not change results either
+SQL["pip_poly_gpkg"] = f"""WITH {PTS}
+SELECT doc_id, CAST(zone_id AS BIGINT) AS zone_id FROM (
+  SELECT doc_id, {GEO_ZONE} AS zone_id FROM pts
+) WHERE zone_id IS NOT NULL"""
+
+# BigTIFF (magic 43) ingest: same oracle as geotiff_ingest — the
+# 64-bit-offset header layout must not change a single pixel.
+SQL["geotiff_ingest_big"] = f"""WITH {COO}
+SELECT y, x, CAST(value AS BIGINT) AS value FROM coo"""
+
+# zonal.zonal_ivm_apply: incremental zonal maintenance — the oracle is
+# the closed-form base+delta recompute (identical for additive sums).
+SQL["zonal_ivm"] = f"""WITH {COO},
+zz AS (SELECT y, x, value, CAST({RECT_ZONE} AS BIGINT) AS id FROM coo),
+base AS (SELECT id, sum(value) AS s, count(*) AS c FROM zz GROUP BY id),
+delta AS (
+  SELECT CAST({RECT_ZONE} AS BIGINT) AS id,
+         ((y * {RASTER_W} + x) * 31) % 11 AS dv
+  FROM coo WHERE (y * {RASTER_W} + x) % 97 = 0
+),
+dsum AS (SELECT id, sum(dv) AS ds FROM delta GROUP BY id)
+SELECT base.id,
+       CAST(base.s + COALESCE(dsum.ds, 0) AS BIGINT) AS sum_value,
+       CAST(base.c AS BIGINT) AS count_value,
+       CAST(base.s + COALESCE(dsum.ds, 0) AS DOUBLE)
+         / CAST(base.c AS DOUBLE) AS avg_value
+FROM base LEFT JOIN dsum ON dsum.id = base.id"""

@@ -42,12 +42,34 @@ T_TILE_WIDTH, T_TILE_LENGTH, T_TILE_OFFSETS, T_TILE_BYTES = 322, 323, 324, 325
 T_SAMPLE_FORMAT = 339
 T_MODEL_PIXEL_SCALE, T_MODEL_TIEPOINT = 33550, 33922
 
-_TYPE_SIZES = {3: 2, 4: 4, 12: 8}  # SHORT, LONG, DOUBLE
-_TYPE_FMT = {3: "H", 4: "I", 12: "d"}
+_TYPE_SIZES = {3: 2, 4: 4, 12: 8, 16: 8, 17: 8, 18: 8}  # + BigTIFF LONG8/SLONG8/IFD8
+_TYPE_FMT = {3: "H", 4: "I", 12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 # Compression tag values this reader handles
 C_NONE, C_LZW, C_DEFLATE, C_DEFLATE_OLD = 1, 5, 8, 32946
 C_PACKBITS = 32773
+
+
+def _tiff_header(head: bytes) -> tuple[str, bool, int]:
+    """(byte_order, is_bigtiff, first_ifd_offset) from the first 16
+    bytes.  Classic TIFF (magic 42, 32-bit offsets) caps files at 4 GB
+    — a single production raster blows past that, so the BigTIFF
+    variant (magic 43, 64-bit offsets, 20-byte IFD entries) is the
+    100 TB-relevant format; both parse here."""
+    bo = {b"II": "<", b"MM": ">"}.get(head[:2])
+    if bo is None:
+        raise ValueError("not a TIFF file")
+    ver = struct.unpack(bo + "H", head[2:4])[0]
+    if ver == 42:
+        (ifd,) = struct.unpack(bo + "I", head[4:8])
+        return bo, False, ifd
+    if ver == 43:
+        osz, zero = struct.unpack(bo + "HH", head[4:8])
+        if osz != 8 or zero != 0:
+            raise ValueError(f"malformed BigTIFF header (offsetsize={osz})")
+        (ifd,) = struct.unpack(bo + "Q", head[8:16])
+        return bo, True, ifd
+    raise ValueError("not a TIFF file")
 
 
 def _packbits_decode(data: bytes) -> bytes:
@@ -216,6 +238,7 @@ def write_tiff(
     compression: str = "none",
     tile: tuple[int, int] | None = None,
     predictor: int = 1,
+    bigtiff: bool = False,
 ) -> bytes:
     """Serialize a 2-D int32 array — or a 3-D (bands, h, w) array as a
     pixel-interleaved multiband image (PlanarConfiguration=1, GDAL's
@@ -228,7 +251,9 @@ def write_tiff(
     ``tile``: None for one-strip-per-row, or (tile_width, tile_length)
     (multiples of 16, per the TIFF spec) for a tiled layout — GDAL's
     TILED=YES.  ``predictor``: 1 (none) or 2 (horizontal differencing,
-    GDAL PREDICTOR=2)."""
+    GDAL PREDICTOR=2).  ``bigtiff``: magic-43 64-bit-offset layout
+    (GDAL BIGTIFF=YES — the only format for >4 GB rasters; same tags,
+    20-byte IFD entries)."""
     a = np.ascontiguousarray(arr, dtype="<i4")
     if a.ndim == 2:
         bands, (h, w) = 1, a.shape
@@ -309,8 +334,12 @@ def write_tiff(
     )
     entries.sort(key=lambda e: e[0])  # IFD entries must be tag-ordered
 
-    ifd_offset = 8
-    ifd_size = 2 + len(entries) * 12 + 4
+    if bigtiff:  # magic 43: 64-bit offsets, 20-byte entries, 8-byte inline
+        ifd_offset, esz, inline, ofmt = 16, 20, 8, "Q"
+        ifd_size = 8 + len(entries) * esz + 8
+    else:
+        ifd_offset, esz, inline, ofmt = 8, 12, 4, "I"
+        ifd_size = 2 + len(entries) * esz + 4
     ext_offset = ifd_offset + ifd_size  # external value arrays start here
 
     # first pass: compute where pixel data lands, so segment offsets
@@ -318,7 +347,7 @@ def write_tiff(
     total_ext = sum(
         _TYPE_SIZES[typ] * count
         for _tag, typ, count, _v in entries
-        if _TYPE_SIZES[typ] * count > 4
+        if _TYPE_SIZES[typ] * count > inline
     )
     data_off = ext_offset + total_ext
     seg_offsets, pos = [], data_off
@@ -334,22 +363,28 @@ def write_tiff(
     ext_offsets: dict[int, int] = {}
     for tag, typ, count, values in entries:
         size = _TYPE_SIZES[typ] * count
-        if size > 4:
+        if size > inline:
             ext_offsets[tag] = ext_offset + len(ext)
             ext += struct.pack("<" + _TYPE_FMT[typ] * count, *values)
 
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_offset)
-    out += struct.pack("<H", len(entries))
+    if bigtiff:
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_offset)
+        out += struct.pack("<Q", len(entries))
+    else:
+        out += struct.pack("<2sHI", b"II", 42, ifd_offset)
+        out += struct.pack("<H", len(entries))
     for tag, typ, count, values in entries:
         size = _TYPE_SIZES[typ] * count
-        if size <= 4:
+        if size <= inline:
             raw = struct.pack("<" + _TYPE_FMT[typ] * count, *values)
-            raw += b"\x00" * (4 - len(raw))
-            out += struct.pack("<HHI", tag, typ, count) + raw
+            raw += b"\x00" * (inline - len(raw))
+            out += struct.pack("<HH" + ofmt, tag, typ, count) + raw
         else:
-            out += struct.pack("<HHII", tag, typ, count, ext_offsets[tag])
-    out += struct.pack("<I", 0)  # no next IFD
+            out += struct.pack(
+                "<HH" + ofmt + ofmt, tag, typ, count, ext_offsets[tag]
+            )
+    out += struct.pack("<" + ofmt, 0)  # no next IFD
     out += ext
     for s in segments:
         out += s
@@ -387,21 +422,26 @@ def tiff_dims(path: str) -> tuple[int, int]:
             )
         p = entries[0]
     with open(p, "rb") as f:
-        head = f.read(8)
-        bo = {b"II": "<", b"MM": ">"}.get(head[:2])
-        if bo is None or struct.unpack(bo + "H", head[2:4])[0] != 42:
-            raise ValueError("not a TIFF file")
-        (ifd,) = struct.unpack(bo + "I", head[4:8])
+        bo, big, ifd = _tiff_header(f.read(16))
         f.seek(ifd)
-        (n,) = struct.unpack(bo + "H", f.read(2))
-        entries = f.read(n * 12)
+        if big:
+            (n,) = struct.unpack(bo + "Q", f.read(8))
+            esz, ofmt = 20, "Q"
+        else:
+            (n,) = struct.unpack(bo + "H", f.read(2))
+            esz, ofmt = 12, "I"
+        entries = f.read(n * esz)
     dims: dict[int, int] = {}
+    csz = struct.calcsize(ofmt)
     for i in range(n):
-        tag, typ, count = struct.unpack(bo + "HHI", entries[i * 12 : i * 12 + 8])
-        if tag in (T_WIDTH, T_HEIGHT) and count == 1 and typ in (3, 4):
-            fmt = "H" if typ == 3 else "I"
+        off = i * esz
+        tag, typ = struct.unpack(bo + "HH", entries[off : off + 4])
+        (count,) = struct.unpack(bo + ofmt, entries[off + 4 : off + 4 + csz])
+        if tag in (T_WIDTH, T_HEIGHT) and count == 1 and typ in (3, 4, 16):
+            fmt = _TYPE_FMT[typ]
             size = _TYPE_SIZES[typ]
-            (val,) = struct.unpack(bo + fmt, entries[i * 12 + 8 : i * 12 + 8 + size])
+            vf = off + 4 + csz
+            (val,) = struct.unpack(bo + fmt, entries[vf : vf + size])
             dims[tag] = int(val)
     if T_WIDTH not in dims or T_HEIGHT not in dims:
         raise ValueError("TIFF IFD missing ImageWidth/ImageLength")
@@ -414,22 +454,30 @@ def parse_tiff(data: bytes) -> dict:
     byte_counts, rows_per_strip | tile_width/tile_length, compression,
     predictor, origin, pixel_size}.  Supports striped and tiled
     organisation, uncompressed and Deflate, predictor 1/2, II/MM."""
-    bo = {b"II": "<", b"MM": ">"}.get(data[:2])
-    if bo is None or struct.unpack(bo + "H", data[2:4])[0] != 42:
-        raise ValueError("not a TIFF file")
-    (ifd,) = struct.unpack(bo + "I", data[4:8])
-    (n,) = struct.unpack(bo + "H", data[ifd : ifd + 2])
+    bo, big, ifd = _tiff_header(data[:16])
+    if big:
+        (n,) = struct.unpack(bo + "Q", data[ifd : ifd + 8])
+        ebase, esz, ofmt, inline = ifd + 8, 20, "Q", 8
+    else:
+        (n,) = struct.unpack(bo + "H", data[ifd : ifd + 2])
+        ebase, esz, ofmt, inline = ifd + 2, 12, "I", 4
     tags: dict[int, list] = {}
     for i in range(n):
-        off = ifd + 2 + i * 12
-        tag, typ, count = struct.unpack(bo + "HHI", data[off : off + 8])
+        off = ebase + i * esz
+        tag, typ = struct.unpack(bo + "HH", data[off : off + 4])
+        (count,) = struct.unpack(
+            bo + ofmt, data[off + 4 : off + 4 + struct.calcsize(ofmt)]
+        )
         if typ not in _TYPE_SIZES:
             continue
+        vfield = off + 4 + struct.calcsize(ofmt)
         size = _TYPE_SIZES[typ] * count
-        if size <= 4:
-            raw = data[off + 8 : off + 8 + size]
+        if size <= inline:
+            raw = data[vfield : vfield + size]
         else:
-            (voff,) = struct.unpack(bo + "I", data[off + 8 : off + 12])
+            (voff,) = struct.unpack(
+                bo + ofmt, data[vfield : vfield + struct.calcsize(ofmt)]
+            )
             raw = data[voff : voff + size]
         tags[tag] = list(struct.unpack(bo + _TYPE_FMT[typ] * count, raw))
 

@@ -254,3 +254,64 @@ def test_predictor_wraparound_exact():
     )
     data = geotiff.write_tiff(a, compression="deflate", predictor=2)
     assert np.array_equal(geotiff.tiff_to_array(data), a)
+
+
+def test_bigtiff_parity_matrix():
+    """BigTIFF (magic 43) round-trips bit-identically to classic TIFF
+    across layouts/codecs/predictor and band counts."""
+    rng = np.random.default_rng(3)
+    for arr in (
+        rng.integers(-5000, 5000, (37, 53), dtype=np.int32),
+        rng.integers(0, 255, (3, 32, 48), dtype=np.int32),
+    ):
+        for kw in (
+            dict(),
+            dict(compression="deflate", tile=(16, 16), predictor=2),
+            dict(compression="lzw"),
+            dict(compression="packbits"),
+        ):
+            classic = geotiff.write_tiff(arr, **kw)
+            big = geotiff.write_tiff(arr, bigtiff=True, **kw)
+            assert np.array_equal(
+                geotiff.tiff_to_array(classic), geotiff.tiff_to_array(big)
+            ), kw
+            hc, hb = geotiff.parse_tiff(classic), geotiff.parse_tiff(big)
+            assert (hc["width"], hc["height"], hc["bands"]) == (
+                hb["width"],
+                hb["height"],
+                hb["bands"],
+            )
+
+
+def test_bigtiff_dims_and_malformed_header(tmp_path):
+    rng = np.random.default_rng(5)
+    p = tmp_path / "big.tif"
+    p.write_bytes(
+        geotiff.write_tiff(rng.integers(0, 99, (21, 33), dtype=np.int32), bigtiff=True)
+    )
+    assert geotiff.tiff_dims(str(p)) == (21, 33)
+    import struct
+
+    with pytest.raises(ValueError):
+        # BigTIFF with a 4-byte offset size is malformed
+        geotiff.parse_tiff(struct.pack("<2sHHHQ", b"II", 43, 4, 0, 16) + b"\x00" * 32)
+
+
+def test_bigtiff_distributed_ingest_parity(spark, tmp_path):
+    """geotiff_coo over a BigTIFF equals the same image's classic-TIFF
+    ingest — header layout invisible to the windowed parse path."""
+    rng = np.random.default_rng(7)
+    arr = rng.integers(0, 251, (96, 128), dtype=np.int32)
+    d1, d2 = tmp_path / "classic", tmp_path / "big"
+    d1.mkdir(), d2.mkdir()
+    (d1 / "r.tif").write_bytes(
+        geotiff.write_tiff(arr, tile=(64, 64), compression="deflate", predictor=2)
+    )
+    (d2 / "r.tif").write_bytes(
+        geotiff.write_tiff(
+            arr, tile=(64, 64), compression="deflate", predictor=2, bigtiff=True
+        )
+    )
+    a = sorted(map(tuple, geotiff.geotiff_coo(spark, str(d1)).collect()))
+    b = sorted(map(tuple, geotiff.geotiff_coo(spark, str(d2)).collect()))
+    assert a == b and len(a) == 96 * 128

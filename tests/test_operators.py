@@ -1231,3 +1231,42 @@ def test_integral_image_vs_numpy(spark, coo, dense):
         base = got if base is None else base
         assert got == base
     assert got[(h - 1, w - 1)] == int(dense.sum())
+
+
+def test_zonal_ivm_apply_equals_recompute(spark, sf_smoke):
+    """The IVM contract: applying an additive delta to the materialized
+    base aggregate == full recompute over the updated raster; the merge
+    plan never rescans the base raster (single base scan)."""
+    coo = model.raster_coo(spark, sf_smoke)
+    h, w = model.raster_dims(spark, sf_smoke)
+    zt = zonal.rasterize_polygons(
+        spark, fixtures.rect_grid_polygons(h, w), h, w, CHUNK
+    )
+    zones_coo = tiling.tiles_to_coo(zt.withColumnRenamed("zid", "px"), "id")
+    base = zonal.zonal_sums(coo, zones_coo)
+    eid = F.col("y") * w + F.col("x")
+    delta = coo.filter(eid % 7 == 0).select(
+        "y", "x", ((eid * 31) % 11).alias("dv")
+    )
+    got = {
+        r.id: (r.sum_value, r.count_value, r.avg_value)
+        for r in zonal.zonal_ivm_apply(base, delta, zones_coo).collect()
+    }
+    updated = (
+        coo.alias("c")
+        .join(delta.alias("d"), ["y", "x"], "left")
+        .select(
+            "y",
+            "x",
+            (F.col("value") + F.coalesce(F.col("dv"), F.lit(0))).alias("value"),
+        )
+    )
+    want = {
+        r.id: (r.sum_value, r.count_value)
+        for r in zonal.zonal_sums(updated, zones_coo).collect()
+    }
+    assert {k: (v[0], v[1]) for k, v in got.items()} == want
+    assert all(abs(v[2] - v[0] / v[1]) < 1e-12 for v in got.values())
+    # at least one zone actually changed
+    before = {r.id: r.sum_value for r in base.collect()}
+    assert any(before[k] != v[0] for k, v in got.items())

@@ -249,3 +249,102 @@ def test_covering_cell_estimate_gates_broadcast(spark):
         shapefile.LAYER_SCHEMA,
     )
     assert pip.covering_cell_estimate(ringed) == 8  # spans 100 deg of lon
+
+
+# ---- GeoPackage source (sources/geopackage.py) ----------------------------
+
+
+def test_gpkg_write_parse_roundtrip(tmp_path):
+    """GPB(WKB Polygon) blobs round-trip to the exact OPEN ring arrays."""
+    import sqlite3
+
+    from scidbgeo_spark.sources import geopackage as g
+
+    p = str(tmp_path / "layer.gpkg")
+    g.write_gpkg_fixture(p, [(zid, [r]) for zid, r in fixtures.GEO_POLYGONS])
+    assert g.gpkg_layer_meta(p) == ("layer", "geom", "fid", 3)
+    con = sqlite3.connect(p)
+    got = {z: g.parse_gpb(b) for z, b in con.execute("SELECT zone_id, geom FROM layer")}
+    con.close()
+    for zid, ring in fixtures.GEO_POLYGONS:
+        assert np.array_equal(got[zid][0], np.asarray(ring, dtype=np.float64))
+
+
+def test_gpkg_rejects_bad_blobs():
+    from scidbgeo_spark.sources import geopackage as g
+
+    with pytest.raises(ValueError):
+        g.parse_gpb(b"XX" + b"\x00" * 20)
+    # extended GPB flag
+    with pytest.raises(ValueError):
+        g.parse_gpb(b"GP" + bytes([0, 0b00100001]) + b"\x00" * 20)
+    # WKB point inside a valid header
+    with pytest.raises(ValueError):
+        g.parse_gpb(
+            b"GP" + bytes([0, 1]) + b"\x00" * 4 + struct.pack("<BIdd", 1, 1, 0.0, 0.0)
+        )
+
+
+def test_polygons_from_gpkg_distributed_and_split_invariant(spark, tmp_path):
+    """The distributed rowid-range scan returns the exact layer at any
+    split count, and multi-ring (hole + multipolygon) features emit one
+    row per ring."""
+    from scidbgeo_spark.sources import geopackage as g
+
+    p = str(tmp_path / "layer.gpkg")
+    polys = [(zid, [r]) for zid, r in fixtures.GEO_POLYGONS] + [
+        (zid, rings) for zid, rings, _m in fixtures.GEO_POLYGONS_HOLED
+    ]
+    g.write_gpkg_fixture(p, polys)
+    base = None
+    for n_splits in (1, 3):
+        rows = g.polygons_from_gpkg(spark, p, n_splits=n_splits).collect()
+        got = sorted(
+            (r.zone_id, r.ring_no, tuple(r.xs), tuple(r.ys)) for r in rows
+        )
+        base = got if base is None else base
+        assert got == base
+    want = sorted(
+        (zid, i, tuple(np.asarray(r)[:, 0]), tuple(np.asarray(r)[:, 1]))
+        for zid, rings in polys
+        for i, r in enumerate(rings)
+    )
+    assert got == want
+
+
+def test_gpkg_pip_equals_wkt_layer(spark, tmp_path, sf_smoke):
+    """PIP through the gpkg layer == PIP through the in-memory layer —
+    the SQLite round-trip is invisible, including even-odd holes."""
+    from scidbgeo_spark import model
+    from scidbgeo_spark.sources import geopackage as g
+
+    p = str(tmp_path / "layer.gpkg")
+    g.write_gpkg_fixture(
+        p, [(zid, rings) for zid, rings, _m in fixtures.GEO_POLYGONS_HOLED]
+    )
+    pts = model.points(spark, sf_smoke)
+    via_gpkg = sorted(
+        map(
+            tuple,
+            pip.pip_join_df(spark, pts, g.polygons_from_gpkg(spark, p))
+            .select("doc_id", "zone_id")
+            .collect(),
+        )
+    )
+    rows = [
+        (int(z), i, [float(v) for v in np.asarray(r)[:, 0]], [float(v) for v in np.asarray(r)[:, 1]])
+        for z, rings, _m in fixtures.GEO_POLYGONS_HOLED
+        for i, r in enumerate(rings)
+    ]
+    layer = spark.createDataFrame(
+        rows, "zone_id int, ring_no int, xs array<double>, ys array<double>"
+    )
+    via_mem = sorted(
+        map(
+            tuple,
+            pip.pip_join_df(spark, pts, layer)
+            .select("doc_id", "zone_id")
+            .collect(),
+        )
+    )
+    assert via_gpkg == via_mem and via_gpkg
