@@ -1424,6 +1424,20 @@ def q_session_stats(spark, sf_dir):
     return temporal.session_stats(model.load_table(spark, sf_dir, "events"))
 
 
+def q_lang_confusion(spark, sf_dir):
+    """Confusion matrix of the lang_id heuristic vs the labeled lang
+    column (+ per-actual recall shares) — the classifier-eval harness;
+    one |langs|^2 map-side-combinable count."""
+    return text.lang_confusion(_docs(spark, sf_dir))
+
+
+def q_proximity_search(spark, sf_dir):
+    """Proximity query 'table ... key' within slop=2: posting-list
+    intersection with a constant (slop+1)-fan band join — never a
+    range/theta join."""
+    return text.proximity_search(_docs(spark, sf_dir))
+
+
 def q_doc_novelty(spark, sf_dir):
     """Per-doc novelty: fraction of its distinct shingles first seen in
     this doc (pointwise vocab_growth) — the add-new-language curation
@@ -2329,6 +2343,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pip_poly_gpkg": q_pip_poly_gpkg,
     "geotiff_ingest_big": q_geotiff_ingest_big,
     "zonal_ivm": q_zonal_ivm,
+    "lang_confusion": q_lang_confusion,
+    "proximity_search": q_proximity_search,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

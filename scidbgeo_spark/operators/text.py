@@ -791,3 +791,64 @@ def winnow_dup_pairs(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )
+
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """CONFUSION MATRIX of the lang_id heuristic against the corpus's
+    labeled ``lang`` column — (lang_actual, lang_pred, n, recall_share)
+    — the evaluation harness a classifier-driven curation pipeline runs
+    before trusting a model to route documents; recall_share is the
+    fraction of the actual language's docs landing in each predicted
+    bucket (rows per actual language sum to 1).
+
+    Scale shape: the lang_id column algebra (zero extra scans), one
+    map-side-combinable (actual, pred) count — key space |langs|^2 —
+    and a constant-size window normalize."""
+    pred = lang_id(docs)
+    j = docs.select("doc_id", F.col("lang").alias("lang_actual")).join(
+        pred, "doc_id"
+    )
+    per = j.groupBy("lang_actual", "lang_pred").agg(F.count("*").alias("n"))
+    tot = Window.partitionBy("lang_actual")
+    return per.select(
+        "lang_actual",
+        "lang_pred",
+        "n",
+        (F.col("n") / F.sum("n").over(tot)).alias("recall_share"),
+    )
+
+
+def proximity_search(
+    docs: DataFrame, w1: str = "table", w2: str = "key", slop: int = 2
+) -> DataFrame:
+    """PROXIMITY query: docs where ``w2`` occurs within ``slop``
+    positions AFTER ``w1`` (ordered window — the "w1 ... w2" search
+    operators serve with positional posting lists; slop=0 would be the
+    exact phrase).  Output (doc_id, n_matches, min_gap).
+
+    Scale shape: phrase_search's posting-list intersection with a
+    bounded BAND join — each w1 posting replicates into its slop+1
+    candidate positions (constant fan-out, stays an equi-join; never a
+    range/theta join)."""
+    if slop < 0:
+        raise ValueError(f"slop must be >= 0, got {slop}")
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "tok")
+    )
+    a = pos.filter(F.col("tok") == w1).select(
+        "doc_id",
+        F.col("pos").alias("apos"),
+        F.explode(
+            F.sequence(F.col("pos") + 1, F.col("pos") + 1 + slop)
+        ).alias("pos"),
+    )
+    b = pos.filter(F.col("tok") == w2).select("doc_id", "pos")
+    return (
+        a.join(b, ["doc_id", "pos"])
+        .select("doc_id", (F.col("pos") - F.col("apos")).alias("gap"))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_matches"),
+            F.min("gap").cast("long").alias("min_gap"),
+        )
+    )

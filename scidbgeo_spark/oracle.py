@@ -3020,3 +3020,35 @@ SELECT base.id,
        CAST(base.s + COALESCE(dsum.ds, 0) AS DOUBLE)
          / CAST(base.c AS DOUBLE) AS avg_value
 FROM base LEFT JOIN dsum ON dsum.id = base.id"""
+
+# text.lang_confusion: lang_id prediction vs labeled lang, per-actual
+# recall shares — reuses the lang_id SQL as a CTE.
+SQL["lang_confusion"] = f"""WITH pred AS ({SQL["lang_id"]}),
+j AS (
+  SELECT d.lang AS lang_actual, p.lang_pred
+  FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+),
+per AS (SELECT lang_actual, lang_pred, CAST(count(*) AS BIGINT) AS n
+        FROM j GROUP BY 1, 2)
+SELECT lang_actual, lang_pred, n,
+       CAST(n AS DOUBLE)
+         / CAST(sum(n) OVER (PARTITION BY lang_actual) AS DOUBLE)
+         AS recall_share
+FROM per"""
+
+# text.proximity_search: 'table ... key' within slop=2 (w2 strictly
+# after w1, gap in [1, 3]).
+SQL["proximity_search"] = """WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+),
+p AS (
+  SELECT doc_id, i - 1 AS pos, l[i] AS tokv
+  FROM tok, LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g
+),
+a AS (SELECT doc_id, pos AS apos FROM p WHERE tokv = 'table'),
+b AS (SELECT doc_id, pos FROM p WHERE tokv = 'key')
+SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+       CAST(min(b.pos - a.apos) AS BIGINT) AS min_gap
+FROM a JOIN b ON b.doc_id = a.doc_id
+             AND b.pos BETWEEN a.apos + 1 AND a.apos + 3
+GROUP BY a.doc_id"""

@@ -1477,3 +1477,52 @@ def test_cluster_survivors_vs_python(spark, sf_smoke):
     # in its original's cluster must win the survivor pick
     mutated_winners = [c for c, (l, d) in want.items() if d >= 100000]
     assert mutated_winners
+
+
+def test_lang_confusion_vs_python(spark, sf_smoke):
+    """Python twin over lang_id's own output + row-stochastic identity
+    and total-count conservation."""
+    docs = _docs(spark, sf_smoke)
+    pred = {r.doc_id: r.lang_pred for r in text.lang_id(docs).collect()}
+    actual = {r.doc_id: r.lang for r in docs.select("doc_id", "lang").collect()}
+    n = {}
+    for d, a in actual.items():
+        k = (a, pred[d])
+        n[k] = n.get(k, 0) + 1
+    tot = {}
+    for (a, _p), c in n.items():
+        tot[a] = tot.get(a, 0) + c
+    want = {k: (c, c / tot[k[0]]) for k, c in n.items()}
+    got = {
+        (r.lang_actual, r.lang_pred): (r.n, r.recall_share)
+        for r in text.lang_confusion(docs).collect()
+    }
+    assert got == want
+    assert sum(v[0] for v in got.values()) == len(actual)
+
+
+def test_proximity_search_vs_python_and_phrase_subset(spark, sf_smoke):
+    """Python twin of the slop-2 proximity query; phrase matches
+    (gap==1) are a subset with min_gap == 1 wherever the exact phrase
+    occurs first."""
+    docs = _docs(spark, sf_smoke)
+    want = {}
+    for r in docs.select("doc_id", "text").collect():
+        toks = r.text.split(" ")
+        hits = [
+            j - i
+            for i, t in enumerate(toks)
+            if t == "table"
+            for j in range(i + 1, min(i + 4, len(toks)))
+            if toks[j] == "key"
+        ]
+        if hits:
+            want[r.doc_id] = (len(hits), min(hits))
+    got = {
+        r.doc_id: (r.n_matches, r.min_gap)
+        for r in text.proximity_search(docs).collect()
+    }
+    assert got == want and want
+    phrase = {r.doc_id for r in text.phrase_search(docs).collect()}
+    assert phrase <= set(got)
+    assert all(got[d][1] == 1 for d in phrase)
