@@ -824,9 +824,19 @@ def main() -> None:
         "scaling": scaling,
     }
     # full-detail record to a committed file (never stdout): per-pair
-    # phases, every dropped pair, the control series, preflight probes
+    # phases, every dropped pair, the control series, preflight probes.
+    # Quick BENCH_SKIP_SCALING verification runs write a SEPARATE .quick
+    # file: r5 lesson — a quick run overwriting DETAIL_PATH silently
+    # erased the recorded full-protocol scaling block from the committed
+    # artifact (scaling: {} in git history where a 6-pair record should
+    # have been).
+    detail_path = (
+        DETAIL_PATH + ".quick"
+        if os.environ.get("BENCH_SKIP_SCALING") == "1"
+        else DETAIL_PATH
+    )
     try:
-        with open(DETAIL_PATH, "w") as f:
+        with open(detail_path, "w") as f:
             json.dump({**out, "scaling_detail": scaling_detail}, f, indent=1)
     except OSError:
         pass  # read-only checkout: the emitted line stands alone
