@@ -309,3 +309,72 @@ def test_steepest_descent_matches_bruteforce(h, w, seed):
             assert bool(sel[y, x]) == expect
             if expect:
                 assert (bdy[y, x], bdx[y, x]) == (best[1], best[2])
+
+
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    n_polys=st.integers(1, 5),
+    bigendian_probe=st.booleans(),
+)
+@settings(max_examples=30, deadline=None)
+def test_gpb_wkb_roundtrip_property(seed, n_polys, bigendian_probe):
+    """Random multi-ring polygons survive the GPB(WKB) encode/parse
+    round-trip exactly (the fixture writer closes rings; the parser
+    re-opens them)."""
+    from scidbgeo_spark.sources.geopackage import _gpb_blob, parse_gpb
+
+    rng = np.random.default_rng(seed)
+    for _ in range(n_polys):
+        rings = [
+            rng.uniform(-180, 180, (int(rng.integers(3, 9)), 2)).round(6)
+            for _ in range(int(rng.integers(1, 4)))
+        ]
+        got = parse_gpb(_gpb_blob(rings))
+        assert len(got) == len(rings)
+        for g, r in zip(got, rings):
+            assert np.array_equal(g, r)
+
+
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_sat_decomposition_property(h, w, seed):
+    """The tile decomposition identity integral_image relies on:
+    local SAT + rowLeft + colAbove + corner == the global cumsum, for a
+    random array split at a random tile boundary."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(-100, 100, (h, w)).astype(np.int64)
+    sat = a.cumsum(0).cumsum(1)
+    ty = int(rng.integers(0, h))
+    tx = int(rng.integers(0, w))
+    tile = a[ty:, tx:]
+    local = tile.cumsum(0).cumsum(1)
+    row_left = a[ty:, :tx].sum(axis=1).cumsum() if tx else np.zeros(h - ty, np.int64)
+    col_above = a[:ty, tx:].sum(axis=0).cumsum() if ty else np.zeros(w - tx, np.int64)
+    corner = int(a[:ty, :tx].sum())
+    rebuilt = local + row_left[:, None] + col_above[None, :] + corner
+    assert np.array_equal(rebuilt, sat[ty:, tx:])
+
+
+@given(
+    hashes=st.lists(st.integers(0, (1 << 60) - 1), min_size=4, max_size=40),
+)
+@settings(max_examples=60, deadline=None)
+def test_winnow_packed_key_tie_rule_property(hashes):
+    """min over packed keys (h40 << 20 | ~pos) == (smallest 40-bit hash,
+    rightmost position among ties) for every 4-window."""
+    keys = [
+        ((h % (1 << 40)) << 20) + ((1 << 20) - 1 - i)
+        for i, h in enumerate(hashes)
+    ]
+    for j in range(len(keys) - 3):
+        k = min(keys[j : j + 4])
+        pos = (1 << 20) - 1 - (k % (1 << 20))
+        h40 = k >> 20
+        window = [(hashes[i] % (1 << 40), i) for i in range(j, j + 4)]
+        want_h = min(x for x, _ in window)
+        want_pos = max(i for x, i in window if x == want_h)
+        assert (h40, pos) == (want_h, want_pos)
