@@ -1293,6 +1293,17 @@ def q_doc_chunks(spark, sf_dir):
     return text.doc_chunks(_docs(spark, sf_dir))
 
 
+def q_event_cooccurrence(spark, sf_dir):
+    """Event-type co-occurrence within 5 minutes per user — the
+    distance_join pattern in TIME (x2 bucket replication, equi-join,
+    exact dt filter); |types|^2 map-side-combinable count."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.event_cooccurrence(
+        model.load_table(spark, sf_dir, "events")
+    )
+
+
 def q_event_transitions(spark, sf_dir):
     """First-order Markov transition matrix of user behavior:
     consecutive (prev_type -> event_type) counts + conditional
@@ -2345,6 +2356,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zonal_ivm": q_zonal_ivm,
     "lang_confusion": q_lang_confusion,
     "proximity_search": q_proximity_search,
+    "event_cooccurrence": q_event_cooccurrence,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

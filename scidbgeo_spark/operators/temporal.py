@@ -413,3 +413,56 @@ def session_stats(events: DataFrame, gap_s: int = 3600) -> DataFrame:
         F.sum("n_ev").alias("n_events"),
         (F.sum("n_ev") / F.count("*")).alias("events_per_session"),
     )
+
+
+COOCCUR_WINDOW_US = 300 * 1000000  # 5 minutes
+
+
+def event_cooccurrence(
+    events: DataFrame, window_us: int = COOCCUR_WINDOW_US
+) -> DataFrame:
+    """Ordered EVENT-TYPE CO-OCCURRENCE within a time window: for every
+    pair of a user's events with ``0 < t2 - t1 <= window``, count the
+    (earlier_type, later_type) pair — the market-basket / session-
+    affinity matrix behaviour models start from ("error follows click
+    within 5 minutes" etc.).  Exact microsecond arithmetic; ties at the
+    exact same timestamp are excluded (no deterministic order exists
+    for them).
+
+    Scale shape: the distance_join pattern in TIME — events bucket into
+    window-sized epochs, ONE side replicates x2 (own + next bucket, a
+    constant fan so the join stays an EQUI-join on (user, bucket)),
+    the exact dt filter trims bucket over-coverage, and the pair count
+    is map-side-combinable with a |types|^2 key space.  Never a
+    range/theta join; skew bounded by the hottest user-bucket."""
+    # ts is TIMESTAMP_NTZ: diff from the literal epoch (timezone-free,
+    # matching DuckDB's epoch_us on naive timestamps); unix_micros would
+    # require a TZ cast that drags the session timezone into the result
+    t_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    base = events.select(
+        "user_id",
+        "event_type",
+        t_us.alias("t"),
+        F.floor(t_us / window_us).alias("b"),
+    )
+    left = base.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("t").alias("ta"),
+        F.explode(F.array(F.col("b"), F.col("b") + 1)).alias("b"),
+    )
+    right = base.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("t").alias("tb"),
+        "b",
+    )
+    dt = F.col("tb") - F.col("ta")
+    return (
+        left.join(right, ["user_id", "b"])
+        .filter((dt > 0) & (dt <= window_us))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )

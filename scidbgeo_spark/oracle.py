@@ -3052,3 +3052,14 @@ SELECT a.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_matches,
 FROM a JOIN b ON b.doc_id = a.doc_id
              AND b.pos BETWEEN a.apos + 1 AND a.apos + 3
 GROUP BY a.doc_id"""
+
+# temporal.event_cooccurrence: ordered event-type pairs within 5 min —
+# the plain per-user self-join oracle (buckets only change the plan).
+SQL["event_cooccurrence"] = """WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM e a JOIN e b ON b.user_id = a.user_id
+ AND b.t - a.t > 0 AND b.t - a.t <= 300000000
+GROUP BY 1, 2"""

@@ -1170,3 +1170,37 @@ def test_session_stats_vs_python(spark, sf_smoke):
     assert abs(row.p90_dur_us - pct(durs, 0.9)) < 1e-6
     assert row.n_events == total
     assert abs(row.events_per_session - total / len(sessions)) < 1e-12
+
+
+def test_event_cooccurrence_vs_python(spark, sf_smoke):
+    """O(n^2)-per-user Python twin of the 5-minute co-occurrence matrix
+    + the window-coverage property (the x2 bucket replication must not
+    miss a pair at the bucket boundary)."""
+    from scidbgeo_spark.operators import temporal
+
+    ev = model.load_table(spark, sf_smoke, "events")
+    rows = ev.select("user_id", "event_type", "ts").collect()
+    byuser = {}
+    for r in rows:
+        us = int(r.ts.timestamp() * 1_000_000)
+        byuser.setdefault(r.user_id, []).append((us, r.event_type))
+    want = {}
+    W = temporal.COOCCUR_WINDOW_US
+    for evs in byuser.values():
+        for ta, a in evs:
+            for tb, b in evs:
+                if 0 < tb - ta <= W:
+                    want[(a, b)] = want.get((a, b), 0) + 1
+    got = {
+        (r.type_a, r.type_b): r.n_pairs
+        for r in temporal.event_cooccurrence(ev).collect()
+    }
+    assert got == want
+    # boundary coverage: some counted pair must span a bucket boundary
+    crossing = any(
+        0 < tb - ta <= W and (ta // W) != (tb // W)
+        for evs in byuser.values()
+        for ta, _ in evs
+        for tb, _ in evs
+    )
+    assert crossing
