@@ -581,6 +581,28 @@ def q_zonal_ivm(spark, sf_dir):
     return zonal.zonal_ivm_apply(base, delta, zones_coo)
 
 
+def q_coregister(spark, sf_dir):
+    """Co-registration scan vs a deterministically wrap-shifted copy of
+    the raster (planted shift (+1,+2), recovered at offset (-1,-2) with
+    a full in-range match).  On this fixture every OTHER offset scores
+    zero — the multiplicative-hash raster is collision-free under
+    constant id deltas (any affine reclass of it is structurally
+    correlated, so a fake "1/3 noise floor" would be a lie); real
+    scenes put a noise floor under the peak, the argmax machinery is
+    identical."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.model import VALUE_MOD, VALUE_MULT
+
+    coo = model.raster_coo(spark, sf_dir)
+    h, w = model.raster_dims(spark, sf_dir)
+    vb = (
+        (((F.col("y") + 1) % h) * w + (F.col("x") + 2) % w) * VALUE_MULT
+    ) % VALUE_MOD
+    b = coo.select("y", "x", vb.alias("value"))
+    return pixel.coregister_shift(coo, b)
+
+
 def q_join_reclass(spark, sf_dir):
     coo = model.raster_coo(spark, sf_dir)
     h, w = model.raster_dims(spark, sf_dir)
@@ -2357,6 +2379,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lang_confusion": q_lang_confusion,
     "proximity_search": q_proximity_search,
     "event_cooccurrence": q_event_cooccurrence,
+    "coregister": q_coregister,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

@@ -549,3 +549,48 @@ def integral_image(
             )
 
     return joined.mapInPandas(_finish, "y long, x long, sat long")
+
+
+def coregister_shift(a: DataFrame, b: DataFrame, max_shift: int = 2) -> DataFrame:
+    """Integer CO-REGISTRATION scan: for every candidate offset
+    (dy, dx) in [-max_shift, max_shift]^2, the count of cells where
+    raster ``b`` shifted by that offset agrees exactly with raster
+    ``a`` — the alignment-recovery step run before any multi-temporal
+    analysis when two acquisitions are off by a few pixels (the
+    brute-force stand-in for FFT phase correlation, exact and
+    distributed; a real pipeline would narrow with image pyramids
+    first — raster_pyramid provides them).  One row per offset:
+    (dy, dx, n_match, is_best) with ties broken to the smallest
+    (dy, dx).
+
+    Scale shape: ``b`` replicates by a CONSTANT (2*max_shift+1)^2
+    factor carrying only its aligned target coordinate, the comparison
+    is ONE coordinate equi-join against ``a`` (never a theta join),
+    and the per-offset counts are map-side-combinable with a
+    constant-size result; the argmax is a window over (2s+1)^2 rows."""
+    shifts = [
+        (dy, dx)
+        for dy in range(-max_shift, max_shift + 1)
+        for dx in range(-max_shift, max_shift + 1)
+    ]
+    msgs = ", ".join(
+        f"named_struct('dy', {dy}, 'dx', {dx}, "
+        f"'y', y - ({dy}), 'x', x - ({dx}))"
+        for dy, dx in shifts
+    )
+    brep = b.select(
+        F.col("value").alias("vb"), F.explode(F.expr(f"array({msgs})")).alias("m")
+    ).select("vb", "m.dy", "m.dx", "m.y", "m.x")
+    counts = (
+        a.join(brep, ["y", "x"])
+        .filter(F.col("value") == F.col("vb"))
+        .groupBy("dy", "dx")
+        .agg(F.count("*").alias("n_match"))
+    )
+    w = Window.orderBy(F.desc("n_match"), F.asc("dy"), F.asc("dx"))
+    return counts.select(
+        F.col("dy").cast("long").alias("dy"),
+        F.col("dx").cast("long").alias("dx"),
+        "n_match",
+        (F.row_number().over(w) == 1).alias("is_best"),
+    )

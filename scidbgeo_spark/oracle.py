@@ -3063,3 +3063,27 @@ SELECT a.event_type AS type_a, b.event_type AS type_b,
 FROM e a JOIN e b ON b.user_id = a.user_id
  AND b.t - a.t > 0 AND b.t - a.t <= 300000000
 GROUP BY 1, 2"""
+
+# pixel.coregister_shift vs the wrap-shifted twin raster: per-offset
+# exact agreement counts; zero-match offsets emit no row on both sides.
+SQL["coregister"] = f"""WITH {COO},
+hh AS (SELECT count(*) // {RASTER_W} AS h FROM events),
+b AS (
+  SELECT y, x,
+         ((((y + 1) % hh.h) * {RASTER_W} + (x + 2) % {RASTER_W})
+           * {VALUE_MULT}) % {VALUE_MOD} AS vb
+  FROM coo, hh
+),
+ac AS (SELECT y, x, value FROM coo),
+sh AS (SELECT a.dy, b2.dx
+       FROM (VALUES (-2),(-1),(0),(1),(2)) a(dy),
+            (VALUES (-2),(-1),(0),(1),(2)) b2(dx)),
+m AS (
+  SELECT sh.dy, sh.dx, CAST(count(*) AS BIGINT) AS n_match
+  FROM sh, ac a, b
+  WHERE b.y = a.y + sh.dy AND b.x = a.x + sh.dx AND b.vb = a.value
+  GROUP BY sh.dy, sh.dx
+)
+SELECT CAST(dy AS BIGINT) AS dy, CAST(dx AS BIGINT) AS dx, n_match,
+       row_number() OVER (ORDER BY n_match DESC, dy, dx) = 1 AS is_best
+FROM m"""

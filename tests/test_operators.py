@@ -1270,3 +1270,44 @@ def test_zonal_ivm_apply_equals_recompute(spark, sf_smoke):
     # at least one zone actually changed
     before = {r.id: r.sum_value for r in base.collect()}
     assert any(before[k] != v[0] for k, v in got.items())
+
+
+def test_coregister_recovers_planted_shift(spark, sf_smoke):
+    """Python twin of the 25-offset agreement scan + recovery identity:
+    the planted (+1,+2) wrap-shift is found at offset (-1,-2) with a
+    full in-range match (every other offset scores zero on the
+    collision-free hash raster)."""
+    from scidbgeo_spark.model import VALUE_MOD, VALUE_MULT
+
+    coo = model.raster_coo(spark, sf_smoke)
+    h, w = model.raster_dims(spark, sf_smoke)
+    eid = np.arange(h * w, dtype=np.int64)
+    a = ((eid * VALUE_MULT) % VALUE_MOD).reshape(h, w)
+    sid = ((eid // w + 1) % h) * w + (eid % w + 2) % w
+    b = ((sid * VALUE_MULT) % VALUE_MOD).reshape(h, w)
+    want = {}
+    for dy in range(-2, 3):
+        for dx in range(-2, 3):
+            ys = np.arange(h)
+            xs = np.arange(w)
+            yy, xx = np.meshgrid(ys, xs, indexing="ij")
+            by, bx = yy + dy, xx + dx
+            ok = (by >= 0) & (by < h) & (bx >= 0) & (bx < w)
+            n = int((a[yy[ok], xx[ok]] == b[by[ok], bx[ok]]).sum())
+            if n:
+                want[(dy, dx)] = n
+    av = spark.createDataFrame(
+        [(int(y), int(x), int(v)) for (y, x), v in np.ndenumerate(a)],
+        "y long, x long, value long",
+    )
+    bv = spark.createDataFrame(
+        [(int(y), int(x), int(v)) for (y, x), v in np.ndenumerate(b)],
+        "y long, x long, value long",
+    )
+    rows = pixel.coregister_shift(av, bv).collect()
+    got = {(r.dy, r.dx): r.n_match for r in rows}
+    assert got == want
+    best = [(r.dy, r.dx) for r in rows if r.is_best]
+    assert best == [(-1, -2)]
+    # full in-range match: b's (y-1, x-2) target exists for y>=1, x>=2
+    assert got[(-1, -2)] == (h - 1) * (w - 2)
