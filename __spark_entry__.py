@@ -603,6 +603,31 @@ def q_coregister(spark, sf_dir):
     return pixel.coregister_shift(coo, b)
 
 
+def q_path_cells(spark, sf_dir):
+    """LINE rasterization: integer-DDA supercover walk of every
+    consecutive trajectory step -> per-cell traversal counts (the
+    vector->raster pair's missing LINE half)."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.path_rasterize(model.load_table(spark, sf_dir, "events"))
+
+
+def q_coverage_gaps(spark, sf_dir):
+    """Coverage audit: fixed-grid cells no event ever visited —
+    generated grid dimension anti-joined against the distinct visited
+    cells (both sides grid-bounded)."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.coverage_gaps(spark, model.load_table(spark, sf_dir, "events"))
+
+
+def q_colocation_pairs(spark, sf_dir):
+    """Co-location contact graph: user pairs sharing >= 10 distinct
+    grid cells, hub cells (> 15 visitors) dropped before pairing with
+    the cap mirrored in the oracle."""
+    return knn_mod.colocation_pairs(model.load_table(spark, sf_dir, "events"))
+
+
 def q_join_reclass(spark, sf_dir):
     coo = model.raster_coo(spark, sf_dir)
     h, w = model.raster_dims(spark, sf_dir)
@@ -1613,6 +1638,78 @@ def q_funnel(spark, sf_dir):
     return temporal.funnel(model.load_table(spark, sf_dir, "events"))
 
 
+def q_funnel_chain(spark, sf_dir):
+    """Per-user funnel COMPLETION chain: the earliest strictly
+    increasing (signup -> view -> click -> purchase) timestamp chain,
+    one row per completing user, computed by a single-shuffle
+    sort_array + F.aggregate fold.  Oracle: the chained-min recursive
+    definition (stage i = min ts of type i strictly after stage i-1),
+    which the greedy fold provably equals."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.funnel_steps(
+        model.load_table(spark, sf_dir, "events"),
+        steps=("signup", "view", "click", "purchase"),
+    )
+
+
+def q_robots_gate(spark, sf_dir):
+    """Longest-prefix-match rule join (robots.txt politeness gate):
+    each synthetic url binds to the most specific rule whose path
+    prefix matches at a segment boundary; rules broadcast.  Oracle
+    states the SPEC declaratively (prefix-or-boundary match + argmax by
+    prefix length) rather than re-deriving the explosion."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.operators import curation
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 20).cast("string"), F.lit(".example")
+        ).alias("host"),
+        F.concat(
+            F.lit("/s"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("/t"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit("/p"), (F.col("doc_id") % 11).cast("string")),
+            ).otherwise(F.lit("")),
+        ).alias("path"),
+    )
+    k = F.col("id")
+    rules = (
+        spark.range(20)
+        .select(
+            F.concat(F.lit("h"), k.cast("string"), F.lit(".example")).alias("host"),
+            F.array(
+                F.struct(
+                    F.lit("/").alias("prefix"), (k % 2 == 0).alias("allow")
+                ),
+                F.struct(
+                    F.concat(F.lit("/s"), (k % 7).cast("string")).alias("prefix"),
+                    F.lit(False).alias("allow"),
+                ),
+                F.struct(
+                    F.concat(
+                        F.lit("/s"),
+                        ((k + 1) % 7).cast("string"),
+                        F.lit("/t"),
+                        (k % 5).cast("string"),
+                    ).alias("prefix"),
+                    F.lit(True).alias("allow"),
+                ),
+            ).alias("rs"),
+        )
+        .select("host", F.explode("rs").alias("r"))
+        .select("host", "r.prefix", "r.allow")
+    )
+    return curation.longest_prefix_join(urls, rules)
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: per-user session count with a 1-hour inactivity
     gap (lag + cumulative gap-sum — the ordered-window operator class;
@@ -2380,6 +2477,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "proximity_search": q_proximity_search,
     "event_cooccurrence": q_event_cooccurrence,
     "coregister": q_coregister,
+    "path_cells": q_path_cells,
+    "coverage_gaps": q_coverage_gaps,
+    "colocation_pairs": q_colocation_pairs,
+    "funnel_chain": q_funnel_chain,
+    "robots_gate": q_robots_gate,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

@@ -366,3 +366,55 @@ def simpson_diversity(docs: DataFrame) -> DataFrame:
             .alias("simpson"),
         )
     )
+
+
+def longest_prefix_join(
+    urls: DataFrame, rules: DataFrame, default_allow: bool = True
+) -> DataFrame:
+    """LONGEST-PREFIX-MATCH rule join — robots.txt / URL-routing
+    semantics: each url binds to the most specific rule whose path
+    prefix matches at a segment boundary (the rule table is per-host;
+    "/" matches everything on its host).  No reference analog; this is
+    the crawl-politeness gate every web corpus runs before fetch-join.
+
+    urls:  (doc_id, host, path)  path always starts with "/"
+    rules: (host, prefix, allow) prefix "/" or "/seg[/seg...]", unique
+           per (host, prefix)
+
+    Scale shape: each url explodes into its segment-boundary prefixes
+    (bounded by path DEPTH, a small constant — never per-character),
+    the rule side BROADCASTS (robots tables are millions of rows at
+    web scale, still broadcast-range), the match is one equi-join on
+    (host, prefix), and the winner is a map-side-combinable
+    max_by(length) agg keyed by doc.  Ties cannot happen: prefixes of
+    one url have distinct lengths.
+    """
+    segs = F.split(F.col("path"), "/")  # ["", seg1, seg2, ...]
+    n_segs = F.size(segs) - 1
+    prefixes = F.concat(
+        F.array(F.lit("/")),
+        F.transform(
+            F.sequence(F.lit(1), n_segs),
+            lambda i: F.concat_ws(
+                "/", F.slice(segs, 1, (i + 1).cast("int"))
+            ),
+        ),
+    )
+    cand = urls.select(
+        "doc_id", "host", "path", F.explode(prefixes).alias("prefix")
+    )
+    matched = cand.join(F.broadcast(rules), ["host", "prefix"])
+    best = matched.groupBy("doc_id").agg(
+        F.expr("max_by(prefix, length(prefix))").alias("rule_prefix"),
+        F.expr("max_by(allow, length(prefix))").alias("allow"),
+    )
+    out = urls.join(best, "doc_id", "left")
+    return out.select(
+        "doc_id",
+        "host",
+        "path",
+        F.coalesce(F.col("rule_prefix"), F.lit(None).cast("string")).alias(
+            "rule_prefix"
+        ),
+        F.coalesce(F.col("allow"), F.lit(default_allow)).alias("allow"),
+    )

@@ -1061,3 +1061,53 @@ def semivariogram(
         / (F.lit(2.0) * F.col("n_pairs").cast("double")),
     ).otherwise(F.lit(0.0))
     return stacked.select("lag_milli", "n_pairs", gamma.alias("gamma"))
+
+
+COLOC_CELL = 9000  # milli-degree lattice -> 20 x 40 co-location grid
+COLOC_CAP = 15  # cells with more distinct users than this are hub cells
+
+
+def colocation_pairs(
+    events: DataFrame,
+    cell: int = COLOC_CELL,
+    min_shared: int = 10,
+    cell_cap: int = COLOC_CAP,
+) -> DataFrame:
+    """CO-LOCATION contact graph: pairs of users whose trajectories
+    visited at least ``min_shared`` common grid cells — the
+    spatial-affinity join behind contact tracing, account-linking and
+    bot-ring detection over geotagged page events (no reference analog;
+    the reference is single-raster batch).  Positions snap to the same
+    integer milli-degree lattice trajectory_stats uses.
+
+    Hub cells — more than ``cell_cap`` distinct visitors — are dropped
+    BEFORE pairing (the "everyone visits the city center" cell carries
+    no affinity signal and is the quadratic blow-up at scale); the cap
+    is mirrored exactly in the DuckDB oracle, same contract as the
+    dedup BUCKET_CAP family.
+
+    Scale shape: one distinct (map-side-combinable, keyed by user+cell),
+    a grid-bounded cell-count agg whose keep-list BROADCASTS (the cell
+    grid is fixed-size regardless of data), then a per-cell self-join
+    that is quadratic only WITHIN a cell and bounded by cell_cap^2
+    pairs per cell, then a map-side-combinable pair count.  No
+    all-pairs stage anywhere."""
+    from scidbgeo_spark.operators.temporal import _traj_cells
+
+    uc = _traj_cells(events, cell).select("user_id", "cy", "cx").distinct()
+    kept_cells = (
+        uc.groupBy("cy", "cx")
+        .agg(F.count("*").alias("n_users"))
+        .filter(F.col("n_users") <= cell_cap)
+        .select("cy", "cx")
+    )
+    kept = uc.join(F.broadcast(kept_cells), ["cy", "cx"])
+    a = kept.select("cy", "cx", F.col("user_id").alias("user_a"))
+    b = kept.select("cy", "cx", F.col("user_id").alias("user_b"))
+    return (
+        a.join(b, ["cy", "cx"])
+        .filter(F.col("user_a") < F.col("user_b"))
+        .groupBy("user_a", "user_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

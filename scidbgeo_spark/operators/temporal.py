@@ -466,3 +466,188 @@ def event_cooccurrence(
         .groupBy("type_a", "type_b")
         .agg(F.count("*").alias("n_pairs"))
     )
+
+
+PATH_CELL = 18000  # milli-degree lattice -> 10 x 20 coarse traversal grid
+COVER_CELL = 3600  # finer 50 x 100 grid for the coverage audit
+
+
+def _traj_cells(events: DataFrame, cell: int):
+    """Trajectory positions snapped to a coarse cell grid — the same
+    integer milli-degree lattice trajectory_stats derives (the events
+    table carries no geo columns; with real columns only these two
+    expressions change)."""
+    return events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr(f"((event_id * 7919) % 180000) DIV {cell}").alias("cy"),
+        F.expr(f"((event_id * 9973) % 360000) DIV {cell}").alias("cx"),
+    )
+
+
+def path_rasterize(events: DataFrame, cell: int = PATH_CELL) -> DataFrame:
+    """LINE RASTERIZATION of user trajectories: every consecutive step
+    of a user's event stream is walked cell-by-cell with an integer DDA
+    (the Bresenham analog on the cell grid) and the per-cell traversal
+    incidences are counted — the vector->raster conversion for LINE
+    features (the reference's rasterize covers polygons via zonal
+    layers, SciDB_ZonalStats_CL.py builds them offline; lines are the
+    missing half) and the road-usage / crawl-path heatmap every
+    mobility pipeline runs.
+
+    Cell at parameter t in [0, s] (s = Chebyshev cell distance) along
+    axis d: offset = sign(d) * floor((2*t*|d| + s) / (2*s)) — an exact
+    integer rounding-interpolation both engines evaluate identically
+    (the denominator uses greatest(s, 1): at s = 0 the sign factor is 0,
+    so the guard never changes a value, only avoids the 0-division).
+    Segment ENDPOINTS are counted once per incident step (documented
+    incidence semantics, junction cells score each arriving/leaving
+    step).
+
+    Scale shape: ONE keyed shuffle (the lag window), then a per-row
+    explode bounded by the grid diameter (cells crossed <= max(ny, nx)
+    ~ constant), then a map-side-combinable (cy, cx) count whose key
+    space is the fixed cell grid — no joins, no driver action."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = _traj_cells(events, cell)
+    seg = (
+        pts.select(
+            F.lag("cy").over(w).alias("cy0"),
+            F.lag("cx").over(w).alias("cx0"),
+            "cy",
+            "cx",
+        )
+        .filter(F.col("cy0").isNotNull())
+        .select(
+            "cy0",
+            "cx0",
+            (F.col("cy") - F.col("cy0")).alias("dy"),
+            (F.col("cx") - F.col("cx0")).alias("dx"),
+            F.greatest(
+                F.abs(F.col("cy") - F.col("cy0")), F.abs(F.col("cx") - F.col("cx0"))
+            ).alias("s"),
+        )
+    )
+
+    def sgn(d):
+        return F.when(d < 0, F.lit(-1)).when(d > 0, F.lit(1)).otherwise(F.lit(0))
+
+    def off(d, t):
+        den = 2 * F.greatest(F.col("s"), F.lit(1))
+        return sgn(d) * F.floor((2 * t * F.abs(d) + F.col("s")) / den)
+
+    cells = seg.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("s")),
+                lambda t: F.struct(
+                    (F.col("cy0") + off(F.col("dy"), t)).alias("cy"),
+                    (F.col("cx0") + off(F.col("dx"), t)).alias("cx"),
+                ),
+            )
+        ).alias("c")
+    )
+    return cells.groupBy(
+        F.col("c.cy").cast("long").alias("cy"), F.col("c.cx").cast("long").alias("cx")
+    ).agg(F.count("*").alias("n_visits"))
+
+
+def coverage_gaps(
+    spark, events: DataFrame, cell: int = COVER_CELL
+) -> DataFrame:
+    """Cells of the fixed traversal grid NO event ever visited — the
+    coverage audit run before trusting a density map (unvisited %
+    drives sampling decisions; the crawl-frontier "which geography has
+    no pages yet" question).  Output (cy, cx) empty cells.
+
+    Scale shape: the event side reduces to distinct cells first (a
+    map-side-combinable distinct bounded by the FIXED grid size, never
+    by the event count), then one anti-join between two grid-bounded
+    sides — the generated grid dimension is constant (ny*nx rows)
+    regardless of data scale."""
+    ny, nx = 180000 // cell, 360000 // cell
+    grid = (
+        spark.range(ny)
+        .select(F.col("id").alias("cy"))
+        .crossJoin(spark.range(nx).select(F.col("id").alias("cx")))
+    )
+    visited = _traj_cells(events, cell).select("cy", "cx").distinct()
+    return grid.join(visited, ["cy", "cx"], "left_anti")
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+) -> DataFrame:
+    """ORDERED-SEQUENCE FUNNEL: per user, the earliest strictly
+    increasing chain of timestamps hitting each step type in order
+    (first ``steps[0]``, then the first ``steps[1]`` strictly after it,
+    ...) — the conversion-funnel operator of every event-analytics
+    engine (no reference analog; the greedy earliest chain is the
+    standard funnel semantic and is optimal: any valid chain's k-th
+    step is >= the greedy one's).  Output one row per COMPLETING user:
+    (user_id, t_<step>... micros).
+
+    Scale shape: ONE shuffle — a groupBy(user) collect of the user's
+    (ts, step-rank) pairs, sort_array, then a sequential F.aggregate
+    fold (codegen, bounded by the user's event count like any keyed
+    window); no per-stage re-join, no driver action."""
+    ranks = {s: i for i, s in enumerate(steps)}
+    rank_col = F.element_at(
+        F.create_map(
+            *[x for s, i in ranks.items() for x in (F.lit(s), F.lit(i))]
+        ),
+        F.col("event_type"),
+    )
+    # ts is TIMESTAMP_NTZ: diff from the literal epoch (timezone-free,
+    # matching DuckDB's epoch_us on naive timestamps); unix_micros would
+    # require a TZ cast that drags the session timezone into the result
+    t_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    pairs = events.select(
+        "user_id",
+        t_us.alias("t"),
+        rank_col.alias("rk"),
+    ).filter(F.col("rk").isNotNull())
+    packed = pairs.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "rk"))).alias("evs")
+    )
+    k = len(steps)
+    init = F.array(*[F.lit(None).cast("long") for _ in range(k)])
+
+    def fold(acc, e):
+        # advance stage i when: stage i unset, all stages < i set, the
+        # event is of type i, and (i == 0 or t strictly after stage i-1)
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(k - 1)),
+            lambda i: F.when(
+                F.element_at(acc, (i + 1).cast("int")).isNotNull(),
+                F.element_at(acc, (i + 1).cast("int")),
+            ).otherwise(
+                F.when(
+                    (e["rk"] == i)
+                    & (
+                        (i == 0)
+                        | (
+                            F.element_at(acc, i.cast("int")).isNotNull()
+                            & (e["t"] > F.element_at(acc, i.cast("int")))
+                        )
+                    ),
+                    e["t"],
+                )
+            ),
+        )
+
+    done = packed.select(
+        "user_id", F.aggregate("evs", init, fold).alias("ts_chain")
+    )
+    out = done.select(
+        "user_id",
+        *[
+            F.element_at("ts_chain", i + 1).alias(f"t_{s}")
+            for i, s in enumerate(steps)
+        ],
+    )
+    return out.filter(F.col(f"t_{steps[-1]}").isNotNull())

@@ -3087,3 +3087,149 @@ m AS (
 SELECT CAST(dy AS BIGINT) AS dy, CAST(dx AS BIGINT) AS dx, n_match,
        row_number() OVER (ORDER BY n_match DESC, dy, dx) = 1 AS is_best
 FROM m"""
+
+# temporal.path_rasterize: integer-DDA supercover walk of each
+# consecutive trajectory step on the 18000-milli-degree cell grid.
+# greatest(s, 1) in the denominator mirrors the Spark guard: at s = 0
+# the sign factor is 0, so the division value never matters.
+SQL["path_cells"] = """WITH pts AS (
+  SELECT user_id, ts, event_id,
+         ((event_id * 7919) % 180000) // 18000 AS cy,
+         ((event_id * 9973) % 360000) // 18000 AS cx
+  FROM events
+),
+st AS (
+  SELECT user_id,
+         lag(cy) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cy0,
+         lag(cx) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS cx0,
+         cy, cx
+  FROM pts
+),
+seg AS (
+  SELECT cy0, cx0, cy - cy0 AS dy, cx - cx0 AS dx,
+         greatest(abs(cy - cy0), abs(cx - cx0)) AS s
+  FROM st WHERE cy0 IS NOT NULL
+),
+cells AS (
+  SELECT seg.cy0
+           + (CASE WHEN dy < 0 THEN -1 WHEN dy > 0 THEN 1 ELSE 0 END)
+           * ((2 * g.t * abs(dy) + s) // (2 * greatest(s, 1))) AS cy,
+         seg.cx0
+           + (CASE WHEN dx < 0 THEN -1 WHEN dx > 0 THEN 1 ELSE 0 END)
+           * ((2 * g.t * abs(dx) + s) // (2 * greatest(s, 1))) AS cx
+  FROM seg, LATERAL unnest(generate_series(0, seg.s)) AS g(t)
+)
+SELECT CAST(cy AS BIGINT) AS cy, CAST(cx AS BIGINT) AS cx,
+       count(*) AS n_visits
+FROM cells GROUP BY 1, 2"""
+
+# temporal.coverage_gaps: fixed 50x100 grid anti-joined against the
+# distinct visited cells.
+SQL["coverage_gaps"] = """WITH grid AS (
+  SELECT gy.cy, gx.cx
+  FROM unnest(generate_series(0, 49)) AS gy(cy),
+       unnest(generate_series(0, 99)) AS gx(cx)
+),
+visited AS (
+  SELECT DISTINCT ((event_id * 7919) % 180000) // 3600 AS cy,
+                  ((event_id * 9973) % 360000) // 3600 AS cx
+  FROM events
+)
+SELECT CAST(g.cy AS BIGINT) AS cy, CAST(g.cx AS BIGINT) AS cx
+FROM grid g
+WHERE NOT EXISTS (
+  SELECT 1 FROM visited v WHERE v.cy = g.cy AND v.cx = g.cx
+)"""
+
+# knn.colocation_pairs: distinct user-cell memberships on the
+# 9000-milli-degree grid, hub cells (> 15 distinct users) dropped
+# BEFORE pairing (cap mirrored from the Spark side), pairs sharing
+# >= 10 surviving cells.
+SQL["colocation_pairs"] = """WITH uc AS (
+  SELECT DISTINCT user_id,
+         ((event_id * 7919) % 180000) // 9000 AS cy,
+         ((event_id * 9973) % 360000) // 9000 AS cx
+  FROM events
+),
+kept AS (
+  SELECT uc.* FROM uc
+  JOIN (
+    SELECT cy, cx FROM uc GROUP BY cy, cx HAVING count(*) <= 15
+  ) k USING (cy, cx)
+)
+SELECT a.user_id AS user_a, b.user_id AS user_b,
+       count(*) AS n_shared
+FROM kept a JOIN kept b
+  ON a.cy = b.cy AND a.cx = b.cx AND a.user_id < b.user_id
+GROUP BY 1, 2
+HAVING count(*) >= 10"""
+
+# temporal.funnel_steps: per-user earliest strictly-increasing
+# signup->view->click->purchase chain.  The oracle uses the recursive
+# chained-min definition (stage i = min ts of type i strictly after the
+# stage i-1 time), which the engine's greedy sorted fold equals: any
+# valid chain's k-th element is >= the greedy one's, so the greedy
+# chain exists iff any chain exists and is pointwise minimal.
+SQL["funnel_chain"] = """WITH s0 AS (
+  SELECT user_id, min(epoch_us(ts)) AS t_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+s1 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_view
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'view' AND epoch_us(e.ts) > s0.t_signup
+  GROUP BY e.user_id
+),
+s2 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t_view
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT s0.user_id, s0.t_signup, s1.t_view, s2.t_click, s3.t_purchase
+FROM s0 JOIN s1 ON s0.user_id = s1.user_id
+        JOIN s2 ON s0.user_id = s2.user_id
+        JOIN s3 ON s0.user_id = s3.user_id"""
+
+# curation.longest_prefix_join: the oracle states the longest-prefix
+# SPEC declaratively — a rule matches iff it is "/" or equals the path
+# or is a segment-boundary prefix (path starts with prefix + "/") — and
+# picks the argmax by prefix length (tie-free: all matches for one url
+# are prefixes of its path, hence distinct lengths).  The engine's
+# bounded prefix-explosion + broadcast equi-join must agree exactly.
+SQL["robots_gate"] = """WITH urls AS (
+  SELECT doc_id,
+         'h' || (doc_id % 20) || '.example' AS host,
+         '/s' || (doc_id % 7) || '/t' || (doc_id % 5) ||
+         CASE WHEN doc_id % 3 = 0 THEN '/p' || (doc_id % 11) ELSE '' END AS path
+  FROM documents
+),
+rules AS (
+  SELECT 'h' || t.k || '.example' AS host, r.prefix AS prefix, r.allow AS allow
+  FROM range(20) t(k),
+  LATERAL (VALUES ('/', t.k % 2 = 0),
+                  ('/s' || (t.k % 7), false),
+                  ('/s' || ((t.k + 1) % 7) || '/t' || (t.k % 5), true)
+          ) r(prefix, allow)
+),
+m AS (
+  SELECT u.doc_id, r.prefix, r.allow
+  FROM urls u JOIN rules r
+    ON u.host = r.host
+   AND (r.prefix = '/' OR u.path = r.prefix
+        OR starts_with(u.path, r.prefix || '/'))
+),
+best AS (
+  SELECT doc_id, max_by(prefix, length(prefix)) AS rule_prefix,
+         max_by(allow, length(prefix)) AS allow
+  FROM m GROUP BY doc_id
+)
+SELECT u.doc_id, u.host, u.path, b.rule_prefix,
+       coalesce(b.allow, true) AS allow
+FROM urls u LEFT JOIN best b ON u.doc_id = b.doc_id"""

@@ -440,3 +440,112 @@ def test_integral_image_and_triangles_plan_shapes(spark, sf_smoke):
     docs = _docs(spark, sf_smoke)
     p2 = _plan(graph.host_triangles(docs))
     assert "CartesianProduct" not in p2
+
+
+def test_funnel_steps_vs_python(spark):
+    """Randomized parity for the per-user completion chain: the greedy
+    sorted fold must equal the recursive chained-min definition; covers
+    duplicate timestamps, out-of-order stages, single-event users and
+    non-completers (absent from the output)."""
+    from scidbgeo_spark.operators import temporal
+
+    rng = random.Random(4107)
+    steps = ("signup", "view", "click", "purchase")
+    types = list(steps) + ["error"]
+    base = 1704067200  # 2024-01-01 epoch seconds
+    rows = []
+    eid = 0
+    for u in range(30):
+        for _ in range(rng.randint(0, 12)):
+            rows.append((eid, base + rng.randint(0, 50), u, rng.choice(types)))
+            eid += 1
+    ev = (
+        spark.createDataFrame(
+            rows, "event_id long, sec long, user_id long, event_type string"
+        )
+        .withColumn(
+            "ts", F.col("sec").cast("timestamp").cast("timestamp_ntz")
+        )
+        .drop("sec")
+    )
+    rank = {s: i for i, s in enumerate(steps)}
+    expect = {}
+    by_user = {}
+    for e, sec, u, t in rows:
+        by_user.setdefault(u, []).append((sec * 1_000_000, rank.get(t)))
+    for u, evs in by_user.items():
+        acc = [None] * 4
+        for t, rk in sorted(
+            (p for p in evs if p[1] is not None), key=lambda p: (p[0], p[1])
+        ):
+            if acc[rk] is None and (
+                rk == 0 or (acc[rk - 1] is not None and t > acc[rk - 1])
+            ):
+                acc[rk] = t
+        if acc[3] is not None:
+            expect[u] = tuple(acc)
+    got = {
+        r.user_id: (r.t_signup, r.t_view, r.t_click, r.t_purchase)
+        for r in temporal.funnel_steps(ev, steps).collect()
+    }
+    assert got == expect
+    assert expect  # the fixture must actually produce completers
+
+
+def test_longest_prefix_join_vs_python(spark):
+    """Randomized parity for the robots-gate join: segment-boundary
+    longest-prefix match, '/' catch-all, hosts with NO rules falling to
+    default_allow, and the root path '/' (whose prefix explosion emits
+    '/' twice) still yielding exactly one output row per url."""
+    rng = random.Random(4108)
+    segs = ["a", "b", "c", "aa"]
+    hosts = [f"h{k}.example" for k in range(5)]  # h4 gets no rules
+    rules = set()
+    for h in hosts[:4]:
+        rules.add((h, "/", rng.random() < 0.5))
+        for _ in range(4):
+            depth = rng.randint(1, 2)
+            p = "/" + "/".join(rng.choice(segs) for _ in range(depth))
+            if not any(r[0] == h and r[1] == p for r in rules):
+                rules.add((h, p, rng.random() < 0.5))
+    urls = []
+    for d in range(120):
+        h = rng.choice(hosts)
+        depth = rng.randint(0, 3)
+        p = "/" + "/".join(rng.choice(segs) for _ in range(depth))
+        urls.append((d, h, p))
+    u_df = spark.createDataFrame(urls, "doc_id long, host string, path string")
+    r_df = spark.createDataFrame(
+        sorted(rules), "host string, prefix string, allow boolean"
+    )
+    got = {
+        r.doc_id: (r.rule_prefix, r.allow)
+        for r in curation.longest_prefix_join(u_df, r_df).collect()
+    }
+    assert len(got) == len(urls)  # exactly one row per url, even path='/'
+    for d, h, p in urls:
+        cands = [
+            (pre, al)
+            for (rh, pre, al) in rules
+            if rh == h
+            and (pre == "/" or p == pre or p.startswith(pre + "/"))
+        ]
+        if cands:
+            best = max(cands, key=lambda x: len(x[0]))
+            assert got[d] == best, (d, h, p)
+        else:
+            assert got[d] == (None, True), (d, h, p)
+    assert any(h == "h4.example" for _, h, _p in urls)  # default path hit
+
+
+def test_longest_prefix_join_broadcasts_rules(spark):
+    """The rule table must reach the urls via broadcast — a shuffled
+    rule join at web scale would move the whole corpus."""
+    u_df = spark.createDataFrame(
+        [(0, "h0.example", "/a/b")], "doc_id long, host string, path string"
+    )
+    r_df = spark.createDataFrame(
+        [("h0.example", "/", True)], "host string, prefix string, allow boolean"
+    )
+    p = _plan(curation.longest_prefix_join(u_df, r_df))
+    assert "BroadcastHashJoin" in p

@@ -1204,3 +1204,140 @@ def test_event_cooccurrence_vs_python(spark, sf_smoke):
         for tb, _ in evs
     )
     assert crossing
+
+
+def test_path_rasterize_vs_python(spark, sf_smoke):
+    """Pure-Python twin of the integer-DDA supercover walk, plus the
+    per-step conservation identity: total incidences == sum over steps
+    of (chebyshev_cell_distance + 1)."""
+    from scidbgeo_spark.operators import temporal
+
+    ev = model.load_table(spark, sf_smoke, "events")
+    rows = sorted(
+        ev.select("user_id", "ts", "event_id").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    cell = temporal.PATH_CELL
+    want: dict[tuple[int, int], int] = {}
+    total = 0
+    prev_user = None
+    prev = None
+    for r in rows:
+        cy = ((r.event_id * 7919) % 180000) // cell
+        cx = ((r.event_id * 9973) % 360000) // cell
+        if r.user_id == prev_user:
+            cy0, cx0 = prev
+            dy, dx = cy - cy0, cx - cx0
+            s = max(abs(dy), abs(dx))
+            total += s + 1
+            for t in range(s + 1):
+                oy = (0 if dy == 0 else (1 if dy > 0 else -1)) * (
+                    (2 * t * abs(dy) + s) // (2 * max(s, 1))
+                )
+                ox = (0 if dx == 0 else (1 if dx > 0 else -1)) * (
+                    (2 * t * abs(dx) + s) // (2 * max(s, 1))
+                )
+                key = (cy0 + oy, cx0 + ox)
+                want[key] = want.get(key, 0) + 1
+        prev_user, prev = r.user_id, (cy, cx)
+    got = {
+        (r.cy, r.cx): r.n_visits for r in temporal.path_rasterize(ev).collect()
+    }
+    assert got == want
+    assert sum(got.values()) == total
+
+
+def test_path_rasterize_walks_are_connected(spark):
+    """Every consecutive pair of DDA cells differs by a king move: a
+    single diagonal step between far-apart cells lands every
+    intermediate cell (supercover property on a hand-built path)."""
+    from scidbgeo_spark.operators import temporal
+
+    # one user, two events chosen so the cells are (0,0) -> (7,15):
+    # every walked cell must be adjacent to the previous one.
+    ev = spark.createDataFrame(
+        [(0, 10, 0), (0, 20, 1)],
+        "user_id long, ts long, event_id long",
+    ).select(
+        "user_id", F.timestamp_micros(F.col("ts")).alias("ts"), "event_id"
+    )
+    pts = [
+        (((e * 7919) % 180000) // temporal.PATH_CELL,
+         ((e * 9973) % 360000) // temporal.PATH_CELL)
+        for e in (0, 1)
+    ]
+    rows = temporal.path_rasterize(ev).collect()
+    got = {(r.cy, r.cx): r.n_visits for r in rows}
+    s = max(abs(pts[1][0] - pts[0][0]), abs(pts[1][1] - pts[0][1]))
+    assert sum(got.values()) == s + 1
+    assert got.get(pts[0]) == 1 and got.get(pts[1]) == 1
+    cells = sorted(got)
+    # reconstruct the walk order from the python twin and check king moves
+    walk = []
+    dy, dx = pts[1][0] - pts[0][0], pts[1][1] - pts[0][1]
+    for t in range(s + 1):
+        oy = (0 if dy == 0 else (1 if dy > 0 else -1)) * ((2 * t * abs(dy) + s) // (2 * max(s, 1)))
+        ox = (0 if dx == 0 else (1 if dx > 0 else -1)) * ((2 * t * abs(dx) + s) // (2 * max(s, 1)))
+        walk.append((pts[0][0] + oy, pts[0][1] + ox))
+    assert set(walk) == set(cells)
+    for (y0, x0), (y1, x1) in zip(walk, walk[1:]):
+        assert max(abs(y1 - y0), abs(x1 - x0)) == 1
+
+
+def test_coverage_gaps_partition_identity(spark, sf_smoke):
+    """gaps + visited partition the fixed grid exactly."""
+    from scidbgeo_spark.operators import temporal
+
+    ev = model.load_table(spark, sf_smoke, "events")
+    cell = temporal.COVER_CELL
+    ny, nx = 180000 // cell, 360000 // cell
+    visited = {
+        (((r.event_id * 7919) % 180000) // cell,
+         ((r.event_id * 9973) % 360000) // cell)
+        for r in ev.select("event_id").collect()
+    }
+    gaps = {(r.cy, r.cx) for r in temporal.coverage_gaps(spark, ev).collect()}
+    assert gaps.isdisjoint(visited)
+    assert len(gaps) + len(visited) == ny * nx
+    assert all(0 <= y < ny and 0 <= x < nx for y, x in gaps)
+
+
+def test_colocation_pairs_vs_python_and_cap_binds(spark):
+    """Python twin on a hand-built corpus where the hub-cell cap BINDS:
+    users 0..5 all share hub cell (0,0) (dropped, > cap visitors) plus
+    per-pair private cells; only the pair with >= min_shared surviving
+    shared cells appears."""
+    from scidbgeo_spark.operators import knn as knn_op
+
+    # six HEAVY users (60 events, cover ~22 of the 32 grid cells) + two
+    # LIGHT users (6 events).  Cells where all six heavy users collide
+    # exceed cap=5 and are dropped (the cap BINDS); heavy-pair affinity
+    # survives on the remaining cells.
+    ev_rows = [(u, 1000 + i, u * 1000 + i) for u in range(6) for i in range(60)]
+    ev_rows += [(u, 1000 + i, u * 1000 + i) for u in (6, 7) for i in range(6)]
+    df = spark.createDataFrame(
+        ev_rows, "user_id long, ts long, event_id long"
+    ).select("user_id", F.timestamp_micros(F.col("ts")).alias("ts"), "event_id")
+    cell, cap, min_shared = 45000, 5, 13
+    member = {
+        (u, ((e * 7919) % 180000) // cell, ((e * 9973) % 360000) // cell)
+        for u, _, e in ev_rows
+    }
+    from collections import Counter
+
+    per_cell = Counter((cy, cx) for _, cy, cx in member)
+    assert any(n > cap for n in per_cell.values())  # the cap binds
+    kept = [(u, cy, cx) for u, cy, cx in member if per_cell[(cy, cx)] <= cap]
+    pair_count: dict[tuple[int, int], int] = {}
+    for ua, cya, cxa in kept:
+        for ub, cyb, cxb in kept:
+            if ua < ub and (cya, cxa) == (cyb, cxb):
+                pair_count[(ua, ub)] = pair_count.get((ua, ub), 0) + 1
+    want = {p: n for p, n in pair_count.items() if n >= min_shared}
+    got = {
+        (r.user_a, r.user_b): r.n_shared
+        for r in knn_op.colocation_pairs(
+            df, cell=cell, min_shared=min_shared, cell_cap=cap
+        ).collect()
+    }
+    assert got == want and want  # non-vacuous
