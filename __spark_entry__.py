@@ -1710,6 +1710,58 @@ def q_robots_gate(spark, sf_dir):
     return curation.longest_prefix_join(urls, rules)
 
 
+def q_host_split(spark, sf_dir):
+    """Leakage-safe train/val/test GROUP split: the shared polynomial
+    host hash routes every doc of a host into exactly one split; output
+    per-split doc/host/char totals."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.operators import curation
+
+    docs = _docs(spark, sf_dir)
+    return curation.host_split(
+        docs.select(
+            "doc_id",
+            F.concat(
+                F.lit("h"), (F.col("doc_id") % 20).cast("string"), F.lit(".example")
+            ).alias("host"),
+            "n_chars",
+        )
+    )
+
+
+def q_crawl_schedule(spark, sf_dir):
+    """Per-host politeness scheduler: k-th url of a host fetches at
+    k * delay_s(host); delay table broadcasts, one keyed window."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.operators import curation
+
+    docs = _docs(spark, sf_dir)
+    urls = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("h"), (F.col("doc_id") % 20).cast("string"), F.lit(".example")
+        ).alias("host"),
+    )
+    delays = spark.range(20).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example")).alias(
+            "host"
+        ),
+        (1 + F.col("id") % 5).cast("long").alias("delay_s"),
+    )
+    return curation.crawl_schedule(urls, delays)
+
+
+def q_pareto_docs(spark, sf_dir):
+    """2-D Pareto frontier over (distinct tokens, chars): per-q-level
+    reduction first, strict-dominance window over the reduced levels
+    only, broadcast verdict join back — the corpus is never sorted."""
+    from scidbgeo_spark.operators import curation
+
+    return curation.pareto_frontier(_docs(spark, sf_dir))
+
+
 def q_sessionize(spark, sf_dir):
     """Sessionization: per-user session count with a 1-hour inactivity
     gap (lag + cumulative gap-sum — the ordered-window operator class;
@@ -2482,6 +2534,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "colocation_pairs": q_colocation_pairs,
     "funnel_chain": q_funnel_chain,
     "robots_gate": q_robots_gate,
+    "host_split": q_host_split,
+    "crawl_schedule": q_crawl_schedule,
+    "pareto_docs": q_pareto_docs,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

@@ -418,3 +418,104 @@ def longest_prefix_join(
         ),
         F.coalesce(F.col("allow"), F.lit(default_allow)).alias("allow"),
     )
+
+
+HOST_HASH_MOD = 1000003  # prime modulus of the shared split hash
+SPLIT_BOUNDS = (8, 9)  # hash%10: <8 train, ==8 val, ==9 test
+
+
+def host_hash_col(host="host"):
+    """Deterministic polynomial string hash both engines evaluate
+    identically: fold (a*31 + ascii(char)) mod 1000003 over the host's
+    characters — pure column algebra (F.aggregate over F.split), no
+    Python UDF, and the DuckDB twin is the same fold via list_reduce.
+    This is the shared primitive every group-level routing decision
+    (split assignment, shard placement) hangs off."""
+    return F.aggregate(
+        F.split(host, ""),
+        F.lit(0).cast("long"),
+        lambda a, c: (a * 31 + F.ascii(c)) % HOST_HASH_MOD,
+    )
+
+
+def host_split(docs_with_host: DataFrame) -> DataFrame:
+    """LEAKAGE-SAFE train/val/test split: the unit of assignment is the
+    HOST, not the document — near-duplicate pages from one site land in
+    exactly one split by construction (hash(host) mod 10 -> 0-7 train,
+    8 val, 9 test), the standard contamination guard before an LLM
+    data-mix freeze.  Output per split: docs, distinct hosts, char sum.
+
+    Scale shape: a pure projection (the hash fold is column algebra)
+    into ONE map-side-combinable aggregate; no join, no window, no
+    driver action.  Host-count uses count(DISTINCT) inside the agg —
+    Spark expands it to the standard two-phase partial-distinct plan."""
+    m = host_hash_col() % 10
+    split = (
+        F.when(m < SPLIT_BOUNDS[0], F.lit("train"))
+        .when(m == SPLIT_BOUNDS[0], F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs_with_host.select(
+            split.alias("split"), "host", F.col("n_chars").cast("long").alias("nc")
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("host").alias("n_hosts"),
+            F.sum("nc").alias("n_chars"),
+        )
+    )
+
+
+def crawl_schedule(urls: DataFrame, delays: DataFrame) -> DataFrame:
+    """PER-HOST POLITENESS SCHEDULER: the k-th url of a host (ordered
+    by doc_id) fetches at slot k with fetch_at = k * delay_s(host) —
+    the sequential per-host fetch plan every polite crawler derives
+    after the robots gate.  Output (doc_id, host, slot, fetch_at_s).
+
+    Scale shape: the per-host delay table BROADCASTS (politeness tables
+    are host-cardinality), then ONE keyed window (row_number per host)
+    — the same single-shuffle class as sessionize; hot hosts cost only
+    their own rows."""
+    w = Window.partitionBy("host").orderBy("doc_id")
+    return (
+        urls.join(F.broadcast(delays), "host")
+        .select(
+            "doc_id",
+            "host",
+            (F.row_number().over(w) - 1).alias("slot"),
+            ((F.row_number().over(w) - 1) * F.col("delay_s")).alias("fetch_at_s"),
+        )
+    )
+
+
+def pareto_frontier(docs: DataFrame) -> DataFrame:
+    """2-D PARETO FRONTIER over integer quality axes (distinct tokens,
+    chars): docs not STRICTLY dominated on both axes — the
+    "best docs at every length" selection curve used when trading
+    quality against token budget.  Output (doc_id, q, n).
+
+    Scale shape: the corpus first reduces per q-level to max(n) — a
+    map-side-combinable agg whose key space is the metric's cardinality,
+    NOT the corpus — then the running strict-dominance max runs over
+    those few rows in one ordered window (single partition, but of
+    |distinct q| rows only), and the verdict joins BACK by broadcast.
+    The corpus itself is never sorted and never windowed."""
+    toks = F.split("text", " ")
+    m = docs.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("long").alias("q"),
+        F.length("text").cast("long").alias("n"),
+    )
+    best = m.groupBy("q").agg(F.max("n").alias("best_n"))
+    w = (
+        Window.orderBy(F.col("q").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    strict = best.select("q", F.max("best_n").over(w).alias("dom_n"))
+    return (
+        m.join(F.broadcast(strict), "q")
+        .filter(F.col("dom_n").isNull() | (F.col("n") > F.col("dom_n")))
+        .select("doc_id", "q", "n")
+    )

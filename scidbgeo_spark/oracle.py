@@ -3233,3 +3233,63 @@ best AS (
 SELECT u.doc_id, u.host, u.path, b.rule_prefix,
        coalesce(b.allow, true) AS allow
 FROM urls u LEFT JOIN best b ON u.doc_id = b.doc_id"""
+
+# curation.host_split: the polynomial host hash is the SAME fold in
+# both engines — Spark F.aggregate over split chars, DuckDB list_reduce
+# (list_prepend supplies the init accumulator) — verified to agree
+# character-for-character; sums cast to BIGINT (DuckDB sum(bigint) is
+# otherwise HUGEINT).
+SQL["host_split"] = """WITH d AS (
+  SELECT doc_id, 'h' || (doc_id % 20) || '.example' AS host, n_chars
+  FROM documents
+),
+h AS (
+  SELECT host, n_chars,
+         list_reduce(
+           list_prepend(CAST(0 AS BIGINT),
+             list_transform(generate_series(1, length(host)),
+                            i -> CAST(ascii(substr(host, i, 1)) AS BIGINT))),
+           (a, c) -> (a * 31 + c) % 1000003) % 10 AS m
+  FROM d
+)
+SELECT CASE WHEN m < 8 THEN 'train' WHEN m = 8 THEN 'val' ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT host) AS BIGINT) AS n_hosts,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars
+FROM h GROUP BY 1"""
+
+# curation.crawl_schedule: slot = per-host row_number (doc_id order) - 1
+SQL["crawl_schedule"] = """WITH urls AS (
+  SELECT doc_id, 'h' || (doc_id % 20) || '.example' AS host FROM documents
+),
+delays AS (
+  SELECT 'h' || t.k || '.example' AS host,
+         CAST(1 + (t.k % 5) AS BIGINT) AS delay_s
+  FROM range(20) t(k)
+)
+SELECT u.doc_id, u.host,
+       CAST(row_number() OVER w - 1 AS INTEGER) AS slot,
+       CAST((row_number() OVER w - 1) * d.delay_s AS BIGINT) AS fetch_at_s
+FROM urls u JOIN delays d ON u.host = d.host
+WINDOW w AS (PARTITION BY u.host ORDER BY u.doc_id)"""
+
+# curation.pareto_frontier: strict 2-D dominance — a doc survives iff
+# no other doc has BOTH strictly larger q (distinct tokens) and n
+# (chars); computed as per-q max(n) then a running strict max over the
+# reduced q levels (ROWS ... 1 PRECEDING = strictly-greater q, levels
+# are distinct).
+SQL["pareto_docs"] = """WITH m AS (
+  SELECT doc_id,
+         CAST(length(list_distinct(string_split(text, ' '))) AS BIGINT) AS q,
+         CAST(length(text) AS BIGINT) AS n
+  FROM documents
+),
+best AS (SELECT q, max(n) AS best_n FROM m GROUP BY q),
+strict AS (
+  SELECT q, max(best_n) OVER (ORDER BY q DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS dom_n
+  FROM best
+)
+SELECT m.doc_id, m.q, m.n
+FROM m JOIN strict ON m.q = strict.q
+WHERE strict.dom_n IS NULL OR m.n > strict.dom_n"""

@@ -549,3 +549,81 @@ def test_longest_prefix_join_broadcasts_rules(spark):
     )
     p = _plan(curation.longest_prefix_join(u_df, r_df))
     assert "BroadcastHashJoin" in p
+
+
+def test_host_split_python_twin_and_disjointness(spark):
+    """The split totals must match a pure-Python fold of the same hash,
+    and — leakage guard — every host maps to exactly one split by
+    construction (asserted over the per-host assignment)."""
+    rng = random.Random(4109)
+    rows = [
+        (d, f"site{rng.randint(0, 40)}.example", rng.randint(1, 500))
+        for d in range(300)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, host string, n_chars long")
+
+    def phash(s):
+        a = 0
+        for ch in s:
+            a = (a * 31 + ord(ch)) % curation.HOST_HASH_MOD
+        return a
+
+    def psplit(h):
+        m = phash(h) % 10
+        return "train" if m < 8 else ("val" if m == 8 else "test")
+
+    expect = {}
+    for _d, h, nc in rows:
+        sp = psplit(h)
+        e = expect.setdefault(sp, [0, set(), 0])
+        e[0] += 1
+        e[1].add(h)
+        e[2] += nc
+    got = {
+        r.split: (r.n_docs, r.n_hosts, r.n_chars)
+        for r in curation.host_split(docs).collect()
+    }
+    assert got == {k: (v[0], len(v[1]), v[2]) for k, v in expect.items()}
+    # all three splits exercised by the fixture
+    assert set(got) == {"train", "val", "test"}
+
+
+def test_crawl_schedule_python_twin_and_broadcast(spark):
+    """Slots are 0..n-1 per host in doc_id order, fetch_at = slot*delay;
+    the delay table must reach the urls via broadcast."""
+    urls = spark.createDataFrame(
+        [(d, f"h{d % 3}.example") for d in range(20)], "doc_id long, host string"
+    )
+    delays = spark.createDataFrame(
+        [(f"h{k}.example", k + 1) for k in range(3)], "host string, delay_s long"
+    )
+    out = curation.crawl_schedule(urls, delays)
+    assert "BroadcastHashJoin" in _plan(out)
+    got = {r.doc_id: (r.slot, r.fetch_at_s) for r in out.collect()}
+    per_host = {}
+    for d in range(20):
+        h = d % 3
+        k = per_host.get(h, 0)
+        per_host[h] = k + 1
+        assert got[d] == (k, k * (h + 1)), d
+
+
+def test_pareto_frontier_vs_bruteforce(spark):
+    """Randomized parity against the O(n^2) strict-dominance check,
+    including exact (q, n) duplicates (both stay on the frontier)."""
+    rng = random.Random(4110)
+    rows = []
+    for d in range(150):
+        words = [rng.choice("abcdefgh") for _ in range(rng.randint(1, 30))]
+        rows.append((d, " ".join(words)))
+    rows.append((150, rows[7][1]))  # exact duplicate text
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pts = {d: (len(set(t.split(" "))), len(t)) for d, t in rows}
+    expect = {
+        d
+        for d, (q, n) in pts.items()
+        if not any(q2 > q and n2 > n for q2, n2 in pts.values())
+    }
+    got = {r.doc_id for r in curation.pareto_frontier(docs).collect()}
+    assert got == expect
+    assert 150 in got or 7 not in got or (7 in got and 150 in got)
