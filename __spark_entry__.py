@@ -983,6 +983,14 @@ def q_zorder_cell(spark, sf_dir):
     return pts.select("doc_id", pip.zorder_cell_col().alias("zcell"))
 
 
+def q_hilbert_cell(spark, sf_dir):
+    """Hilbert-curve cell ids (locality-optimal space-filling index):
+    a linear-size Morton-quad fold through the 4-state orientation LUT
+    — consecutive ids are always grid 4-neighbors, unlike Z-order."""
+    pts = model.points(spark, sf_dir)
+    return pts.select("doc_id", pip.hilbert_cell_col().alias("hcell"))
+
+
 def q_cell_rollup(spark, sf_dir):
     """Zoom-pyramid cell rollup: point counts at quadkey resolutions
     16/8/4 in one GROUPING SETS pass (single shuffle, map-side partials)
@@ -2537,6 +2545,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "host_split": q_host_split,
     "crawl_schedule": q_crawl_schedule,
     "pareto_docs": q_pareto_docs,
+    "hilbert_cell": q_hilbert_cell,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

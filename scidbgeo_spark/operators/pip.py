@@ -455,3 +455,53 @@ def pip_counts(spark: SparkSession, points: DataFrame, polygons) -> DataFrame:
         .groupBy("zone_id")
         .agg(F.count("*").alias("n_points"))
     )
+
+
+# Morton-quad -> Hilbert-digit state machine, derived from the classic
+# xy2d rotation loop (the public-domain algorithm on the "Hilbert
+# curve" Wikipedia page) by composing its reflect/swap mutations into 4
+# orientation states; exhaustively verified bijective on small grids
+# and pinned against the reference loop in tests.  Indexed by
+# state*4 + morton_quad where quad = x_bit<<1 | y_bit.
+HILBERT_DLUT = (0, 1, 3, 2, 0, 3, 1, 2, 2, 1, 3, 0, 2, 3, 1, 0)
+HILBERT_TLUT = (1, 0, 2, 0, 0, 3, 1, 1, 2, 2, 0, 3, 3, 1, 3, 2)
+
+
+def hilbert_cell_col(lon: str = "lon", lat: str = "lat", bits: int = ZORDER_BITS):
+    """HILBERT-curve cell id on the same 0.01-degree grid as
+    :func:`zorder_cell_col` — the locality-optimal space-filling index:
+    consecutive ids are ALWAYS grid 4-neighbors (no Z-order seam jumps),
+    so range scans touch compact spatial blobs and sort-based
+    clustering packs parquet files tighter.
+
+    Shape: a linear-size FOLD (``F.aggregate``) over the 16 Morton
+    quads MSB-first, threading (digit-accumulator, orientation-state)
+    through the 4-state LUT — the naive per-level rotate expression
+    nests x/y references and grows EXPONENTIALLY in the plan tree; the
+    fold stays linear and whole-stage-codegens.  The DuckDB oracle is
+    the identical ``list_reduce``."""
+    cx = F.floor((F.col(lon) + 180.0) / ZORDER_RES).cast("long")
+    cy = F.floor((F.col(lat) + 90.0) / ZORDER_RES).cast("long")
+    dlut = F.array(*[F.lit(v) for v in HILBERT_DLUT])
+    tlut = F.array(*[F.lit(v) for v in HILBERT_TLUT])
+    quads = F.array(
+        *[
+            (F.shiftright(cx, b) % 2 * 2 + F.shiftright(cy, b) % 2).cast("int")
+            for b in range(bits - 1, -1, -1)
+        ]
+    )
+    init = F.struct(
+        F.lit(0).cast("long").alias("d"), F.lit(0).cast("int").alias("t")
+    )
+    return F.aggregate(
+        quads,
+        init,
+        lambda acc, q: F.struct(
+            (
+                acc["d"] * 4
+                + F.element_at(dlut, acc["t"] * 4 + q + 1).cast("long")
+            ).alias("d"),
+            F.element_at(tlut, acc["t"] * 4 + q + 1).alias("t"),
+        ),
+        lambda acc: acc["d"],
+    )

@@ -3293,3 +3293,29 @@ strict AS (
 SELECT m.doc_id, m.q, m.n
 FROM m JOIN strict ON m.q = strict.q
 WHERE strict.dom_n IS NULL OR m.n > strict.dom_n"""
+
+# pip.hilbert_cell_col: identical Morton-quad fold through the 4-state
+# Hilbert orientation machine (state*4+quad LUTs are the shared
+# constants pip.HILBERT_DLUT/TLUT); list_prepend supplies the (d=0,
+# t=0) init accumulator, quads run MSB-first.
+SQL["hilbert_cell"] = f"""WITH {PTS},
+g AS (
+  SELECT doc_id,
+         CAST(floor((lon + 180.0) / 0.01) AS BIGINT) AS cx,
+         CAST(floor((lat + 90.0) / 0.01) AS BIGINT) AS cy
+  FROM pts
+)
+SELECT doc_id,
+  list_reduce(
+    list_prepend({{'d': CAST(0 AS BIGINT), 't': 0}},
+      list_transform(generate_series(0, 15),
+        i -> {{'d': CAST(2 * ((cx // (1 << (15 - i))) % 2)
+                        + ((cy // (1 << (15 - i))) % 2) AS BIGINT),
+               't': 0}})),
+    (acc, e) -> {{
+      'd': acc.d * 4 + [0,1,3,2, 0,3,1,2, 2,1,3,0, 2,3,1,0]
+                         [acc.t * 4 + CAST(e.d AS INTEGER) + 1],
+      't': [1,0,2,0, 0,3,1,1, 2,2,0,3, 3,1,3,2]
+             [acc.t * 4 + CAST(e.d AS INTEGER) + 1]}}
+  ).d AS hcell
+FROM g"""

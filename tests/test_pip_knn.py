@@ -1341,3 +1341,72 @@ def test_colocation_pairs_vs_python_and_cap_binds(spark):
         ).collect()
     }
     assert got == want and want  # non-vacuous
+
+
+def _xy2d(bits, x, y):
+    """Reference Hilbert loop (public-domain algorithm: rotate/reflect
+    per level) — the ground truth the LUT fold must reproduce."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_fold_matches_reference_loop(spark):
+    """The 4-state LUT fold equals the classic rotate loop at full
+    16-bit depth on random cells (incl. the corner extremes)."""
+    import random as _r
+
+    from scidbgeo_spark.operators import pip
+
+    rng = _r.Random(4111)
+    cells = [(0, 0), (65535, 65535), (65535, 0), (0, 65535)] + [
+        (rng.randrange(36000), rng.randrange(18000)) for _ in range(400)
+    ]
+    rows = [
+        (i, -180.0 + cx * 0.01 + 0.005, -90.0 + cy * 0.01 + 0.005)
+        for i, (cx, cy) in enumerate(cells)
+        if cx < 36000 and cy < 18000
+    ]
+    df = spark.createDataFrame(rows, "i long, lon double, lat double")
+    got = {
+        r.i: r.h
+        for r in df.select("i", pip.hilbert_cell_col().alias("h")).collect()
+    }
+    for i, (cx, cy) in enumerate(cells):
+        if cx < 36000 and cy < 18000:
+            assert got[i] == _xy2d(16, cx, cy), (cx, cy)
+
+
+def test_hilbert_bijective_and_locality(spark):
+    """On an exhaustive 32x32 grid (bits=5) the fold is a bijection
+    onto 0..1023 and CONSECUTIVE ids are always grid 4-neighbors — the
+    locality guarantee Z-order lacks (its seams jump); this is the
+    property that makes Hilbert-sorted parquet clustering compact."""
+    from scidbgeo_spark.operators import pip
+
+    n = 32
+    rows = [
+        (cx * n + cy, -180.0 + cx * 0.01 + 0.005, -90.0 + cy * 0.01 + 0.005)
+        for cx in range(n)
+        for cy in range(n)
+    ]
+    df = spark.createDataFrame(rows, "i long, lon double, lat double")
+    got = {
+        r.i: r.h
+        for r in df.select("i", pip.hilbert_cell_col(bits=5).alias("h")).collect()
+    }
+    assert sorted(got.values()) == list(range(n * n))
+    pos = {h: divmod(i, n) for i, h in got.items()}
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
