@@ -1232,6 +1232,16 @@ def q_distance_join(spark, sf_dir):
     return knn_mod.distance_join(pts, pois, radius=12.0)
 
 
+def q_distance_join_geo(spark, sf_dir):
+    """Geodesic-corrected range join (1500 km): latitude-adaptive POI
+    cell fan + banded-cosine equirectangular metric from a shared
+    driver-side LUT — no engine trig anywhere.  Oracle: brute-force
+    cross join under the identical metric."""
+    pts = model.points(spark, sf_dir)
+    pois = knn_mod.knn_queries_from_nation(spark, sf_dir, limit=10)
+    return knn_mod.distance_join_geo(pts, pois, radius_km=1500.0)
+
+
 def q_grid_dbscan(spark, sf_dir):
     """Grid-DBSCAN density clustering on the 10-degree occupied grid:
     core cells, queen-reachability merge (min-label propagation over
@@ -2546,6 +2556,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "crawl_schedule": q_crawl_schedule,
     "pareto_docs": q_pareto_docs,
     "hilbert_cell": q_hilbert_cell,
+    "distance_join_geo": q_distance_join_geo,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

@@ -3319,3 +3319,39 @@ SELECT doc_id,
              [acc.t * 4 + CAST(e.d AS INTEGER) + 1]}}
   ).d AS hcell
 FROM g"""
+
+from scidbgeo_spark.operators.knn import GEO_KM_PER_DEG, geo_row_scales  # noqa: E402
+
+# knn.distance_join_geo: brute-force cross join under the SAME banded
+# equirectangular metric.  The per-row km-per-lon-degree LUT is
+# computed ONCE in Python (111.32 * cos folded driver-side) and
+# embedded as repr() literals — repr round-trips doubles exactly, so
+# neither engine evaluates any trig AND each term is a single multiply
+# of identical doubles (a triple product lets DuckDB reassociate the
+# constant through the array extract and drift the last ulp off
+# Spark's left-assoc evaluation).
+# the "e0" suffix forces DuckDB to type each element DOUBLE — a bare
+# decimal repr becomes DECIMAL[], and DuckDB's decimal->double
+# conversion is not correctly rounded (observed 1-ulp drift)
+_GEO_LONKM = "[" + ", ".join(
+    (lambda r: r + ("" if "e" in r else "e0"))(repr(GEO_KM_PER_DEG * s))
+    for s in geo_row_scales(15.0)
+) + "]"
+SQL["distance_join_geo"] = f"""WITH {PTS},
+q AS (
+  SELECT n_nationkey AS q_id,
+         -180.0 + ((n_nationkey * 77777) % 360000) / 1000.0 AS qlon,
+         -90.0 + ((n_nationkey * 33333) % 180000) / 1000.0 AS qlat
+  FROM nation WHERE n_nationkey < 10
+),
+s AS (
+  SELECT p.doc_id, q.q_id,
+         (p.lat - q.qlat) * 111.32 AS dlat_km,
+         (p.lon - q.qlon)
+           * ({_GEO_LONKM}[CAST(least(floor((p.lat + 90.0) / 15.0), 11)
+                          AS INTEGER) + 1]) AS dlon_km
+  FROM pts p CROSS JOIN q
+)
+SELECT doc_id, q_id, dlat_km * dlat_km + dlon_km * dlon_km AS dist_km2
+FROM s
+WHERE dlat_km * dlat_km + dlon_km * dlon_km <= 2250000.0"""

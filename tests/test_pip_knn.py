@@ -1410,3 +1410,61 @@ def test_hilbert_bijective_and_locality(spark):
     for d in range(n * n - 1):
         (x1, y1), (x2, y2) = pos[d], pos[d + 1]
         assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+
+
+def test_distance_join_geo_vs_bruteforce(spark):
+    """The latitude-adaptive candidate fan must recover EXACTLY the
+    brute-force pair set under the banded equirectangular metric —
+    including high-latitude points where one lon cell is km-narrow and
+    the planar 3x3 fan would MISS matches."""
+    import random as _r
+
+    from scidbgeo_spark.operators import knn as K
+
+    rng = _r.Random(4112)
+    cell = 15.0
+    lonkm = [K.GEO_KM_PER_DEG * s for s in K.geo_row_scales(cell)]
+    pts = [
+        (i, rng.uniform(-180.0, 180.0), rng.uniform(-89.9, 89.9))
+        for i in range(300)
+    ] + [
+        # polar cluster: wide lon spread, small km distance
+        (300 + i, -170.0 + 20.0 * i, 83.0 + 0.1 * i)
+        for i in range(5)
+    ]
+    pois = [(j, rng.uniform(-180.0, 180.0), rng.uniform(-89.9, 89.9)) for j in range(8)]
+    pois.append((8, -160.0, 83.2))  # polar POI near the cluster
+    R = 1500.0
+    p_df = spark.createDataFrame(pts, "doc_id long, lon double, lat double")
+    q_df = spark.createDataFrame(pois, "q_id long, qlon double, qlat double")
+    got = {
+        (r.doc_id, r.q_id): r.dist_km2
+        for r in K.distance_join_geo(p_df, q_df, radius_km=R, cell=cell).collect()
+    }
+    expect = {}
+    for d, lon, lat in pts:
+        row = min(int((lat + 90.0) / cell), 11)
+        for qid, qlon, qlat in pois:
+            dlat = (lat - qlat) * K.GEO_KM_PER_DEG
+            dlon = (lon - qlon) * lonkm[row]
+            d2 = dlat * dlat + dlon * dlon
+            if d2 <= R * R:
+                expect[(d, qid)] = d2
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k] == expect[k], k
+    # the polar cluster must contribute pairs the planar 3x3 fan misses:
+    # 20 deg of lon at 83N is ~390 km, i.e. > 1 cell away in lon terms
+    assert any(d >= 300 and q == 8 for d, q in got)
+
+
+def test_distance_join_geo_polar_fan_is_wider(spark):
+    """The per-row candidate fan must widen toward the poles (the
+    whole point of the latitude correction): the polar row's fan_x
+    exceeds the equatorial row's."""
+    from scidbgeo_spark.operators import knn as K
+
+    cell = 15.0
+    lonkm = [K.GEO_KM_PER_DEG * s for s in K.geo_row_scales(cell)]
+    fan = [min(int(1500.0 / (cell * v)) + 1, 24) for v in lonkm]
+    assert fan[0] > fan[6] and fan[-1] > fan[5]
