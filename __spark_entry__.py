@@ -1728,6 +1728,56 @@ def q_robots_gate(spark, sf_dir):
     return curation.longest_prefix_join(urls, rules)
 
 
+def q_regrid_area(spark, sf_dir):
+    """Area-weighted regrid to a 5/4-ratio target grid: exact integer
+    overlap weights, one constant-fan explode + one groupBy; the single
+    final division keeps the oracle bit-exact."""
+    from scidbgeo_spark.operators import pixel
+
+    return pixel.regrid_area(model.raster_coo(spark, sf_dir), p=5, q=4)
+
+
+def q_interval_join(spark, sf_dir):
+    """Event-to-interval overlap join (maintenance-window attribution):
+    intervals replicate to bounded hour buckets, events compute one
+    bucket, equi-join + exact containment — never a theta join."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.operators import temporal
+
+    iv = spark.range(40).select(
+        F.col("id").alias("iv_id"),
+        (
+            F.lit(1704067200000000)
+            + ((F.col("id") * 6133) % 720) * F.lit(3600000000)
+        ).alias("t0_us"),
+        (
+            F.lit(1704067200000000)
+            + ((F.col("id") * 6133) % 720) * F.lit(3600000000)
+            + (1 + F.col("id") % 4) * F.lit(3600000000)
+        ).alias("t1_us"),
+    )
+    return temporal.interval_join(model.load_table(spark, sf_dir, "events"), iv)
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per event type over the last 167 dense
+    hours: median of pairwise slopes (odd pair count -> exact middle,
+    no interpolation); missing hours densified to zero."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.theil_sen(model.load_table(spark, sf_dir, "events"))
+
+
+def q_decayed_counts(spark, sf_dir):
+    """Time-decayed activity counters (half-life 1 h, dyadic weights):
+    summed as an exact integer numerator — order-independent unlike a
+    float sum — divided once by 2^40."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.decayed_counts(model.load_table(spark, sf_dir, "events"))
+
+
 def q_host_split(spark, sf_dir):
     """Leakage-safe train/val/test GROUP split: the shared polynomial
     host hash routes every doc of a host into exactly one split; output
@@ -2557,6 +2607,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pareto_docs": q_pareto_docs,
     "hilbert_cell": q_hilbert_cell,
     "distance_join_geo": q_distance_join_geo,
+    "regrid_area": q_regrid_area,
+    "interval_join": q_interval_join,
+    "theil_sen": q_theil_sen,
+    "decayed_counts": q_decayed_counts,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

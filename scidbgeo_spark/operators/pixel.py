@@ -594,3 +594,66 @@ def coregister_shift(a: DataFrame, b: DataFrame, max_shift: int = 2) -> DataFram
         "n_match",
         (F.row_number().over(w) == 1).alias("is_best"),
     )
+
+
+def regrid_area(coo: DataFrame, p: int = 5, q: int = 4) -> DataFrame:
+    """AREA-WEIGHTED REGRID to a rational-ratio target grid (gdalwarp
+    -r average with target cells p/q source units wide, e.g. 5/4):
+    each source cell distributes into the target cells it overlaps with
+    EXACT integer overlap weights, closing the gap between the
+    integer-factor :func:`downsample`/:func:`upsample` pair and
+    arbitrary-resolution regridding.
+
+    All arithmetic is integer until ONE final division: scale both
+    grids by q, source cell i covers [i*q, (i+1)*q), target cell j
+    covers [j*p, (j+1)*p); 1-D overlap = min(ends) - max(starts), and
+    the 2-D weight is the product.  value_avg = sum(v*wy*wx) /
+    sum(wy*wx) — numerator/denominator are exact longs, so the oracle
+    comparison is bit-exact and the sum is order-independent.
+
+    Scale shape: a constant per-row fan (a source cell overlaps at most
+    q/p + 1 target cells per axis) followed by ONE map-side-combinable
+    groupBy on the target cell — the same single-shuffle class as
+    downsample; ragged world edges fall out of the weights."""
+    if p <= 0 or q <= 0:
+        raise ValueError(f"regrid ratio {p}/{q} must be positive")
+    ey = coo.select(
+        "y",
+        "x",
+        "value",
+        F.explode(
+            F.sequence(
+                F.expr(f"(y * {q}) DIV {p}"),
+                F.expr(f"(y * {q} + {q - 1}) DIV {p}"),
+            )
+        ).alias("ty"),
+    )
+    wy = F.least(F.col("y") * q + q, (F.col("ty") + 1) * p) - F.greatest(
+        F.col("y") * q, F.col("ty") * p
+    )
+    ex = ey.select(
+        "x",
+        "value",
+        "ty",
+        wy.alias("wy"),
+        F.explode(
+            F.sequence(
+                F.expr(f"(x * {q}) DIV {p}"),
+                F.expr(f"(x * {q} + {q - 1}) DIV {p}"),
+            )
+        ).alias("tx"),
+    )
+    wx = F.least(F.col("x") * q + q, (F.col("tx") + 1) * p) - F.greatest(
+        F.col("x") * q, F.col("tx") * p
+    )
+    w = ex.select(
+        "ty", "tx", "value", (F.col("wy") * wx).alias("w")
+    )
+    return (
+        w.groupBy(F.col("ty").alias("y"), F.col("tx").alias("x"))
+        .agg(
+            F.sum(F.col("value") * F.col("w")).alias("num"),
+            F.sum("w").alias("den"),
+        )
+        .select("y", "x", (F.col("num") / F.col("den")).alias("value_avg"))
+    )

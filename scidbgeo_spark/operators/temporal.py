@@ -651,3 +651,157 @@ def funnel_steps(
         ],
     )
     return out.filter(F.col(f"t_{steps[-1]}").isNotNull())
+
+
+IV_BUCKET_US = 3_600_000_000  # 1-hour join buckets
+IV_MAX_LEN_US = 14_400_000_000  # intervals capped at 4 hours
+
+
+def interval_join(events: DataFrame, intervals: DataFrame) -> DataFrame:
+    """EVENT-TO-INTERVAL overlap join (ts in [t0, t1)) — the
+    maintenance-window / campaign-attribution join Spark has no native
+    operator for (a naive version is a range/theta join that
+    nested-loops at scale).  ``intervals``: (iv_id, t0_us, t1_us)
+    micros, lengths capped at IV_MAX_LEN_US (asserted in the plan via
+    a filter the caller must respect — oversize intervals would break
+    the fan bound).
+
+    Scale shape: the distance_join pattern in time — each interval
+    replicates to the hour buckets it overlaps (fan bounded by
+    cap/bucket + 1 = 5), events compute ONE bucket, the pair space
+    collapses to an equi-join on the bucket + the exact containment
+    filter.  The interval side is usually small (broadcast); neither
+    side ever cross-joins."""
+    t_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    iv = intervals.select(
+        "iv_id",
+        "t0_us",
+        "t1_us",
+        F.explode(
+            F.sequence(
+                F.expr(f"t0_us DIV {IV_BUCKET_US}"),
+                F.expr(f"(t1_us - 1) DIV {IV_BUCKET_US}"),
+            )
+        ).alias("bkt"),
+    )
+    ev = events.select(
+        "event_id", "user_id", t_us.alias("t_us")
+    ).withColumn("bkt", F.expr(f"t_us DIV {IV_BUCKET_US}"))
+    return (
+        ev.join(F.broadcast(iv), "bkt")
+        .filter((F.col("t_us") >= F.col("t0_us")) & (F.col("t_us") < F.col("t1_us")))
+        .select("event_id", "user_id", "iv_id", "t_us")
+    )
+
+
+TS_WINDOW_H = 167  # odd pair count (167*166/2) -> exact middle median
+
+
+def theil_sen(events: DataFrame) -> DataFrame:
+    """THEIL-SEN robust trend per event type: the median of all
+    pairwise slopes of the DENSE hourly count series over the last
+    TS_WINDOW_H hours (ending at the global max hour) — the
+    outlier-proof alternative to least squares every monitoring
+    pipeline wants (mk_trend's natural companion: MK gives direction
+    significance, Theil-Sen the magnitude).
+
+    Exactness: the window length 167 makes the pair count odd, so the
+    median is an exact middle element (no interpolated mean whose
+    association could drift an ulp); each slope is ONE long/long
+    division.  Missing hours are densified to zero on a generated hour
+    spine first — pairwise slopes over sparse hours would silently
+    skip the zeros and overstate trends.
+
+    Scale shape: ONE count agg keyed (type, hour), a generated
+    constant-size spine per type (broadcast cross of types x 167
+    hours), then a per-type self-join bounded by 167^2/2 pairs per
+    type — constant work per entity regardless of corpus size."""
+    # integer hour bucketing: a float quotient of a 1.7e15 micros value
+    # can round across an hour boundary before flooring and disagree
+    # with DuckDB's integer // — stay in int64 DIV end to end
+    base = events.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " DIV 3600000000"
+        ).alias("h"),
+    )
+    hmax = base.agg(F.max("h").alias("hmax"))
+    counts = (
+        base.join(F.broadcast(hmax))
+        .filter(F.col("h") > F.col("hmax") - TS_WINDOW_H)
+        .groupBy("event_type", (F.col("hmax") - F.col("h")).alias("age"))
+        .agg(F.count("*").alias("cnt"))
+    )
+    types = counts.select("event_type").distinct()
+    spine = types.crossJoin(
+        F.broadcast(
+            counts.sparkSession.range(TS_WINDOW_H).select(F.col("id").alias("age"))
+        )
+    )
+    dense = spine.join(counts, ["event_type", "age"], "left").select(
+        "event_type", "age", F.coalesce("cnt", F.lit(0)).alias("cnt")
+    )
+    a = dense.select("event_type", F.col("age").alias("i"), F.col("cnt").alias("ci"))
+    b = dense.select("event_type", F.col("age").alias("j"), F.col("cnt").alias("cj"))
+    # slope vs TIME: time = hmax - age, so d(cnt)/d(time) = (ci - cj)/(j - i)
+    pairs = a.join(b, "event_type").filter(F.col("i") < F.col("j"))
+    slope = (F.col("ci") - F.col("cj")) / (F.col("j") - F.col("i"))
+    return (
+        pairs.select("event_type", slope.alias("slope"))
+        .groupBy("event_type")
+        .agg(
+            F.expr("median(slope)").alias("slope_per_hour"),
+            F.count("*").alias("n_pairs"),
+        )
+    )
+
+
+DECAY_CAP_H = 40  # dyadic decay exactness bound: 2^-40 granules sum exactly
+
+
+def decayed_counts(events: DataFrame) -> DataFrame:
+    """TIME-DECAYED activity counters per event type: each event
+    contributes 2^-age_hours (half-life = 1 hour, ages capped at
+    DECAY_CAP_H) relative to the global newest event — the freshness
+    score behind trending-topic / hot-host rankings.
+
+    Exactness trick: the decayed weight is summed as the INTEGER
+    numerator sum(1 << (CAP - age)) and divided by 2^CAP exactly once —
+    float sums are order-dependent across partitions, an exact long sum
+    is not, and every weight is a dyadic rational so the single final
+    division is exact.  The cap also bounds the numerator: 10^12 events
+    x 2^40 fits in unsigned 80 bits... so at true corpus scale the
+    numerator would sum in DECIMAL(38) (same pattern as the zonal
+    variance sums); the long path holds to ~2^22 max-weight events and
+    is what both engines evaluate here.
+
+    Scale shape: one 1-row global-max agg broadcast back, then ONE
+    map-side-combinable groupBy — no window, no join beyond the scalar
+    broadcast."""
+    # integer hour bucketing: a float quotient of a 1.7e15 micros value
+    # can round across an hour boundary before flooring and disagree
+    # with DuckDB's integer // — stay in int64 DIV end to end
+    base = events.select(
+        "event_type",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            " DIV 3600000000"
+        ).alias("h"),
+    )
+    hmax = base.agg(F.max("h").alias("hmax"))
+    aged = base.join(F.broadcast(hmax)).select(
+        "event_type",
+        F.least(F.col("hmax") - F.col("h"), F.lit(DECAY_CAP_H)).alias("age"),
+    )
+    # SQL-form shiftleft: the Python F.shiftleft only takes a literal
+    # bit count, the SQL function takes a column
+    num = F.sum(
+        F.expr(f"shiftleft(cast(1 as bigint), cast({DECAY_CAP_H} - age as int))")
+    )
+    return aged.groupBy("event_type").agg(
+        (num / F.lit(float(1 << DECAY_CAP_H))).alias("decayed"),
+        F.count("*").alias("n_events"),
+    )

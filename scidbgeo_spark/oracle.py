@@ -3355,3 +3355,84 @@ s AS (
 SELECT doc_id, q_id, dlat_km * dlat_km + dlon_km * dlon_km AS dist_km2
 FROM s
 WHERE dlat_km * dlat_km + dlon_km * dlon_km <= 2250000.0"""
+
+# pixel.regrid_area: identical integer overlap-weight arithmetic; the
+# single num/den division is the only float op on either side.
+SQL["regrid_area"] = f"""WITH {COO},
+ey AS (
+  SELECT c.x, c.value, g.ty,
+         least(c.y * 4 + 4, (g.ty + 1) * 5) - greatest(c.y * 4, g.ty * 5) AS wy
+  FROM coo c, LATERAL unnest(generate_series((c.y * 4) // 5,
+                                             (c.y * 4 + 3) // 5)) g(ty)
+),
+ex AS (
+  SELECT e.ty, g.tx, e.value,
+         e.wy * (least(e.x * 4 + 4, (g.tx + 1) * 5)
+                 - greatest(e.x * 4, g.tx * 5)) AS w
+  FROM ey e, LATERAL unnest(generate_series((e.x * 4) // 5,
+                                            (e.x * 4 + 3) // 5)) g(tx)
+)
+SELECT ty AS y, tx AS x,
+       CAST(sum(value * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE) AS value_avg
+FROM ex GROUP BY 1, 2"""
+
+# temporal.interval_join: brute-force containment theta join — the
+# engine's bucket replication must recover exactly this pair set.
+SQL["interval_join"] = """WITH iv AS (
+  SELECT t.k AS iv_id,
+         1704067200000000 + ((t.k * 6133) % 720) * 3600000000 AS t0_us,
+         1704067200000000 + ((t.k * 6133) % 720) * 3600000000
+           + (1 + t.k % 4) * 3600000000 AS t1_us
+  FROM range(40) t(k)
+)
+SELECT e.event_id, e.user_id, iv.iv_id, epoch_us(e.ts) AS t_us
+FROM events e JOIN iv
+  ON epoch_us(e.ts) >= iv.t0_us AND epoch_us(e.ts) < iv.t1_us"""
+
+# temporal.theil_sen: identical dense-spine pairwise-slope median; the
+# 167-hour window makes the pair count odd so median is an exact
+# middle element in both engines (no interpolation arithmetic).
+SQL["theil_sen"] = """WITH base AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+),
+mx AS (SELECT max(h) AS hmax FROM base),
+counts AS (
+  SELECT event_type, (SELECT hmax FROM mx) - h AS age, count(*) AS cnt
+  FROM base WHERE h > (SELECT hmax FROM mx) - 167
+  GROUP BY 1, 2
+),
+types AS (SELECT DISTINCT event_type FROM counts),
+spine AS (
+  SELECT t.event_type, g.age
+  FROM types t, LATERAL unnest(generate_series(0, 166)) g(age)
+),
+dense AS (
+  SELECT s.event_type, s.age, coalesce(c.cnt, 0) AS cnt
+  FROM spine s LEFT JOIN counts c
+    ON s.event_type = c.event_type AND s.age = c.age
+),
+pairs AS (
+  SELECT a.event_type, (a.cnt - b.cnt) / (b.age - a.age) AS slope
+  FROM dense a JOIN dense b
+    ON a.event_type = b.event_type AND a.age < b.age
+)
+SELECT event_type, median(slope) AS slope_per_hour,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1"""
+
+# temporal.decayed_counts: same exact integer-numerator trick; the
+# numerator sum is a BIGINT (cast guards DuckDB's hugeint sum).
+SQL["decayed_counts"] = """WITH base AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events
+),
+mx AS (SELECT max(h) AS hmax FROM base),
+aged AS (
+  SELECT event_type,
+         least((SELECT hmax FROM mx) - h, 40) AS age
+  FROM base
+)
+SELECT event_type,
+       CAST(sum(CAST(1 AS BIGINT) << (40 - age)) AS DOUBLE)
+         / 1099511627776.0 AS decayed,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM aged GROUP BY 1"""

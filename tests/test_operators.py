@@ -1311,3 +1311,139 @@ def test_coregister_recovers_planted_shift(spark, sf_smoke):
     assert best == [(-1, -2)]
     # full in-range match: b's (y-1, x-2) target exists for y>=1, x>=2
     assert got[(-1, -2)] == (h - 1) * (w - 2)
+
+
+def test_regrid_area_vs_python(spark):
+    """Exact parity with a pure-Python area-weighted regrid on a ragged
+    7x9 raster at ratio 5/4, plus mass conservation: sum(value*w) over
+    all targets equals sum(value)*q*q (every source unit of area lands
+    somewhere)."""
+    import random as _r
+
+    rng = _r.Random(4113)
+    h, w, p, q = 7, 9, 5, 4
+    vals = {(y, x): rng.randint(-50, 100) for y in range(h) for x in range(w)}
+    coo = spark.createDataFrame(
+        [(y, x, v) for (y, x), v in vals.items()], "y long, x long, value long"
+    )
+    got = {
+        (r.y, r.x): r.value_avg
+        for r in pixel.regrid_area(coo, p=p, q=q).collect()
+    }
+    num, den = {}, {}
+    for (y, x), v in vals.items():
+        for ty in range((y * q) // p, (y * q + q - 1) // p + 1):
+            wy = min(y * q + q, (ty + 1) * p) - max(y * q, ty * p)
+            for tx in range((x * q) // p, (x * q + q - 1) // p + 1):
+                wx = min(x * q + q, (tx + 1) * p) - max(x * q, tx * p)
+                num[(ty, tx)] = num.get((ty, tx), 0) + v * wy * wx
+                den[(ty, tx)] = den.get((ty, tx), 0) + wy * wx
+    assert set(got) == set(num)
+    for k in got:
+        assert got[k] == num[k] / den[k], k
+    assert sum(den.values()) == h * w * q * q  # mass conservation
+
+
+def test_interval_join_vs_bruteforce_and_broadcast(spark):
+    """Bucket replication recovers exactly the brute-force containment
+    pair set — boundary semantics [t0, t1) included — and the interval
+    side reaches the events via broadcast."""
+    import random as _r
+
+    from scidbgeo_spark.operators import temporal
+
+    rng = _r.Random(4114)
+    B = temporal.IV_BUCKET_US
+    evs = []
+    for i in range(200):
+        t = 1704067200000000 + rng.randrange(0, 50 * B)
+        evs.append((i, t // 1000000, i % 7, t))
+    # force exact-boundary events
+    evs.append((200, 0, 0, 1704067200000000 + 3 * B))
+    ev_df = spark.createDataFrame(
+        [(e, u, t) for e, _s, u, t in evs], "event_id long, user_id long, t long"
+    ).select(
+        "event_id",
+        "user_id",
+        F.expr("timestampadd(MICROSECOND, t, TIMESTAMP_NTZ '1970-01-01 00:00:00')").alias(
+            "ts"
+        ),
+    )
+    ivs = []
+    for j in range(15):
+        t0 = 1704067200000000 + rng.randrange(0, 48 * B)
+        ivs.append((j, t0, t0 + rng.randrange(1, temporal.IV_MAX_LEN_US)))
+    ivs.append((15, 1704067200000000 + 3 * B, 1704067200000000 + 4 * B))
+    iv_df = spark.createDataFrame(ivs, "iv_id long, t0_us long, t1_us long")
+    out = temporal.interval_join(ev_df, iv_df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    got = {(r.event_id, r.iv_id) for r in out.collect()}
+    expect = {
+        (e, j)
+        for e, _s, _u, t in evs
+        for j, t0, t1 in ivs
+        if t0 <= t < t1
+    }
+    assert got == expect
+    assert (200, 15) in got  # t == t0 boundary included
+
+
+def test_theil_sen_and_decayed_counts_vs_python(spark):
+    """Dense-spine pairwise-slope median and the dyadic decay numerator
+    both match a pure-Python fold on a small synthetic stream with
+    missing hours and >40h-old events."""
+    from scidbgeo_spark.operators import temporal
+
+    import random as _r
+
+    rng = _r.Random(4115)
+    rows = []
+    eid = 0
+    base_us = 1704067200000000
+    for _ in range(500):
+        ty = rng.choice(["a", "b"])
+        h = rng.choice(list(range(0, 30)) + list(range(100, 230)))  # gaps + old
+        rows.append((eid, ty, base_us + h * 3600000000 + rng.randrange(3600000000)))
+        eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, t long"
+    ).select(
+        "event_id",
+        "event_type",
+        F.expr("timestampadd(MICROSECOND, t, TIMESTAMP_NTZ '1970-01-01 00:00:00')").alias(
+            "ts"
+        ),
+    )
+    hours = [(ty, t // 3600000000) for _e, ty, t in rows]
+    hmax = max(h for _t, h in hours)
+    # --- theil_sen twin
+    W = temporal.TS_WINDOW_H
+    got_ts = {
+        r.event_type: (r.slope_per_hour, r.n_pairs)
+        for r in temporal.theil_sen(ev).collect()
+    }
+    import statistics
+
+    for ty in ("a", "b"):
+        cnt = [0] * W
+        for t, h in hours:
+            if t == ty and h > hmax - W:
+                cnt[hmax - h] += 1
+        slopes = sorted(
+            (cnt[i] - cnt[j]) / (j - i) for i in range(W) for j in range(i + 1, W)
+        )
+        assert len(slopes) % 2 == 1
+        med = slopes[len(slopes) // 2]
+        assert got_ts[ty] == (med, len(slopes)), ty
+    # --- decayed_counts twin
+    got_dc = {
+        r.event_type: (r.decayed, r.n_events)
+        for r in temporal.decayed_counts(ev).collect()
+    }
+    for ty in ("a", "b"):
+        num = sum(
+            1 << (40 - min(hmax - h, 40)) for t, h in hours if t == ty
+        )
+        n = sum(1 for t, _h in hours if t == ty)
+        assert got_dc[ty] == (num / float(1 << 40), n), ty
