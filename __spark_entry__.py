@@ -991,6 +991,13 @@ def q_hilbert_cell(spark, sf_dir):
     return pts.select("doc_id", pip.hilbert_cell_col().alias("hcell"))
 
 
+def q_quadtree_split(spark, sf_dir):
+    """Adaptive tile splitting (north-rule dense-cell answer): quadtree
+    leaves holding <= 20 points each, computed in ONE pass via the
+    count-monotonicity shortcut — no driver split loop."""
+    return pip.quadtree_split(model.points(spark, sf_dir))
+
+
 def q_cell_rollup(spark, sf_dir):
     """Zoom-pyramid cell rollup: point counts at quadkey resolutions
     16/8/4 in one GROUPING SETS pass (single shuffle, map-side partials)
@@ -2607,6 +2614,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pareto_docs": q_pareto_docs,
     "hilbert_cell": q_hilbert_cell,
     "distance_join_geo": q_distance_join_geo,
+    "quadtree_split": q_quadtree_split,
     "regrid_area": q_regrid_area,
     "interval_join": q_interval_join,
     "theil_sen": q_theil_sen,

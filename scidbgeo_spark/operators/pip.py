@@ -505,3 +505,53 @@ def hilbert_cell_col(lon: str = "lon", lat: str = "lat", bits: int = ZORDER_BITS
         ),
         lambda acc: acc["d"],
     )
+
+
+QT_R0, QT_RMAX = 4, 16  # quadtree depth range (bits per axis)
+QT_CAP = 20  # split a cell while it holds more points than this
+
+
+def quadtree_split(
+    pts: DataFrame, cap: int = QT_CAP, r0: int = QT_R0, rmax: int = QT_RMAX
+) -> DataFrame:
+    """ADAPTIVE TILE SPLITTING (the north rule's dense-cell answer,
+    beyond salting): quadtree leaves over the point set — a cell splits
+    into its four Z-order children while it holds more than ``cap``
+    points, from ``r0`` bits/axis down to ``rmax``.  Output one row per
+    LEAF: (res, cell, n_points); leaves tile the space without overlap
+    and every leaf holds <= cap points unless it bottomed out at rmax
+    (the documented floor — the hot cell stays identifiable).
+
+    NO driver loop: point counts are MONOTONE down the tree (a child
+    never outcounts its parent), so "the shallowest ancestor with count
+    <= cap" IS the split-until-under-cap leaf — computable in one pass:
+    a constant (rmax - r0 + 1)-fan explode of each point's ancestor
+    prefixes, ONE map-side-combinable (res, cell) count, one equi-join
+    back, and a min_by per point.  The iterative split loop every
+    quadtree builder writes becomes pure relational algebra, which is
+    exactly what survives a 1000-executor scale-up (compare
+    plans/skew.hot_keys for the 1-D salting analog)."""
+    if not (0 < r0 <= rmax <= ZORDER_BITS):
+        raise ValueError(f"bad quadtree depth range [{r0}, {rmax}]")
+    levels = F.array(*[F.lit(r) for r in range(r0, rmax + 1)])
+    lv = pts.select(
+        "doc_id", zorder_cell_col().alias("z16")
+    ).select(
+        "doc_id",
+        "z16",
+        F.explode(levels).alias("r"),
+    ).select(
+        "doc_id",
+        "r",
+        F.expr(f"shiftright(z16, cast(2 * ({ZORDER_BITS} - r) as int))").alias(
+            "cell"
+        ),
+    )
+    counts = lv.groupBy("r", "cell").agg(F.count("*").alias("n"))
+    elig = lv.join(counts, ["r", "cell"]).filter(
+        (F.col("n") <= cap) | (F.col("r") == rmax)
+    )
+    leaf = elig.groupBy("doc_id").agg(
+        F.min("r").alias("res"), F.expr("min_by(cell, r)").alias("cell")
+    )
+    return leaf.groupBy("res", "cell").agg(F.count("*").alias("n_points"))

@@ -3436,3 +3436,26 @@ SELECT event_type,
          / 1099511627776.0 AS decayed,
        CAST(count(*) AS BIGINT) AS n_events
 FROM aged GROUP BY 1"""
+
+# pip.quadtree_split: the same one-pass monotone-count formulation —
+# ancestor prefixes per point, (r, cell) counts, shallowest eligible
+# ancestor via min(r) (the cell follows functionally from (doc, r)).
+SQL["quadtree_split"] = f"""WITH {PTS},
+z AS (SELECT doc_id, CAST({_zbits} AS BIGINT) AS z16 FROM pts),
+lv AS (
+  SELECT doc_id, g.r, z16 >> CAST(2 * (16 - g.r) AS INTEGER) AS cell
+  FROM z, LATERAL unnest(generate_series(4, 16)) g(r)
+),
+counts AS (SELECT r, cell, count(*) AS n FROM lv GROUP BY 1, 2),
+elig AS (
+  SELECT l.doc_id, l.r, l.cell
+  FROM lv l JOIN counts c ON l.r = c.r AND l.cell = c.cell
+  WHERE c.n <= 20 OR l.r = 16
+),
+leaf AS (
+  SELECT doc_id, min(r) AS res, min_by(cell, r) AS cell
+  FROM elig GROUP BY doc_id
+)
+SELECT CAST(res AS INTEGER) AS res, cell,
+       CAST(count(*) AS BIGINT) AS n_points
+FROM leaf GROUP BY 1, 2"""

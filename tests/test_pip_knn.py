@@ -1468,3 +1468,66 @@ def test_distance_join_geo_polar_fan_is_wider(spark):
     lonkm = [K.GEO_KM_PER_DEG * s for s in K.geo_row_scales(cell)]
     fan = [min(int(1500.0 / (cell * v)) + 1, 24) for v in lonkm]
     assert fan[0] > fan[6] and fan[-1] > fan[5]
+
+
+def test_quadtree_split_invariants_and_python_twin(spark):
+    """The one-pass leaf computation equals the iterative
+    split-until-under-cap quadtree on a skewed point set, leaves tile
+    without overlap (every point in exactly one leaf), every leaf
+    holds <= cap points unless it bottomed out at rmax, and a leaf's
+    parent is always over cap (no premature split)."""
+    import random as _r
+
+    from scidbgeo_spark.operators import pip
+
+    rng = _r.Random(4116)
+    pts = []
+    for i in range(400):
+        if i % 2 == 0:  # dense hot blob
+            pts.append((i, 10.0 + rng.random() * 0.02, 10.0 + rng.random() * 0.02))
+        else:
+            pts.append((i, rng.uniform(-179, 179), rng.uniform(-89, 89)))
+    df = spark.createDataFrame(pts, "doc_id long, lon double, lat double")
+    cap, r0, rmax = 15, 4, 16
+    got = {
+        (r.res, r.cell): r.n_points
+        for r in pip.quadtree_split(df, cap=cap, r0=r0, rmax=rmax).collect()
+    }
+
+    def z16(lon, lat):
+        cx = int((lon + 180.0) / 0.01)
+        cy = int((lat + 90.0) / 0.01)
+        z = 0
+        for i in range(16):
+            z |= ((cx >> i) & 1) << (2 * i)
+            z |= ((cy >> i) & 1) << (2 * i + 1)
+        return z
+
+    zs = [z16(lon, lat) for _d, lon, lat in pts]
+    # iterative reference: split cells over cap level by level
+    from collections import Counter
+
+    leaves = {}
+    frontier = Counter(z >> (2 * (16 - r0)) for z in zs)
+    for r in range(r0, rmax + 1):
+        nxt = Counter()
+        for z in zs:
+            cell = z >> (2 * (16 - r))
+            if (r, cell) in leaves or any(
+                (rr, z >> (2 * (16 - rr))) in leaves for rr in range(r0, r)
+            ):
+                continue
+            nxt[cell] += 1
+        for cell, n in nxt.items():
+            if n <= cap or r == rmax:
+                leaves[(r, cell)] = n
+    assert got == dict(leaves)
+    assert sum(got.values()) == len(pts)  # exact tiling, no overlap
+    for (r, cell), n in got.items():
+        if r < rmax:
+            assert n <= cap
+        if r > r0:  # parent must have been over cap
+            parent = (r - 1, cell >> 2)
+            pn = sum(1 for z in zs if z >> (2 * (16 - (r - 1))) == cell >> 2)
+            assert pn > cap, parent
+    assert any(r > r0 for r, _c in got)  # the hot blob forced real splits
