@@ -991,6 +991,39 @@ def q_hilbert_cell(spark, sf_dir):
     return pts.select("doc_id", pip.hilbert_cell_col().alias("hcell"))
 
 
+def q_rect_join(spark, sf_dir):
+    """Rectangle-overlap join (R-tree-style bbox intersection) with the
+    responsible-cell rule: each pair reported exactly once with ZERO
+    dedup shuffle.  Oracle: brute cross join with the overlap
+    predicate."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    a = docs.select(
+        F.col("doc_id").alias("a_id"),
+        ((F.col("doc_id") * 9973) % 340000).alias("ax0"),
+        ((F.col("doc_id") * 7919) % 160000).alias("ay0"),
+    ).select(
+        "a_id",
+        "ax0",
+        "ay0",
+        (F.col("ax0") + 100 + (F.col("a_id") % 199) * 100).alias("ax1"),
+        (F.col("ay0") + 100 + (F.col("a_id") % 193) * 100).alias("ay1"),
+    )
+    b = spark.range(60).select(
+        F.col("id").alias("b_id"),
+        ((F.col("id") * 77777) % 340000).alias("bx0"),
+        ((F.col("id") * 33333) % 160000).alias("by0"),
+    ).select(
+        "b_id",
+        "bx0",
+        "by0",
+        (F.col("bx0") + (1 + F.col("b_id") % 4) * 5000).alias("bx1"),
+        (F.col("by0") + (1 + F.col("b_id") % 5) * 4000).alias("by1"),
+    )
+    return knn_mod.rect_join(a, b)
+
+
 def q_quadtree_split(spark, sf_dir):
     """Adaptive tile splitting (north-rule dense-cell answer): quadtree
     leaves holding <= 20 points each, computed in ONE pass via the
@@ -1020,6 +1053,22 @@ def q_zorder_range_count(spark, sf_dir):
     return (
         pts.select(pip.zorder_cell_col().alias("zcell"))
         .filter((F.col("zcell") >= z0) & (F.col("zcell") < z1))
+        .agg(F.count("*").alias("n_points"))
+    )
+
+
+def q_hilbert_range_count(spark, sf_dir):
+    """Hilbert RANGE PRUNING: the same aligned block as
+    zorder_range_count expressed as one contiguous Hilbert id interval
+    — same independent lon/lat-box oracle, so the two curves'
+    range-scan semantics are pinned against each other."""
+    from pyspark.sql import functions as F
+
+    pts = model.points(spark, sf_dir)
+    d0, d1 = pip.hilbert_block_range(16384, 8192, 12)
+    return (
+        pts.select(pip.hilbert_cell_col().alias("hcell"))
+        .filter((F.col("hcell") >= d0) & (F.col("hcell") < d1))
         .agg(F.count("*").alias("n_points"))
     )
 
@@ -2615,6 +2664,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hilbert_cell": q_hilbert_cell,
     "distance_join_geo": q_distance_join_geo,
     "quadtree_split": q_quadtree_split,
+    "rect_join": q_rect_join,
+    "hilbert_range_count": q_hilbert_range_count,
     "regrid_area": q_regrid_area,
     "interval_join": q_interval_join,
     "theil_sen": q_theil_sen,

@@ -1225,3 +1225,64 @@ def distance_join_geo(
         .filter(d2 <= radius_km * radius_km)
         .select("doc_id", "q_id", d2.alias("dist_km2"))
     )
+
+
+RECT_CELL = 10_000  # milli-degree grid for the rect-overlap join
+RECT_MAX_EXTENT = 20_000  # rect edge cap (milli-deg): bounds the cell fan
+
+
+def rect_join(a: DataFrame, b: DataFrame, cell: int = RECT_CELL) -> DataFrame:
+    """RECTANGLE-OVERLAP JOIN with RESPONSIBLE-CELL deduplication — the
+    R-tree-style spatial join (bbox intersection of two rect sets:
+    viewport x ad-region, tile x AOI) as pure relational algebra.
+    Inputs: (a_id|b_id, x0, y0, x1, y1) integer milli-degrees with
+    x0 <= x1, y0 <= y1 and edges capped at RECT_MAX_EXTENT (asserted by
+    the fan bound).  Output one row per OVERLAPPING pair, exactly once.
+
+    The classic partition-join problem is DUPLICATES: two rects sharing
+    k grid cells would report the pair k times, and a global distinct
+    is a second full shuffle.  The standard fix (the reporting-cell /
+    reference-point rule of the partition-based spatial-join
+    literature) assigns each pair to the single cell containing the
+    overlap region's min corner (max(ax0,bx0), max(ay0,by0)) — each
+    side emits its covered cells (fan bounded by extent/cell + 1 per
+    axis), the equi-join meets in every shared cell, and the filter
+    keeps the pair ONLY in its responsible cell: exactly-once output
+    with ZERO dedup shuffle.
+
+    Scale shape: constant-fan explodes, ONE equi-join on the cell id,
+    column-algebra filters; skewed hot cells salt like any equi-join
+    (AQE skew-join handles them)."""
+
+    def cover(df, pref):
+        return df.select(
+            *df.columns,
+            F.explode(
+                F.sequence(
+                    F.expr(f"{pref}y0 DIV {cell}"), F.expr(f"{pref}y1 DIV {cell}")
+                )
+            ).alias("cy"),
+        ).select(
+            *df.columns,
+            "cy",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{pref}x0 DIV {cell}"), F.expr(f"{pref}x1 DIV {cell}")
+                )
+            ).alias("cx"),
+        )
+
+    ca = cover(a, "a")
+    cb = cover(b, "b")
+    j = ca.join(cb, ["cy", "cx"])
+    overlap = (
+        (F.col("ax0") <= F.col("bx1"))
+        & (F.col("bx0") <= F.col("ax1"))
+        & (F.col("ay0") <= F.col("by1"))
+        & (F.col("by0") <= F.col("ay1"))
+    )
+    responsible = (
+        (F.expr(f"greatest(ay0, by0) DIV {cell}") == F.col("cy"))
+        & (F.expr(f"greatest(ax0, bx0) DIV {cell}") == F.col("cx"))
+    )
+    return j.filter(overlap & responsible).select("a_id", "b_id")

@@ -555,3 +555,25 @@ def quadtree_split(
         F.min("r").alias("res"), F.expr("min_by(cell, r)").alias("cell")
     )
     return leaf.groupBy("res", "cell").agg(F.count("*").alias("n_points"))
+
+
+def hilbert_block_range(cx0: int, cy0: int, k: int) -> tuple[int, int]:
+    """[d0, d1) of the quadtree-aligned block ``cx in [cx0, cx0+2^k),
+    cy in [cy0, cy0+2^k)`` on the HILBERT curve: like Z-order, any
+    aligned 2^k x 2^k block is one contiguous id range of length 4^k
+    (the curve visits a quadtree node's subtree before leaving it), so
+    box queries stay single range predicates — but with Hilbert the
+    RANGES of adjacent blocks are also spatially adjacent, so multi-
+    block boxes need fewer ranges than Z-order's seam-jumping ids.
+    The block's id prefix is the Hilbert index of the block corner at
+    depth bits-k, via the same DLUT/TLUT machine as the cell fold."""
+    if cx0 % (1 << k) or cy0 % (1 << k):
+        raise ValueError(f"block origin ({cx0},{cy0}) not aligned to 2^{k}")
+    bx, by = cx0 >> k, cy0 >> k
+    bits = ZORDER_BITS - k
+    d, t = 0, 0
+    for i in range(bits - 1, -1, -1):
+        quad = (((bx >> i) & 1) << 1) | ((by >> i) & 1)
+        d = d * 4 + HILBERT_DLUT[t * 4 + quad]
+        t = HILBERT_TLUT[t * 4 + quad]
+    return d << (2 * k), (d << (2 * k)) + 4**k

@@ -3459,3 +3459,31 @@ leaf AS (
 SELECT CAST(res AS INTEGER) AS res, cell,
        CAST(count(*) AS BIGINT) AS n_points
 FROM leaf GROUP BY 1, 2"""
+
+# knn.rect_join: brute-force overlap theta join — the engine's
+# responsible-cell dedup must reproduce exactly this pair set, each
+# pair once.
+SQL["rect_join"] = """WITH a AS (
+  SELECT doc_id AS a_id,
+         (doc_id * 9973) % 340000 AS ax0,
+         (doc_id * 7919) % 160000 AS ay0,
+         (doc_id * 9973) % 340000 + 100 + (doc_id % 199) * 100 AS ax1,
+         (doc_id * 7919) % 160000 + 100 + (doc_id % 193) * 100 AS ay1
+  FROM documents
+),
+b AS (
+  SELECT t.k AS b_id,
+         (t.k * 77777) % 340000 AS bx0,
+         (t.k * 33333) % 160000 AS by0,
+         (t.k * 77777) % 340000 + (1 + t.k % 4) * 5000 AS bx1,
+         (t.k * 33333) % 160000 + (1 + t.k % 5) * 4000 AS by1
+  FROM range(60) t(k)
+)
+SELECT a.a_id, b.b_id
+FROM a JOIN b
+  ON a.ax0 <= b.bx1 AND b.bx0 <= a.ax1
+ AND a.ay0 <= b.by1 AND b.by0 <= a.ay1"""
+
+# pip.hilbert_block_range: the oracle verifies SEMANTICS independently
+# (range == the same lon/lat box as zorder_range_count).
+SQL["hilbert_range_count"] = SQL["zorder_range_count"]

@@ -1531,3 +1531,67 @@ def test_quadtree_split_invariants_and_python_twin(spark):
             pn = sum(1 for z in zs if z >> (2 * (16 - (r - 1))) == cell >> 2)
             assert pn > cap, parent
     assert any(r > r0 for r, _c in got)  # the hot blob forced real splits
+
+
+def test_rect_join_exactly_once_vs_bruteforce(spark):
+    """Responsible-cell dedup: pairs sharing MANY grid cells (large
+    overlapping rects) still report exactly once, and the pair set
+    equals the brute-force overlap join — including edge-touching
+    rects (closed-interval overlap)."""
+    import random as _r
+
+    from scidbgeo_spark.operators import knn as K
+
+    rng = _r.Random(4117)
+    cell = K.RECT_CELL
+    rects_a, rects_b = [], []
+    for i in range(120):
+        x0, y0 = rng.randrange(0, 300000), rng.randrange(0, 140000)
+        rects_a.append((i, x0, y0, x0 + rng.randrange(0, K.RECT_MAX_EXTENT), y0 + rng.randrange(0, K.RECT_MAX_EXTENT)))
+    for j in range(40):
+        x0, y0 = rng.randrange(0, 300000), rng.randrange(0, 140000)
+        rects_b.append((j, x0, y0, x0 + rng.randrange(0, K.RECT_MAX_EXTENT), y0 + rng.randrange(0, K.RECT_MAX_EXTENT)))
+    # force an edge-touching pair and a many-shared-cells pair
+    rects_a.append((120, 50000, 50000, 70000, 70000))
+    rects_b.append((40, 70000, 70000, 90000, 90000))      # touches at a corner
+    rects_b.append((41, 45000, 45000, 65000, 65000))      # big overlap, 4+ cells
+    a_df = spark.createDataFrame(rects_a, "a_id long, ax0 long, ay0 long, ax1 long, ay1 long")
+    b_df = spark.createDataFrame(rects_b, "b_id long, bx0 long, by0 long, bx1 long, by1 long")
+    rows = K.rect_join(a_df, b_df, cell=cell).collect()
+    got = [(r.a_id, r.b_id) for r in rows]
+    assert len(got) == len(set(got))  # exactly once, no dedup shuffle needed
+    expect = {
+        (i, j)
+        for i, ax0, ay0, ax1, ay1 in rects_a
+        for j, bx0, by0, bx1, by1 in rects_b
+        if ax0 <= bx1 and bx0 <= ax1 and ay0 <= by1 and by0 <= ay1
+    }
+    assert set(got) == expect
+    assert (120, 40) in expect and (120, 41) in expect
+
+
+def test_hilbert_block_range_equals_box_exhaustive(spark):
+    """On every aligned block of a 64x64 grid (k in 1..3), membership
+    in the Hilbert id range equals membership in the coordinate box —
+    the contiguity property that turns boxes into range predicates."""
+    from scidbgeo_spark.operators import pip
+
+    def h(cx, cy, bits=16):
+        d, t = 0, 0
+        for i in range(bits - 1, -1, -1):
+            quad = (((cx >> i) & 1) << 1) | ((cy >> i) & 1)
+            d = d * 4 + pip.HILBERT_DLUT[t * 4 + quad]
+            t = pip.HILBERT_TLUT[t * 4 + quad]
+        return d
+
+    for k in (1, 2, 3):
+        step = 1 << k
+        for bx in range(0, 64, step * 8):  # sample origins
+            for by in range(0, 64, step * 8):
+                d0, d1 = pip.hilbert_block_range(bx, by, k)
+                inside = {
+                    h(cx, cy)
+                    for cx in range(bx, bx + step)
+                    for cy in range(by, by + step)
+                }
+                assert inside == set(range(d0, d1)), (bx, by, k)
