@@ -1834,6 +1834,15 @@ def q_decayed_counts(spark, sf_dir):
     return temporal.decayed_counts(model.load_table(spark, sf_dir, "events"))
 
 
+def q_bm25_topk(spark, sf_dir):
+    """BM25 top-20 for the query {hash, join, vector}: log-free
+    Robertson-odds idf (documented variant — libm ln differs across
+    engines), pre-folded constants, fixed-order per-term blend."""
+    from scidbgeo_spark.operators import text
+
+    return text.bm25_topk(_docs(spark, sf_dir), ["hash", "join", "vector"], k=20)
+
+
 def q_host_split(spark, sf_dir):
     """Leakage-safe train/val/test GROUP split: the shared polynomial
     host hash routes every doc of a host into exactly one split; output
@@ -2666,6 +2675,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quadtree_split": q_quadtree_split,
     "rect_join": q_rect_join,
     "hilbert_range_count": q_hilbert_range_count,
+    "bm25_topk": q_bm25_topk,
     "regrid_area": q_regrid_area,
     "interval_join": q_interval_join,
     "theil_sen": q_theil_sen,

@@ -852,3 +852,96 @@ def proximity_search(
             F.min("gap").cast("long").alias("min_gap"),
         )
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+# products of constants are PRE-FOLDED in Python so each engine performs
+# only single multiplies of a literal (DuckDB reassociates constants
+# through longer products and drifts the last ulp — see oracle.py's
+# distance_join_geo note)
+BM25_K1P1 = BM25_K1 + 1.0
+BM25_K1_1B = BM25_K1 * (1.0 - BM25_B)
+BM25_K1B = BM25_K1 * BM25_B
+
+
+def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20) -> DataFrame:
+    """BM25 ranking of the corpus against a bag of query terms — the
+    serving-side scorer the inverted-index family was missing
+    (inverted_index/phrase/proximity find candidates; this ORDERS
+    them).  LOG-FREE VARIANT (documented): idf is the raw Robertson
+    odds ratio (N - df + 0.5)/(df + 0.5) without the usual ln() —
+    monotone in the standard idf, so rankings for single-term queries
+    are identical and multi-term blends weight rare terms more
+    aggressively; ln() is banned here because libm logs differ across
+    engines in the last ulp and the oracle compare is bit-exact.
+
+    score(d) = sum_t idf_t * (tf * (k1+1)) / (tf + k1(1-b) + k1*b*dl/avgdl)
+
+    with every constant product pre-folded driver-side and each binary
+    float op written in the same association order as the SQL twin.
+    Output (doc_id, score, n_hit) for the top k by (score desc, doc_id).
+
+    Scale shape: tokenize -> per-doc tf for QUERY TERMS ONLY (the
+    filter pushes below the explode's shuffle), df per term and
+    (N, avgdl) as 1-row/broadcast aggregates, score as column algebra,
+    ONE global top-k (TakeOrdered — no full sort).  The query-term
+    filter is the whole story at 100 TB: the exploded token stream
+    never shuffles, only the matching (doc, term) pairs do."""
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("dl"),
+        F.explode(F.split("text", " ")).alias("term"),
+    ).filter(F.array_contains(terms, F.col("term")))
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        (
+            F.sum(F.size(F.split("text", " ")).cast("long"))
+            / F.count("*")
+        ).alias("avgdl"),
+    )
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(stats))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (
+                    (F.col("n_docs") - F.col("df")) + F.lit(0.5)
+                )  # (N - df) + 0.5
+                / (F.col("df") + F.lit(0.5))
+                * (
+                    (F.col("tf") * F.lit(BM25_K1P1))
+                    / (
+                        F.col("tf")
+                        + (
+                            F.lit(BM25_K1_1B)
+                            + (F.col("dl") * F.lit(BM25_K1B)) / F.col("avgdl")
+                        )
+                    )
+                )
+            ).alias("s"),
+        )
+    )
+    # FIXED-ORDER blend: a float sum(s) across a doc's matched terms is
+    # order-dependent across engines; each term appears at most once
+    # per doc after the tf aggregate, so pivot per term (an exact
+    # one-element conditional sum) and add in the literal query order
+    per_term = scored.groupBy("doc_id").agg(
+        *[
+            F.sum(F.when(F.col("term") == t, F.col("s"))).alias(f"_s{i}")
+            for i, t in enumerate(query_terms)
+        ],
+        F.count("*").alias("n_hit"),
+    )
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        score = score + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+    agg = per_term.select("doc_id", score.alias("score"), "n_hit")
+    return agg.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)

@@ -3487,3 +3487,53 @@ FROM a JOIN b
 # pip.hilbert_block_range: the oracle verifies SEMANTICS independently
 # (range == the same lon/lat box as zorder_range_count).
 SQL["hilbert_range_count"] = SQL["zorder_range_count"]
+
+from scidbgeo_spark.operators.text import BM25_K1P1, BM25_K1B, BM25_K1_1B  # noqa: E402
+
+# text.bm25_topk: identical association order per binary float op; the
+# pre-folded constants are injected from the SAME Python floats with
+# the e0 suffix (a bare '0.5' is DECIMAL(2,1) in DuckDB and decimal
+# arithmetic drifts the compare — same hazard as distance_join_geo).
+_B25 = {
+    "k1p1": f"{BM25_K1P1!r}e0",
+    "k11b": f"{BM25_K1_1B!r}e0",
+    "k1b": f"{BM25_K1B!r}e0",
+}
+SQL["bm25_topk"] = f"""WITH toks AS (
+  SELECT doc_id,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
+         unnest(string_split(text, ' ')) AS term
+  FROM documents
+),
+tq AS (SELECT * FROM toks WHERE term IN ('hash', 'join', 'vector')),
+tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl FROM tq GROUP BY 1, 2),
+dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+st AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+           / count(*) AS avgdl
+  FROM documents
+),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         (((st.n_docs - dfq.df) + 0.5e0) / (dfq.df + 0.5e0))
+         * ((tf.tf * {_B25["k1p1"]})
+            / (tf.tf + ({_B25["k11b"]} + (tf.dl * {_B25["k1b"]}) / st.avgdl)))
+           AS s
+  FROM tf JOIN dfq ON tf.term = dfq.term CROSS JOIN st
+),
+pv AS (
+  SELECT doc_id,
+         sum(CASE WHEN term = 'hash' THEN s END) AS s0,
+         sum(CASE WHEN term = 'join' THEN s END) AS s1,
+         sum(CASE WHEN term = 'vector' THEN s END) AS s2,
+         count(*) AS n_hit
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id,
+       ((0.0e0 + coalesce(s0, 0.0e0)) + coalesce(s1, 0.0e0))
+         + coalesce(s2, 0.0e0) AS score,
+       CAST(n_hit AS BIGINT) AS n_hit
+FROM pv
+ORDER BY score DESC, doc_id
+LIMIT 20"""

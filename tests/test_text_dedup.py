@@ -1526,3 +1526,58 @@ def test_proximity_search_vs_python_and_phrase_subset(spark, sf_smoke):
     phrase = {r.doc_id for r in text.phrase_search(docs).collect()}
     assert phrase <= set(got)
     assert all(got[d][1] == 1 for d in phrase)
+
+
+def test_bm25_topk_vs_python(spark):
+    """BM25 scores and ranking equal a pure-Python fold with the same
+    pre-folded constants and association order — including docs hit by
+    a subset of the query terms and the rank-k boundary."""
+    import random as _r
+
+    rng = _r.Random(4118)
+    vocab = ["hash", "join", "vector", "scan", "row", "agg", "the"]
+    rows = []
+    for d in range(80):
+        n = rng.randint(3, 40)
+        rows.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+    rows.append((80, "vector"))  # single rare-term doc: max tf ratio
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    q = ["hash", "join", "vector"]
+    got = [
+        (r.doc_id, r.score, r.n_hit)
+        for r in text.bm25_topk(docs, q, k=10).collect()
+    ]
+    # python twin
+    n_docs = float(len(rows))
+    dls = {d: len(t.split(" ")) for d, t in rows}
+    avgdl = sum(dls.values()) / len(rows)
+    tf = {}
+    for d, t in rows:
+        for w in t.split(" "):
+            if w in q:
+                tf[(d, w)] = tf.get((d, w), 0) + 1
+    df = {w: sum(1 for (_d, w2) in tf if w2 == w) for w in q}
+    per_doc = {}
+    for (d, w), f in tf.items():
+        idf = ((n_docs - df[w]) + 0.5) / (df[w] + 0.5)
+        s = idf * (
+            (f * text.BM25_K1P1)
+            / (f + (text.BM25_K1_1B + (dls[d] * text.BM25_K1B) / avgdl))
+        )
+        per_doc.setdefault(d, {})[w] = s
+    blend = []
+    for d, parts in per_doc.items():
+        score = 0.0
+        for w in q:
+            score = score + parts.get(w, 0.0)
+        blend.append((d, score, len(parts)))
+    blend.sort(key=lambda x: (-x[1], x[0]))
+    assert got == blend[:10]
+    # full ranking: the single-term doc is scored (n_hit = 1) and every
+    # scored doc matches the twin end to end, not just the top slice
+    got_all = [
+        (r.doc_id, r.score, r.n_hit)
+        for r in text.bm25_topk(docs, q, k=1000).collect()
+    ]
+    assert got_all == blend
+    assert (80, blend[[d for d, _s, _n in blend].index(80)][1], 1) in got_all
