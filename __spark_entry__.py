@@ -438,6 +438,27 @@ def q_zonal_stats_poly(spark, sf_dir):
     return zonal.zonal_stats_tiles(tiles, zt)
 
 
+def q_zonal_weighted(spark, sf_dir):
+    """Population-weighted zonal mean: band va weighted by band vb on
+    the multi-attribute COO — exact long sums, one groupBy, single
+    final division (NULL on zero weight mass)."""
+    coo = model.raster_coo_multi(spark, sf_dir)
+    h, w = model.raster_dims(spark, sf_dir)
+    return zonal.zonal_weighted(coo, h, w)
+
+
+def q_gaussian_blur(spark, sf_dir):
+    """Separable 3x3 binomial blur, zero-padded, output 16x-scaled
+    exact integers; engine runs the two-pass separable form, the
+    oracle the direct 9-fan form — the identity is part of the
+    check."""
+    from scidbgeo_spark.operators import pixel
+
+    coo = model.raster_coo(spark, sf_dir)
+    h, w = model.raster_dims(spark, sf_dir)
+    return pixel.gaussian_blur(coo, h, w)
+
+
 def q_zonal_stats_time(spark, sf_dir):
     """Temporal zonal stats: per-(zone, band) min/max/avg/count over the
     3-D raster time series; ONE 2-D zone raster reused by every band's
@@ -2676,6 +2697,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rect_join": q_rect_join,
     "hilbert_range_count": q_hilbert_range_count,
     "bm25_topk": q_bm25_topk,
+    "zonal_weighted": q_zonal_weighted,
+    "gaussian_blur": q_gaussian_blur,
     "regrid_area": q_regrid_area,
     "interval_join": q_interval_join,
     "theil_sen": q_theil_sen,

@@ -657,3 +657,47 @@ def regrid_area(coo: DataFrame, p: int = 5, q: int = 4) -> DataFrame:
         )
         .select("y", "x", (F.col("num") / F.col("den")).alias("value_avg"))
     )
+
+
+def gaussian_blur(coo: DataFrame, h: int, w: int) -> DataFrame:
+    """SEPARABLE 3x3 binomial blur ([1,2,1] x [1,2,1], the discrete
+    Gaussian every pyramid/pre-filter uses) with zero-padding at the
+    edges.  Output ``blur16`` = 16x the blurred value — EXACT integers,
+    no division, so the oracle compares bitwise and edge cells keep
+    their partial sums honestly.
+
+    Scale shape: SEPARABILITY as a plan property — two 3-message
+    scatter+groupBy passes (vertical then horizontal, 3x fan each)
+    instead of one 9-message 2-D pass: at a k x k kernel that is
+    2k messages vs k^2, the same reason separable convolution wins on
+    any dense engine.  Both passes are map-side-combinable groupBys on
+    integer keys; the oracle intentionally uses the NON-separated 9-fan
+    form, so the test pins the algebraic identity too."""
+    wts = F.array(
+        F.struct(F.lit(-1).alias("d"), F.lit(1).alias("wt")),
+        F.struct(F.lit(0).alias("d"), F.lit(2).alias("wt")),
+        F.struct(F.lit(1).alias("d"), F.lit(1).alias("wt")),
+    )
+    v = (
+        coo.select("y", "x", "value", F.explode(wts).alias("m"))
+        .select(
+            (F.col("y") + F.col("m.d")).alias("y"),
+            "x",
+            (F.col("value") * F.col("m.wt")).alias("v"),
+        )
+        .filter((F.col("y") >= 0) & (F.col("y") < h))
+        .groupBy("y", "x")
+        .agg(F.sum("v").alias("v"))
+    )
+    out = (
+        v.select("y", "x", "v", F.explode(wts).alias("m"))
+        .select(
+            "y",
+            (F.col("x") + F.col("m.d")).alias("x"),
+            (F.col("v") * F.col("m.wt")).alias("v"),
+        )
+        .filter((F.col("x") >= 0) & (F.col("x") < w))
+        .groupBy("y", "x")
+        .agg(F.sum("v").alias("blur16"))
+    )
+    return out

@@ -436,3 +436,37 @@ def zonal_sums(raster_coo: DataFrame, zones_coo: DataFrame) -> DataFrame:
             F.count("value").alias("count_value"),
         )
     )
+
+
+def zonal_weighted(coo_multi: DataFrame, h: int, w: int, zh: int = 20, zw: int = 20) -> DataFrame:
+    """WEIGHTED zonal mean (population-weighted aggregation — the
+    census-style variant the plain zonal family lacks): value band va
+    weighted by band vb per rectangular zone.  wavg = sum(va*vb) /
+    sum(vb) with exact long numerator/denominator and ONE final
+    division (NULL where the zone's weight mass is zero, identical
+    CASE on both engines).  Ragged bottom rows fall into the -999
+    catch-all zone like zonal_stats_rect.
+
+    Scale shape: both bands ride the SAME row (the multi-attribute COO
+    — no second raster join), the zone id is closed-form column
+    algebra, and the whole operator is ONE map-side-combinable
+    groupBy."""
+    nzx = w // zw
+    full_rows = (h // zh) * zh
+    zone = (
+        F.when(F.col("y") >= full_rows, F.lit(-999))
+        .otherwise(F.expr(f"(y DIV {zh}) * {nzx} + (x DIV {zw})"))
+        .cast("long")
+    )
+    g = coo_multi.groupBy(zone.alias("id")).agg(
+        F.sum(F.col("va") * F.col("vb")).alias("wsum"),
+        F.sum("vb").alias("wtot"),
+        F.count("*").alias("n"),
+    )
+    return g.select(
+        "id",
+        "wsum",
+        "wtot",
+        "n",
+        F.when(F.col("wtot") > 0, F.col("wsum") / F.col("wtot")).alias("wavg"),
+    )

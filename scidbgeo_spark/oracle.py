@@ -3537,3 +3537,45 @@ SELECT doc_id,
 FROM pv
 ORDER BY score DESC, doc_id
 LIMIT 20"""
+
+# zonal.zonal_weighted: exact long numerator/denominator, one division,
+# NULL on zero weight mass; ragged tail rows -> -999 like the rect
+# zonal family.
+SQL["zonal_weighted"] = f"""WITH cm AS (
+  SELECT event_id // {RASTER_W} AS y,
+         event_id % {RASTER_W} AS x,
+         (event_id * {VALUE_MULT}) % {VALUE_MOD} AS va,
+         (event_id * {VALUE_MULT_B}) % {VALUE_MOD_B} AS vb
+  FROM events
+),
+g AS (
+  SELECT CAST(CASE
+           WHEN y >= (((SELECT count(*) FROM events) // {RASTER_W}) // {ZONE_H}) * {ZONE_H}
+           THEN -999
+           ELSE (y // {ZONE_H}) * {NZX} + (x // {ZONE_W}) END AS BIGINT) AS id,
+         CAST(sum(va * vb) AS BIGINT) AS wsum,
+         CAST(sum(vb) AS BIGINT) AS wtot,
+         CAST(count(*) AS BIGINT) AS n
+  FROM cm GROUP BY 1
+)
+SELECT id, wsum, wtot, n,
+       CASE WHEN wtot > 0 THEN wsum / wtot END AS wavg
+FROM g"""
+
+# pixel.gaussian_blur: the oracle deliberately uses the DIRECT 9-fan
+# 2-D form where the engine runs two separable 1-D passes — the exact
+# match pins the separability identity itself.
+SQL["gaussian_blur"] = f"""WITH {COO},
+dims AS (SELECT (SELECT count(*) FROM events) // {RASTER_W} AS h),
+sc AS (
+  SELECT c.y + wy.d AS y, c.x + wx.d AS x,
+         c.value * (wy.wt * wx.wt) AS v
+  FROM coo c,
+       dims,
+       (VALUES (-1, 1), (0, 2), (1, 1)) wy(d, wt),
+       (VALUES (-1, 1), (0, 2), (1, 1)) wx(d, wt)
+  WHERE c.y + wy.d >= 0 AND c.y + wy.d < dims.h
+    AND c.x + wx.d >= 0 AND c.x + wx.d < {RASTER_W}
+)
+SELECT y, x, CAST(sum(v) AS BIGINT) AS blur16
+FROM sc GROUP BY 1, 2"""

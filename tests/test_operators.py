@@ -1447,3 +1447,73 @@ def test_theil_sen_and_decayed_counts_vs_python(spark):
         )
         n = sum(1 for t, _h in hours if t == ty)
         assert got_dc[ty] == (num / float(1 << 40), n), ty
+
+
+def test_gaussian_blur_separable_equals_direct_numpy(spark):
+    """The two-pass separable plan equals a NumPy 2-D binomial
+    convolution with zero padding, bit-exactly, including all four
+    edges and corners."""
+    import random as _r
+
+    rng = _r.Random(4119)
+    h, w = 9, 13
+    arr = np.array(
+        [[rng.randint(-100, 100) for _ in range(w)] for _ in range(h)],
+        dtype=np.int64,
+    )
+    coo = spark.createDataFrame(
+        [(y, x, int(arr[y, x])) for y in range(h) for x in range(w)],
+        "y long, x long, value long",
+    )
+    got = {
+        (r.y, r.x): r.blur16 for r in pixel.gaussian_blur(coo, h, w).collect()
+    }
+    k = np.array([1, 2, 1], dtype=np.int64)
+    pad = np.zeros((h + 2, w + 2), dtype=np.int64)
+    pad[1:-1, 1:-1] = arr
+    expect = np.zeros((h, w), dtype=np.int64)
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            expect += (
+                k[dy + 1] * k[dx + 1] * pad[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            )
+    assert got == {
+        (y, x): int(expect[y, x]) for y in range(h) for x in range(w)
+    }
+    # interior mass: a constant raster blurs to 16x itself away from edges
+    const = spark.createDataFrame(
+        [(y, x, 7) for y in range(5) for x in range(5)], "y long, x long, value long"
+    )
+    gc = {(r.y, r.x): r.blur16 for r in pixel.gaussian_blur(const, 5, 5).collect()}
+    assert gc[(2, 2)] == 112  # 16 * 7
+
+
+def test_zonal_weighted_vs_python_and_zero_mass(spark):
+    """Weighted zonal mean matches a python fold; a zone whose weight
+    mass is zero yields NULL wavg (no division blow-up)."""
+    from scidbgeo_spark.operators import zonal as Z
+
+    rows = []
+    for y in range(45):  # h=45: rows 40-44 are the ragged -999 tail
+        for x in range(40):
+            va = (y * 40 + x) * 7 % 50
+            vb = 0 if (y < 20 and x < 20) else (y + x) % 9
+            rows.append((y, x, va, vb))
+    coo = spark.createDataFrame(rows, "y long, x long, va long, vb long")
+    got = {
+        r.id: (r.wsum, r.wtot, r.n, r.wavg)
+        for r in Z.zonal_weighted(coo, 45, 40).collect()
+    }
+    agg = {}
+    for y, x, va, vb in rows:
+        zid = -999 if y >= 40 else (y // 20) * 2 + (x // 20)
+        s = agg.setdefault(zid, [0, 0, 0])
+        s[0] += va * vb
+        s[1] += vb
+        s[2] += 1
+    expect = {
+        z: (s[0], s[1], s[2], (s[0] / s[1]) if s[1] > 0 else None)
+        for z, s in agg.items()
+    }
+    assert got == expect
+    assert got[0][3] is None  # the all-zero-weight zone
