@@ -438,6 +438,56 @@ def q_zonal_stats_poly(spark, sf_dir):
     return zonal.zonal_stats_tiles(tiles, zt)
 
 
+def q_matmul(spark, sf_dir):
+    """Sparse COO matrix multiply (60x50 @ 50x40, small signed
+    entries): one inner-dim equi-join + one groupBy; oracle is the
+    identical relational form."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.operators import pixel
+
+    a = spark.range(3000).select(
+        F.expr("id DIV 50").alias("i"),
+        (F.col("id") % 50).alias("k"),
+        ((F.col("id") * 2654435761) % 97 - 48).alias("v"),
+    )
+    b = spark.range(2000).select(
+        F.expr("id DIV 40").alias("k"),
+        (F.col("id") % 40).alias("j"),
+        ((F.col("id") * 2246822519) % 89 - 44).alias("w"),
+    )
+    return pixel.matmul_coo(a, b)
+
+
+def q_events_ohlc(spark, sf_dir):
+    """15-minute OHLC candles per event type: first/high/low/last value
+    under the deterministic (ts, event_id) order — picked doubles, no
+    float arithmetic."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.events_ohlc(model.load_table(spark, sf_dir, "events"))
+
+
+def q_orc_ingest(spark, sf_dir):
+    """ORC source coverage: the documents table round-trips through
+    Spark's built-in ORC writer/reader (fixture dir, overwrite), then
+    aggregates per lang — the oracle aggregates the same rows from
+    parquet, so schema and values must survive the format."""
+    from pyspark.sql import functions as F
+
+    d = _fixture_dir("orc", sf_dir)
+    docs = _docs(spark, sf_dir)
+    docs.write.mode("overwrite").orc(d)
+    back = spark.read.orc(d)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
 def q_zonal_weighted(spark, sf_dir):
     """Population-weighted zonal mean: band va weighted by band vb on
     the multi-attribute COO — exact long sums, one groupBy, single
@@ -2699,6 +2749,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "zonal_weighted": q_zonal_weighted,
     "gaussian_blur": q_gaussian_blur,
+    "matmul": q_matmul,
+    "events_ohlc": q_events_ohlc,
+    "orc_ingest": q_orc_ingest,
     "regrid_area": q_regrid_area,
     "interval_join": q_interval_join,
     "theil_sen": q_theil_sen,

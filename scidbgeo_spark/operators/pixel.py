@@ -701,3 +701,25 @@ def gaussian_blur(coo: DataFrame, h: int, w: int) -> DataFrame:
         .agg(F.sum("v").alias("blur16"))
     )
     return out
+
+
+def matmul_coo(a: DataFrame, b: DataFrame) -> DataFrame:
+    """SPARSE MATRIX MULTIPLY over COO frames — C(i,j) = sum_k
+    A(i,k)*B(k,j) as ONE equi-join on the inner dimension plus one
+    map-side-combinable groupBy (the SUMMA inner product as relational
+    algebra; the co-registration and SAT kernels are its dense
+    siblings).  Inputs (i, k, v) and (k, j, w), integer values so the
+    oracle compares bitwise; zero-product cells are absent (sparse
+    semantics — a fully-dense C needs a spine join, deliberately not
+    done here).
+
+    Scale note: a hot inner index k fans |A_k| x |B_k| pairs — the
+    skew story of every join; at scale, block the inner dimension
+    (tile k into chunks and pre-aggregate per block, exactly the zonal
+    chunk-key pattern) or salt the hot k like plans/skew.hot_keys.
+    The relational shape itself is the textbook distributed matmul."""
+    return (
+        a.join(b, "k")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("v") * F.col("w")).alias("val"))
+    )

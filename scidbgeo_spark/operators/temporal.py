@@ -805,3 +805,48 @@ def decayed_counts(events: DataFrame) -> DataFrame:
         (num / F.lit(float(1 << DECAY_CAP_H))).alias("decayed"),
         F.count("*").alias("n_events"),
     )
+
+
+OHLC_BUCKET_US = 900_000_000  # 15-minute candles
+
+
+def events_ohlc(events: DataFrame) -> DataFrame:
+    """OHLC RESAMPLE (the finance-style candle rollup): per
+    (event_type, 15-min bucket) the first/highest/lowest/last `value`,
+    with first/last under the deterministic (ts, event_id) total order
+    — events_hourly counts rows; this carries the value channel.  All
+    four outputs are EXISTING doubles (picked, never combined), so the
+    oracle compare is bit-exact without arithmetic pinning.
+
+    Scale shape: ONE keyed shuffle — the two row_number windows and
+    the final groupBy all share the (event_type, bucket) hash
+    partitioning, so Spark reuses the exchange; hot buckets cost their
+    own rows only."""
+    base = events.select(
+        "event_type",
+        "event_id",
+        "ts",
+        "value",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            f" DIV {OHLC_BUCKET_US}"
+        ).alias("bkt"),
+    )
+    wa = Window.partitionBy("event_type", "bkt").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bkt").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rn = base.select(
+        "event_type",
+        "bkt",
+        "value",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return rn.groupBy("event_type", "bkt").agg(
+        F.max(F.when(F.col("ra") == 1, F.col("value"))).alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
+        F.count("*").alias("n"),
+    )

@@ -3579,3 +3579,50 @@ sc AS (
 )
 SELECT y, x, CAST(sum(v) AS BIGINT) AS blur16
 FROM sc GROUP BY 1, 2"""
+
+# pixel.matmul_coo: identical relational form over the same synthetic
+# operands.
+SQL["matmul"] = """WITH a AS (
+  SELECT t.k // 50 AS i, t.k % 50 AS k2, (t.k * 2654435761) % 97 - 48 AS v
+  FROM range(3000) t(k)
+),
+b AS (
+  SELECT t.k // 40 AS k2, t.k % 40 AS j, (t.k * 2246822519) % 89 - 44 AS w
+  FROM range(2000) t(k)
+)
+SELECT a.i, b.j, CAST(sum(a.v * b.w) AS BIGINT) AS val
+FROM a JOIN b ON a.k2 = b.k2
+GROUP BY 1, 2"""
+
+# temporal.events_ohlc: row_number twins under the same total order;
+# all four value outputs are PICKED doubles, no float arithmetic.
+SQL["events_ohlc"] = """WITH base AS (
+  SELECT event_type, event_id, ts, value,
+         epoch_us(ts) // 900000000 AS bkt
+  FROM events
+),
+rn AS (
+  SELECT event_type, bkt, value,
+         row_number() OVER (PARTITION BY event_type, bkt
+                            ORDER BY ts, event_id) AS ra,
+         row_number() OVER (PARTITION BY event_type, bkt
+                            ORDER BY ts DESC, event_id DESC) AS rd
+  FROM base
+)
+SELECT event_type, bkt,
+       max(CASE WHEN ra = 1 THEN value END) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       max(CASE WHEN rd = 1 THEN value END) AS close,
+       CAST(count(*) AS BIGINT) AS n
+FROM rn GROUP BY 1, 2"""
+
+# q_orc_ingest: the oracle aggregates the SAME rows straight from
+# parquet — the ORC round-trip must be invisible.
+SQL["orc_ingest"] = """SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       min(doc_id) AS min_doc,
+       max(doc_id) AS max_doc
+FROM documents GROUP BY 1"""

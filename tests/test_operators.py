@@ -1517,3 +1517,51 @@ def test_zonal_weighted_vs_python_and_zero_mass(spark):
     }
     assert got == expect
     assert got[0][3] is None  # the all-zero-weight zone
+
+
+def test_matmul_coo_vs_numpy(spark):
+    """Sparse COO matmul equals the dense NumPy product on random
+    small signed matrices (zero cells dropped = sparse semantics)."""
+    import random as _r
+
+    rng = _r.Random(4120)
+    m, kk, n = 7, 9, 6
+    A = np.array([[rng.randint(-9, 9) for _ in range(kk)] for _ in range(m)])
+    B = np.array([[rng.randint(-9, 9) for _ in range(n)] for _ in range(kk)])
+    a = spark.createDataFrame(
+        [(i, k, int(A[i, k])) for i in range(m) for k in range(kk)],
+        "i long, k long, v long",
+    )
+    b = spark.createDataFrame(
+        [(k, j, int(B[k, j])) for k in range(kk) for j in range(n)],
+        "k long, j long, w long",
+    )
+    got = {(r.i, r.j): r.val for r in pixel.matmul_coo(a, b).collect()}
+    C = A @ B
+    expect = {
+        (i, j): int(C[i, j]) for i in range(m) for j in range(n)
+    }
+    assert got == expect
+
+
+def test_events_ohlc_tiebreak_on_event_id(spark):
+    """Two events at the IDENTICAL timestamp: open/close pick by
+    event_id under the total order, matching the oracle's row_number
+    twins."""
+    from scidbgeo_spark.operators import temporal
+
+    rows = [
+        (2, "a", 1000, 5.0),   # same ts, higher id
+        (1, "a", 1000, 3.0),   # same ts, lower id -> open
+        (3, "a", 1100, 9.0),   # latest in the same 15-min bucket -> close
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, sec long, value double"
+    ).select(
+        "event_id",
+        "event_type",
+        F.col("sec").cast("timestamp").cast("timestamp_ntz").alias("ts"),
+        "value",
+    )
+    [r] = temporal.events_ohlc(ev).collect()
+    assert (r.open, r.high, r.low, r.close, r.n) == (3.0, 9.0, 3.0, 9.0, 3)
