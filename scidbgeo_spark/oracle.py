@@ -3626,3 +3626,102 @@ SQL["orc_ingest"] = """SELECT lang,
        min(doc_id) AS min_doc,
        max(doc_id) AS max_doc
 FROM documents GROUP BY 1"""
+
+
+# ---- HITS hubs/authorities (graph.host_hits) -----------------------------
+# Same 2 max-normalized half-step pairs as operators.graph.hits, unrolled;
+# the SCALE*raw product runs in HUGEINT where Spark uses decimal(38,0) —
+# both floor the nonnegative quotient.
+from scidbgeo_spark.operators.graph import HITS_ITERS, HITS_SCALE  # noqa: E402
+
+
+def _hits_iter(prev_a: str, i: str) -> str:
+    return f"""hr_{i} AS (
+  SELECT e.src AS node, CAST(sum(e.w * a.s) AS BIGINT) AS raw
+  FROM edges e JOIN a_{prev_a} a ON a.node = e.dst GROUP BY e.src
+),
+hm_{i} AS (SELECT greatest(max(raw), 1) AS mx FROM hr_{i}),
+h_{i} AS (
+  SELECT n.node,
+         CAST((CAST({HITS_SCALE} AS HUGEINT) * coalesce(r.raw, 0)) // m.mx
+              AS BIGINT) AS s
+  FROM nodes n CROSS JOIN hm_{i} m LEFT JOIN hr_{i} r ON r.node = n.node
+),
+ar_{i} AS (
+  SELECT e.dst AS node, CAST(sum(e.w * h.s) AS BIGINT) AS raw
+  FROM edges e JOIN h_{i} h ON h.node = e.src GROUP BY e.dst
+),
+am_{i} AS (SELECT greatest(max(raw), 1) AS mx FROM ar_{i}),
+a_{i} AS (
+  SELECT n.node,
+         CAST((CAST({HITS_SCALE} AS HUGEINT) * coalesce(r.raw, 0)) // m.mx
+              AS BIGINT) AS s
+  FROM nodes n CROSS JOIN am_{i} m LEFT JOIN ar_{i} r ON r.node = n.node
+)"""
+
+
+_HITS_CTES = ",\n".join(
+    _hits_iter(str(i), str(i + 1)) for i in range(HITS_ITERS)
+)
+
+SQL["host_hits"] = f"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+e0 AS (
+  SELECT d1.source AS src, d2.source AS dst
+  FROM documents d1 CROSS JOIN nd
+  JOIN documents d2 ON d2.doc_id = (d1.doc_id * 7 + 3) % nd.n_docs
+),
+edges AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM e0 GROUP BY src, dst),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges
+  )
+),
+a_0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS s FROM nodes),
+{_HITS_CTES}
+SELECT h.node AS source, h.s AS hub_scaled, a.s AS auth_scaled
+FROM h_{HITS_ITERS} h JOIN a_{HITS_ITERS} a USING (node)"""
+
+
+# ---- anchor-text aggregation (graph.anchor_text_agg) ---------------------
+from scidbgeo_spark.operators.graph import ANCHOR_WORDS  # noqa: E402
+
+SQL["anchor_text_agg"] = f"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+links AS (
+  SELECT (d.doc_id * 7 + 3) % nd.n_docs AS dst_doc,
+         array_to_string(list_slice(string_split(d.text, ' '), 1, {ANCHOR_WORDS}), ' ')
+           AS anchor
+  FROM documents d CROSS JOIN nd
+),
+per AS (
+  SELECT t.source AS host, l.anchor, CAST(count(*) AS BIGINT) AS c
+  FROM links l JOIN documents t ON t.doc_id = l.dst_doc
+  GROUP BY 1, 2
+),
+rk AS (
+  SELECT host, anchor, c,
+         row_number() OVER (PARTITION BY host ORDER BY c DESC, anchor ASC) AS rn
+  FROM per
+)
+SELECT host, CAST(sum(c) AS BIGINT) AS n_links,
+       CAST(count(*) AS BIGINT) AS n_anchors,
+       max(CASE WHEN rn = 1 THEN anchor END) AS top_anchor,
+       CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS top_count
+FROM rk GROUP BY host"""
+
+
+# ---- time-weighted average (temporal.time_weighted_avg) ------------------
+# LOCF weighting: each observation's weight is its holding duration in
+# epoch microseconds; the last observation per user holds nothing.  Values
+# are nonnegative, so Spark's DIV (truncate) and // (floor) agree.
+SQL["time_weighted_avg"] = """WITH s AS (
+  SELECT user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dur_us
+  FROM events
+)
+SELECT user_id,
+       CAST(sum(cents * dur_us) AS BIGINT) AS twa_num,
+       CAST(sum(dur_us) AS BIGINT) AS twa_den,
+       CAST(sum(cents * dur_us) // sum(dur_us) AS BIGINT) AS twa_cents
+FROM s WHERE dur_us IS NOT NULL
+GROUP BY user_id HAVING sum(dur_us) > 0"""

@@ -627,3 +627,116 @@ def test_pareto_frontier_vs_bruteforce(spark):
     got = {r.doc_id for r in curation.pareto_frontier(docs).collect()}
     assert got == expect
     assert 150 in got or 7 not in got or (7 in got and 150 in got)
+
+
+# ---- HITS / anchor text / time-weighted average (late r5) ----
+
+
+def test_host_hits_vs_python(spark, sf_smoke):
+    """Exact-integer Python twin of the 2-iteration max-normalized HITS
+    over the deterministic host graph (hugeint product via Python int)."""
+    from scidbgeo_spark.operators import graph
+
+    docs = _docs(spark, sf_smoke)
+    rows = docs.select("doc_id", "source").collect()
+    n = len(rows)
+    src_of = {r.doc_id: r.source for r in rows}
+    edges = {}
+    for r in rows:
+        key = (r.source, src_of[(r.doc_id * 7 + 3) % n])
+        edges[key] = edges.get(key, 0) + 1
+    nodes = sorted({x for e in edges for x in e})
+    a = {v: graph.HITS_SCALE for v in nodes}
+    h = {}
+    for _ in range(graph.HITS_ITERS):
+        hraw = {v: 0 for v in nodes}
+        for (s, d), w in edges.items():
+            hraw[s] += w * a[d]
+        mx = max(max(hraw.values()), 1)
+        h = {v: graph.HITS_SCALE * hraw[v] // mx for v in nodes}
+        araw = {v: 0 for v in nodes}
+        for (s, d), w in edges.items():
+            araw[d] += w * h[s]
+        mx = max(max(araw.values()), 1)
+        a = {v: graph.HITS_SCALE * araw[v] // mx for v in nodes}
+    got = {
+        r.source: (r.hub_scaled, r.auth_scaled)
+        for r in graph.host_hits(docs).collect()
+    }
+    assert got == {v: (h[v], a[v]) for v in nodes}
+    assert max(x for v in got.values() for x in v) == graph.HITS_SCALE
+
+
+def test_anchor_text_agg_vs_python(spark, sf_smoke):
+    """Anchor-text rollup twin: counts and the (count DESC, anchor ASC)
+    modal-anchor tie rule."""
+    from collections import Counter
+
+    from scidbgeo_spark.operators import graph
+
+    docs = _docs(spark, sf_smoke)
+    rows = docs.select("doc_id", "source", "text").collect()
+    n = len(rows)
+    src_of = {r.doc_id: r.source for r in rows}
+    per = Counter()
+    for r in rows:
+        anchor = " ".join(r.text.split(" ")[: graph.ANCHOR_WORDS])
+        per[(src_of[(r.doc_id * 7 + 3) % n], anchor)] += 1
+    hosts = {}
+    for (host, anchor), c in per.items():
+        hosts.setdefault(host, []).append((anchor, c))
+    want = {}
+    for host, lst in hosts.items():
+        top = min(lst, key=lambda t: (-t[1], t[0]))
+        want[host] = (sum(c for _, c in lst), len(lst), top[0], top[1])
+    got = {
+        r.host: (r.n_links, r.n_anchors, r.top_anchor, r.top_count)
+        for r in graph.anchor_text_agg(docs).collect()
+    }
+    assert got == want
+
+
+def test_time_weighted_avg_vs_python(spark, sf_smoke):
+    """LOCF time-weighted mean twin: per-user exact numerator/denominator
+    over (ts, event_id)-ordered holding durations; single-event users
+    excluded."""
+    from scidbgeo_spark.operators import temporal
+
+    ev = model.load_table(spark, sf_smoke, "events")
+    rows = ev.select("user_id", "ts", "event_id", "value").collect()
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    want = {}
+    for u, rs in by_user.items():
+        rs.sort(key=lambda r: (r.ts, r.event_id))
+        num = den = 0
+        for cur, nxt in zip(rs, rs[1:]):
+            dur = int(
+                (nxt.ts - cur.ts).total_seconds() * 1_000_000 + 0.5
+            )
+            num += round(cur.value * 100) * dur
+            den += dur
+        if den > 0:
+            want[u] = (num, den, num // den)
+    got = {
+        r.user_id: (r.twa_num, r.twa_den, r.twa_cents)
+        for r in temporal.time_weighted_avg(ev).collect()
+    }
+    assert got == want
+    assert len(got) > 1
+
+
+def test_hits_anchor_twa_plan_shapes(spark, sf_smoke):
+    """Plan pins: no cartesian products anywhere (the 1-row scalars
+    broadcast); time_weighted_avg shuffles exactly once (the user-keyed
+    window and the per-user agg share the hash partitioning)."""
+    from scidbgeo_spark.operators import graph, temporal
+
+    docs = _docs(spark, sf_smoke)
+    assert "CartesianProduct" not in _plan(graph.host_hits(docs))
+    assert "CartesianProduct" not in _plan(graph.anchor_text_agg(docs))
+    ev = model.load_table(spark, sf_smoke, "events")
+    p = _plan(temporal.time_weighted_avg(ev))
+    assert "CartesianProduct" not in p
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
