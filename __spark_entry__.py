@@ -2626,6 +2626,63 @@ def q_areal_interp(spark, sf_dir):
     return regions.areal_interpolate(a, b, cell=60, area_a=zh * zw)
 
 
+def q_simhash_recall(spark, sf_dir):
+    """Quality gauge for the SimHash banding path: fraction of the exact
+    ngram-Jaccard baseline's pairs it recovers (minhash_recall's twin
+    for the other near-dup family)."""
+    return dedup.simhash_recall(dedup.dup_corpus(_docs(spark, sf_dir)))
+
+
+def q_bigram_lm_score(spark, sf_dir):
+    """Bigram-LM fluency proxy: scaled-integer mean corpus conditional
+    probability p(w2|w1) over each document's adjacent token pairs —
+    the KenLM-style signal in engine-portable rationals."""
+    return text.bigram_lm_score(_docs(spark, sf_dir))
+
+
+def q_curriculum_shards(spark, sf_dir):
+    """Deterministic training-shard assignment + short-to-long curriculum
+    position per shard, computed as the decomposed distributed rank
+    (bucket counts + per-shard prefix + intra-bucket row_number); the
+    oracle states the spec as one plain row_number."""
+    return curation.curriculum_shards(_docs(spark, sf_dir))
+
+
+def q_zonal_iqr(spark, sf_dir):
+    """Per-zone exact quartiles + Tukey-fence outlier count: p25/p75 via
+    the exact percentile aggregate, then one broadcast join-back of the
+    tiny per-zone fence table to count pixels beyond 1.5 IQR."""
+    from pyspark.sql import functions as F
+
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    j = tiles.join(zt.select("tile_y", "tile_x", "zid"), ["tile_y", "tile_x"])
+    flat = j.select(F.explode(F.arrays_zip("zid", "px")).alias("c")).select(
+        F.col("c.zid").cast("long").alias("id"), F.col("c.px").alias("v")
+    )
+    q = flat.groupBy("id").agg(
+        F.expr("percentile(v, 0.25)").alias("p25"),
+        F.expr("percentile(v, 0.75)").alias("p75"),
+    )
+    iqr = F.col("p75") - F.col("p25")
+    out = (
+        flat.join(F.broadcast(q), "id")
+        .filter(
+            (F.col("v") < F.col("p25") - 1.5 * iqr)
+            | (F.col("v") > F.col("p75") + 1.5 * iqr)
+        )
+        .groupBy("id")
+        .agg(F.count("*").alias("n_outliers"))
+    )
+    return q.join(out, "id", "left").select(
+        "id",
+        "p25",
+        "p75",
+        iqr.alias("iqr"),
+        F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+    )
+
+
 def q_host_hits(spark, sf_dir):
     """HITS hubs/authorities (2 max-normalized integer iterations) of
     the deterministic host graph — the directory-vs-authority screen
@@ -2661,6 +2718,10 @@ def q_time_weighted_avg(spark, sf_dir):
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
+    "simhash_recall": q_simhash_recall,
+    "bigram_lm_score": q_bigram_lm_score,
+    "curriculum_shards": q_curriculum_shards,
+    "zonal_iqr": q_zonal_iqr,
     "host_hits": q_host_hits,
     "anchor_text_agg": q_anchor_text_agg,
     "time_weighted_avg": q_time_weighted_avg,

