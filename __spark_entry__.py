@@ -2626,6 +2626,32 @@ def q_areal_interp(spark, sf_dir):
     return regions.areal_interpolate(a, b, cell=60, area_a=zh * zw)
 
 
+def q_trajectory_simplify(spark, sf_dir):
+    """Distributed Douglas-Peucker over every user trajectory at once:
+    one argmax + one reassignment join per recursion LEVEL (bounded at
+    28, fixture depth 19), exact integer cross-product tests in
+    decimal(38,0).  Oracle: the same rounds unrolled as CTEs in
+    HUGEINT."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.trajectory_simplify(
+        model.load_table(spark, sf_dir, "events")
+    )
+
+
+def q_geohash_cell(spark, sf_dir):
+    """Standard geohash (30-bit integer + 6-char base32 text) — the
+    third cell family next to Z-order and Hilbert; prefix truncation by
+    5-bit steps is the parent-cell operation."""
+    from pyspark.sql import functions as F
+
+    pts = model.points(spark, sf_dir)
+    code = pip.geohash_cell_col()
+    return pts.select(
+        "doc_id", code.alias("gcell"), pip.geohash_str_col(code).alias("gh")
+    )
+
+
 def q_simhash_recall(spark, sf_dir):
     """Quality gauge for the SimHash banding path: fraction of the exact
     ngram-Jaccard baseline's pairs it recovers (minhash_recall's twin
@@ -2718,6 +2744,8 @@ def q_time_weighted_avg(spark, sf_dir):
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
+    "trajectory_simplify": q_trajectory_simplify,
+    "geohash_cell": q_geohash_cell,
     "simhash_recall": q_simhash_recall,
     "bigram_lm_score": q_bigram_lm_score,
     "curriculum_shards": q_curriculum_shards,

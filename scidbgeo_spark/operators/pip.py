@@ -577,3 +577,40 @@ def hilbert_block_range(cx0: int, cy0: int, k: int) -> tuple[int, int]:
         d = d * 4 + HILBERT_DLUT[t * 4 + quad]
         t = HILBERT_TLUT[t * 4 + quad]
     return d << (2 * k), (d << (2 * k)) + 4**k
+
+
+GEOHASH_BITS = 15  # per axis -> 30-bit code = 6 base32 chars
+GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def geohash_cell_col(lon: str = "lon", lat: str = "lat"):
+    """Standard GEOHASH code (30-bit integer form) — the third cell
+    family next to Z-order and Hilbert: identical bisection semantics to
+    the textbook algorithm via integer quantization (lon_q =
+    floor((lon+180)/360 * 2^15), lat likewise), with longitude taking
+    the even bit positions from the MSB exactly as Niemeyer's encoding
+    interleaves.  Pure JVM bit algebra; prefix truncation by 5-bit
+    steps is the parent-cell operation (each base32 char = one level)."""
+    scale = 1 << GEOHASH_BITS
+    qx = F.least(
+        F.floor((F.col(lon) + 180.0) / 360.0 * scale), F.lit(scale - 1)
+    ).cast("long")
+    qy = F.least(
+        F.floor((F.col(lat) + 90.0) / 180.0 * scale), F.lit(scale - 1)
+    ).cast("long")
+    g = F.lit(0).cast("long")
+    for j in range(GEOHASH_BITS):
+        g = g + F.shiftleft(F.shiftright(qx, j) % 2, 2 * j + 1)
+        g = g + F.shiftleft(F.shiftright(qy, j) % 2, 2 * j)
+    return g
+
+
+def geohash_str_col(code):
+    """Base32 text form of a 30-bit geohash code (6 chars, standard
+    alphabet)."""
+    abc = F.array(*[F.lit(ch) for ch in GEOHASH_B32])
+    parts = [
+        F.element_at(abc, (F.shiftright(code, 25 - 5 * c) % 32 + 1).cast("int"))
+        for c in range(6)
+    ]
+    return F.concat(*parts)

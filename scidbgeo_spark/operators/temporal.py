@@ -900,3 +900,142 @@ def time_weighted_avg(events: DataFrame) -> DataFrame:
             F.expr("twa_num DIV twa_den").alias("twa_cents"),
         )
     )
+
+
+DP_EPS = 20000  # milli-degree perpendicular tolerance (20 deg)
+DP_MAX_ROUNDS = 28  # recursion-depth bound, mirrored by the oracle
+
+
+def trajectory_simplify(
+    events: DataFrame, eps: int = DP_EPS, max_rounds: int = DP_MAX_ROUNDS
+) -> DataFrame:
+    """Distributed DOUGLAS-PEUCKER polyline simplification of every
+    user trajectory at once — the classic cartographic generalization,
+    re-expressed as data-parallel rounds instead of per-line recursion:
+    round r relaxes every open segment of every trajectory
+    simultaneously (find the farthest interior vertex; keep it and
+    split if it clears the tolerance, else drop the interior), so the
+    engine runs ONE argmax aggregate + ONE reassignment join per
+    recursion LEVEL, not per segment.  Output: the kept vertices
+    (user_id, idx, py, px) on the exact integer milli-degree lattice.
+
+    Exact arithmetic end to end: the perpendicular test compares the
+    squared cross product (B-A)x(P-A) against eps^2 * |AB|^2 — both
+    sides integer, the squares in decimal(38,0) (cross^2 reaches ~1e22;
+    the DuckDB twin squares in HUGEINT) — and argmax ties break
+    (dist^2 DESC, idx ASC) via a struct max whose second field is
+    -idx.  Zero-length chords (duplicate endpoints) yield cross = 0 <=
+    threshold 0: interior drops, same rule both engines.
+
+    BOUNDED-DEPTH semantics: both engines run at most ``max_rounds``
+    recursion levels (segments still splittable past the bound drop
+    their interiors) — the operator is therefore identical at any data
+    scale by construction, and the bound is generous (fixture depth 19
+    at every eps probed; the pytest twin asserts the bounded result
+    equals TRUE unbounded DP at fixture scale).
+
+    Scale shape: points carry their CURRENT containing segment (s, e)
+    plus its endpoint coordinates, so each round touches only
+    still-unresolved points — total work O(n * depth), the same as the
+    sequential algorithm, spread across the cluster with one
+    (user, s, e)-keyed agg + join per round.  Per-round
+    localCheckpoint keeps the 28-round lineage flat (the knn_join_bulk
+    pattern); the per-round emptiness count is the one driver boolean,
+    same contract as regions.resolve_roots."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pts = events.select(
+        "user_id",
+        ((F.col("event_id") * 7919) % 180000).alias("py"),
+        ((F.col("event_id") * 9973) % 360000).alias("px"),
+        (F.row_number().over(w) - 1).cast("long").alias("idx"),
+    ).localCheckpoint()
+    ends = pts.groupBy("user_id").agg(F.max("idx").alias("mx"))
+    kept = (
+        ends.select("user_id", F.lit(0).cast("long").alias("idx"))
+        .union(ends.select("user_id", F.col("mx")))
+        .distinct()
+    )
+    s0 = pts.filter(F.col("idx") == 0).select(
+        "user_id", F.col("py").alias("sy"), F.col("px").alias("sx")
+    )
+    e1 = pts.join(ends, "user_id").filter(F.col("idx") == F.col("mx")).select(
+        "user_id", F.col("py").alias("ey"), F.col("px").alias("ex")
+    )
+    assign = (
+        pts.join(ends, "user_id")
+        .filter((F.col("idx") > 0) & (F.col("idx") < F.col("mx")))
+        .join(s0, "user_id")
+        .join(e1, "user_id")
+        .select(
+            "user_id",
+            F.lit(0).cast("long").alias("s"),
+            F.col("mx").alias("e"),
+            "idx",
+            "py",
+            "px",
+            "sy",
+            "sx",
+            "ey",
+            "ex",
+        )
+    )
+    d19 = "decimal(19,0)"
+    cross = (F.col("ex") - F.col("sx")) * (F.col("py") - F.col("sy")) - (
+        F.col("ey") - F.col("sy")
+    ) * (F.col("px") - F.col("sx"))
+    c2 = cross.cast(d19) * cross.cast(d19)
+    len2 = (F.col("ex") - F.col("sx")) * (F.col("ex") - F.col("sx")) + (
+        F.col("ey") - F.col("sy")
+    ) * (F.col("ey") - F.col("sy"))
+    thr = F.lit(eps * eps).cast(d19) * len2.cast(d19)
+    for _ in range(max_rounds):
+        assign = assign.localCheckpoint()
+        if assign.isEmpty():
+            break
+        best = (
+            assign.select(
+                "user_id",
+                "s",
+                "e",
+                F.struct(
+                    c2.alias("c2"),
+                    (-F.col("idx")).alias("ni"),
+                    F.col("py").alias("my"),
+                    F.col("px").alias("mx2"),
+                ).alias("cand"),
+                thr.alias("thr"),
+            )
+            .groupBy("user_id", "s", "e")
+            .agg(F.max("cand").alias("m"), F.max("thr").alias("thr"))
+        )
+        split = best.filter(F.col("m.c2") > F.col("thr")).select(
+            "user_id",
+            "s",
+            "e",
+            (-F.col("m.ni")).alias("m_idx"),
+            F.col("m.my").alias("my"),
+            F.col("m.mx2").alias("mx2"),
+        )
+        kept = kept.union(
+            split.select("user_id", F.col("m_idx").alias("idx"))
+        ).localCheckpoint(eager=False)
+        lo = F.col("idx") < F.col("m_idx")
+        assign = (
+            assign.join(split, ["user_id", "s", "e"])
+            .filter(F.col("idx") != F.col("m_idx"))
+            .select(
+                "user_id",
+                F.when(lo, F.col("s")).otherwise(F.col("m_idx")).alias("s"),
+                F.when(lo, F.col("m_idx")).otherwise(F.col("e")).alias("e"),
+                "idx",
+                "py",
+                "px",
+                F.when(lo, F.col("sy")).otherwise(F.col("my")).alias("sy"),
+                F.when(lo, F.col("sx")).otherwise(F.col("mx2")).alias("sx"),
+                F.when(lo, F.col("my")).otherwise(F.col("ey")).alias("ey"),
+                F.when(lo, F.col("mx2")).otherwise(F.col("ex")).alias("ex"),
+            )
+        )
+    return kept.join(pts, ["user_id", "idx"]).select(
+        "user_id", "idx", "py", "px"
+    )

@@ -3795,3 +3795,102 @@ SELECT q.id, q.p25, q.p75, q.p75 - q.p25 AS iqr,
            OR z.value > q.p75 + 1.5 * (q.p75 - q.p25) THEN 1 END), 0)
          AS BIGINT) AS n_outliers
 FROM q JOIN z USING (id) GROUP BY 1, 2, 3, 4"""
+
+
+# ---- geohash cell (pip.geohash_cell_col) ----------------------------------
+from scidbgeo_spark.operators.pip import GEOHASH_B32, GEOHASH_BITS  # noqa: E402
+
+_GH_SCALE = 1 << GEOHASH_BITS
+_gh_bits = " + ".join(
+    f"(((qx >> {j}) & 1) << {2 * j + 1}) + (((qy >> {j}) & 1) << {2 * j})"
+    for j in range(GEOHASH_BITS)
+)
+_gh_chars = " || ".join(
+    f"substr('{GEOHASH_B32}', CAST(((gcell >> {25 - 5 * c}) & 31) + 1 AS INT), 1)"
+    for c in range(6)
+)
+SQL["geohash_cell"] = f"""WITH {PTS},
+q AS (
+  SELECT doc_id,
+         least(CAST(floor((lon + 180.0) / 360.0 * {_GH_SCALE}) AS BIGINT),
+               {_GH_SCALE - 1}) AS qx,
+         least(CAST(floor((lat + 90.0) / 180.0 * {_GH_SCALE}) AS BIGINT),
+               {_GH_SCALE - 1}) AS qy
+  FROM pts
+),
+c AS (SELECT doc_id, CAST({_gh_bits} AS BIGINT) AS gcell FROM q)
+SELECT doc_id, gcell, {_gh_chars} AS gh FROM c"""
+
+
+# ---- distributed Douglas-Peucker (temporal.trajectory_simplify) -----------
+# The engine's data-parallel recursion levels unrolled as CTEs: one
+# argmax (QUALIFY row_number) + one reassignment join per level, both
+# bounded at DP_MAX_ROUNDS on BOTH engines, squares in HUGEINT where
+# Spark runs decimal(38,0).
+from scidbgeo_spark.operators.temporal import (  # noqa: E402
+    DP_EPS,
+    DP_MAX_ROUNDS,
+)
+
+
+def _dp_round(p: str, i: str) -> str:
+    return f"""sc_{i} AS MATERIALIZED (
+  SELECT user_id, s, e, idx, py, px, sy, sx, ey, ex,
+         CAST((ex - sx) * (py - sy) - (ey - sy) * (px - sx) AS HUGEINT) AS cr,
+         CAST((ex - sx) * (ex - sx) + (ey - sy) * (ey - sy) AS HUGEINT) AS len2
+  FROM a_{p}
+),
+best_{i} AS MATERIALIZED (
+  SELECT user_id, s, e, idx AS m_idx, py AS my, px AS mx2,
+         cr * cr AS c2, {DP_EPS * DP_EPS} * len2 AS thr
+  FROM sc_{i}
+  QUALIFY row_number() OVER (PARTITION BY user_id, s, e
+                             ORDER BY cr * cr DESC, idx ASC) = 1
+),
+sp_{i} AS MATERIALIZED (SELECT * FROM best_{i} WHERE c2 > thr),
+k_{i} AS MATERIALIZED (SELECT user_id, idx FROM k_{p}
+          UNION ALL SELECT user_id, m_idx FROM sp_{i}),
+a_{i} AS MATERIALIZED (
+  SELECT a.user_id,
+         CASE WHEN a.idx < t.m_idx THEN a.s ELSE t.m_idx END AS s,
+         CASE WHEN a.idx < t.m_idx THEN t.m_idx ELSE a.e END AS e,
+         a.idx, a.py, a.px,
+         CASE WHEN a.idx < t.m_idx THEN a.sy ELSE t.my END AS sy,
+         CASE WHEN a.idx < t.m_idx THEN a.sx ELSE t.mx2 END AS sx,
+         CASE WHEN a.idx < t.m_idx THEN t.my ELSE a.ey END AS ey,
+         CASE WHEN a.idx < t.m_idx THEN t.mx2 ELSE a.ex END AS ex
+  FROM a_{p} a JOIN sp_{i} t USING (user_id, s, e)
+  WHERE a.idx <> t.m_idx
+)"""
+
+
+_DP_CTES = ",\n".join(
+    _dp_round(str(i), str(i + 1)) for i in range(DP_MAX_ROUNDS)
+)
+
+SQL["trajectory_simplify"] = f"""WITH pts AS MATERIALIZED (
+  SELECT user_id,
+         CAST((event_id * 7919) % 180000 AS BIGINT) AS py,
+         CAST((event_id * 9973) % 360000 AS BIGINT) AS px,
+         CAST(row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1 AS BIGINT) AS idx
+  FROM events
+),
+ends AS MATERIALIZED (SELECT user_id, max(idx) AS mx FROM pts GROUP BY 1),
+k_0 AS MATERIALIZED (
+  SELECT DISTINCT user_id, idx FROM (
+    SELECT user_id, CAST(0 AS BIGINT) AS idx FROM ends
+    UNION ALL SELECT user_id, mx FROM ends)
+),
+a_0 AS MATERIALIZED (
+  SELECT p.user_id, CAST(0 AS BIGINT) AS s, en.mx AS e, p.idx, p.py, p.px,
+         s0.py AS sy, s0.px AS sx, e1.py AS ey, e1.px AS ex
+  FROM pts p
+  JOIN ends en USING (user_id)
+  JOIN pts s0 ON s0.user_id = p.user_id AND s0.idx = 0
+  JOIN pts e1 ON e1.user_id = p.user_id AND e1.idx = en.mx
+  WHERE p.idx > 0 AND p.idx < en.mx
+),
+{_DP_CTES}
+SELECT k.user_id, k.idx, p.py, p.px
+FROM k_{DP_MAX_ROUNDS} k JOIN pts p USING (user_id, idx)"""

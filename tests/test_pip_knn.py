@@ -1595,3 +1595,101 @@ def test_hilbert_block_range_equals_box_exhaustive(spark):
                     for cy in range(by, by + step)
                 }
                 assert inside == set(range(d0, d1)), (bx, by, k)
+
+
+def test_geohash_matches_textbook_bisection(spark, sf_correct):
+    """The integer-quantized geohash equals the classic bisection
+    algorithm (Niemeyer encoding, lon first) char for char."""
+    B32 = pip.GEOHASH_B32
+
+    def classic(lon, lat, nchars=6):
+        lo_lon, hi_lon, lo_lat, hi_lat = -180.0, 180.0, -90.0, 90.0
+        bits, out, even = 0, [], True
+        ch = 0
+        for _ in range(nchars * 5):
+            if even:
+                mid = (lo_lon + hi_lon) / 2
+                if lon >= mid:
+                    ch = ch * 2 + 1
+                    lo_lon = mid
+                else:
+                    ch = ch * 2
+                    hi_lon = mid
+            else:
+                mid = (lo_lat + hi_lat) / 2
+                if lat >= mid:
+                    ch = ch * 2 + 1
+                    lo_lat = mid
+                else:
+                    ch = ch * 2
+                    hi_lat = mid
+            even = not even
+            bits += 1
+            if bits == 5:
+                out.append(B32[ch])
+                bits, ch = 0, 0
+        return "".join(out)
+
+    pts = model.points(spark, sf_correct)
+    code = pip.geohash_cell_col()
+    rows = pts.select(
+        "doc_id", "lon", "lat", code.alias("g"),
+        pip.geohash_str_col(code).alias("gh"),
+    ).collect()
+    assert len(rows) > 100
+    for r in rows[:300]:
+        want = classic(r.lon, r.lat)
+        assert r.gh == want, (r.doc_id, r.lon, r.lat, r.gh, want)
+        # integer code round-trips through the base32 text
+        dec = 0
+        for c in r.gh:
+            dec = dec * 32 + B32.index(c)
+        assert dec == r.g
+
+
+def test_trajectory_simplify_equals_unbounded_dp(spark, sf_smoke):
+    """The bounded data-parallel rounds converge to TRUE unbounded
+    Douglas-Peucker at fixture scale (endpoints + all split points,
+    exact integer tolerance tests)."""
+    from scidbgeo_spark.operators import temporal
+
+    ev = model.load_table(spark, sf_smoke, "events")
+    rows = ev.select("user_id", "ts", "event_id").collect()
+    traj = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        traj.setdefault(r.user_id, []).append(
+            ((r.event_id * 7919) % 180000, (r.event_id * 9973) % 360000)
+        )
+    eps2 = temporal.DP_EPS * temporal.DP_EPS
+    want = set()
+    for u, pts_u in traj.items():
+        n = len(pts_u)
+        want.add((u, 0))
+        want.add((u, n - 1))
+        stack = [(0, n - 1)] if n >= 3 else []
+        while stack:
+            s, e = stack.pop()
+            if e - s < 2:
+                continue
+            sy, sx = pts_u[s]
+            ey, ex = pts_u[e]
+            best = None
+            for i in range(s + 1, e):
+                py, px = pts_u[i]
+                cr = (ex - sx) * (py - sy) - (ey - sy) * (px - sx)
+                c2 = cr * cr
+                if best is None or c2 > best[0]:
+                    best = (c2, i)
+            len2 = (ex - sx) ** 2 + (ey - sy) ** 2
+            if best and best[0] > eps2 * len2:
+                m = best[1]
+                want.add((u, m))
+                stack.append((s, m))
+                stack.append((m, e))
+    got = {
+        (r.user_id, r.idx): (r.py, r.px)
+        for r in temporal.trajectory_simplify(ev).collect()
+    }
+    assert set(got) == want
+    for (u, i), (py, px) in got.items():
+        assert (py, px) == traj[u][i]
