@@ -2626,6 +2626,81 @@ def q_areal_interp(spark, sf_dir):
     return regions.areal_interpolate(a, b, cell=60, area_a=zh * zw)
 
 
+def q_cluster_quality(spark, sf_dir):
+    """Per-cluster WCSS/mean-squared-distance diagnostics over the
+    deterministic k-means assignment — exact rational-centroid algebra
+    (n*ssq - ||s||^2) in decimal(38,0), HUGEINT in the oracle."""
+    return similarity.cluster_quality(
+        model.load_table(spark, sf_dir, "embeddings")
+    )
+
+
+def q_dup_source_matrix(spark, sf_dir):
+    """Cross-SOURCE duplication matrix: MinHash near-dup pairs rolled up
+    to unordered (source_a, source_b) counts — the who-copies-whom
+    curation signal (intra-source templating vs cross-source mirrors)."""
+    from pyspark.sql import functions as F
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_dup_pairs(dedup.dup_corpus(docs))
+    src = docs.select("doc_id", "source")
+    # injected dup ids map back to their original document (+100000 /
+    # +200000 offsets), whose source they inherit
+    j = (
+        pairs.select(
+            (F.col("a") % 100000).alias("oa"), (F.col("b") % 100000).alias("ob")
+        )
+        .join(
+            src.select(F.col("doc_id").alias("oa"), F.col("source").alias("sa")),
+            "oa",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("ob"), F.col("source").alias("sb")),
+            "ob",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+def q_cell_skew_stats(spark, sf_dir):
+    """One-row skew profile of the point grid: per-cell occupancy
+    histogram reduced to exact-integer Gini (rank form over the compact
+    cell table — bounded by the 64,800-cell 1-degree grid, not by points) plus the
+    hottest-cell count: the number that justifies pip_grid_salted."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import Window as W
+
+    pts = model.points(spark, sf_dir)
+    counts = pts.select(pip.cell_col().alias("cell")).groupBy("cell").agg(
+        F.count("*").alias("c")
+    )
+    w = W.orderBy("c", "cell")
+    r = counts.select("c", F.row_number().over(w).cast("long").alias("rk"))
+    return r.agg(
+        F.count("*").alias("n_cells"),
+        F.sum("c").alias("n_points"),
+        F.max("c").alias("max_cell_n"),
+        (2 * F.sum(F.col("rk") * F.col("c"))
+         - (F.count("*") + 1) * F.sum("c")).alias("gini_num"),
+        (F.count("*") * F.sum("c")).alias("gini_den"),
+    ).select(
+        "n_cells",
+        "n_points",
+        "max_cell_n",
+        "gini_num",
+        "gini_den",
+        (F.col("gini_num").cast("double") / F.col("gini_den").cast("double")
+         ).alias("gini"),
+    )
+
+
 def q_trajectory_simplify(spark, sf_dir):
     """Distributed Douglas-Peucker over every user trajectory at once:
     one argmax + one reassignment join per recursion LEVEL (bounded at
@@ -2744,6 +2819,9 @@ def q_time_weighted_avg(spark, sf_dir):
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
+    "cluster_quality": q_cluster_quality,
+    "dup_source_matrix": q_dup_source_matrix,
+    "cell_skew_stats": q_cell_skew_stats,
     "trajectory_simplify": q_trajectory_simplify,
     "geohash_cell": q_geohash_cell,
     "simhash_recall": q_simhash_recall,

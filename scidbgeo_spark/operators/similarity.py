@@ -482,3 +482,63 @@ def ann_pq_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("q_id", "vec_id", "rank")
     )
+
+
+def cluster_quality(emb: DataFrame) -> DataFrame:
+    """Per-cluster QUALITY diagnostics for the deterministic k-means
+    assignment — the signal that tells a curation pipeline whether its
+    embedding clusters are tight enough to trust for mixing/dedup
+    decisions: (cluster, n, ssq, wcss_num, msd) where wcss (within-
+    cluster sum of squares around the EXACT rational centroid s/n)
+    uses the algebraic identity sum||x - s/n||^2 = ssq - ||s||^2/n,
+    kept exact as wcss_num = n*ssq - ||s||^2 over denominator n, and
+    msd = wcss_num div n^2 is the floor mean squared distance.  The
+    n*ssq and ||s||^2 products pass int64 at corpus scale, so both run
+    in decimal(38,0) (HUGEINT in the oracle) — same discipline as
+    zonal variance.
+
+    Scale shape: one cluster-keyed scalar aggregate (map-side
+    combinable) + one (cluster, dim)-keyed sum for the centroid vector
+    (k x 64 cells regardless of corpus size) — the corpus is scanned
+    once past the assignment; nothing collects."""
+    assign = kmeans_assign(emb)
+    e = _scaled(emb)
+    m = assign.join(e, "vec_id")
+    s2 = F.aggregate(
+        F.transform("sv", lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    per = (
+        m.select("cluster", s2.alias("s2"))
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n"), F.sum("s2").alias("ssq"))
+    )
+    snorm = (
+        m.select("cluster", F.posexplode("sv").alias("dim", "v"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("v").alias("s"))
+        .select(
+            "cluster",
+            (
+                F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+            ).alias("s2d"),
+        )
+        .groupBy("cluster")
+        .agg(F.sum("s2d").alias("snorm2"))
+    )
+    return per.join(snorm, "cluster").select(
+        "cluster",
+        "n",
+        "ssq",
+        # exact in decimal(38,0); DOUBLE only at the output boundary
+        # (same integer -> same double on both engines — the zonal_var
+        # exactness precedent)
+        F.expr(
+            "CAST(CAST(n AS DECIMAL(19,0)) * ssq - snorm2 AS DOUBLE)"
+        ).alias("wcss_num"),
+        F.expr(
+            "CAST((CAST(n AS DECIMAL(19,0)) * ssq - snorm2)"
+            " DIV (CAST(n AS DECIMAL(19,0)) * n) AS BIGINT)"
+        ).alias("msd"),
+    )

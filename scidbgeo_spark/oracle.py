@@ -3894,3 +3894,68 @@ a_0 AS MATERIALIZED (
 {_DP_CTES}
 SELECT k.user_id, k.idx, p.py, p.px
 FROM k_{DP_MAX_ROUNDS} k JOIN pts p USING (user_id, idx)"""
+
+
+# ---- k-means cluster quality (similarity.cluster_quality) -----------------
+from scidbgeo_spark.operators.similarity import KMEANS_SCALE as _KQ_SCALE  # noqa: E402
+from scidbgeo_spark.operators.similarity import DIM as _KQ_DIM  # noqa: E402
+
+SQL["cluster_quality"] = f"""WITH asg AS (
+  SELECT vec_id, cluster FROM ({SQL["kmeans_assign"]})
+),
+e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * {_KQ_SCALE})::BIGINT) AS sv
+  FROM embeddings
+),
+m AS (SELECT a.cluster, e.sv FROM asg a JOIN e USING (vec_id)),
+per AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(list_reduce(list_transform(sv, x -> x * x),
+                              (p, q) -> p + q)) AS BIGINT) AS ssq
+  FROM m GROUP BY 1
+),
+dims AS (
+  SELECT cluster, i AS dim, CAST(sum(sv[i]) AS BIGINT) AS s
+  FROM m, lateral (SELECT unnest(range(1, {_KQ_DIM} + 1)) AS i)
+  GROUP BY 1, 2
+),
+sn AS (SELECT cluster, sum(CAST(s AS HUGEINT) * s) AS snorm2 FROM dims GROUP BY 1)
+SELECT p.cluster, p.n, p.ssq,
+       CAST(CAST(p.n AS HUGEINT) * p.ssq - sn.snorm2 AS DOUBLE) AS wcss_num,
+       CAST((CAST(p.n AS HUGEINT) * p.ssq - sn.snorm2)
+            // (CAST(p.n AS HUGEINT) * p.n) AS BIGINT) AS msd
+FROM per p JOIN sn USING (cluster)"""
+
+
+# ---- cross-source duplication matrix (q_dup_source_matrix) ----------------
+SQL["dup_source_matrix"] = f"""WITH pr AS (
+  SELECT a, b FROM ({SQL["minhash_dup_pairs"]})
+),
+m AS (SELECT a % 100000 AS oa, b % 100000 AS ob FROM pr),
+j AS (
+  SELECT least(da.source, db.source) AS src_a,
+         greatest(da.source, db.source) AS src_b
+  FROM m JOIN documents da ON da.doc_id = m.oa
+         JOIN documents db ON db.doc_id = m.ob
+)
+SELECT src_a, src_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM j GROUP BY 1, 2"""
+
+
+# ---- cell skew profile (q_cell_skew_stats) --------------------------------
+SQL["cell_skew_stats"] = f"""WITH {PTS},
+counts AS (
+  SELECT CAST(floor(lat + 90) * 360 + floor(lon + 180) AS BIGINT) AS cell,
+         CAST(count(*) AS BIGINT) AS c
+  FROM pts GROUP BY 1
+),
+r AS (SELECT c, row_number() OVER (ORDER BY c, cell) AS rk FROM counts)
+SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       CAST(sum(c) AS BIGINT) AS n_points,
+       CAST(max(c) AS BIGINT) AS max_cell_n,
+       CAST(2 * sum(rk * c) - (count(*) + 1) * sum(c) AS BIGINT) AS gini_num,
+       CAST(count(*) * sum(c) AS BIGINT) AS gini_den,
+       CAST(2 * sum(rk * c) - (count(*) + 1) * sum(c) AS DOUBLE)
+         / CAST(count(*) * sum(c) AS DOUBLE) AS gini
+FROM r"""

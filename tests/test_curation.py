@@ -824,3 +824,77 @@ def test_simhash_recall_bounds(spark, sf_smoke):
     assert row.n_exact > 0
     assert 0 <= row.n_recovered <= row.n_exact
     assert abs(row.recall - row.n_recovered / row.n_exact) < 1e-12
+
+
+def test_cluster_quality_vs_python(spark, sf_smoke):
+    """Exact rational-centroid WCSS twin: recompute n*ssq - ||s||^2 in
+    unbounded Python ints from the (oracle-pinned) assignment."""
+    import math
+
+    from scidbgeo_spark.operators import similarity as sim
+
+    emb = model.load_table(spark, sf_smoke, "embeddings")
+    asg = {r.vec_id: r.cluster for r in sim.kmeans_assign(emb).collect()}
+    vecs = {
+        r.vec_id: [math.floor(float(x) * sim.KMEANS_SCALE) for x in r.embedding]
+        for r in emb.collect()
+    }
+    by_c = {}
+    for vid, c in asg.items():
+        by_c.setdefault(c, []).append(vecs[vid])
+    want = {}
+    for c, vs in by_c.items():
+        n = len(vs)
+        ssq = sum(sum(x * x for x in v) for v in vs)
+        s = [sum(col) for col in zip(*vs)]
+        snorm2 = sum(x * x for x in s)
+        num = n * ssq - snorm2
+        want[c] = (n, ssq, float(num), num // (n * n))
+    got = {
+        r.cluster: (r.n, r.ssq, r.wcss_num, r.msd)
+        for r in sim.cluster_quality(emb).collect()
+    }
+    assert got == want
+    assert all(v[3] >= 0 for v in got.values())
+
+
+def test_dup_source_matrix_and_cell_skew_twins(spark, sf_smoke):
+    """Rollup twins: the source matrix re-derives from collected pairs;
+    the Gini recomputes from collected per-cell counts (rank form)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", "/root/repo/__spark_entry__.py"
+    )
+    em = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(em)
+
+    docs = _docs(spark, sf_smoke)
+    pairs = dedup.minhash_dup_pairs(dedup.dup_corpus(docs)).collect()
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    from collections import Counter
+
+    want = Counter()
+    for r in pairs:
+        sa, sb = src[r.a % 100000], src[r.b % 100000]
+        want[(min(sa, sb), max(sa, sb))] += 1
+    got = {
+        (r.src_a, r.src_b): r.n_pairs
+        for r in em.q_dup_source_matrix(spark, sf_smoke).collect()
+    }
+    assert got == dict(want) and len(got) > 0
+
+    pts = model.points(spark, sf_smoke).collect()
+    cells = Counter()
+    import math as m
+
+    for r in pts:
+        cells[m.floor(r.lat + 90) * 360 + m.floor(r.lon + 180)] += 1
+    cs = sorted(cells.values())
+    n, tot = len(cs), sum(cs)
+    gnum = 2 * sum(i * c for i, c in enumerate(cs, 1)) - (n + 1) * tot
+    [row] = em.q_cell_skew_stats(spark, sf_smoke).collect()
+    assert (row.n_cells, row.n_points, row.max_cell_n) == (n, tot, max(cs))
+    assert (row.gini_num, row.gini_den) == (gnum, n * tot)
+    assert abs(row.gini - gnum / (n * tot)) < 1e-15
+    assert row.gini > 0.05  # the hot cell makes the grid measurably skewed
