@@ -2626,6 +2626,26 @@ def q_areal_interp(spark, sf_dir):
     return regions.areal_interpolate(a, b, cell=60, area_a=zh * zw)
 
 
+def q_trajectory_segments(spark, sf_dir):
+    """Gaps-and-islands GPS-track segmentation: split at squared jumps
+    > SEG_JUMP2, roll up per segment — one user-keyed shuffle shared by
+    both windows and the agg."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.trajectory_segments(
+        model.load_table(spark, sf_dir, "events")
+    )
+
+
+def q_od_flows(spark, sf_dir):
+    """Origin-destination cell flow matrix (consecutive-point
+    transitions on the 6x12 world grid) — constant-size output, one
+    keyed window + map-side-combined count."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.od_flows(model.load_table(spark, sf_dir, "events"))
+
+
 def q_cluster_quality(spark, sf_dir):
     """Per-cluster WCSS/mean-squared-distance diagnostics over the
     deterministic k-means assignment — exact rational-centroid algebra
@@ -2819,6 +2839,8 @@ def q_time_weighted_avg(spark, sf_dir):
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
+    "trajectory_segments": q_trajectory_segments,
+    "od_flows": q_od_flows,
     "cluster_quality": q_cluster_quality,
     "dup_source_matrix": q_dup_source_matrix,
     "cell_skew_stats": q_cell_skew_stats,

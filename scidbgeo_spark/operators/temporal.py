@@ -1039,3 +1039,100 @@ def trajectory_simplify(
     return kept.join(pts, ["user_id", "idx"]).select(
         "user_id", "idx", "py", "px"
     )
+
+
+SEG_JUMP2 = 20_000_000_000  # squared step threshold (lattice units^2)
+OD_CELL = 30000  # milli-degree OD cell span -> 6 x 12 world grid
+
+
+def trajectory_segments(
+    events: DataFrame, jump2: int = SEG_JUMP2
+) -> DataFrame:
+    """GPS-track SEGMENTATION (gaps-and-islands): split every user
+    trajectory wherever the squared step length exceeds ``jump2`` (the
+    teleport/jump detector every mobility pipeline runs before speed or
+    stay analysis), then roll each segment up — (user_id, seg_id,
+    n_pts, path_len2, bbox_h, bbox_w), seg_id 1-based per user in time
+    order, path_len2 summing only intra-segment steps.  Exact integer
+    algebra on the milli-degree lattice.
+
+    Scale shape: the classic single-key two-window composition — lag
+    for steps, running sum of the break flag for island ids — and the
+    per-(user, seg) agg all share the user_id hash partitioning: ONE
+    shuffle, map-side-combined rollup, skew bounded by the hottest
+    user."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    pts = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        ((F.col("event_id") * 7919) % 180000).alias("py"),
+        ((F.col("event_id") * 9973) % 360000).alias("px"),
+    )
+    stepped = pts.select(
+        "user_id",
+        "py",
+        "px",
+        (F.col("py") - F.lag("py").over(w)).alias("dy"),
+        (F.col("px") - F.lag("px").over(w)).alias("dx"),
+        F.when(
+            F.lag("py").over(w).isNull()
+            | (
+                (F.col("py") - F.lag("py").over(w))
+                * (F.col("py") - F.lag("py").over(w))
+                + (F.col("px") - F.lag("px").over(w))
+                * (F.col("px") - F.lag("px").over(w))
+                > jump2
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("brk"),
+        F.col("ts").alias("__ts"),
+        F.col("event_id").alias("__eid"),
+    )
+    seg = stepped.withColumn(
+        "seg_id",
+        F.sum("brk").over(
+            Window.partitionBy("user_id")
+            .orderBy("__ts", "__eid")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    step2 = F.col("dy") * F.col("dy") + F.col("dx") * F.col("dx")
+    return seg.groupBy("user_id", "seg_id").agg(
+        F.count("*").alias("n_pts"),
+        F.coalesce(
+            F.sum(F.when(F.col("brk") == 0, step2)), F.lit(0)
+        ).alias("path_len2"),
+        (F.max("py") - F.min("py")).alias("bbox_h"),
+        (F.max("px") - F.min("px")).alias("bbox_w"),
+    )
+
+
+def od_flows(events: DataFrame, cell: int = OD_CELL) -> DataFrame:
+    """ORIGIN-DESTINATION flow matrix over the coarse world grid: count
+    consecutive-point transitions between DIFFERENT cells per the
+    (ts, event_id) order — the OD rollup behind every mobility /
+    crawl-geography heat map.  (o_cell, d_cell, n_trips), cells =
+    (py div 30000) * 12 + (px div 30000) on the 6 x 12 grid.
+
+    Scale shape: one user-keyed lag window (same single-shuffle
+    contract as trajectory_stats), then a map-side-combinable count on
+    the 72^2-bounded (o, d) key space — the output is constant-size
+    regardless of corpus."""
+    nx = 360000 // cell
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = (
+        F.expr(f"((event_id * 7919) % 180000) DIV {cell}") * nx
+        + F.expr(f"((event_id * 9973) % 360000) DIV {cell}")
+    )
+    t = events.select("user_id", "ts", "event_id", c.alias("cell")).select(
+        F.lag("cell").over(w).alias("o_cell"), F.col("cell").alias("d_cell")
+    )
+    return (
+        t.filter(F.col("o_cell").isNotNull() & (F.col("o_cell") != F.col("d_cell")))
+        .groupBy("o_cell", "d_cell")
+        .agg(F.count("*").alias("n_trips"))
+    )

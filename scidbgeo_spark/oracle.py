@@ -3959,3 +3959,51 @@ SELECT CAST(count(*) AS BIGINT) AS n_cells,
        CAST(2 * sum(rk * c) - (count(*) + 1) * sum(c) AS DOUBLE)
          / CAST(count(*) * sum(c) AS DOUBLE) AS gini
 FROM r"""
+
+
+# ---- trajectory segmentation + OD flows (temporal) ------------------------
+from scidbgeo_spark.operators.temporal import OD_CELL, SEG_JUMP2  # noqa: E402
+
+SQL["trajectory_segments"] = f"""WITH pts AS (
+  SELECT user_id, ts, event_id,
+         (event_id * 7919) % 180000 AS py,
+         (event_id * 9973) % 360000 AS px
+  FROM events
+),
+s AS (
+  SELECT user_id, py, px, ts, event_id,
+         py - lag(py) OVER w AS dy,
+         px - lag(px) OVER w AS dx
+  FROM pts WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+b AS (
+  SELECT *, CASE WHEN dy IS NULL OR dy*dy + dx*dx > {SEG_JUMP2}
+                 THEN 1 ELSE 0 END AS brk
+  FROM s
+),
+g AS (
+  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS seg_id
+  FROM b
+)
+SELECT user_id, CAST(seg_id AS BIGINT) AS seg_id,
+       CAST(count(*) AS BIGINT) AS n_pts,
+       CAST(coalesce(sum(CASE WHEN brk = 0 THEN dy*dy + dx*dx END), 0)
+            AS BIGINT) AS path_len2,
+       CAST(max(py) - min(py) AS BIGINT) AS bbox_h,
+       CAST(max(px) - min(px) AS BIGINT) AS bbox_w
+FROM g GROUP BY 1, 2"""
+
+_OD_NX = 360000 // OD_CELL
+SQL["od_flows"] = f"""WITH t AS (
+  SELECT lag(((event_id * 7919) % 180000) // {OD_CELL} * {_OD_NX}
+             + ((event_id * 9973) % 360000) // {OD_CELL})
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS o_cell,
+         ((event_id * 7919) % 180000) // {OD_CELL} * {_OD_NX}
+           + ((event_id * 9973) % 360000) // {OD_CELL} AS d_cell
+  FROM events
+)
+SELECT CAST(o_cell AS BIGINT) AS o_cell, CAST(d_cell AS BIGINT) AS d_cell,
+       CAST(count(*) AS BIGINT) AS n_trips
+FROM t WHERE o_cell IS NOT NULL AND o_cell <> d_cell
+GROUP BY 1, 2"""

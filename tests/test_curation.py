@@ -898,3 +898,60 @@ def test_dup_source_matrix_and_cell_skew_twins(spark, sf_smoke):
     assert (row.gini_num, row.gini_den) == (gnum, n * tot)
     assert abs(row.gini - gnum / (n * tot)) < 1e-15
     assert row.gini > 0.05  # the hot cell makes the grid measurably skewed
+
+
+def test_trajectory_segments_and_od_flows(spark, sf_smoke):
+    """Twins for the gaps-and-islands segmentation and the OD matrix,
+    plus the single-user-shuffle plan pin for the segmentation."""
+    from scidbgeo_spark.operators import temporal
+
+    ev = model.load_table(spark, sf_smoke, "events")
+    rows = sorted(
+        ev.select("user_id", "ts", "event_id").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    traj = {}
+    for r in rows:
+        traj.setdefault(r.user_id, []).append(
+            ((r.event_id * 7919) % 180000, (r.event_id * 9973) % 360000)
+        )
+    want_seg = {}
+    want_od = {}
+    for u, pts in traj.items():
+        seg, prev = 0, None
+        stats = None
+        for py, px in pts:
+            brk = prev is None or (
+                (py - prev[0]) ** 2 + (px - prev[1]) ** 2
+                > temporal.SEG_JUMP2
+            )
+            if brk:
+                seg += 1
+                want_seg[(u, seg)] = [0, 0, py, py, px, px]
+            st = want_seg[(u, seg)]
+            st[0] += 1
+            if not brk:
+                st[1] += (py - prev[0]) ** 2 + (px - prev[1]) ** 2
+            st[2], st[3] = min(st[2], py), max(st[3], py)
+            st[4], st[5] = min(st[4], px), max(st[5], px)
+            if prev is not None:
+                o = (prev[0] // temporal.OD_CELL) * 12 + prev[1] // temporal.OD_CELL
+                d = (py // temporal.OD_CELL) * 12 + px // temporal.OD_CELL
+                if o != d:
+                    want_od[(o, d)] = want_od.get((o, d), 0) + 1
+            prev = (py, px)
+    got = {
+        (r.user_id, r.seg_id): (r.n_pts, r.path_len2, r.bbox_h, r.bbox_w)
+        for r in temporal.trajectory_segments(ev).collect()
+    }
+    assert got == {
+        k: (v[0], v[1], v[3] - v[2], v[5] - v[4])
+        for k, v in want_seg.items()
+    }
+    god = {
+        (r.o_cell, r.d_cell): r.n_trips
+        for r in temporal.od_flows(ev).collect()
+    }
+    assert god == want_od and len(god) > 10
+    p = temporal.trajectory_segments(ev)._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
