@@ -2626,6 +2626,31 @@ def q_areal_interp(spark, sf_dir):
     return regions.areal_interpolate(a, b, cell=60, area_a=zh * zw)
 
 
+def q_cell_dwell(spark, sf_dir):
+    """Time-weighted cell heat map: LOCF dwell microseconds + visit
+    counts per world-grid cell."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.cell_dwell(model.load_table(spark, sf_dir, "events"))
+
+
+def q_simhash_precision(spark, sf_dir):
+    """Precision gauge for the Hamming-verified SimHash pair route:
+    fraction of emitted pairs that clear the exact Jaccard threshold
+    (MinHash needs no such gauge — it Jaccard-verifies by construction)."""
+    return dedup.simhash_precision(dedup.dup_corpus(_docs(spark, sf_dir)))
+
+
+def q_pip_poly_winding(spark, sf_dir):
+    """Winding-number vs even-odd PIP on a pentagram (self-overlapping
+    ring: the star core has winding number 2 — inside under nonzero,
+    outside under even-odd) + a square control zone where both rules
+    agree.  Broadcast directed-edge crossings, both rules from the same
+    join."""
+    pts = model.points(spark, sf_dir)
+    return pip.winding_join(pts, pip.winding_edges(spark))
+
+
 def q_trajectory_segments(spark, sf_dir):
     """Gaps-and-islands GPS-track segmentation: split at squared jumps
     > SEG_JUMP2, roll up per segment — one user-keyed shuffle shared by
@@ -2839,6 +2864,9 @@ def q_time_weighted_avg(spark, sf_dir):
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
+    "cell_dwell": q_cell_dwell,
+    "simhash_precision": q_simhash_precision,
+    "pip_poly_winding": q_pip_poly_winding,
     "trajectory_segments": q_trajectory_segments,
     "od_flows": q_od_flows,
     "cluster_quality": q_cluster_quality,

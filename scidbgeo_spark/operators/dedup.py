@@ -865,3 +865,33 @@ def simhash_recall(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
         F.count("hit").alias("n_recovered"),
         F.when(n_ex > 0, F.count("hit") / n_ex).alias("recall"),
     )
+
+
+def simhash_precision(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """PRECISION gauge for the SimHash banding path — the other half of
+    :func:`simhash_recall`: of the pairs the Hamming-bound route emits,
+    what fraction is truly near-duplicate by exact shingle Jaccard >=
+    ``threshold``?  (MinHash needs no such gauge: minhash_dup_pairs
+    Jaccard-verifies every candidate, so its precision is 1 by
+    construction; SimHash verifies only the fingerprint distance, so
+    its false-positive rate is a real, measurable trade-off.)  One row
+    (n_pairs, n_true, precision); deterministic counts + one exact
+    division, DuckDB-bitwise."""
+    pairs = simhash_dup_pairs(corpus).select("a", "b")
+    sh = hashed_shingles(corpus).withColumnRenamed("hs64", "sh")
+    j = (
+        pairs.join(sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha")), "a")
+        .join(sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb")), "b")
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    scored = j.select(
+        ((inter / union) >= threshold).cast("long").alias("hit")
+    )
+    n = F.count(F.lit(1))
+    return scored.agg(
+        n.alias("n_pairs"),
+        F.sum("hit").alias("n_true"),
+        # "prec" not "precision": reserved word in ANSI SQL / DuckDB
+        F.when(n > 0, F.sum("hit") / n).alias("prec"),
+    )

@@ -614,3 +614,70 @@ def geohash_str_col(code):
         for c in range(6)
     ]
     return F.concat(*parts)
+
+
+def winding_join(pts: DataFrame, edges: DataFrame) -> DataFrame:
+    """WINDING-NUMBER point-in-polygon in pure column algebra — the
+    semantics the even-odd ray cast cannot express: self-overlapping
+    rings (a pentagram's center has winding number 2) count as INSIDE
+    under the nonzero rule and OUTSIDE under even-odd.  Returns one row
+    per zone: (zone_id, n_winding, n_evenodd) — both rules computed
+    from the SAME directed-edge crossings so the divergence is visible
+    in one result.
+
+    ``edges``: (zone_id, x1, y1, x2, y2) directed ring edges — a layer
+    table orders of magnitude smaller than the points, so it
+    BROADCASTS; the crossing test per (point, edge) is the standard
+    half-open rule (y1 <= py < y2 upward with the point strictly left;
+    reversed for downward), summed signed for winding and unsigned for
+    parity.  One broadcast join + one agg per key pair: no shuffle of
+    the point table beyond the final zone-keyed count."""
+    cross = (F.col("x2") - F.col("x1")) * (F.col("lat") - F.col("y1")) - (
+        F.col("lon") - F.col("x1")
+    ) * (F.col("y2") - F.col("y1"))
+    up = (F.col("y1") <= F.col("lat")) & (F.col("lat") < F.col("y2")) & (cross > 0)
+    dn = (F.col("y2") <= F.col("lat")) & (F.col("lat") < F.col("y1")) & (cross < 0)
+    per_pt = (
+        pts.crossJoin(F.broadcast(edges))
+        .select(
+            "doc_id",
+            "zone_id",
+            (F.when(up, 1).when(dn, -1).otherwise(0)).alias("w"),
+            (up | dn).cast("int").alias("c"),
+        )
+        .groupBy("doc_id", "zone_id")
+        .agg(F.sum("w").alias("wn"), F.sum("c").alias("cr"))
+    )
+    return per_pt.groupBy("zone_id").agg(
+        F.sum((F.col("wn") != 0).cast("long")).alias("n_winding"),
+        F.sum((F.col("cr") % 2 == 1).cast("long")).alias("n_evenodd"),
+    )
+
+
+# Pentagram star ring (self-overlapping: winding number 2 in the core) +
+# a plain square control zone where winding and even-odd agree.  Integer
+# template scaled by /200 around (10.05, 10.05) so the layer covers the
+# fixture's hot cell.
+STAR_TEMPLATE = [(0, 100), (59, -81), (-95, 31), (95, 31), (-59, -81)]
+WINDING_ZONES = [
+    (1, [(10.05 + x / 200.0, 10.05 + y / 200.0) for x, y in STAR_TEMPLATE]),
+    (2, [(9.9, 9.9), (10.3, 9.9), (10.3, 10.3), (9.9, 10.3)]),
+]
+
+
+def winding_zone_edges() -> list[tuple]:
+    """(zone_id, x1, y1, x2, y2) directed edges of WINDING_ZONES —
+    shared verbatim by the Spark layer and the oracle's VALUES list."""
+    rows = []
+    for zid, ring in WINDING_ZONES:
+        for i, (x1, y1) in enumerate(ring):
+            x2, y2 = ring[(i + 1) % len(ring)]
+            rows.append((zid, x1, y1, x2, y2))
+    return rows
+
+
+def winding_edges(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        winding_zone_edges(),
+        "zone_id long, x1 double, y1 double, x2 double, y2 double",
+    )

@@ -1136,3 +1136,29 @@ def od_flows(events: DataFrame, cell: int = OD_CELL) -> DataFrame:
         .groupBy("o_cell", "d_cell")
         .agg(F.count("*").alias("n_trips"))
     )
+
+
+def cell_dwell(events: DataFrame, cell: int = OD_CELL) -> DataFrame:
+    """TIME-WEIGHTED cell heat map: total dwell (LOCF holding duration,
+    epoch microseconds) and visit count per world-grid cell — the map
+    :func:`od_flows` counts transitions OF and :func:`time_weighted_avg`
+    weights values BY, aggregated spatially.  The last observation per
+    user holds nothing (same endpoint rule as time_weighted_avg).
+
+    Scale shape: one user-keyed lead window, then a map-side-combinable
+    sum on the constant-size 72-cell key space."""
+    nx = 360000 // cell
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    c = (
+        F.expr(f"((event_id * 7919) % 180000) DIV {cell}") * nx
+        + F.expr(f"((event_id * 9973) % 360000) DIV {cell}")
+    )
+    stepped = events.select(
+        c.alias("cell"), (F.lead(t_us).over(w) - t_us).alias("dur_us")
+    ).filter(F.col("dur_us").isNotNull())
+    return stepped.groupBy("cell").agg(
+        F.sum("dur_us").alias("dwell_us"), F.count("*").alias("n_visits")
+    )

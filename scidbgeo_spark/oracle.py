@@ -4007,3 +4007,63 @@ SELECT CAST(o_cell AS BIGINT) AS o_cell, CAST(d_cell AS BIGINT) AS d_cell,
        CAST(count(*) AS BIGINT) AS n_trips
 FROM t WHERE o_cell IS NOT NULL AND o_cell <> d_cell
 GROUP BY 1, 2"""
+
+
+# ---- cell dwell heat map (temporal.cell_dwell) ----------------------------
+SQL["cell_dwell"] = f"""WITH s AS (
+  SELECT ((event_id * 7919) % 180000) // {OD_CELL} * {_OD_NX}
+           + ((event_id * 9973) % 360000) // {OD_CELL} AS cell,
+         epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+           - epoch_us(ts) AS dur_us
+  FROM events
+)
+SELECT CAST(cell AS BIGINT) AS cell,
+       CAST(sum(dur_us) AS BIGINT) AS dwell_us,
+       CAST(count(*) AS BIGINT) AS n_visits
+FROM s WHERE dur_us IS NOT NULL GROUP BY 1"""
+
+
+# ---- SimHash precision gauge (dedup.simhash_precision) --------------------
+SQL["simhash_precision"] = f"""WITH {CORPUS}, {SHINGLES}, {HV64},
+pr AS (SELECT a, b FROM ({SQL["simhash_dup_pairs"]})),
+sc AS (
+  SELECT CASE WHEN len(list_intersect(l.hs, r.hs))
+                   / (len(l.hs) + len(r.hs) - len(list_intersect(l.hs, r.hs)))
+                 >= 0.5
+              THEN 1 ELSE 0 END AS hit
+  FROM pr JOIN hv64 l ON l.doc_id = pr.a JOIN hv64 r ON r.doc_id = pr.b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(hit) AS BIGINT) AS n_true,
+       sum(hit) / count(*) AS prec
+FROM sc"""
+
+
+# ---- winding-number vs even-odd PIP (pip.winding_join) --------------------
+from scidbgeo_spark.operators.pip import winding_zone_edges  # noqa: E402
+
+_W_EDGES = ",\n         ".join(
+    f"({zid}, {x1!r}, {y1!r}, {x2!r}, {y2!r})"
+    for zid, x1, y1, x2, y2 in winding_zone_edges()
+)
+SQL["pip_poly_winding"] = f"""WITH {PTS},
+edges(zone_id, x1, y1, x2, y2) AS (
+  VALUES {_W_EDGES}
+),
+c AS (
+  SELECT p.doc_id, e.zone_id,
+         CASE WHEN e.y1 <= p.lat AND p.lat < e.y2
+                   AND (e.x2 - e.x1) * (p.lat - e.y1)
+                     - (p.lon - e.x1) * (e.y2 - e.y1) > 0 THEN 1
+              WHEN e.y2 <= p.lat AND p.lat < e.y1
+                   AND (e.x2 - e.x1) * (p.lat - e.y1)
+                     - (p.lon - e.x1) * (e.y2 - e.y1) < 0 THEN -1
+              ELSE 0 END AS w
+  FROM pts p CROSS JOIN edges e
+),
+g AS (SELECT doc_id, zone_id, sum(w) AS wn, sum(abs(w)) AS cr
+      FROM c GROUP BY 1, 2)
+SELECT CAST(zone_id AS BIGINT) AS zone_id,
+       CAST(sum(CASE WHEN wn <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_winding,
+       CAST(sum(CASE WHEN cr % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_evenodd
+FROM g GROUP BY 1"""

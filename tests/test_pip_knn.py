@@ -1693,3 +1693,37 @@ def test_trajectory_simplify_equals_unbounded_dp(spark, sf_smoke):
     assert set(got) == want
     for (u, i), (py, px) in got.items():
         assert (py, px) == traj[u][i]
+
+
+def test_winding_join_vs_python_and_star_divergence(spark, sf_correct):
+    """Python twin of both crossing rules over the pentagram + square
+    layer; the star core (winding 2) must diverge: counted by nonzero,
+    invisible to even-odd."""
+    pts = model.points(spark, sf_correct).collect()
+    edges = pip.winding_zone_edges()
+    want = {}
+    for zid in {e[0] for e in edges}:
+        es = [e for e in edges if e[0] == zid]
+        nw = ne = 0
+        for r in pts:
+            wn = cr = 0
+            for _, x1, y1, x2, y2 in es:
+                cross = (x2 - x1) * (r.lat - y1) - (r.lon - x1) * (y2 - y1)
+                if y1 <= r.lat < y2 and cross > 0:
+                    wn += 1
+                    cr += 1
+                elif y2 <= r.lat < y1 and cross < 0:
+                    wn -= 1
+                    cr += 1
+            nw += wn != 0
+            ne += cr % 2 == 1
+        want[zid] = (nw, ne)
+    got = {
+        r.zone_id: (r.n_winding, r.n_evenodd)
+        for r in pip.winding_join(
+            model.points(spark, sf_correct), pip.winding_edges(spark)
+        ).collect()
+    }
+    assert got == want
+    assert got[1][0] > got[1][1]  # star: winding sees the core, even-odd not
+    assert got[2][0] == got[2][1]  # simple square: rules agree
