@@ -2626,6 +2626,21 @@ def q_areal_interp(spark, sf_dir):
     return regions.areal_interpolate(a, b, cell=60, area_a=zh * zw)
 
 
+def q_band_correlation(spark, sf_dir):
+    """Pearson correlation matrix between raster bands: one (y,x)-keyed
+    pivot + one constant-width global agg; covariance algebra exact in
+    decimal, double at the boundary (zonal_var discipline)."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.band_correlation(model.raster3_coo(spark, sf_dir))
+
+
+def q_outlink_extract(spark, sf_dir):
+    """Anchor-href extraction from page html binaries (regex group
+    capture, zero exchanges) with off-site link counts."""
+    return text.outlink_extract(_docs(spark, sf_dir))
+
+
 def q_cell_dwell(spark, sf_dir):
     """Time-weighted cell heat map: LOCF dwell microseconds + visit
     counts per world-grid cell."""
@@ -2864,6 +2879,8 @@ def q_time_weighted_avg(spark, sf_dir):
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
+    "band_correlation": q_band_correlation,
+    "outlink_extract": q_outlink_extract,
     "cell_dwell": q_cell_dwell,
     "simhash_precision": q_simhash_precision,
     "pip_poly_winding": q_pip_poly_winding,

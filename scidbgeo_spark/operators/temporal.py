@@ -1162,3 +1162,63 @@ def cell_dwell(events: DataFrame, cell: int = OD_CELL) -> DataFrame:
     return stepped.groupBy("cell").agg(
         F.sum("dur_us").alias("dwell_us"), F.count("*").alias("n_visits")
     )
+
+
+def band_correlation(coo3: DataFrame, bands: int = 4) -> DataFrame:
+    """PEARSON CORRELATION matrix between raster bands — the
+    multivariate statistic behind band selection / index design (NDVI
+    chooses red vs NIR because their correlation under vegetation
+    breaks): one row per unordered band pair (band_a, band_b, n, r).
+
+    All sums are exact integers; the closing covariance algebra runs in
+    decimal(38,0) and converts to double only at the boundary, sqrt is
+    IEEE-correctly-rounded — the zonal_var exactness discipline, so the
+    doubles are bitwise across engines.  Constant-variance degenerate
+    bands yield r = NULL (0/0), same rule both sides.
+
+    Scale shape: ONE (y, x)-keyed pivot aggregate (map-side combinable,
+    conditional max per band), then a single global agg producing all
+    pair sums at once (bands*(bands-1)/2 * 5 columns — constant width),
+    unpivoted to rows by an inline explode.  The raster shuffles once;
+    the pair table never materializes per cell."""
+    p = coo3.groupBy("y", "x").agg(
+        *[
+            F.max(F.when(F.col("band") == b, F.col("value"))).alias(f"b{b}")
+            for b in range(bands)
+        ]
+    )
+    pairs = [(i, j) for i in range(bands) for j in range(i + 1, bands)]
+    aggs = [F.count("*").alias("n")]
+    for i, j in pairs:
+        x, y = F.col(f"b{i}"), F.col(f"b{j}")
+        aggs += [
+            F.sum(x).alias(f"sx_{i}_{j}"),
+            F.sum(y).alias(f"sy_{i}_{j}"),
+            F.sum(x * y).alias(f"sxy_{i}_{j}"),
+            F.sum(x * x).alias(f"sxx_{i}_{j}"),
+            F.sum(y * y).alias(f"syy_{i}_{j}"),
+        ]
+    one = p.agg(*aggs)
+    # (19,0) factors -> exact (38,0) products (sums stay < 1e18)
+    d = "decimal(19,0)"
+    structs = []
+    for i, j in pairs:
+        sx, sy = F.col(f"sx_{i}_{j}").cast(d), F.col(f"sy_{i}_{j}").cast(d)
+        sxy = F.col(f"sxy_{i}_{j}").cast(d)
+        sxx, syy = F.col(f"sxx_{i}_{j}").cast(d), F.col(f"syy_{i}_{j}").cast(d)
+        cd = F.col("n").cast(d)
+        num = (cd * sxy - sx * sy).cast("double")
+        vx = (cd * sxx - sx * sx).cast("double")
+        vy = (cd * syy - sy * sy).cast("double")
+        den = F.sqrt(vx) * F.sqrt(vy)
+        structs.append(
+            F.struct(
+                F.lit(i).cast("long").alias("band_a"),
+                F.lit(j).cast("long").alias("band_b"),
+                F.col("n").alias("n"),
+                F.when(den > 0, num / den).alias("r"),
+            )
+        )
+    return one.select(F.explode(F.array(*structs)).alias("s")).select(
+        "s.band_a", "s.band_b", "s.n", "s.r"
+    )

@@ -1013,3 +1013,61 @@ def bigram_lm_score(docs: DataFrame) -> DataFrame:
             F.expr("sum_p DIV n_bigrams").alias("lm2_score"),
         )
     )
+
+
+OUTLINK_RE = r'href="([^"]+)"'
+
+
+def outlink_extract(docs: DataFrame) -> DataFrame:
+    """OUTLINK extraction from page HTML — the parse step between WARC
+    ingest and the host graph: anchor hrefs come out of the raw html
+    BINARY by regex group capture (the ``href="..."`` attribute), fully
+    JVM-side.  The fixture plants 1 + (doc_id % 2) deterministic anchor
+    tags into each page's html (the documents table carries no real
+    markup); with real WARC payloads only the html construction drops
+    away.  Output (doc_id, n_links, first_href, n_offsite) — total
+    links, the first href in document order, and how many point off the
+    page's own synthetic host.
+
+    Scale shape: pure projection — decode + regexp_extract_all + array
+    algebra, zero exchanges, zero Python."""
+    own = F.concat(F.lit("h"), (F.col("doc_id") % 20).cast("string"), F.lit(".example"))
+    a1 = F.concat(
+        F.lit('<a href="http://h'),
+        ((F.col("doc_id") * 3 + 1) % 20).cast("string"),
+        F.lit(".example/p"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('">x</a>'),
+    )
+    a2 = F.when(
+        F.col("doc_id") % 2 == 1,
+        F.concat(
+            F.lit('<a href="http://'),
+            own,
+            F.lit("/q"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit('">y</a>'),
+        ),
+    ).otherwise(F.lit(""))
+    html = F.encode(
+        F.concat(F.lit(HTML_PREFIX), a1, a2, F.col("text"), F.lit(HTML_SUFFIX)),
+        "utf-8",
+    )
+    pages = docs.select("doc_id", own.alias("own_host"), html.alias("html"))
+    hrefs = F.regexp_extract_all(
+        F.decode(F.col("html"), "utf-8"), F.lit(OUTLINK_RE), 1
+    )
+    offsite = F.size(
+        F.filter(
+            hrefs,
+            lambda h: ~h.startswith(
+                F.concat(F.lit("http://"), F.col("own_host"))
+            ),
+        )
+    )
+    return pages.select(
+        "doc_id",
+        F.size(hrefs).cast("long").alias("n_links"),
+        F.element_at(hrefs, 1).alias("first_href"),
+        offsite.cast("long").alias("n_offsite"),
+    )

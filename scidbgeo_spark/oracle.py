@@ -4067,3 +4067,78 @@ SELECT CAST(zone_id AS BIGINT) AS zone_id,
        CAST(sum(CASE WHEN wn <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_winding,
        CAST(sum(CASE WHEN cr % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_evenodd
 FROM g GROUP BY 1"""
+
+
+# ---- band correlation matrix (temporal.band_correlation) ------------------
+from scidbgeo_spark.model import BANDS as _BC_BANDS  # noqa: E402
+
+_bc_pairs = [
+    (i, j) for i in range(_BC_BANDS) for j in range(i + 1, _BC_BANDS)
+]
+_bc_pivot = ",\n         ".join(
+    f"max(CASE WHEN band = {b} THEN value END) AS b{b}"
+    for b in range(_BC_BANDS)
+)
+_bc_sums = ",\n         ".join(
+    f"CAST(sum(b{i} * b{j}) AS BIGINT) AS sxy_{i}_{j},"
+    f" CAST(sum(b{i}) AS BIGINT) AS sx_{i}_{j},"
+    f" CAST(sum(b{j}) AS BIGINT) AS sy_{i}_{j},"
+    f" CAST(sum(b{i} * b{i}) AS BIGINT) AS sxx_{i}_{j},"
+    f" CAST(sum(b{j} * b{j}) AS BIGINT) AS syy_{i}_{j}"
+    for i, j in _bc_pairs
+)
+
+
+def _bc_row(i: int, j: int) -> str:
+    n, sx, sy = "CAST(n AS HUGEINT)", f"sx_{i}_{j}", f"sy_{i}_{j}"
+    num = f"CAST({n} * sxy_{i}_{j} - CAST({sx} AS HUGEINT) * {sy} AS DOUBLE)"
+    vx = f"CAST({n} * sxx_{i}_{j} - CAST({sx} AS HUGEINT) * {sx} AS DOUBLE)"
+    vy = f"CAST({n} * syy_{i}_{j} - CAST({sy} AS HUGEINT) * {sy} AS DOUBLE)"
+    den = f"(sqrt({vx}) * sqrt({vy}))"
+    return (
+        f"SELECT CAST({i} AS BIGINT) AS band_a, CAST({j} AS BIGINT) AS band_b,"
+        f" n, CASE WHEN {den} > 0 THEN {num} / {den} END AS r FROM a"
+    )
+
+
+SQL["band_correlation"] = f"""WITH {COO3},
+p AS (
+  SELECT y, x,
+         {_bc_pivot}
+  FROM coo3 GROUP BY 1, 2
+),
+a AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         {_bc_sums}
+  FROM p
+)
+{" UNION ALL ".join(_bc_row(i, j) for i, j in _bc_pairs)}"""
+
+
+# ---- outlink extraction (text.outlink_extract) ----------------------------
+from scidbgeo_spark.operators.text import OUTLINK_RE  # noqa: E402
+
+SQL["outlink_extract"] = f"""WITH pg AS (
+  SELECT doc_id,
+         'h' || (doc_id % 20) || '.example' AS own_host,
+         '<html><body>'
+           || '<a href="http://h' || ((doc_id * 3 + 1) % 20)
+           || '.example/p' || (doc_id % 7) || '">x</a>'
+           || CASE WHEN doc_id % 2 = 1
+                   THEN '<a href="http://h' || (doc_id % 20)
+                        || '.example/q' || (doc_id % 5) || '">y</a>'
+                   ELSE '' END
+           || text || '</body></html>' AS html
+  FROM documents
+),
+h AS (
+  SELECT doc_id, own_host,
+         regexp_extract_all(html, '{OUTLINK_RE}', 1) AS hrefs
+  FROM pg
+)
+SELECT doc_id, CAST(len(hrefs) AS BIGINT) AS n_links,
+       hrefs[1] AS first_href,
+       CAST(len(list_filter(hrefs,
+            x -> NOT starts_with(x, 'http://' || own_host))) AS BIGINT)
+         AS n_offsite
+FROM h"""

@@ -955,3 +955,51 @@ def test_trajectory_segments_and_od_flows(spark, sf_smoke):
     assert god == want_od and len(god) > 10
     p = temporal.trajectory_segments(ev)._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+
+
+def test_band_correlation_vs_numpy_and_outlinks(spark, sf_smoke):
+    """band_correlation matches numpy's exact-int Pearson on the pivoted
+    raster; outlink_extract matches a Python re twin."""
+    import numpy as np
+
+    from scidbgeo_spark import model as mdl
+    from scidbgeo_spark.operators import temporal, text as t
+
+    coo = mdl.raster3_coo(spark, sf_smoke)
+    rows = coo.collect()
+    cells = {}
+    for r in rows:
+        cells.setdefault((r.y, r.x), {})[r.band] = r.value
+    mat = np.array(
+        [[c[b] for b in range(4)] for c in cells.values()], dtype=np.int64
+    )
+    got = {
+        (r.band_a, r.band_b): (r.n, r.r)
+        for r in temporal.band_correlation(coo).collect()
+    }
+    n = len(mat)
+    for (i, j), (gn, gr) in got.items():
+        x, y = mat[:, i].astype(object), mat[:, j].astype(object)
+        num = n * int((x * y).sum()) - int(x.sum()) * int(y.sum())
+        vx = n * int((x * x).sum()) - int(x.sum()) ** 2
+        vy = n * int((y * y).sum()) - int(y.sum()) ** 2
+        assert gn == n
+        import math
+
+        want = num / (math.sqrt(vx) * math.sqrt(vy)) if vx and vy else None
+        assert (gr is None) == (want is None)
+        if want is not None:
+            assert abs(gr - want) < 1e-12
+
+    docs = _docs(spark, sf_smoke)
+    got_l = {r.doc_id: r for r in t.outlink_extract(docs).collect()}
+    for r in docs.select("doc_id", "text").collect():
+        i = r.doc_id
+        hrefs = [f"http://h{(i * 3 + 1) % 20}.example/p{i % 7}"]
+        if i % 2 == 1:
+            hrefs.append(f"http://h{i % 20}.example/q{i % 5}")
+        own = f"http://h{i % 20}.example"
+        g = got_l[i]
+        assert g.n_links == len(hrefs)
+        assert g.first_href == hrefs[0]
+        assert g.n_offsite == sum(not h.startswith(own) for h in hrefs)
