@@ -2626,6 +2626,31 @@ def q_areal_interp(spark, sf_dir):
     return regions.areal_interpolate(a, b, cell=60, area_a=zh * zw)
 
 
+def q_boundary_distance(spark, sf_dir):
+    """Distance-to-boundary join: per point, min squared point-to-segment
+    distance over the broadcast GEO_POLYGONS edge table with the
+    deterministic (d2, zone, edge) tie rule."""
+    pts = model.points(spark, sf_dir)
+    return pip.boundary_distance_join(
+        pts, pip.boundary_edges(spark, fixtures.GEO_POLYGONS)
+    )
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Median-absolute-deviation outlier screen per event type (exact
+    percentile medians, |x-med| > 3*MAD)."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.mad_outliers(model.load_table(spark, sf_dir, "events"))
+
+
+def q_hll_by_source(spark, sf_dir):
+    """Per-source HLL shingle-NDV sketches + the register-wise-max 'ALL'
+    merge — sketch mergeability as a query (ALL is bit-identical to the
+    direct global sketch; a pytest pins it)."""
+    return dedup.hll_by_source(_docs(spark, sf_dir))
+
+
 def q_band_correlation(spark, sf_dir):
     """Pearson correlation matrix between raster bands: one (y,x)-keyed
     pivot + one constant-width global agg; covariance algebra exact in
@@ -2879,6 +2904,9 @@ def q_time_weighted_avg(spark, sf_dir):
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
+    "boundary_distance": q_boundary_distance,
+    "mad_outliers": q_mad_outliers,
+    "hll_by_source": q_hll_by_source,
     "band_correlation": q_band_correlation,
     "outlink_extract": q_outlink_extract,
     "cell_dwell": q_cell_dwell,

@@ -895,3 +895,54 @@ def simhash_precision(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
         # "prec" not "precision": reserved word in ANSI SQL / DuckDB
         F.when(n > 0, F.sum("hit") / n).alias("prec"),
     )
+
+
+def hll_by_source(docs: DataFrame) -> DataFrame:
+    """HLL MERGEABILITY in action — the property that makes sketches the
+    distributed answer: per-source shingle-NDV sketches plus an 'ALL'
+    row whose registers are the register-wise MAX of the per-source
+    sketches.  Merging sketches this way provably equals sketching the
+    union stream directly (max of maxes), so the ALL estimate is
+    bit-identical to :func:`hll_shingle_ndv`'s global run — a pytest
+    pins exactly that.  Output (source, n_registers_hit, hll_estimate).
+
+    Scale shape: ONE (source, reg)-keyed max aggregate over the
+    shingle stream (map-side combinable; output bounded by
+    n_sources x 1024 regardless of corpus), then constant-size register
+    algebra.  This is the rollup shape every multi-tenant NDV dashboard
+    runs: sketch once per partition key, merge upward for free."""
+    vals = docs.select(
+        "source", F.explode(shingles_col("text")).alias("v")
+    )
+    reg, rank = hll_registers(F.col("v"))
+    regs = (
+        vals.select("source", reg.alias("reg"), rank.alias("rank"))
+        .groupBy("source", "reg")
+        .agg(F.max("rank").alias("r"))
+    )
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("r").alias("r"))
+        .select(F.lit("ALL").alias("source"), "reg", "r")
+    )
+    packed = (
+        regs.unionByName(merged)
+        .groupBy("source")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("reg", "r"))),
+                lambda t: t["r"],
+            ).alias("rr"),
+            F.count("*").alias("n_hit"),
+        )
+    )
+    zs = F.expr(
+        f"aggregate(rr, 0L, (acc, r) -> acc + shiftleft(1L, {_HLL_W_BITS + 1} - r))"
+    ) + (F.lit(HLL_M) - F.col("n_hit")) * F.lit(1 << (_HLL_W_BITS + 1)).cast("long")
+    z = zs / F.lit(1 << (_HLL_W_BITS + 1)).cast("long")
+    est = F.expr(HLL_ALPHA_EXPR) * HLL_M * HLL_M / z
+    return packed.select(
+        "source",
+        F.col("n_hit").cast("long").alias("n_registers_hit"),
+        est.alias("hll_estimate"),
+    )

@@ -681,3 +681,64 @@ def winding_edges(spark: SparkSession) -> DataFrame:
         winding_zone_edges(),
         "zone_id long, x1 double, y1 double, x2 double, y2 double",
     )
+
+
+def boundary_edges(spark: SparkSession, polygons: list) -> DataFrame:
+    """(zone_id, eidx, x1, y1, x2, y2) directed ring edges of a
+    driver-side polygon list (rings close implicitly) — the layer table
+    for :func:`boundary_distance_join`."""
+    rows = []
+    for zid, ring in polygons:
+        r = [(float(x), float(y)) for x, y in np.asarray(ring)]
+        for i, (x1, y1) in enumerate(r):
+            x2, y2 = r[(i + 1) % len(r)]
+            rows.append((int(zid), i, x1, y1, x2, y2))
+    return spark.createDataFrame(
+        rows,
+        "zone_id long, eidx long, x1 double, y1 double, x2 double, y2 double",
+    )
+
+
+def boundary_distance_join(pts: DataFrame, edges: DataFrame) -> DataFrame:
+    """Distance-to-BOUNDARY join — the proximity/buffer primitive
+    (how far is each page's geotag from the nearest zone edge): per
+    point, the minimum squared point-to-segment distance over the
+    layer's edges plus the owning zone/edge under the deterministic
+    (d2, zone_id, eidx) tie rule.  Output (doc_id, d2, zone_id, eidx).
+
+    Segment distance via the standard clamped projection, branchless in
+    column algebra: t = (P-A)·(B-A) clamped to [0, len2], d2 =
+    |P-A|^2 - 2t(P-A)·(B-A)/len2 + t^2/len2 computed in its cross/dot
+    closed forms — endpoint cases reduce to |PA|^2 / |PB|^2 exactly.
+    Doubles are deterministic (same arithmetic both engines).
+
+    Scale shape: the edge table BROADCASTS (layers are the small side);
+    the min is a map-side-combinable struct-min keyed by doc — the
+    point table never shuffles beyond that agg.  For web-scale layers,
+    gate candidates through the covering-cell index first (pip_join_df
+    pattern) — the exact kernel below is unchanged."""
+    px, py = F.col("lon"), F.col("lat")
+    ax, ay, bx, by = F.col("x1"), F.col("y1"), F.col("x2"), F.col("y2")
+    dx, dy = bx - ax, by - ay
+    len2 = dx * dx + dy * dy
+    dot = (px - ax) * dx + (py - ay) * dy
+    pa2 = (px - ax) * (px - ax) + (py - ay) * (py - ay)
+    pb2 = (px - bx) * (px - bx) + (py - by) * (py - by)
+    cross = dx * (py - ay) - dy * (px - ax)
+    d2 = (
+        F.when(len2 == 0, pa2)
+        .when(dot <= 0, pa2)
+        .when(dot >= len2, pb2)
+        .otherwise(cross * cross / len2)
+    )
+    scored = pts.crossJoin(F.broadcast(edges)).select(
+        "doc_id",
+        F.struct(
+            d2.alias("d2"), F.col("zone_id").alias("zone_id"), F.col("eidx")
+        ).alias("cand"),
+    )
+    m = scored.groupBy("doc_id").agg(F.min("cand").alias("m"))
+    return m.select(
+        "doc_id", F.col("m.d2").alias("d2"), F.col("m.zone_id").alias("zone_id"),
+        F.col("m.eidx").alias("eidx"),
+    )

@@ -1222,3 +1222,42 @@ def band_correlation(coo3: DataFrame, bands: int = 4) -> DataFrame:
     return one.select(F.explode(F.array(*structs)).alias("s")).select(
         "s.band_a", "s.band_b", "s.n", "s.r"
     )
+
+
+MAD_K = 3.0
+
+
+def mad_outliers(events: DataFrame, k: float = MAD_K) -> DataFrame:
+    """ROBUST outlier screen per event type: median absolute deviation
+    (the estimator that survives the very outliers it hunts — stddev
+    does not) with the classic |x - median| > k * MAD rule.  Output
+    (event_type, n, med, mad, n_outliers).  Medians via the exact
+    percentile aggregate (interpolation pinned to DuckDB quantile_cont
+    by the zonal_median precedent); a zero-MAD type (constant values)
+    flags nothing, same rule both engines.
+
+    Scale shape: two type-keyed aggregates with a broadcast join-back
+    between them (the per-type median/MAD tables are k-type-sized) —
+    the event stream is scanned twice and shuffled never beyond its
+    type key."""
+    med = events.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("dv")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dv, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.sum((F.col("dv") > k * F.col("mad")).cast("long")).alias(
+                "n_outliers"
+            ),
+        )
+    )

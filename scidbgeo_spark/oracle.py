@@ -4142,3 +4142,100 @@ SELECT doc_id, CAST(len(hrefs) AS BIGINT) AS n_links,
             x -> NOT starts_with(x, 'http://' || own_host))) AS BIGINT)
          AS n_offsite
 FROM h"""
+
+
+# ---- boundary distance join (pip.boundary_distance_join) ------------------
+from scidbgeo_spark.fixtures import GEO_POLYGONS as _BD_POLYS  # noqa: E402
+
+
+def _bd_edges_values() -> str:
+    rows = []
+    for zid, ring in _BD_POLYS:
+        r = [(float(x), float(y)) for x, y in ring]
+        for i, (x1, y1) in enumerate(r):
+            x2, y2 = r[(i + 1) % len(r)]
+            rows.append(f"({int(zid)}, {i}, {x1!r}, {y1!r}, {x2!r}, {y2!r})")
+    return ",\n         ".join(rows)
+
+
+SQL["boundary_distance"] = f"""WITH {PTS},
+edges(zone_id, eidx, x1, y1, x2, y2) AS (
+  VALUES {_bd_edges_values()}
+),
+c AS (
+  SELECT p.doc_id, e.zone_id, e.eidx,
+         (e.x2 - e.x1) AS dx, (e.y2 - e.y1) AS dy,
+         (p.lon - e.x1) AS pax, (p.lat - e.y1) AS pay,
+         (p.lon - e.x2) AS pbx, (p.lat - e.y2) AS pby
+  FROM pts p CROSS JOIN edges e
+),
+d AS (
+  SELECT doc_id, zone_id, eidx,
+         CASE WHEN dx * dx + dy * dy = 0 THEN pax * pax + pay * pay
+              WHEN pax * dx + pay * dy <= 0 THEN pax * pax + pay * pay
+              WHEN pax * dx + pay * dy >= dx * dx + dy * dy
+                THEN pbx * pbx + pby * pby
+              ELSE (dx * pay - dy * pax) * (dx * pay - dy * pax)
+                   / (dx * dx + dy * dy)
+         END AS d2
+  FROM c
+)
+SELECT doc_id, d2, CAST(zone_id AS BIGINT) AS zone_id,
+       CAST(eidx AS BIGINT) AS eidx
+FROM d
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY d2, zone_id, eidx) = 1"""
+
+
+# ---- MAD outlier screen (temporal.mad_outliers) ----------------------------
+from scidbgeo_spark.operators.temporal import MAD_K  # noqa: E402
+
+SQL["mad_outliers"] = f"""WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med FROM events GROUP BY 1
+),
+dev AS (
+  SELECT e.event_type, e.value, m.med, abs(e.value - m.med) AS dv
+  FROM events e JOIN med m USING (event_type)
+),
+mad AS (SELECT event_type, quantile_cont(dv, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT d.event_type, CAST(count(*) AS BIGINT) AS n,
+       max(d.med) AS med, max(m.mad) AS mad,
+       CAST(sum(CASE WHEN d.dv > {MAD_K} * m.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m USING (event_type) GROUP BY 1"""
+
+
+# ---- HLL per-source + merge (dedup.hll_by_source) --------------------------
+SQL["hll_by_source"] = f"""WITH shd AS (
+  SELECT source,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - {SHINGLE_K} + 1, 1) + 1),
+           i -> array_to_string(toks[i:i+{SHINGLE_K - 1}], ' '))) AS sh
+  FROM (SELECT source, string_split(text, ' ') AS toks FROM documents)
+),
+vals AS (SELECT source, unnest(sh) AS v FROM shd),
+hr AS (
+  SELECT source, h % {HLL_M} AS reg,
+         CASE WHEN (h >> {HLL_P}) = 0 THEN {_HLL_RANK_BITS + 1}
+              ELSE {_HLL_RANK_BITS + 1} - length(bin(h >> {HLL_P})) END AS rank
+  FROM (SELECT source, {_MD5INT.format(x='v')} AS h FROM vals)
+),
+regs AS (SELECT source, reg, max(rank) AS r FROM hr GROUP BY 1, 2),
+mrg AS (SELECT 'ALL' AS source, reg, max(r) AS r FROM regs GROUP BY 2),
+allr AS (SELECT * FROM regs UNION ALL SELECT * FROM mrg),
+packed AS (
+  SELECT source, list(r ORDER BY reg) AS rr,
+         CAST(count(*) AS BIGINT) AS n_hit
+  FROM allr GROUP BY 1
+),
+zt AS (
+  SELECT source, n_hit,
+         (list_reduce(list_transform(rr, r -> (1::BIGINT << ({_HLL_RANK_BITS + 1} - r)::INT)),
+                      (a, b) -> a + b)
+          + ({HLL_M} - n_hit) * (1::BIGINT << {_HLL_RANK_BITS + 1}))
+         / (1::BIGINT << {_HLL_RANK_BITS + 1}) AS z
+  FROM packed
+)
+SELECT source, n_hit AS n_registers_hit,
+       ({HLL_ALPHA_EXPR}) * {HLL_M} * {HLL_M} / z AS hll_estimate
+FROM zt"""

@@ -1581,3 +1581,27 @@ def test_bm25_topk_vs_python(spark):
     ]
     assert got_all == blend
     assert (80, blend[[d for d, _s, _n in blend].index(80)][1], 1) in got_all
+
+
+def test_hll_merge_equals_direct_global(spark, sf_smoke):
+    """Sketch MERGEABILITY pin: the register-wise-max 'ALL' row of
+    hll_by_source is bit-identical to sketching the union stream
+    directly (same estimate to the last bit)."""
+    from scidbgeo_spark import model
+    from scidbgeo_spark.operators import dedup as dd
+
+    docs = model.load_table(spark, sf_smoke, "documents")
+    rows = {r.source: r for r in dd.hll_by_source(docs).collect()}
+    vals = docs.select(
+        dd.F.explode(dd.shingles_col("text")).alias("v")
+    )
+    [direct] = dd.hll_ndv(vals, "v").collect()
+    assert rows["ALL"].n_registers_hit == direct.n_registers_hit
+    assert rows["ALL"].hll_estimate == direct.hll_estimate
+    # per-source sketches are genuinely partial: every source hits
+    # fewer registers than the merge
+    assert all(
+        r.n_registers_hit <= rows["ALL"].n_registers_hit
+        for r in rows.values()
+    )
+    assert len(rows) >= 3
