@@ -2626,6 +2626,18 @@ def q_areal_interp(spark, sf_dir):
     return regions.areal_interpolate(a, b, cell=60, area_a=zh * zw)
 
 
+def q_raster_sample_points(spark, sf_dir):
+    """Bilinear raster sampling at page-geotag points (extract values to
+    points) — x4 constant point replication, one cell-keyed equi-join,
+    fixed-order float sum for cross-engine bitwise doubles."""
+    from scidbgeo_spark.operators import pixel
+
+    h, w = model.raster_dims(spark, sf_dir)
+    return pixel.raster_sample_points(
+        model.points(spark, sf_dir), model.raster_coo(spark, sf_dir), h, w
+    )
+
+
 def q_boundary_distance(spark, sf_dir):
     """Distance-to-boundary join: per point, min squared point-to-segment
     distance over the broadcast GEO_POLYGONS edge table with the
@@ -2904,6 +2916,7 @@ def q_time_weighted_avg(spark, sf_dir):
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
+    "raster_sample_points": q_raster_sample_points,
     "boundary_distance": q_boundary_distance,
     "mad_outliers": q_mad_outliers,
     "hll_by_source": q_hll_by_source,

@@ -723,3 +723,67 @@ def matmul_coo(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum(F.col("v") * F.col("w")).alias("val"))
     )
+
+
+def raster_sample_points(
+    pts: DataFrame, coo: DataFrame, h: int, w: int
+) -> DataFrame:
+    """BILINEAR raster sampling at point locations — "extract values to
+    points", the raster->vector read the north-star names next to
+    rasterize/vectorize: each page geotag maps into continuous grid
+    space and reads the 2x2 neighborhood, weights (1-fy)(1-fx) etc.
+    Output (doc_id, v).
+
+    Float determinism by CONSTRUCTION, not by luck: the four corner
+    terms pivot into fixed columns and sum in one left-associated
+    expression ((t00+t01)+t10)+t11 — a floating sum inside a groupBy
+    would add in partition order and drift a ulp between engines.
+    Top/right edge points degrade to the boundary row/column (y1 =
+    min(y0+1, h-1)), weights unchanged.
+
+    Scale shape: points explode x4 (constant), ONE equi-join against
+    the raster on the cell key (the raster never replicates), then a
+    doc-keyed 4-wide conditional pivot — the same join discipline as
+    the zonal family."""
+    gy = (F.col("lat") + 90.0) / 180.0 * F.lit(float(h - 1))
+    gx = (F.col("lon") + 180.0) / 360.0 * F.lit(float(w - 1))
+    base = pts.select(
+        "doc_id",
+        F.floor(gy).cast("long").alias("y0"),
+        F.floor(gx).cast("long").alias("x0"),
+        (gy - F.floor(gy)).alias("fy"),
+        (gx - F.floor(gx)).alias("fx"),
+    )
+    one = F.lit(1.0)
+    corners = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("k"),
+                F.least(F.col("y0") + dy, F.lit(h - 1)).alias("y"),
+                F.least(F.col("x0") + dx, F.lit(w - 1)).alias("x"),
+                (
+                    (one - F.col("fy") if dy == 0 else F.col("fy"))
+                    * (one - F.col("fx") if dx == 0 else F.col("fx"))
+                ).alias("wt"),
+            )
+            for k, (dy, dx) in enumerate([(0, 0), (0, 1), (1, 0), (1, 1)])
+        ]
+    )
+    ex = base.select("doc_id", F.explode(corners).alias("c")).select(
+        "doc_id", "c.k", "c.y", "c.x", "c.wt"
+    )
+    j = ex.join(coo, ["y", "x"])
+    piv = j.groupBy("doc_id").agg(
+        *[
+            F.max(
+                F.when(F.col("k") == k, F.col("wt") * F.col("value"))
+            ).alias(f"t{k}")
+            for k in range(4)
+        ]
+    )
+    return piv.select(
+        "doc_id",
+        (
+            ((F.col("t0") + F.col("t1")) + F.col("t2")) + F.col("t3")
+        ).alias("v"),
+    )

@@ -4239,3 +4239,33 @@ zt AS (
 SELECT source, n_hit AS n_registers_hit,
        ({HLL_ALPHA_EXPR}) * {HLL_M} * {HLL_M} / z AS hll_estimate
 FROM zt"""
+
+
+# ---- bilinear raster sampling at points (pixel.raster_sample_points) ------
+# Same expression SHAPES as the Spark op so every double is bitwise:
+# weights ((1-fy)*(1-fx)) etc., terms weight*value, one left-associated
+# sum ((t00+t01)+t10)+t11.
+SQL["raster_sample_points"] = f"""WITH {PTS}, {COO},
+dims AS (SELECT ((count(*) // {RASTER_W}) - 1) AS hm1 FROM events),
+base AS (
+  SELECT p.doc_id,
+         CAST(floor((p.lat + 90.0) / 180.0 * CAST(d.hm1 AS DOUBLE)) AS BIGINT) AS y0,
+         CAST(floor((p.lon + 180.0) / 360.0 * {float(RASTER_W - 1)!r}) AS BIGINT) AS x0,
+         (p.lat + 90.0) / 180.0 * CAST(d.hm1 AS DOUBLE)
+           - floor((p.lat + 90.0) / 180.0 * CAST(d.hm1 AS DOUBLE)) AS fy,
+         (p.lon + 180.0) / 360.0 * {float(RASTER_W - 1)!r}
+           - floor((p.lon + 180.0) / 360.0 * {float(RASTER_W - 1)!r}) AS fx,
+         d.hm1 AS hm1
+  FROM pts p CROSS JOIN dims d
+)
+SELECT b.doc_id,
+       ((  ((1.0 - b.fy) * (1.0 - b.fx)) * c00.value
+         + ((1.0 - b.fy) * b.fx) * c01.value )
+         + (b.fy * (1.0 - b.fx)) * c10.value )
+         + (b.fy * b.fx) * c11.value AS v
+FROM base b
+JOIN coo c00 ON c00.y = b.y0 AND c00.x = b.x0
+JOIN coo c01 ON c01.y = b.y0 AND c01.x = least(b.x0 + 1, {RASTER_W - 1})
+JOIN coo c10 ON c10.y = least(b.y0 + 1, b.hm1) AND c10.x = b.x0
+JOIN coo c11 ON c11.y = least(b.y0 + 1, b.hm1)
+            AND c11.x = least(b.x0 + 1, {RASTER_W - 1})"""

@@ -1727,3 +1727,35 @@ def test_winding_join_vs_python_and_star_divergence(spark, sf_correct):
     assert got == want
     assert got[1][0] > got[1][1]  # star: winding sees the core, even-odd not
     assert got[2][0] == got[2][1]  # simple square: rules agree
+
+
+def test_raster_sample_points_vs_numpy(spark, sf_correct):
+    """Bilinear sampling twin against numpy's direct formula (same
+    fixed-order sum) + clamp behavior on synthetic edge points."""
+    from scidbgeo_spark import model as mdl
+    from scidbgeo_spark.operators import pixel as px
+
+    h, w = mdl.raster_dims(spark, sf_correct)
+    coo = mdl.raster_coo(spark, sf_correct)
+    grid = {}
+    for r in coo.collect():
+        grid[(r.y, r.x)] = r.value
+    got = {
+        r.doc_id: r.v
+        for r in px.raster_sample_points(
+            mdl.points(spark, sf_correct), coo, h, w
+        ).collect()
+    }
+    import math
+
+    for r in model.points(spark, sf_correct).collect():
+        gy = (r.lat + 90.0) / 180.0 * float(h - 1)
+        gx = (r.lon + 180.0) / 360.0 * float(w - 1)
+        y0, x0 = int(math.floor(gy)), int(math.floor(gx))
+        fy, fx = gy - math.floor(gy), gx - math.floor(gx)
+        y1, x1 = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+        t0 = ((1.0 - fy) * (1.0 - fx)) * grid[(y0, x0)]
+        t1 = ((1.0 - fy) * fx) * grid[(y0, x1)]
+        t2 = (fy * (1.0 - fx)) * grid[(y1, x0)]
+        t3 = (fy * fx) * grid[(y1, x1)]
+        assert got[r.doc_id] == ((t0 + t1) + t2) + t3, r.doc_id
