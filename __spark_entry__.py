@@ -2626,6 +2626,20 @@ def q_areal_interp(spark, sf_dir):
     return regions.areal_interpolate(a, b, cell=60, area_a=zh * zw)
 
 
+def q_cusum_max(spark, sf_dir):
+    """One-sided CUSUM drift per event type, de-recursed into running
+    sum minus running min (one type-keyed shuffle, exact cents)."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.cusum_max(model.load_table(spark, sf_dir, "events"))
+
+
+def q_host_assortativity(spark, sf_dir):
+    """Degree assortativity of the undirected host graph (symmetrized
+    Pearson over edge endpoint degrees; exact sums, double boundary)."""
+    return graph.host_assortativity(_docs(spark, sf_dir))
+
+
 def q_raster_sample_points(spark, sf_dir):
     """Bilinear raster sampling at page-geotag points (extract values to
     points) — x4 constant point replication, one cell-keyed equi-join,
@@ -2916,29 +2930,6 @@ def q_time_weighted_avg(spark, sf_dir):
 # tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- r5 additions (zero driver rows) ---
-    "raster_sample_points": q_raster_sample_points,
-    "boundary_distance": q_boundary_distance,
-    "mad_outliers": q_mad_outliers,
-    "hll_by_source": q_hll_by_source,
-    "band_correlation": q_band_correlation,
-    "outlink_extract": q_outlink_extract,
-    "cell_dwell": q_cell_dwell,
-    "simhash_precision": q_simhash_precision,
-    "pip_poly_winding": q_pip_poly_winding,
-    "trajectory_segments": q_trajectory_segments,
-    "od_flows": q_od_flows,
-    "cluster_quality": q_cluster_quality,
-    "dup_source_matrix": q_dup_source_matrix,
-    "cell_skew_stats": q_cell_skew_stats,
-    "trajectory_simplify": q_trajectory_simplify,
-    "geohash_cell": q_geohash_cell,
-    "simhash_recall": q_simhash_recall,
-    "bigram_lm_score": q_bigram_lm_score,
-    "curriculum_shards": q_curriculum_shards,
-    "zonal_iqr": q_zonal_iqr,
-    "host_hits": q_host_hits,
-    "anchor_text_agg": q_anchor_text_agg,
-    "time_weighted_avg": q_time_weighted_avg,
     "terrain": q_terrain,
     "flow_accum": q_flow_accum,
     "join_counts": q_join_counts,
@@ -2989,6 +2980,33 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_span_dedup": q_dup_span_dedup,
     "token_budget_sample": q_token_budget_sample,
     "domain_mix_weights": q_domain_mix_weights,
+    # --- late-r5 additions: queued BEHIND the frozen driver window
+    # (positions 51+; verified by TAILCHECK_r05.json + pytest twins) ---
+    "cusum_max": q_cusum_max,
+    "host_assortativity": q_host_assortativity,
+    "raster_sample_points": q_raster_sample_points,
+    "boundary_distance": q_boundary_distance,
+    "mad_outliers": q_mad_outliers,
+    "hll_by_source": q_hll_by_source,
+    "band_correlation": q_band_correlation,
+    "outlink_extract": q_outlink_extract,
+    "cell_dwell": q_cell_dwell,
+    "simhash_precision": q_simhash_precision,
+    "pip_poly_winding": q_pip_poly_winding,
+    "trajectory_segments": q_trajectory_segments,
+    "od_flows": q_od_flows,
+    "cluster_quality": q_cluster_quality,
+    "dup_source_matrix": q_dup_source_matrix,
+    "cell_skew_stats": q_cell_skew_stats,
+    "trajectory_simplify": q_trajectory_simplify,
+    "geohash_cell": q_geohash_cell,
+    "simhash_recall": q_simhash_recall,
+    "bigram_lm_score": q_bigram_lm_score,
+    "curriculum_shards": q_curriculum_shards,
+    "zonal_iqr": q_zonal_iqr,
+    "host_hits": q_host_hits,
+    "anchor_text_agg": q_anchor_text_agg,
+    "time_weighted_avg": q_time_weighted_avg,
     "contamination_check": q_contamination_check,
     "pii_redact": q_pii_redact,
     "stratified_sample": q_stratified_sample,

@@ -392,3 +392,52 @@ def anchor_text_agg(docs: DataFrame) -> DataFrame:
             F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("top_count"),
         )
     )
+
+
+def host_assortativity(docs: DataFrame) -> DataFrame:
+    """Degree ASSORTATIVITY of the undirected host graph — do
+    high-degree hosts link to each other (r > 0, organic hub cores) or
+    to leaves (r < 0, hub-and-spoke / link-farm shape)?  The Pearson
+    correlation of end-point degrees over every undirected edge counted
+    in both orientations (the standard symmetrized estimator).  One row
+    (n_edges, r).
+
+    Exact integer sums; the covariance algebra runs in decimal and
+    converts to double only at the boundary with IEEE sqrt — the
+    band_correlation discipline, so the double is bitwise across
+    engines (NULL on a degree-regular graph where variance is 0).
+
+    Scale shape: degrees are one map-side-combinable agg of the host
+    edge list; the probe joins are host-keyed; the closing sums are a
+    single global agg of the (already host-level) edge table."""
+    e = host_graph(docs).filter(F.col("src") != F.col("dst")).select(
+        F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+    ).distinct()
+    both = e.unionAll(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = both.groupBy("a").agg(F.count("*").alias("d")).withColumnRenamed(
+        "a", "node"
+    )
+    j = (
+        both.join(deg.select(F.col("node").alias("a"), F.col("d").alias("dx")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("dy")), "b")
+    )
+    agg = j.agg(
+        F.count("*").alias("n"),
+        F.sum("dx").alias("sx"),
+        F.sum("dy").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).alias("syy"),
+    )
+    d = "decimal(19,0)"
+    cd = F.col("n").cast(d)
+    num = (cd * F.col("sxy").cast(d) - F.col("sx").cast(d) * F.col("sy").cast(d)).cast("double")
+    vx = (cd * F.col("sxx").cast(d) - F.col("sx").cast(d) * F.col("sx").cast(d)).cast("double")
+    vy = (cd * F.col("syy").cast(d) - F.col("sy").cast(d) * F.col("sy").cast(d)).cast("double")
+    den = F.sqrt(vx) * F.sqrt(vy)
+    return agg.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.when(den > 0, num / den).alias("r"),
+    )

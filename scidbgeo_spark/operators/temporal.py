@@ -1261,3 +1261,47 @@ def mad_outliers(events: DataFrame, k: float = MAD_K) -> DataFrame:
             ),
         )
     )
+
+
+def cusum_max(events: DataFrame) -> DataFrame:
+    """CHANGE-POINT drift per event type — the one-sided CUSUM control
+    statistic, made data-parallel by the identity that untangles its
+    sequential reset: S_i = max(0, S_{i-1} + x_i - k) equals
+    P_i - min(0, min_{j<=i} P_j) for the drift prefix
+    P_i = sum_{j<=i}(x_j) - i*k, so two stacked windows (running sum +
+    running min) replace the recursion.  Reference level k = the
+    per-type floor mean in exact cents.  Output (event_type, n, k,
+    cusum_max) — the maximum upward drift a monitor would alarm on.
+
+    Exact integers end to end (cents, counts, floor division).  Scale
+    shape: one tiny per-type stats broadcast, then ONE type-keyed
+    shuffle shared by both windows and the final max agg."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    m = events.select("event_type", cents.alias("c")).groupBy(
+        "event_type"
+    ).agg(F.expr("sum(c) DIV count(*)").alias("k"))
+    j = events.select(
+        "event_type", "ts", "event_id", cents.alias("c")
+    ).join(F.broadcast(m), "event_type")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p = j.select(
+        "event_type",
+        "ts",
+        "event_id",
+        "k",
+        (
+            F.sum("c").over(run)
+            - F.row_number().over(w).cast("long") * F.col("k")
+        ).alias("p"),
+    )
+    s = p.select(
+        "event_type",
+        "k",
+        (F.col("p") - F.least(F.lit(0), F.min("p").over(run))).alias("s"),
+    )
+    return s.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max("k").alias("k"),
+        F.max("s").alias("cusum_max"),
+    )

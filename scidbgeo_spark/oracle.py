@@ -4269,3 +4269,64 @@ JOIN coo c01 ON c01.y = b.y0 AND c01.x = least(b.x0 + 1, {RASTER_W - 1})
 JOIN coo c10 ON c10.y = least(b.y0 + 1, b.hm1) AND c10.x = b.x0
 JOIN coo c11 ON c11.y = least(b.y0 + 1, b.hm1)
             AND c11.x = least(b.x0 + 1, {RASTER_W - 1})"""
+
+
+# ---- CUSUM drift (temporal.cusum_max) --------------------------------------
+SQL["cusum_max"] = """WITH c AS (
+  SELECT event_type, ts, event_id, CAST(round(value * 100) AS BIGINT) AS c
+  FROM events
+),
+m AS (SELECT event_type, sum(c) // count(*) AS k FROM c GROUP BY 1),
+p AS (
+  SELECT c.event_type, c.ts, c.event_id, m.k,
+         sum(c.c) OVER w
+           - row_number() OVER w * m.k AS p
+  FROM c JOIN m USING (event_type)
+  WINDOW w AS (PARTITION BY c.event_type ORDER BY c.ts, c.event_id
+               ROWS UNBOUNDED PRECEDING)
+),
+s AS (
+  SELECT event_type, k,
+         p - least(0, min(p) OVER (PARTITION BY event_type
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)) AS s
+  FROM p
+)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(k) AS BIGINT) AS k, CAST(max(s) AS BIGINT) AS cusum_max
+FROM s GROUP BY 1"""
+
+
+# ---- host assortativity (graph.host_assortativity) -------------------------
+SQL["host_assortativity"] = f"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+e0 AS (
+  SELECT d1.source AS src, d2.source AS dst
+  FROM documents d1 CROSS JOIN nd
+  JOIN documents d2 ON d2.doc_id = (d1.doc_id * 7 + 3) % nd.n_docs
+),
+eu AS (
+  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM e0 WHERE src <> dst
+),
+sym AS (SELECT a, b FROM eu UNION ALL SELECT b AS a, a AS b FROM eu),
+deg AS (SELECT a AS node, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+j AS (
+  SELECT da.d AS dx, db.d AS dy
+  FROM sym JOIN deg da ON da.node = sym.a JOIN deg db ON db.node = sym.b
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy
+  FROM j
+)
+SELECT CAST(n // 2 AS BIGINT) AS n_edges,
+       CASE WHEN sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+              * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) > 0
+            THEN CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / (sqrt(CAST(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                    * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+       END AS r
+FROM agg"""

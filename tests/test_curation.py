@@ -1003,3 +1003,63 @@ def test_band_correlation_vs_numpy_and_outlinks(spark, sf_smoke):
         assert g.n_links == len(hrefs)
         assert g.first_href == hrefs[0]
         assert g.n_offsite == sum(not h.startswith(own) for h in hrefs)
+
+
+def test_cusum_and_assortativity_twins(spark, sf_smoke):
+    """CUSUM: the windowed prefix-minus-running-min equals the textbook
+    sequential reset recursion.  Assortativity: exact-int Pearson twin
+    over the symmetrized host edge list."""
+    import math
+
+    from scidbgeo_spark.operators import graph, temporal
+
+    ev = model.load_table(spark, sf_smoke, "events")
+    rows = sorted(
+        ev.select("event_type", "ts", "event_id", "value").collect(),
+        key=lambda r: (r.event_type, r.ts, r.event_id),
+    )
+    by_t = {}
+    for r in rows:
+        by_t.setdefault(r.event_type, []).append(round(r.value * 100))
+    want = {}
+    for t, xs in by_t.items():
+        k = sum(xs) // len(xs)
+        s = mx = 0
+        for x in xs:
+            s = max(0, s + x - k)
+            mx = max(mx, s)
+        want[t] = (len(xs), k, mx)
+    got = {
+        r.event_type: (r.n, r.k, r.cusum_max)
+        for r in temporal.cusum_max(ev).collect()
+    }
+    assert got == want
+
+    docs = _docs(spark, sf_smoke)
+    n_docs = docs.count()
+    src_of = {
+        r.doc_id: r.source for r in docs.select("doc_id", "source").collect()
+    }
+    eu = set()
+    for i, s0 in src_of.items():
+        d = src_of[(i * 7 + 3) % n_docs]
+        if d != s0:
+            eu.add((min(s0, d), max(s0, d)))
+    deg = {}
+    for a, b in eu:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xs, ys = [], []
+    for a, b in eu:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    n = len(xs)
+    num = n * sum(x * y for x, y in zip(xs, ys)) - sum(xs) * sum(ys)
+    vx = n * sum(x * x for x in xs) - sum(xs) ** 2
+    vy = n * sum(y * y for y in ys) - sum(ys) ** 2
+    [row] = graph.host_assortativity(docs).collect()
+    assert row.n_edges == len(eu)
+    if vx and vy:
+        assert abs(row.r - num / (math.sqrt(vx) * math.sqrt(vy))) < 1e-12
+    else:
+        assert row.r is None
