@@ -2626,6 +2626,29 @@ def q_areal_interp(spark, sf_dir):
     return regions.areal_interpolate(a, b, cell=60, area_a=zh * zw)
 
 
+def q_host_coupling(spark, sf_dir):
+    """Bibliographic coupling + co-citation per host pair (shared
+    out-targets / shared in-sources) — wedge self-joins of the distinct
+    host edge list, merged full-outer on the pair key."""
+    return graph.host_coupling(_docs(spark, sf_dir))
+
+
+def q_diurnal_profile(spark, sf_dir):
+    """Hour-of-day traffic profile per event type with floor mean cents
+    and the (max n, min hour) modal-hour flag."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.diurnal_profile(model.load_table(spark, sf_dir, "events"))
+
+
+def q_centroid_separation(spark, sf_dir):
+    """Pairwise exact squared distance between rational k-means
+    centroids — the between-cluster half of the cluster_quality pair."""
+    return similarity.centroid_separation(
+        model.load_table(spark, sf_dir, "embeddings")
+    )
+
+
 def q_cusum_max(spark, sf_dir):
     """One-sided CUSUM drift per event type, de-recursed into running
     sum minus running min (one type-keyed shuffle, exact cents)."""
@@ -2982,6 +3005,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix_weights": q_domain_mix_weights,
     # --- late-r5 additions: queued BEHIND the frozen driver window
     # (positions 51+; verified by TAILCHECK_r05.json + pytest twins) ---
+    "host_coupling": q_host_coupling,
+    "diurnal_profile": q_diurnal_profile,
+    "centroid_separation": q_centroid_separation,
     "cusum_max": q_cusum_max,
     "host_assortativity": q_host_assortativity,
     "raster_sample_points": q_raster_sample_points,

@@ -441,3 +441,74 @@ def host_assortativity(docs: DataFrame) -> DataFrame:
         (F.col("n") / 2).cast("long").alias("n_edges"),
         F.when(den > 0, num / den).alias("r"),
     )
+
+
+def host_coupling(docs: DataFrame) -> DataFrame:
+    """Bibliographic COUPLING and CO-CITATION of the host graph in one
+    pass — the two classic link-similarity signals next to HITS/PageRank
+    (search engines cluster hosts that cite the same targets; coupling =
+    shared OUT-targets, co-citation = shared IN-sources).  One row per
+    unordered host pair with either signal nonzero:
+    (host_a, host_b, n_coupled, n_cocited) — counts of shared distinct
+    neighbors.
+
+    Scale shape: both signals are self-joins of the DISTINCT host edge
+    list on one endpoint (dst for coupling, src for co-citation) — the
+    classic wedge join, bounded by the square of the hottest endpoint's
+    degree (degree-capped upstream at web scale, the simhash-bucket
+    discipline); a full outer merge on the pair key combines them.
+
+    Edge derivation: host_triangles' TWO deterministic link functions
+    (7i+3 and i*i div 5 + 2, mod n) — the single-function graph is a
+    host permutation (every out/in degree exactly 1), which makes both
+    wedge joins empty by construction; the quadratic breaks the residue
+    structure, same reasoning as the triangle count."""
+    cnt = docs.agg(F.count("*").alias("n_docs"))
+    d1 = docs.select("doc_id", "source").crossJoin(F.broadcast(cnt))
+    d2 = docs.select(
+        F.col("doc_id").alias("dst_doc"), F.col("source").alias("dst")
+    )
+    links = d1.select(
+        F.col("source").alias("src"),
+        F.explode(
+            F.array(
+                (F.col("doc_id") * 7 + 3) % F.col("n_docs"),
+                (F.expr("doc_id * doc_id DIV 5") + 2) % F.col("n_docs"),
+            )
+        ).alias("dst_doc"),
+    ).join(d2, "dst_doc")
+    e = links.filter(F.col("src") != F.col("dst")).select("src", "dst").distinct()
+    coup = (
+        e.alias("l")
+        .join(
+            e.alias("r"),
+            (F.col("l.dst") == F.col("r.dst"))
+            & (F.col("l.src") < F.col("r.src")),
+        )
+        .groupBy(
+            F.col("l.src").alias("host_a"), F.col("r.src").alias("host_b")
+        )
+        .agg(F.count("*").alias("n_coupled"))
+    )
+    coci = (
+        e.alias("l")
+        .join(
+            e.alias("r"),
+            (F.col("l.src") == F.col("r.src"))
+            & (F.col("l.dst") < F.col("r.dst")),
+        )
+        .groupBy(
+            F.col("l.dst").alias("host_a"), F.col("r.dst").alias("host_b")
+        )
+        .agg(F.count("*").alias("n_cocited"))
+    )
+    z = F.lit(0).cast("long")
+    return (
+        coup.join(coci, ["host_a", "host_b"], "full")
+        .select(
+            "host_a",
+            "host_b",
+            F.coalesce("n_coupled", z).alias("n_coupled"),
+            F.coalesce("n_cocited", z).alias("n_cocited"),
+        )
+    )

@@ -542,3 +542,53 @@ def cluster_quality(emb: DataFrame) -> DataFrame:
             " DIV (CAST(n AS DECIMAL(19,0)) * n) AS BIGINT)"
         ).alias("msd"),
     )
+
+
+def centroid_separation(emb: DataFrame) -> DataFrame:
+    """Pairwise SEPARATION between k-means cluster centroids — the
+    between-cluster half of the diagnostic pair (cluster_quality is the
+    within-cluster half; their ratio is the Davies-Bouldin view): one
+    row per unordered cluster pair with the exact squared distance
+    between the RATIONAL centroids s_a/n_a and s_b/n_b, computed as
+    sum_d (s_a[d]*n_b - s_b[d]*n_a)^2 / (n_a*n_b)^2 — integer numerator
+    (decimal(38,0); HUGEINT twin), one double division at the boundary.
+    Output (cluster_a, cluster_b, d2).
+
+    Scale shape: everything past the assignment operates on the
+    k x dim centroid-sum table (constant size) — the corpus is touched
+    once by the (cluster, dim) sum, map-side combinable."""
+    assign = kmeans_assign(emb)
+    e = _scaled(emb)
+    m = assign.join(e, "vec_id")
+    dims = (
+        m.select("cluster", F.posexplode("sv").alias("dim", "v"))
+        .groupBy("cluster", "dim")
+        .agg(F.sum("v").alias("s"))
+    )
+    ns = m.groupBy("cluster").agg(F.count("*").alias("n"))
+    da = dims.join(ns, "cluster").select(
+        F.col("cluster").alias("ca"), "dim",
+        F.col("s").alias("sa"), F.col("n").alias("na"),
+    )
+    db = dims.join(ns, "cluster").select(
+        F.col("cluster").alias("cb"), "dim",
+        F.col("s").alias("sb"), F.col("n").alias("nb"),
+    )
+    j = da.join(db, "dim").filter(F.col("ca") < F.col("cb"))
+    diff = F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
+    term = diff.cast("decimal(19,0)") * diff.cast("decimal(19,0)")
+    per = j.groupBy("ca", "cb").agg(
+        F.sum(term).alias("num"),
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+    )
+    return per.select(
+        F.col("ca").alias("cluster_a"),
+        F.col("cb").alias("cluster_b"),
+        (
+            F.col("num").cast("double")
+            / (
+                (F.col("na") * F.col("nb")) * (F.col("na") * F.col("nb"))
+            ).cast("double")
+        ).alias("d2"),
+    )

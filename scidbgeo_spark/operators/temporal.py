@@ -1305,3 +1305,29 @@ def cusum_max(events: DataFrame) -> DataFrame:
         F.max("k").alias("k"),
         F.max("s").alias("cusum_max"),
     )
+
+
+def diurnal_profile(events: DataFrame) -> DataFrame:
+    """HOUR-OF-DAY profile per event type — the seasonal fingerprint a
+    traffic monitor subtracts before anomaly detection: (event_type,
+    hour, n, mean_cents) with the floor mean in exact cents, plus
+    is_peak marking the (max n, min hour) modal hour per type.
+
+    Scale shape: one map-side-combinable agg on the constant
+    (type x 24) key space, then a window over that tiny table."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    g = (
+        events.select(
+            "event_type", F.hour("ts").cast("long").alias("hour"), cents.alias("c")
+        )
+        .groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"), F.expr("sum(c) DIV count(*)").alias("mean_cents"))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"), F.asc("hour"))
+    return g.select(
+        "event_type",
+        "hour",
+        "n",
+        "mean_cents",
+        (F.row_number().over(w) == 1).alias("is_peak"),
+    )

@@ -4330,3 +4330,78 @@ SELECT CAST(n // 2 AS BIGINT) AS n_edges,
                     * sqrt(CAST(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
        END AS r
 FROM agg"""
+
+
+# ---- coupling / co-citation (graph.host_coupling) --------------------------
+SQL["host_coupling"] = f"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+e0 AS (
+  SELECT d1.source AS src, d2.source AS dst
+  FROM documents d1 CROSS JOIN nd
+  JOIN documents d2
+    ON d2.doc_id = (d1.doc_id * 7 + 3) % nd.n_docs
+    OR d2.doc_id = (d1.doc_id * d1.doc_id // 5 + 2) % nd.n_docs
+),
+e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst),
+coup AS (
+  SELECT l.src AS host_a, r.src AS host_b, CAST(count(*) AS BIGINT) AS n_coupled
+  FROM e l JOIN e r ON l.dst = r.dst AND l.src < r.src
+  GROUP BY 1, 2
+),
+coci AS (
+  SELECT l.dst AS host_a, r.dst AS host_b, CAST(count(*) AS BIGINT) AS n_cocited
+  FROM e l JOIN e r ON l.src = r.src AND l.dst < r.dst
+  GROUP BY 1, 2
+)
+SELECT coalesce(cp.host_a, cc.host_a) AS host_a,
+       coalesce(cp.host_b, cc.host_b) AS host_b,
+       coalesce(cp.n_coupled, 0) AS n_coupled,
+       coalesce(cc.n_cocited, 0) AS n_cocited
+FROM coup cp FULL OUTER JOIN coci cc
+  ON cp.host_a = cc.host_a AND cp.host_b = cc.host_b"""
+
+
+# ---- diurnal profile (temporal.diurnal_profile) -----------------------------
+SQL["diurnal_profile"] = """WITH g AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS hour,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(value * 100) AS BIGINT)) // count(*) AS BIGINT)
+           AS mean_cents
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour, n, mean_cents,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY n DESC, hour ASC) = 1 AS is_peak
+FROM g"""
+
+
+# ---- centroid separation (similarity.centroid_separation) ------------------
+SQL["centroid_separation"] = f"""WITH asg AS (
+  SELECT vec_id, cluster FROM ({SQL["kmeans_assign"]})
+),
+ev AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> floor(x::DOUBLE * {_KQ_SCALE})::BIGINT) AS sv
+  FROM embeddings
+),
+m AS (SELECT a.cluster, ev.sv FROM asg a JOIN ev USING (vec_id)),
+dims AS (
+  SELECT cluster, i AS dim, CAST(sum(sv[i]) AS BIGINT) AS s
+  FROM m, lateral (SELECT unnest(range(1, {_KQ_DIM} + 1)) AS i)
+  GROUP BY 1, 2
+),
+ns AS (SELECT cluster, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
+da AS (SELECT d.cluster AS ca, d.dim, d.s AS sa, ns.n AS na
+       FROM dims d JOIN ns USING (cluster)),
+db AS (SELECT d.cluster AS cb, d.dim, d.s AS sb, ns.n AS nb
+       FROM dims d JOIN ns USING (cluster)),
+per AS (
+  SELECT ca, cb,
+         sum(CAST(sa * nb - sb * na AS HUGEINT)
+             * CAST(sa * nb - sb * na AS HUGEINT)) AS num,
+         max(na) AS na, max(nb) AS nb
+  FROM da JOIN db USING (dim)
+  WHERE ca < cb GROUP BY 1, 2
+)
+SELECT ca AS cluster_a, cb AS cluster_b,
+       CAST(num AS DOUBLE) / CAST((na * nb) * (na * nb) AS DOUBLE) AS d2
+FROM per"""

@@ -1063,3 +1063,62 @@ def test_cusum_and_assortativity_twins(spark, sf_smoke):
         assert abs(row.r - num / (math.sqrt(vx) * math.sqrt(vy))) < 1e-12
     else:
         assert row.r is None
+
+
+def test_host_coupling_and_centroid_separation_twins(spark, sf_smoke):
+    """Coupling/co-citation counts vs a Python set twin on the two-link
+    host graph; centroid separation vs exact rational arithmetic from
+    the (oracle-pinned) assignment."""
+    from scidbgeo_spark.operators import graph, similarity as sim
+
+    docs = _docs(spark, sf_smoke)
+    n = docs.count()
+    src_of = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    e = set()
+    for i, s0 in src_of.items():
+        for d_doc in ((i * 7 + 3) % n, (i * i // 5 + 2) % n):
+            d = src_of[d_doc]
+            if d != s0:
+                e.add((s0, d))
+    from collections import Counter
+
+    coup, coci = Counter(), Counter()
+    es = sorted(e)
+    for a1, b1 in es:
+        for a2, b2 in es:
+            if b1 == b2 and a1 < a2:
+                coup[(a1, a2)] += 1
+            if a1 == a2 and b1 < b2:
+                coci[(b1, b2)] += 1
+    want = {
+        k: (coup.get(k, 0), coci.get(k, 0))
+        for k in set(coup) | set(coci)
+    }
+    got = {
+        (r.host_a, r.host_b): (r.n_coupled, r.n_cocited)
+        for r in graph.host_coupling(docs).collect()
+    }
+    assert got == want and len(got) > 5
+
+    emb = model.load_table(spark, sf_smoke, "embeddings")
+    import math
+
+    asg = {r.vec_id: r.cluster for r in sim.kmeans_assign(emb).collect()}
+    vecs = {
+        r.vec_id: [math.floor(float(x) * sim.KMEANS_SCALE) for x in r.embedding]
+        for r in emb.collect()
+    }
+    by_c = {}
+    for vid, c in asg.items():
+        by_c.setdefault(c, []).append(vecs[vid])
+    cs = {c: ([sum(col) for col in zip(*vs)], len(vs)) for c, vs in by_c.items()}
+    got_s = {
+        (r.cluster_a, r.cluster_b): r.d2
+        for r in sim.centroid_separation(emb).collect()
+    }
+    for (a, b), d2 in got_s.items():
+        sa, na = cs[a]
+        sb, nb = cs[b]
+        num = sum((x * nb - y * na) ** 2 for x, y in zip(sa, sb))
+        assert d2 == float(num) / float((na * nb) ** 2)
+    assert len(got_s) == len(cs) * (len(cs) - 1) // 2
