@@ -2626,6 +2626,24 @@ def q_areal_interp(spark, sf_dir):
     return regions.areal_interpolate(a, b, cell=60, area_a=zh * zw)
 
 
+def q_peak_concurrency(spark, sf_dir):
+    """Sweep-line peak concurrent sessions per event type (+1/-1
+    boundary deltas, running-sum max, closings before openings)."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.peak_concurrency(
+        model.load_table(spark, sf_dir, "events")
+    )
+
+
+def q_hourly_acf(spark, sf_dir):
+    """Lag-1 autocorrelation of the densified hourly count series per
+    event type (exact sums, double boundary)."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.hourly_acf(model.load_table(spark, sf_dir, "events"))
+
+
 def q_host_coupling(spark, sf_dir):
     """Bibliographic coupling + co-citation per host pair (shared
     out-targets / shared in-sources) — wedge self-joins of the distinct
@@ -3005,6 +3023,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix_weights": q_domain_mix_weights,
     # --- late-r5 additions: queued BEHIND the frozen driver window
     # (positions 51+; verified by TAILCHECK_r05.json + pytest twins) ---
+    "peak_concurrency": q_peak_concurrency,
+    "hourly_acf": q_hourly_acf,
     "host_coupling": q_host_coupling,
     "diurnal_profile": q_diurnal_profile,
     "centroid_separation": q_centroid_separation,

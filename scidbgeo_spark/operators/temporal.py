@@ -1331,3 +1331,117 @@ def diurnal_profile(events: DataFrame) -> DataFrame:
         "mean_cents",
         (F.row_number().over(w) == 1).alias("is_peak"),
     )
+
+
+def peak_concurrency(events: DataFrame, gap_s: int = 3600) -> DataFrame:
+    """PEAK CONCURRENT SESSIONS per event type — the sweep-line classic
+    (capacity planning's first question) in pure window algebra: session
+    intervals (same gap rule as session_stats: a session closes after
+    ``gap_s`` idle seconds) emit +1 at their start and -1 one
+    microsecond after their end, and the peak is the max running sum in
+    (time, delta) order, ties broken so closings apply before openings
+    at the same instant (the half-open [start, end+1us) convention).
+    Output (event_type, n_sessions, peak, t_peak_us) with t_peak_us the
+    FIRST boundary reaching the peak.
+
+    Exact integers throughout.  Scale shape: one user-keyed window pass
+    builds sessions, one type-keyed window order runs the sweep — two
+    keyed shuffles, no self-joins, no interval explosion."""
+    t_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    wu = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    run = wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    marked = events.select(
+        "event_type", "user_id", "ts", "event_id", t_us.alias("t")
+    ).withColumn(
+        "new_sess",
+        F.when(
+            F.lag("t").over(wu).isNull()
+            | (F.col("t") - F.lag("t").over(wu) > gap_s * 1_000_000),
+            1,
+        ).otherwise(0),
+    ).withColumn("sess", F.sum("new_sess").over(run))
+    sessions = marked.groupBy("event_type", "user_id", "sess").agg(
+        F.min("t").alias("t0"), (F.max("t") + 1).alias("t1")
+    )
+    deltas = sessions.select(
+        "event_type", F.col("t0").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        sessions.select(
+            "event_type", F.col("t1").alias("t"), F.lit(-1).alias("d")
+        )
+    )
+    ws = Window.partitionBy("event_type").orderBy("t", "d")
+    swept = deltas.select(
+        "event_type",
+        "t",
+        F.sum("d").over(
+            ws.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("cur"),
+    )
+    best = swept.groupBy("event_type").agg(
+        F.max("cur").alias("peak"),
+        F.min_by("t", F.struct((-F.col("cur")).alias("nc"), F.col("t"))).alias(
+            "t_peak_us"
+        ),
+    )
+    ns = sessions.groupBy("event_type").agg(F.count("*").alias("n_sessions"))
+    return ns.join(best, "event_type").select(
+        "event_type", "n_sessions", "peak", "t_peak_us"
+    )
+
+
+ACF_LAG = 1
+
+
+def hourly_acf(events: DataFrame, lag: int = ACF_LAG) -> DataFrame:
+    """Lag-``lag`` AUTOCORRELATION of the densified hourly count series
+    per event type — the "is traffic sticky hour-to-hour" number a
+    forecaster checks before fitting anything.  Missing hours count 0
+    (dense series via a per-type hour spine).  Pearson r over the
+    (c_t, c_{t+lag}) pairs; exact integer sums, double boundary with
+    IEEE sqrt (band_correlation discipline); NULL r for constant
+    series.  Output (event_type, n_pairs, r).
+
+    Scale shape: the hourly rollup is map-side-combinable to a
+    (type x hours) table that is tiny at any corpus scale; the spine
+    join, the lag window, and the closing sums all run on that compact
+    series."""
+    hr = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        " DIV 3600000000"
+    )
+    g = events.select("event_type", hr.alias("h")).groupBy(
+        "event_type", "h"
+    ).agg(F.count("*").alias("c"))
+    span = g.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    spine = span.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    dense = spine.join(g, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    pairs = dense.select(
+        "event_type", "c", F.lead("c", lag).over(w).alias("cn")
+    ).filter(F.col("cn").isNotNull())
+    agg = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("c").alias("sx"),
+        F.sum("cn").alias("sy"),
+        F.sum(F.col("c") * F.col("cn")).alias("sxy"),
+        F.sum(F.col("c") * F.col("c")).alias("sxx"),
+        F.sum(F.col("cn") * F.col("cn")).alias("syy"),
+    )
+    d = "decimal(19,0)"
+    cd = F.col("n_pairs").cast(d)
+    num = (cd * F.col("sxy").cast(d) - F.col("sx").cast(d) * F.col("sy").cast(d)).cast("double")
+    vx = (cd * F.col("sxx").cast(d) - F.col("sx").cast(d) * F.col("sx").cast(d)).cast("double")
+    vy = (cd * F.col("syy").cast(d) - F.col("sy").cast(d) * F.col("sy").cast(d)).cast("double")
+    den = F.sqrt(vx) * F.sqrt(vy)
+    return agg.select(
+        "event_type", "n_pairs", F.when(den > 0, num / den).alias("r")
+    )

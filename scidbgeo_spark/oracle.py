@@ -4405,3 +4405,83 @@ per AS (
 SELECT ca AS cluster_a, cb AS cluster_b,
        CAST(num AS DOUBLE) / CAST((na * nb) * (na * nb) AS DOUBLE) AS d2
 FROM per"""
+
+
+# ---- peak concurrency sweep (temporal.peak_concurrency) --------------------
+SQL["peak_concurrency"] = """WITH m AS (
+  SELECT event_type, user_id, event_id, ts, epoch_us(ts) AS t,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 3600000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, user_id ORDER BY ts, event_id)
+),
+sx AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY event_type, user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess
+  FROM m
+),
+sessions AS (
+  SELECT event_type, user_id, sess,
+         CAST(min(t) AS BIGINT) AS t0, CAST(max(t) + 1 AS BIGINT) AS t1
+  FROM sx GROUP BY 1, 2, 3
+),
+deltas AS (
+  SELECT event_type, t0 AS t, 1 AS d FROM sessions
+  UNION ALL
+  SELECT event_type, t1 AS t, -1 AS d FROM sessions
+),
+swept AS (
+  SELECT event_type, t,
+         sum(d) OVER (PARTITION BY event_type ORDER BY t, d
+                      ROWS UNBOUNDED PRECEDING) AS cur
+  FROM deltas
+),
+best AS (
+  SELECT event_type, CAST(cur AS BIGINT) AS peak, t AS t_peak_us
+  FROM swept
+  QUALIFY row_number() OVER (PARTITION BY event_type
+                             ORDER BY cur DESC, t ASC) = 1
+),
+ns AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_sessions
+       FROM sessions GROUP BY 1)
+SELECT ns.event_type, ns.n_sessions, b.peak, b.t_peak_us
+FROM ns JOIN best b USING (event_type)"""
+
+
+# ---- hourly lag-1 autocorrelation (temporal.hourly_acf) --------------------
+SQL["hourly_acf"] = """WITH g AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+         CAST(count(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+),
+span AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM g GROUP BY 1),
+spine AS (
+  SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM span
+),
+dense AS (
+  SELECT s.event_type, s.h, coalesce(g.c, 0) AS c
+  FROM spine s LEFT JOIN g ON g.event_type = s.event_type AND g.h = s.h
+),
+pairs AS (
+  SELECT event_type, c,
+         lead(c, 1) OVER (PARTITION BY event_type ORDER BY h) AS cn
+  FROM dense
+),
+agg AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+         CAST(sum(c) AS BIGINT) AS sx, CAST(sum(cn) AS BIGINT) AS sy,
+         CAST(sum(c * cn) AS BIGINT) AS sxy,
+         CAST(sum(c * c) AS BIGINT) AS sxx,
+         CAST(sum(cn * cn) AS BIGINT) AS syy
+  FROM pairs WHERE cn IS NOT NULL GROUP BY 1
+)
+SELECT event_type, n_pairs,
+       CASE WHEN sqrt(CAST(CAST(n_pairs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+              * sqrt(CAST(CAST(n_pairs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)) > 0
+            THEN CAST(CAST(n_pairs AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / (sqrt(CAST(CAST(n_pairs AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+                    * sqrt(CAST(CAST(n_pairs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
+       END AS r
+FROM agg"""

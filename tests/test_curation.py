@@ -1122,3 +1122,49 @@ def test_host_coupling_and_centroid_separation_twins(spark, sf_smoke):
         num = sum((x * nb - y * na) ** 2 for x, y in zip(sa, sb))
         assert d2 == float(num) / float((na * nb) ** 2)
     assert len(got_s) == len(cs) * (len(cs) - 1) // 2
+
+
+def test_peak_concurrency_vs_python(spark, sf_smoke):
+    """Sweep-line twin: sessions from the gap rule, +1/-1 boundaries,
+    closings before openings at equal instants, first-peak tie rule."""
+    from scidbgeo_spark.operators import temporal
+
+    ev = model.load_table(spark, sf_smoke, "events")
+    rows = sorted(
+        ev.select("event_type", "user_id", "ts", "event_id").collect(),
+        key=lambda r: (r.event_type, r.user_id, r.ts, r.event_id),
+    )
+    import datetime as dt
+
+    epoch = dt.datetime(1970, 1, 1)
+    sess = {}
+    cur_k, last_t = None, None
+    for r in rows:
+        t = int((r.ts - epoch).total_seconds() * 1_000_000 + 0.5)
+        k = (r.event_type, r.user_id)
+        if k != cur_k or t - last_t > 3600 * 1_000_000:
+            sess.setdefault(r.event_type, []).append([t, t])
+            cur_k = k
+        else:
+            sess[r.event_type][-1][1] = t
+        last_t = t
+        cur_k = k
+    want = {}
+    for et, ss in sess.items():
+        deltas = sorted(
+            [(t0, 1) for t0, _ in ss] + [(t1 + 1, -1) for _, t1 in ss],
+            key=lambda x: (x[0], x[1]),
+        )
+        cur = peak = 0
+        tp = None
+        for t, d in deltas:
+            cur += d
+            if cur > peak:
+                peak, tp = cur, t
+        want[et] = (len(ss), peak, tp)
+    got = {
+        r.event_type: (r.n_sessions, r.peak, r.t_peak_us)
+        for r in temporal.peak_concurrency(ev).collect()
+    }
+    assert got == want
+    assert any(v[1] > 1 for v in got.values())
