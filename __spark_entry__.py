@@ -2626,6 +2626,22 @@ def q_areal_interp(spark, sf_dir):
     return regions.areal_interpolate(a, b, cell=60, area_a=zh * zw)
 
 
+def q_zonal_argmax(spark, sf_dir):
+    """Hotspot location per zone: (max value, min y, min x) via ONE
+    struct-max aggregate keyed by the arithmetic rect-zone id — no zone
+    layer join at all."""
+    h, w = model.raster_dims(spark, sf_dir)
+    return zonal.zonal_argmax(model.raster_coo(spark, sf_dir), h, w)
+
+
+def q_iet_histogram(spark, sf_dir):
+    """Inter-event-time power-of-two histogram per type (bucket = bit
+    length of the microsecond gap — exact, no libm log)."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.iet_histogram(model.load_table(spark, sf_dir, "events"))
+
+
 def q_peak_concurrency(spark, sf_dir):
     """Sweep-line peak concurrent sessions per event type (+1/-1
     boundary deltas, running-sum max, closings before openings)."""
@@ -3023,6 +3039,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix_weights": q_domain_mix_weights,
     # --- late-r5 additions: queued BEHIND the frozen driver window
     # (positions 51+; verified by TAILCHECK_r05.json + pytest twins) ---
+    "zonal_argmax": q_zonal_argmax,
+    "iet_histogram": q_iet_histogram,
     "peak_concurrency": q_peak_concurrency,
     "hourly_acf": q_hourly_acf,
     "host_coupling": q_host_coupling,

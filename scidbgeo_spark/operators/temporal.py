@@ -1445,3 +1445,28 @@ def hourly_acf(events: DataFrame, lag: int = ACF_LAG) -> DataFrame:
     return agg.select(
         "event_type", "n_pairs", F.when(den > 0, num / den).alias("r")
     )
+
+
+def iet_histogram(events: DataFrame) -> DataFrame:
+    """INTER-EVENT-TIME distribution per event type in power-of-two
+    microsecond buckets — the heavy-tail fingerprint (Poisson traffic
+    decays geometrically across log buckets; bursty human traffic does
+    not).  bucket = floor(log2(gap_us)) computed EXACTLY as bit length
+    minus one (length(bin(gap)) - 1 — no libm), zero gaps in bucket -1.
+    Output (event_type, bucket, n).
+
+    Scale shape: one type-keyed lag window, then a map-side-combinable
+    count on the constant (type x ~40-bucket) key space."""
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    g = events.select(
+        "event_type", (t_us - F.lag(t_us).over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    bucket = F.when(F.col("gap") <= 0, F.lit(-1).cast("long")).otherwise(
+        (F.length(F.bin("gap")) - 1).cast("long")
+    )
+    return g.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count("*").alias("n")
+    )

@@ -470,3 +470,36 @@ def zonal_weighted(coo_multi: DataFrame, h: int, w: int, zh: int = 20, zw: int =
         "n",
         F.when(F.col("wtot") > 0, F.col("wsum") / F.col("wtot")).alias("wavg"),
     )
+
+
+def zonal_argmax(coo: DataFrame, h: int, w: int, zh: int = 20, zw: int = 20) -> DataFrame:
+    """HOTSPOT LOCATION per zone — the zonal family's argmax: not just
+    the max value (zonal_stats has it) but WHERE it is, under the exact
+    (max value, then min y, then min x) tie rule: one row per rect-grid
+    zone (id, max_value, max_y, max_x).  Rows below the last full zone
+    band fold into the -999 nodata zone, same as the rasterized layer.
+
+    Scale shape: one map-side-combinable struct-max aggregate keyed by
+    the ARITHMETIC zone id — no zone layer join at all for rect grids
+    (the layer IS the arithmetic); the struct packs (v, -y, -x) so the
+    combiner resolves ties without a second pass."""
+    nzx = w // zw
+    full = (h // zh) * zh
+    zone = F.when(F.col("y") >= full, F.lit(-999).cast("long")).otherwise(
+        F.expr(f"y DIV {zh}") * nzx + F.expr(f"x DIV {zw}")
+    )
+    m = coo.select(zone.alias("id"), "y", "x", "value").groupBy("id").agg(
+        F.max(
+            F.struct(
+                F.col("value").alias("v"),
+                (-F.col("y")).alias("ny"),
+                (-F.col("x")).alias("nx"),
+            )
+        ).alias("m")
+    )
+    return m.select(
+        "id",
+        F.col("m.v").alias("max_value"),
+        (-F.col("m.ny")).alias("max_y"),
+        (-F.col("m.nx")).alias("max_x"),
+    )

@@ -4485,3 +4485,28 @@ SELECT event_type, n_pairs,
                     * sqrt(CAST(CAST(n_pairs AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE)))
        END AS r
 FROM agg"""
+
+
+# ---- zonal argmax (zonal.zonal_argmax) --------------------------------------
+SQL["zonal_argmax"] = f"""WITH {COO},
+z AS (SELECT CAST({RECT_ZONE} AS BIGINT) AS id, y, x, value FROM coo)
+SELECT id, CAST(value AS BIGINT) AS max_value,
+       CAST(y AS BIGINT) AS max_y, CAST(x AS BIGINT) AS max_x
+FROM z
+QUALIFY row_number() OVER (PARTITION BY id
+                           ORDER BY value DESC, y ASC, x ASC) = 1"""
+
+
+# ---- inter-event-time histogram (temporal.iet_histogram) -------------------
+SQL["iet_histogram"] = """WITH g AS (
+  SELECT event_type,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+  FROM events
+)
+SELECT event_type,
+       CASE WHEN gap <= 0 THEN CAST(-1 AS BIGINT)
+            ELSE CAST(length(bin(gap)) - 1 AS BIGINT) END AS bucket,
+       CAST(count(*) AS BIGINT) AS n
+FROM g WHERE gap IS NOT NULL
+GROUP BY 1, 2"""
