@@ -2626,6 +2626,17 @@ def q_areal_interp(spark, sf_dir):
     return regions.areal_interpolate(a, b, cell=60, area_a=zh * zw)
 
 
+def q_flow_distance(spark, sf_dir):
+    """Downstream flow length per cell (steps to the drained-to sink):
+    WEIGHTED pointer doubling — d(u) += d(ptr(u)) then ptr <- ptr(ptr)
+    — over the same D8 edge set as watershed/flow_accum.  Oracle:
+    recursive walk, max(steps)."""
+    tiles, h, w = _raster_tiles(spark, sf_dir)
+    return focal.flow_distance_coo(
+        model.raster_coo(spark, sf_dir), tiles, h, w, CHUNK
+    )
+
+
 def q_zonal_argmax(spark, sf_dir):
     """Hotspot location per zone: (max value, min y, min x) via ONE
     struct-max aggregate keyed by the arithmetic rect-zone id — no zone
@@ -3039,6 +3050,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix_weights": q_domain_mix_weights,
     # --- late-r5 additions: queued BEHIND the frozen driver window
     # (positions 51+; verified by TAILCHECK_r05.json + pytest twins) ---
+    "flow_distance": q_flow_distance,
     "zonal_argmax": q_zonal_argmax,
     "iet_histogram": q_iet_histogram,
     "peak_concurrency": q_peak_concurrency,

@@ -816,3 +816,74 @@ def edge_density_coo(
         _tile, schema="cls_a long, cls_b long, n long"
     )
     return parts.groupBy("cls_a", "cls_b").agg(F.sum("n").alias("n_edges"))
+
+
+def flow_distance_coo(
+    coo: DataFrame,
+    tiles: DataFrame,
+    height: int,
+    width: int,
+    chunk: int,
+    max_rounds: int = 64,
+) -> DataFrame:
+    """(y, x, dist): DOWNSTREAM FLOW LENGTH — how many D8 steps each
+    cell is from the sink it drains to (hydrology's flow-length grid,
+    the erosion/time-of-concentration input next to accumulation).
+
+    WEIGHTED pointer doubling — the additive companion of
+    :func:`watershed_basins_coo`'s label doubling: carry (ptr, d) and
+    each round do d(u) += d(ptr(u)) THEN ptr(u) <- ptr(ptr(u)); sinks
+    self-loop with d = 0, so d freezes at the exact path length after
+    ~log2(longest path) rounds.  Same per-round cost as watershed: one
+    key-partitioned self-join of the constant-size pointer table + one
+    emptiness boolean.  The oracle walks the same acyclic edge set with
+    a recursive CTE and takes max(steps) — structural agreement at any
+    path length (64 doubling rounds cover 2^64-step paths)."""
+    edges = flow_edges_coo(tiles, height, width, chunk)
+    st = (
+        coo.select("y", "x")
+        .join(edges, (F.col("y") == edges.uy) & (F.col("x") == edges.ux), "left")
+        .select(
+            "y",
+            "x",
+            F.coalesce("ty", F.col("y")).alias("py"),
+            F.coalesce("tx", F.col("x")).alias("px"),
+            F.when(F.col("ty").isNotNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("d"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        hop = st.select(
+            F.col("y").alias("hy"),
+            F.col("x").alias("hx"),
+            F.col("py").alias("npy"),
+            F.col("px").alias("npx"),
+            F.col("d").alias("hd"),
+        )
+        nxt = (
+            st.join(hop, (st.py == hop.hy) & (st.px == hop.hx))
+            .select(
+                "y",
+                "x",
+                (F.col("d") + F.col("hd")).alias("d"),
+                F.col("npy").alias("py"),
+                F.col("npx").alias("px"),
+            )
+            .localCheckpoint()
+        )
+        moved = nxt.alias("n").join(
+            st.select(
+                F.col("y"), F.col("x"),
+                F.col("py").alias("opy"), F.col("px").alias("opx"),
+            ).alias("o"),
+            ["y", "x"],
+        ).filter(
+            (F.col("py") != F.col("opy")) | (F.col("px") != F.col("opx"))
+        )
+        st = nxt
+        if moved.isEmpty():
+            break
+    return st.select("y", "x", F.col("d").alias("dist"))

@@ -4510,3 +4510,28 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n
 FROM g WHERE gap IS NOT NULL
 GROUP BY 1, 2"""
+
+
+# ---- downstream flow length (focal.flow_distance_coo) ----------------------
+# Same acyclic D8 edge rule as watershed_basins; the recursive walk's
+# max step count IS the sink distance (walks stop where no out-edge).
+SQL["flow_distance"] = f"""WITH RECURSIVE {COO},
+cand AS (
+  SELECT a.y AS uy, a.x AS ux, b.y AS ty, b.x AS tx,
+         row_number() OVER (PARTITION BY a.y, a.x
+                            ORDER BY b.value, b.y, b.x) AS rn
+  FROM coo a JOIN coo b
+    ON b.y BETWEEN a.y - 1 AND a.y + 1
+   AND b.x BETWEEN a.x - 1 AND a.x + 1
+   AND NOT (b.y = a.y AND b.x = a.x)
+  WHERE b.value < a.value
+),
+edges AS (SELECT uy, ux, ty, tx FROM cand WHERE rn = 1),
+walk AS (
+  SELECT y, x, y AS cy, x AS cx, 0 AS d FROM coo
+  UNION ALL
+  SELECT w.y, w.x, e.ty, e.tx, w.d + 1
+  FROM walk w JOIN edges e ON e.uy = w.cy AND e.ux = w.cx
+)
+SELECT y, x, CAST(max(d) AS BIGINT) AS dist
+FROM walk GROUP BY 1, 2"""

@@ -105,3 +105,51 @@ def test_rolling_fingerprint_matches_scalar(texts):
 
     got = rolling_fingerprint(texts)
     np.testing.assert_array_equal(got, [scalar(t) for t in texts])
+
+
+def test_flow_distance_consistent_with_watershed(spark, sf_smoke):
+    """Cross-op identities on the same D8 edge set: dist == 0 exactly at
+    sinks (cells that are their own basin), and walking any cell's
+    basin path length via a Python walk matches dist."""
+    from scidbgeo_spark import model, tiling
+    from scidbgeo_spark.operators import focal
+
+    coo = model.raster_coo(spark, sf_smoke)
+    h, w = model.raster_dims(spark, sf_smoke)
+    tiles = tiling.pack_tiles(coo, 50, h, w)
+    dist = {
+        (r.y, r.x): r.dist
+        for r in focal.flow_distance_coo(coo, tiles, h, w, 50).collect()
+    }
+    basins = {
+        (r.y, r.x): (r.basin_y, r.basin_x)
+        for r in focal.watershed_basins_coo(coo, tiles, h, w, 50).collect()
+    }
+    vals = {(r.y, r.x): r.value for r in coo.collect()}
+
+    def next_cell(y, x):
+        best = None
+        for dy in (-1, 0, 1):
+            for dx in (-1, 0, 1):
+                if dy == dx == 0:
+                    continue
+                t = (y + dy, x + dx)
+                if t in vals and vals[t] < vals[(y, x)]:
+                    k = (vals[t], t[0], t[1])
+                    if best is None or k < best:
+                        best = k
+        return (best[1], best[2]) if best else None
+
+    import itertools
+
+    for (y, x) in itertools.islice(sorted(dist), 0, 400, 7):
+        assert (dist[(y, x)] == 0) == (basins[(y, x)] == (y, x))
+        steps, cur = 0, (y, x)
+        while True:
+            nxt = next_cell(*cur)
+            if nxt is None:
+                break
+            cur = nxt
+            steps += 1
+        assert steps == dist[(y, x)], (y, x)
+        assert cur == basins[(y, x)]
