@@ -2626,6 +2626,21 @@ def q_areal_interp(spark, sf_dir):
     return regions.areal_interpolate(a, b, cell=60, area_a=zh * zw)
 
 
+def q_max_drawdown(spark, sf_dir):
+    """Max drawdown of the cumulative value series per event type
+    (running peak minus current, first-time-at-max tie rule)."""
+    from scidbgeo_spark.operators import temporal
+
+    return temporal.max_drawdown(model.load_table(spark, sf_dir, "events"))
+
+
+def q_quantile_normalize(spark, sf_dir):
+    """Cross-source quantile normalization of the length score:
+    within-source rank maps to the global score at nearest rank
+    ceil(r*N/n_s) — exact integers."""
+    return curation.quantile_normalize(_docs(spark, sf_dir))
+
+
 def q_flow_distance(spark, sf_dir):
     """Downstream flow length per cell (steps to the drained-to sink):
     WEIGHTED pointer doubling — d(u) += d(ptr(u)) then ptr <- ptr(ptr)
@@ -3050,6 +3065,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_mix_weights": q_domain_mix_weights,
     # --- late-r5 additions: queued BEHIND the frozen driver window
     # (positions 51+; verified by TAILCHECK_r05.json + pytest twins) ---
+    "max_drawdown": q_max_drawdown,
+    "quantile_normalize": q_quantile_normalize,
     "flow_distance": q_flow_distance,
     "zonal_argmax": q_zonal_argmax,
     "iet_histogram": q_iet_histogram,

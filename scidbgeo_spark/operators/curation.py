@@ -570,3 +570,40 @@ def curriculum_shards(docs: DataFrame, n_shards: int = CUR_SHARDS) -> DataFrame:
         "shard",
         (F.col("off") + F.row_number().over(wr)).alias("pos"),
     )
+
+
+def quantile_normalize(docs: DataFrame) -> DataFrame:
+    """QUANTILE NORMALIZATION of a per-document score across sources —
+    the batch-effect correction a multi-source corpus runs before
+    comparing quality numbers (each source's scale/offset quirks vanish;
+    only within-source RANK survives): doc at within-source rank r of
+    n_s maps to the GLOBAL score at nearest rank ceil(r * N / n_s).
+    Score = n_chars (the length proxy every curation stack has).
+    Output (doc_id, source, src_rank, qn_score) — all exact integers.
+
+    Scale shape: one source-keyed rank window, one global rank over the
+    (score, doc_id) order, one equi-join on the mapped rank.  The
+    global row_number is the textbook single-sort form — at 100 TB it
+    decomposes into bucket counts + prefix sums + intra-bucket ranks
+    exactly like curriculum_shards, with nothing else changing."""
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wg = Window.orderBy("n_chars", "doc_id")
+    ns = docs.groupBy("source").agg(F.count("*").alias("n_s"))
+    tot = docs.agg(F.count("*").alias("n_tot"))
+    ranked = (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("src_rank", F.row_number().over(ws).cast("long"))
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "g_rank",
+            F.expr("(src_rank * n_tot + n_s - 1) DIV n_s"),
+        )
+    )
+    glob = docs.select(
+        F.row_number().over(wg).cast("long").alias("g_rank"),
+        F.col("n_chars").alias("qn_score"),
+    )
+    return ranked.join(glob, "g_rank").select(
+        "doc_id", "source", "src_rank", "qn_score"
+    )

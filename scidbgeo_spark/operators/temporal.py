@@ -1470,3 +1470,38 @@ def iet_histogram(events: DataFrame) -> DataFrame:
     return g.groupBy("event_type", bucket.alias("bucket")).agg(
         F.count("*").alias("n")
     )
+
+
+def max_drawdown(events: DataFrame) -> DataFrame:
+    """MAXIMUM DRAWDOWN of the cumulative value series per event type —
+    the running-peak-minus-current statistic (finance's risk number;
+    ops dashboards use it on cumulative error budgets): over the
+    (ts, event_id)-ordered cumulative cents C_i, drawdown_i =
+    max_{j<=i} C_j - C_i, reported at its max with the FIRST time it is
+    reached.  Output (event_type, n, max_drawdown, t_at_us).  Exact
+    integers; one type-keyed shuffle shared by the two stacked windows
+    (running sum, running max) and the final argmax agg."""
+    t_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = events.select(
+        "event_type",
+        "ts",
+        "event_id",
+        t_us.alias("t"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    ).withColumn("cum", F.sum("cents").over(run))
+    dd = c.select(
+        "event_type",
+        "t",
+        (F.max("cum").over(run) - F.col("cum")).alias("dd"),
+    )
+    return dd.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max("dd").alias("max_drawdown"),
+        F.min_by("t", F.struct((-F.col("dd")).alias("nd"), F.col("t"))).alias(
+            "t_at_us"
+        ),
+    )

@@ -4535,3 +4535,53 @@ walk AS (
 )
 SELECT y, x, CAST(max(d) AS BIGINT) AS dist
 FROM walk GROUP BY 1, 2"""
+
+
+# ---- max drawdown (temporal.max_drawdown) -----------------------------------
+SQL["max_drawdown"] = """WITH c AS (
+  SELECT event_type, ts, event_id, epoch_us(ts) AS t,
+         sum(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM events
+),
+dd AS (
+  SELECT event_type, t,
+         max(cum) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - cum AS dd
+  FROM c
+),
+best AS (
+  SELECT event_type, CAST(dd AS BIGINT) AS max_drawdown,
+         CAST(t AS BIGINT) AS t_at_us
+  FROM dd
+  QUALIFY row_number() OVER (PARTITION BY event_type
+                             ORDER BY dd DESC, t ASC) = 1
+),
+ns AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM dd GROUP BY 1)
+SELECT ns.event_type, ns.n, b.max_drawdown, b.t_at_us
+FROM ns JOIN best b USING (event_type)"""
+
+
+# ---- quantile normalization (curation.quantile_normalize) -------------------
+SQL["quantile_normalize"] = """WITH ns AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_tot FROM documents),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         CAST(row_number() OVER (PARTITION BY d.source
+                                 ORDER BY d.n_chars, d.doc_id) AS BIGINT)
+           AS src_rank,
+         ns.n_s, t.n_tot
+  FROM documents d JOIN ns USING (source) CROSS JOIN tot t
+),
+gq AS (
+  SELECT CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS BIGINT)
+           AS g_rank,
+         CAST(n_chars AS BIGINT) AS qn_score
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.src_rank, g.qn_score
+FROM ranked r JOIN gq g
+  ON g.g_rank = (r.src_rank * r.n_tot + r.n_s - 1) // r.n_s"""
