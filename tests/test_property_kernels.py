@@ -378,3 +378,50 @@ def test_winnow_packed_key_tie_rule_property(hashes):
         want_h = min(x for x, _ in window)
         want_pos = max(i for x, i in window if x == want_h)
         assert (h40, pos) == (want_h, want_pos)
+
+
+def test_geohash_prefix_is_parent_cell(spark):
+    """Quadkey-hierarchy property: two points share their first c base32
+    chars iff they share the level-c geohash cell (5c interleaved bits)
+    — prefix truncation IS the parent-cell operation."""
+    from pyspark.sql import functions as F
+
+    from scidbgeo_spark.operators import pip
+
+    pts = spark.range(400).select(
+        (F.col("id") * 1.37 % 360 - 180.0).alias("lon"),
+        (F.col("id") * 0.73 % 180 - 90.0).alias("lat"),
+    )
+    code = pip.geohash_cell_col()
+    rows = pts.select(
+        "lon", "lat", code.alias("g"), pip.geohash_str_col(code).alias("gh")
+    ).collect()
+    for r in rows:
+        for c in (1, 2, 3, 4, 5):
+            # decode the first c chars back to the top 5c bits
+            dec = 0
+            for ch in r.gh[:c]:
+                dec = dec * 32 + pip.GEOHASH_B32.index(ch)
+            assert dec == r.g >> (30 - 5 * c), (r.gh, c)
+
+
+def test_trajectory_simplify_eps_monotone(spark):
+    """Douglas-Peucker tolerance property: a larger eps can only DROP
+    vertices (kept sets nest downward), and every kept set contains the
+    endpoints."""
+    from scidbgeo_spark import model
+    from scidbgeo_spark.operators import temporal
+
+    ev = model.load_table(spark, "/root/testdata/sf0.001", "events")
+    small = {
+        (r.user_id, r.idx)
+        for r in temporal.trajectory_simplify(ev, eps=9000).collect()
+    }
+    large = {
+        (r.user_id, r.idx)
+        for r in temporal.trajectory_simplify(ev, eps=40000).collect()
+    }
+    assert large <= small
+    assert len(large) < len(small)
+    ends = {(r.user_id, 0) for r in ev.select("user_id").distinct().collect()}
+    assert ends <= large
