@@ -1298,14 +1298,29 @@ def q_zone_geometry(spark, sf_dir):
 
 def q_pip_grid_salted(spark, sf_dir):
     """pip_grid with explicit two-phase salted aggregation over the hot
-    cell (oracle identical to pip_grid: salting must not change results)."""
+    cell (oracle identical to pip_grid: salting must not change results).
+
+    r6: salt sizing needs only an UPPER BOUND of the per-zone counts, so
+    the hot-key table comes from the pre-refine CANDIDATE join (pure JVM
+    cell arithmetic) instead of a second full ray-cast pass — the r5
+    plan evaluated the ArrowEvalPython refine subtree twice (once for
+    hot_keys, once for the salted aggregation).  Candidate counts >=
+    refined counts per zone, and the salted result is identical for any
+    salt assignment (pinned by tests), so results are unchanged."""
     from pyspark.sql import functions as F
 
     from scidbgeo_spark.plans import skew
 
     pts = model.points(spark, sf_dir)
-    joined = pip.pip_join(spark, pts, fixtures.geo_grid_polygons())
-    counts = skew.salted_counts(joined, "zone_id", "doc_id", cap=50)
+    layer = pip.prepare_layer(spark, fixtures.geo_grid_polygons())
+    joined = pip.pip_join_prepared(pts, layer)
+    cand = pts.withColumn(
+        "ccell", pip.cell_col(res=pip.CAND_RES, nx=pip.CAND_NX)
+    ).join(F.broadcast(layer.cand), "ccell")
+    hot = skew.hot_keys(cand, "zone_id", cap=50).withColumn(
+        "zone_id", F.col("zone_id").cast("long")
+    )
+    counts = skew.salted_counts(joined, "zone_id", "doc_id", cap=50, hot=hot)
     return counts.select("zone_id", F.col("count").alias("n_points"))
 
 
@@ -2501,7 +2516,21 @@ def q_corpus_freeze(spark, sf_dir):
     5-gram decontamination vs those benchmark docs -> seeded stratified
     sample -> token-budget sequence packing.  The output is the frozen
     shard/chunk manifest a dataloader would consume; every stage is
-    deterministic, so the whole pipeline holds an exact oracle."""
+    deterministic, so the whole pipeline holds an exact oracle.
+
+    r6 plan shape (results bit-identical, proven vs the unchanged
+    oracle): contamination is a PER-DOCUMENT property (does this doc
+    share a 5-gram with the eval set), so it commutes with every other
+    per-doc filter — the expensive shingle hashing therefore runs LAST,
+    over only the dedup+sample survivors (~1/3 of the corpus) instead of
+    the full corpus.  The decontamination step is expressed as a left
+    join + IS NULL rather than a left-anti join because Catalyst pushes
+    LeftAnti through Union (PushLeftSemiLeftAntiThroughJoin family),
+    which TRIPLED the whole contamination subtree (one copy per
+    dup_corpus branch, 3x the shingle hashing + 3x the codegen) in the
+    r5 plan.  ``lang`` rides the corpus union (NULL on injected
+    branches, exactly what the old left join against docs resolved),
+    saving one scan + broadcast join."""
     from pyspark.sql import functions as F
 
     docs = _docs(spark, sf_dir)
@@ -2511,16 +2540,20 @@ def q_corpus_freeze(spark, sf_dir):
     eval_docs = docs.filter(
         F.col("doc_id") % curation.EVAL_MOD == curation.EVAL_REM
     ).select("doc_id", "text")
-    corp = dedup.dup_corpus(docs).filter(~is_eval)
+    corp = dedup.dup_corpus(docs, extra_cols=("lang",)).filter(~is_eval)
     keep = dedup.dedup_exact(corp).select(F.col("keep_id").alias("doc_id"))
-    contam = curation.contamination_check(corp, eval_docs).select("doc_id")
-    kept = (
-        corp.join(keep, "doc_id")
-        .join(contam, "doc_id", "left_anti")
-        .join(docs.select("doc_id", "lang"), "doc_id", "left")
-        .withColumn("lang", F.coalesce("lang", F.lit("unk")))
+    kept = corp.join(keep, "doc_id").withColumn(
+        "lang", F.coalesce("lang", F.lit("unk"))
     )
-    sampled = curation.sample_keep(kept).select("doc_id", "text")
+    pre = curation.sample_keep(kept).select("doc_id", "text")
+    contam = curation.contamination_check(pre, eval_docs).select(
+        "doc_id", "n_hits"
+    )
+    sampled = (
+        pre.join(contam, "doc_id", "left")
+        .filter(F.col("n_hits").isNull())
+        .select("doc_id", "text")
+    )
     return curation.pack_sequences(sampled)
 
 

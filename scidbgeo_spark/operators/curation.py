@@ -70,7 +70,14 @@ def contamination_check(
 
     ``broadcast=False`` drops the hint for the rare eval set too large
     for executor memory (a full benchmark UNION at tens of GB) — the
-    join then shuffles 8-byte hash longs, never text."""
+    join then shuffles 8-byte hash longs, never text.
+
+    The corpus side fans out to session parallelism before shingle
+    hashing when the scan under-partitions (single-file parquet — guide
+    §2.5); a well-partitioned corpus passes through untouched."""
+    from scidbgeo_spark.plans.fanout import fan_out
+
+    corpus = fan_out(corpus, "doc_id")
     eval_ng = (
         eval_docs.select(F.explode(F.transform(shingles_col("text", k), md5_int)).alias("h"))
         .distinct()

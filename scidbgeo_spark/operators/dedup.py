@@ -28,27 +28,57 @@ A = [2 * j + 1 for j in range(N_HASHES)]
 B = [(j * j * 7919 + 17) % P for j in range(N_HASHES)]
 
 
-def dup_corpus(docs: DataFrame) -> DataFrame:
+def _guarded_doc_id(ctx: str, offset: int = 0) -> Column:
+    """doc_id (+offset) with the id-offset collision guard INLINED into
+    the plan: any doc_id >= 100000 raises during execution.  Replaces the
+    former eager ``isEmpty`` probe — same fail-fast guarantee (a violating
+    row cannot contribute to any result: the branch it feeds raises
+    first), but zero extra Spark jobs per call (the probe cost one
+    filtered scan action per corpus construction; r6 guide §1/§5: no
+    driver-side actions on the query path)."""
+    checked = F.when(F.col("doc_id") < 100000, F.col("doc_id")).otherwise(
+        F.raise_error(
+            F.lit(
+                f"{ctx} id-offset collision: documents has doc_id >= 100000; "
+                "raise the injection offsets"
+            )
+        ).cast("long")
+    )
+    return (checked + offset) if offset else checked
+
+
+def dup_corpus(docs: DataFrame, extra_cols: tuple[str, ...] = ()) -> DataFrame:
     """documents + injected duplicates: exact copies (doc_id % 11 == 0,
     id + 200000) and near-duplicates with a prefix mutation
     (doc_id % 7 == 0, id + 100000).
 
     The injected ids collide with real ids iff any doc_id >= 100000; that
     would silently corrupt pair semantics on BOTH engines (consistent but
-    meaningless), so it fails fast here (one pushdown-filtered probe)."""
-    if not docs.filter(F.col("doc_id") >= 100000).isEmpty():
-        raise ValueError(
-            "dup_corpus id-offset collision: documents has doc_id >= 100000; "
-            "raise the injection offsets"
-        )
-    base = docs.select("doc_id", "text")
+    meaningless), so the base branch carries an in-plan guard
+    (``_guarded_doc_id``) that raises on the first violating row — every
+    input row flows through the base branch, so coverage equals the old
+    eager probe without its extra per-call Spark job.
+
+    ``extra_cols`` appends passthrough columns from ``docs`` to the base
+    branch (NULL on the injected branches) so callers that need them
+    (e.g. corpus_freeze's ``lang``) skip a join back against ``docs``."""
+    extras = list(extra_cols)
+    types = dict(docs.dtypes)
+    nulls = [F.lit(None).cast(types[c]).alias(c) for c in extras]
+    base = docs.select(
+        _guarded_doc_id("dup_corpus").alias("doc_id"), "text", *extras
+    )
     near = (
         docs.filter(F.col("doc_id") % 7 == 0)
-        .select((F.col("doc_id") + 100000).alias("doc_id"), F.concat(F.lit("mutated "), "text").alias("text"))
+        .select(
+            (F.col("doc_id") + 100000).alias("doc_id"),
+            F.concat(F.lit("mutated "), "text").alias("text"),
+            *nulls,
+        )
     )
     exact = (
         docs.filter(F.col("doc_id") % 11 == 0)
-        .select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+        .select((F.col("doc_id") + 200000).alias("doc_id"), "text", *nulls)
     )
     return base.unionAll(near).unionAll(exact)
 
@@ -468,7 +498,22 @@ def dup_span_dedup(corpus: DataFrame, n: int = DUPSPAN_N) -> DataFrame:
     affected document, and coverage, span removal, and the kept-text
     fingerprint are all per-row array algebra from there — no positional
     explode, no (doc_id, pos) anti-join shuffle.  No driver actions, no
-    Python UDFs."""
+    Python UDFs.
+
+    r6: the gram hash is ENGINE-INTERNAL (only counts and the kept-text
+    md5 fingerprint ever leave the operator — no hash value appears in
+    the output or the oracle's), so gram EQUALITY is the only contract
+    and the hash is xxhash64 instead of the md5-hex-conv chain: same
+    single-pass equality semantics (collisions ~n^2/2^64, far below the
+    md5-prefix path's own 2^-60 exposure), one native JVM hash call per
+    gram instead of digest + hex + substring + base-conversion (guide
+    §1.2 per-task work).  The corpus fans out to session parallelism
+    before hashing when the scan under-partitions (single-file parquet:
+    3 scan tasks carried 100% of the gram hashing at sf0.1 — guide
+    §2.5)."""
+    from scidbgeo_spark.plans.fanout import fan_out
+
+    corpus = fan_out(corpus, "doc_id")
     toks = F.split(F.col("text"), " ")
     t = corpus.select(
         "doc_id", toks.alias("toks"), F.size(toks).alias("n_tokens")
@@ -479,7 +524,7 @@ def dup_span_dedup(corpus: DataFrame, n: int = DUPSPAN_N) -> DataFrame:
     def _gram(s: Column) -> Column:
         return F.struct(
             s.alias("s"),
-            md5_int(F.array_join(F.slice(F.col("toks"), s, n), " ")).alias("h"),
+            F.xxhash64(F.array_join(F.slice(F.col("toks"), s, n), " ")).alias("h"),
         )
 
     grams = (
@@ -508,12 +553,16 @@ def dup_span_dedup(corpus: DataFrame, n: int = DUPSPAN_N) -> DataFrame:
     covered = F.array_distinct(
         F.flatten(F.transform(st, lambda s: F.sequence(s, s + (n - 1))))
     )
+    # kept token positions via one hash-set difference (array_except is
+    # O(n_tokens + n_covered) and preserves left order) instead of the
+    # r5 per-token array_contains scan (O(n_tokens * n_covered) — for a
+    # fully-covered doc that was quadratic in document length)
+    kept_idx = F.array_except(
+        F.sequence(F.lit(1), F.col("n_tokens")), F.col("covered")
+    )
     kept_fp = F.md5(
         F.array_join(
-            F.filter(
-                F.col("toks"),
-                lambda tok, i: ~F.array_contains(F.col("covered"), i + 1),
-            ),
+            F.transform(F.col("kept_idx"), lambda i: F.element_at("toks", i)),
             " ",
         )
     )
@@ -521,6 +570,7 @@ def dup_span_dedup(corpus: DataFrame, n: int = DUPSPAN_N) -> DataFrame:
     return (
         t.join(starts, "doc_id", "left")
         .withColumn("covered", covered)
+        .withColumn("kept_idx", kept_idx)
         .select(
             "doc_id",
             "n_tokens",
@@ -662,26 +712,24 @@ def crawl_batch(docs: DataFrame) -> DataFrame:
     and genuinely new pages (id%5) of which the id%10 half is captured
     twice — so the batch exercises frozen-hits, batch-internal dups, and
     novel content at once.  Same id-offset collision guard as
-    dup_corpus."""
-    if not docs.filter(F.col("doc_id") >= 100000).isEmpty():
-        raise ValueError(
-            "crawl_batch id-offset collision: documents has doc_id >= 100000; "
-            "raise the injection offsets"
-        )
+    dup_corpus, inlined per branch (only rows that reach a branch can
+    collide here — the batch has no base branch — so guarding each
+    branch's source id covers exactly the collision-capable rows with
+    zero extra Spark jobs)."""
     d = docs.select("doc_id", "text")
     near = d.filter(F.col("doc_id") % 7 == 0).select(
-        (F.col("doc_id") + 100000).alias("doc_id"),
+        _guarded_doc_id("crawl_batch", 100000).alias("doc_id"),
         F.concat(F.lit("mutated "), "text").alias("text"),
     )
     recrawl = d.filter(F.col("doc_id") % 11 == 0).select(
-        (F.col("doc_id") + 200000).alias("doc_id"), "text"
+        _guarded_doc_id("crawl_batch", 200000).alias("doc_id"), "text"
     )
     fresh = d.filter(F.col("doc_id") % 5 == 0).select(
-        (F.col("doc_id") + 300000).alias("doc_id"),
+        _guarded_doc_id("crawl_batch", 300000).alias("doc_id"),
         F.concat(F.lit("fresh "), "text").alias("text"),
     )
     fresh2 = d.filter(F.col("doc_id") % 10 == 0).select(
-        (F.col("doc_id") + 400000).alias("doc_id"),
+        _guarded_doc_id("crawl_batch", 400000).alias("doc_id"),
         F.concat(F.lit("fresh "), "text").alias("text"),
     )
     return near.unionAll(recrawl).unionAll(fresh).unionAll(fresh2)

@@ -176,6 +176,21 @@ def pip_join_prepared(points: DataFrame, layer: PreparedLayer) -> DataFrame:
             out[ii] = acc
         return pd.Series(out)
 
+    # fan the point scan out to session parallelism when the source
+    # under-partitions (single-file parquet — guide §2.5), gated on the
+    # optimizer's size estimate: the vectorized refine is cheap per row,
+    # so fanning out only pays once the point set is large enough that
+    # serial execution binds (measured: unconditional fan-out cost
+    # pip_grid +0.3 s at sf0.1).  Well-partitioned sources (spark.range,
+    # many files) pass through untouched, so the scaling workload's
+    # partitioning is unchanged.
+    from scidbgeo_spark.plans.fanout import fan_out
+
+    points = fan_out(
+        points,
+        *(c for c in ("doc_id",) if c in points.columns),
+        min_bytes=4 << 20,
+    )
     pts = points.withColumn("ccell", cell_col(res=CAND_RES, nx=CAND_NX))
     candidates = pts.join(F.broadcast(layer.cand), "ccell")
     return (

@@ -50,7 +50,14 @@ def cosine(a: Column, b: Column) -> Column:
 
 def ann_bruteforce_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataFrame:
     """Exact top-k cosine neighbors for the first ``n_queries`` vectors
-    (self included at rank 1).  Output (q_id, vec_id, rank)."""
+    (self included at rank 1).  Output (q_id, vec_id, rank).
+
+    The corpus side fans out to session parallelism when the scan
+    under-partitions (single-file parquet serialized the whole
+    n_vectors x n_queries cosine sweep onto one core — guide §2.5)."""
+    from scidbgeo_spark.plans.fanout import fan_out
+
+    emb = fan_out(emb, "vec_id")
     q = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
     )

@@ -38,11 +38,21 @@ def hot_keys(df: DataFrame, key: str, cap: int) -> DataFrame:
     )
 
 
-def with_adaptive_salt(df: DataFrame, key: str, id_col: str, cap: int) -> DataFrame:
+def with_adaptive_salt(
+    df: DataFrame, key: str, id_col: str, cap: int, hot: DataFrame | None = None
+) -> DataFrame:
     """Add a ``salt`` column: 0 for cold keys, pmod(hash(id), k) for hot
     keys (k sized so each (key, salt) slice holds <= cap rows).  The hot
-    map is broadcast (it is small by construction — only outliers)."""
-    hk = hot_keys(df, key, cap)
+    map is broadcast (it is small by construction — only outliers).
+
+    ``hot`` overrides the detection pass with a caller-supplied
+    (key, n_salt) table.  Any table whose counts UPPER-BOUND the true
+    per-key counts is sound — the result is identical for every salt
+    assignment (pinned by tests) — so callers can size salts from a
+    cheap proxy (e.g. the pre-refine candidate join) instead of
+    re-running an expensive ``df`` subtree just to count it (guide §1.2:
+    don't compute things you throw away)."""
+    hk = hot_keys(df, key, cap) if hot is None else hot
     return (
         df.join(F.broadcast(hk), key, "left")
         .withColumn(
@@ -56,12 +66,19 @@ def with_adaptive_salt(df: DataFrame, key: str, id_col: str, cap: int) -> DataFr
     )
 
 
-def salted_counts(df: DataFrame, key: str, id_col: str, cap: int = 100_000) -> DataFrame:
+def salted_counts(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    cap: int = 100_000,
+    hot: DataFrame | None = None,
+) -> DataFrame:
     """Two-phase count per key that never shuffles a hot key into one
     task: phase 1 aggregates (key, salt), phase 2 rolls up the (few)
     salted partials.  Result is identical to a direct groupBy(key).count()
-    — pinned by tests."""
-    salted = with_adaptive_salt(df, key, id_col, cap)
+    — pinned by tests.  ``hot`` forwards a caller-supplied upper-bound
+    hot-key table to skip the detection pass (see with_adaptive_salt)."""
+    salted = with_adaptive_salt(df, key, id_col, cap, hot=hot)
     phase1 = salted.groupBy(key, "salt").agg(F.count("*").alias("c"))
     return phase1.groupBy(key).agg(F.sum("c").alias("count"))
 
