@@ -479,6 +479,13 @@ def simhash_dup_pairs(
 # the positions a length->=n duplicated substring would cover.
 DUPSPAN_N = 8
 
+# SimHash quality-gauge Jaccard threshold: shared by simhash_recall /
+# simhash_precision and PINNED by their oracle twins' literal 0.5 (the
+# oracle SQL text is frozen; change requires a new oracle) — kept as a
+# module constant instead of a per-call parameter so engine and oracle
+# cannot drift (r6, ADVICE r5).
+SIMHASH_GAUGE_T = 0.5
+
 
 def dup_span_dedup(corpus: DataFrame, n: int = DUPSPAN_N) -> DataFrame:
     """Per-document duplicated-span audit + removal: (doc_id, n_tokens,
@@ -890,19 +897,24 @@ def cluster_survivors(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
-def simhash_recall(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+def simhash_recall(corpus: DataFrame) -> DataFrame:
     """In-engine quality gauge for the SimHash block-banding path — the
     :func:`minhash_recall` shape applied to the OTHER near-dup family:
     one row (n_exact, n_recovered, recall), the fraction of the exact
-    df-capped ngram-Jaccard baseline's pairs (at ``threshold``) that
+    df-capped ngram-Jaccard baseline's pairs (at SIMHASH_GAUGE_T) that
     ``simhash_dup_pairs`` recovers at its default Hamming bound.
     SimHash bounds Hamming distance, not Jaccard, so recall < 1 is the
     expected, *measured* trade-off — this gauge is what makes the
     trade-off a number instead of a hope.  Deterministic counts, one
     exact division; DuckDB twin is bitwise.  Like minhash_recall, the
     exact side is the f^2 exploded self-join: an AUDIT query to run on
-    samples at scale, never a curation-path dependency."""
-    exact = ngram_jaccard_pairs(corpus, threshold).select("a", "b")
+    samples at scale, never a curation-path dependency.
+
+    r6 (ADVICE r5): the former ``threshold`` parameter is gone — the
+    DuckDB oracle twin hardcodes the 0.5 literal, so a non-default call
+    silently stopped matching it; the shared module constant
+    SIMHASH_GAUGE_T is now the single knob (oracle text pins 0.5)."""
+    exact = ngram_jaccard_pairs(corpus, SIMHASH_GAUGE_T).select("a", "b")
     approx = simhash_dup_pairs(corpus).select(
         "a", "b", F.lit(1).alias("hit")
     )
@@ -915,7 +927,7 @@ def simhash_recall(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
-def simhash_precision(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
+def simhash_precision(corpus: DataFrame) -> DataFrame:
     """PRECISION gauge for the SimHash banding path — the other half of
     :func:`simhash_recall`: of the pairs the Hamming-bound route emits,
     what fraction is truly near-duplicate by exact shingle Jaccard >=
@@ -924,7 +936,8 @@ def simhash_precision(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     construction; SimHash verifies only the fingerprint distance, so
     its false-positive rate is a real, measurable trade-off.)  One row
     (n_pairs, n_true, precision); deterministic counts + one exact
-    division, DuckDB-bitwise."""
+    division, DuckDB-bitwise.  Threshold: the shared SIMHASH_GAUGE_T
+    module constant (r6, ADVICE r5 — see simhash_recall)."""
     pairs = simhash_dup_pairs(corpus).select("a", "b")
     sh = hashed_shingles(corpus).withColumnRenamed("hs64", "sh")
     j = (
@@ -934,7 +947,7 @@ def simhash_precision(corpus: DataFrame, threshold: float = 0.5) -> DataFrame:
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size("sha") + F.size("shb") - inter
     scored = j.select(
-        ((inter / union) >= threshold).cast("long").alias("hit")
+        ((inter / union) >= SIMHASH_GAUGE_T).cast("long").alias("hit")
     )
     n = F.count(F.lit(1))
     return scored.agg(

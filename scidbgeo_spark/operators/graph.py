@@ -252,6 +252,19 @@ HITS_SCALE = 10**9
 HITS_ITERS = 2
 
 
+def _hits_term():
+    """One half-step product w*s, widened BEFORE multiplying (r6, ADVICE
+    r5): s <= SCALE = 1e9, so plain int64 w*s sums wrap silently once
+    total in-weight nears ~9e9 while the DuckDB oracle (HUGEINT sum,
+    cast to BIGINT) raises — divergent failure modes.  decimal(19,0)
+    factors make the product decimal(38,0), the sum stays decimal(38,0),
+    and the post-aggregate cast("long") raises loudly on overflow,
+    matching the oracle's failure mode bit for bit below it."""
+    return (
+        F.col("w").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)")
+    ).alias("x")
+
+
 def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     """HITS hubs & authorities over a weighted edge list — the second
     classic link-analysis ranking next to :func:`pagerank` (Kleinberg's
@@ -288,16 +301,16 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS) -> DataFrame:
     for _ in range(iters):
         hraw = (
             edges.join(a.select(F.col("node").alias("dst"), "s"), "dst")
-            .select("src", (F.col("w") * F.col("s")).alias("x"))
+            .select("src", _hits_term())
             .groupBy("src")
-            .agg(F.sum("x").alias("raw"))
+            .agg(F.sum("x").cast("long").alias("raw"))
         )
         h = _hits_norm(nodes, hraw, "src")
         araw = (
             edges.join(h.select(F.col("node").alias("src"), "s"), "src")
-            .select("dst", (F.col("w") * F.col("s")).alias("x"))
+            .select("dst", _hits_term())
             .groupBy("dst")
-            .agg(F.sum("x").alias("raw"))
+            .agg(F.sum("x").cast("long").alias("raw"))
         )
         a = _hits_norm(nodes, araw, "dst")
     return (

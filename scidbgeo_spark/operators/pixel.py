@@ -779,9 +779,16 @@ def raster_sample_points(
                 F.when(F.col("k") == k, F.col("wt") * F.col("value"))
             ).alias(f"t{k}")
             for k in range(4)
-        ]
+        ],
+        F.count("*").alias("_nc"),
     )
-    return piv.select(
+    # r6 (ADVICE r5): oracle alignment on SPARSE rasters — the oracle's
+    # four inner joins drop a point entirely when any corner cell is
+    # absent from coo, while the pivot used to emit (doc_id, NULL).
+    # Require all 4 corner hits so both engines drop the row.  (Edge
+    # points clamp two corners onto the same cell; the join then yields
+    # that cell twice — count stays 4 — so clamping is unaffected.)
+    return piv.filter(F.col("_nc") == 4).select(
         "doc_id",
         (
             ((F.col("t0") + F.col("t1")) + F.col("t2")) + F.col("t3")

@@ -582,20 +582,28 @@ def centroid_separation(emb: DataFrame) -> DataFrame:
         F.col("s").alias("sb"), F.col("n").alias("nb"),
     )
     j = da.join(db, "dim").filter(F.col("ca") < F.col("cb"))
-    diff = F.col("sa") * F.col("nb") - F.col("sb") * F.col("na")
+    # r6 (ADVICE r5): the cross products must widen BEFORE multiplying —
+    # sa ~ n*1e6 (KMEANS_SCALE), so sa*nb overflows int64 once a cluster
+    # holds ~3e6 vectors (Spark would wrap silently where the oracle's
+    # HUGEINT raises).  decimal(19,0) factors give a decimal(38,0)
+    # product, the cluster_quality / trajectory_simplify discipline.
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    diff = dec("sa") * dec("nb") - dec("sb") * dec("na")
+    # the square re-narrows to decimal(19,0) factors so the product stays
+    # a representable decimal(38,0): a |diff| beyond 19 digits now fails
+    # LOUDLY (cast overflow), matching the oracle's HUGEINT raise instead
+    # of the old silent int64 wrap
     term = diff.cast("decimal(19,0)") * diff.cast("decimal(19,0)")
     per = j.groupBy("ca", "cb").agg(
         F.sum(term).alias("num"),
         F.max("na").alias("na"),
         F.max("nb").alias("nb"),
     )
+    # denominator in decimal too: (na*nb)^2 overflows int64 at ~55k
+    # vectors per cluster pair
+    den = (dec("na") * dec("nb")) * (dec("na") * dec("nb"))
     return per.select(
         F.col("ca").alias("cluster_a"),
         F.col("cb").alias("cluster_b"),
-        (
-            F.col("num").cast("double")
-            / (
-                (F.col("na") * F.col("nb")) * (F.col("na") * F.col("nb"))
-            ).cast("double")
-        ).alias("d2"),
+        (F.col("num").cast("double") / den.cast("double")).alias("d2"),
     )

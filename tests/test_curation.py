@@ -1168,3 +1168,48 @@ def test_peak_concurrency_vs_python(spark, sf_smoke):
     }
     assert got == want
     assert any(v[1] > 1 for v in got.values())
+
+
+def test_quantile_normalize_decomposed_rank_exact_and_scale_safe(spark, sf_smoke):
+    """r6: both quantile_normalize ranks run the curriculum_shards
+    decomposition.  Pins (1) exact equality with the plain one-sort
+    spec (python twin), (2) partitioning invariance, (3) the plan
+    shape: the raw corpus never meets an unpartitioned window — every
+    Exchange SinglePartition in the executed plan feeds from a
+    HashAggregate (the corpus-sublinear bucket/count tables)."""
+    docs = _docs(spark, sf_smoke)
+    rows = docs.select("doc_id", "source", "n_chars").collect()
+    order = sorted(rows, key=lambda r: (r.n_chars, r.doc_id))
+    g_of_rank = {i + 1: r.n_chars for i, r in enumerate(order)}
+    n_tot = len(rows)
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    want = {}
+    for src, rs in by_src.items():
+        rs.sort(key=lambda r: (r.n_chars, r.doc_id))
+        n_s = len(rs)
+        for i, r in enumerate(rs, 1):
+            want[r.doc_id] = (src, i, g_of_rank[-(-(i * n_tot) // n_s)])
+    got = {
+        r.doc_id: (r.source, r.src_rank, r.qn_score)
+        for r in curation.quantile_normalize(docs).collect()
+    }
+    assert got == want
+    got2 = {
+        r.doc_id: (r.source, r.src_rank, r.qn_score)
+        for r in curation.quantile_normalize(docs.repartition(13)).collect()
+    }
+    assert got2 == want
+    plan = (
+        curation.quantile_normalize(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for seg in plan.split("Exchange SinglePartition")[1:]:
+        head = seg.split("Exchange", 1)[0]
+        assert "HashAggregate" in head, (
+            "SinglePartition exchange over a non-aggregated (corpus-sized)"
+            " input:\n" + seg[:400]
+        )

@@ -26,10 +26,14 @@ for attempt in $(seq 1 500); do
       np=$(python3 -c "import json;d=json.load(open('/tmp/bw_line.json'));print(d['scaling'].get('clean_window',{}).get('n_pairs') or 0)" 2>/dev/null)
       med=$(python3 -c "import json;d=json.load(open('/tmp/bw_line.json'));print(d['scaling'].get('median_efficiency'))" 2>/dev/null)
       echo "$(date +%H:%M:%S) run done: clean_pairs=$np median_eff=$med"
-      if python3 -c "exit(0 if int('$np' or 0) >= 1 else 1)"; then
-        cp /tmp/bench_detail_cand.json /root/repo/BENCH_DETAIL_scaling_r05.json
+      # r6 (ADVICE r5): promote only when the candidate's clean-pair
+      # count is at least the incumbent artifact's — a later 1-pair run
+      # must not clobber a previously promoted 2-pair record
+      inc=$(python3 -c "import json;d=json.load(open('/root/repo/BENCH_DETAIL_scaling_r06.json'));print(d.get('scaling',{}).get('clean_window',{}).get('n_pairs') or 0)" 2>/dev/null || echo 0)
+      if python3 -c "exit(0 if int('$np' or 0) >= max(1, int('$inc' or 0)) else 1)"; then
+        cp /tmp/bench_detail_cand.json /root/repo/BENCH_DETAIL_scaling_r06.json
         cp /tmp/bench_line_cand.json /root/repo/.bench_watch_line.json
-        echo "$(date +%H:%M:%S) PROMOTED (clean_pairs=$np)"
+        echo "$(date +%H:%M:%S) PROMOTED (clean_pairs=$np, incumbent=$inc)"
         if python3 -c "exit(0 if int('$np' or 0) >= 3 else 1)"; then
           echo "CLEAN WINDOW CAPTURED — stopping"
           break
