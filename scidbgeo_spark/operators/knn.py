@@ -110,11 +110,26 @@ def knn(
             break
         # certification: per-query k-th distance must beat the pruning
         # bound — reduced to ONE driver-side row (count of certified
-        # queries), never a per-query list
+        # queries), never a per-query list.  r6: the check counts
+        # candidates with d2 < bound per query instead of re-running the
+        # top-k WINDOW — "at least k candidates inside the bound" is
+        # exactly "n == k AND dk < bound" (the k nearest are all <= dk),
+        # so the certification action now costs the candidate join + one
+        # codegen aggregate, no per-query sort (guide §1.2: don't
+        # compute things you throw away).
         bound = (r * CELL) ** 2
-        kth = topk.groupBy("q_id").agg(F.max("d2").alias("dk"), F.count("*").alias("n"))
+        kth = (
+            cand_pts.join(F.broadcast(queries))
+            .withColumn("d2", d2)
+            .groupBy("q_id")
+            .agg(
+                F.sum(F.when(F.col("d2") < bound, 1).otherwise(0)).alias(
+                    "n_in"
+                )
+            )
+        )
         n_certified = (
-            kth.filter((F.col("n") == k) & (F.col("dk") < bound))
+            kth.filter(F.col("n_in") >= k)
             .agg(F.count("*").alias("c"))
             .collect()[0][0]
         )
