@@ -3037,67 +3037,19 @@ def q_time_weighted_avg(spark, sf_dir):
 # Ordered so the driver's per-round correctness window (the FIRST 50
 # entries) always holds the queries with the FEWEST driver rows: any
 # query with zero rows outranks any query with >= 1 (round-3 verdict
-# policy).  r5 rotation: the never-driver-verified r5 additions lead
-# (terrain, flow_accum, moran_i, minhash_recall, point_density, ...),
-# the queries that sat in the r4 tail follow (their newest driver rows
-# are r3), then representative fillers from the r4 window — including
-# the four queries whose operators carry r5 fixes.  The
-# demoted tail still has exact oracles, checked each round by
-# tools/check_oracle.py (artifact: TAILCHECK_r{N}.json) + pytest.
+# policy).  r6 rotation: the late-r5 additions lead (max_drawdown,
+# quantile_normalize, ..., corpus_freeze) — they held only TAILCHECK
+# rows until now, and several carry r6 optimization/correctness fixes
+# (quantile_normalize decomposition, centroid_separation/simhash
+# widenings, corpus_freeze restructure) that deserve the driver's
+# stricter value-hash gate; the r5-window block (terrain, ...) follows
+# with fresh r5 driver rows.  The demoted tail still has exact oracles,
+# checked each round by tools/check_oracle.py (artifact:
+# TAILCHECK_r{N}.json) + pytest.
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- r5 additions (zero driver rows) ---
-    "terrain": q_terrain,
-    "flow_accum": q_flow_accum,
-    "join_counts": q_join_counts,
-    "rotate90": q_rotate90,
-    "moran_i": q_moran_i,
-    "minhash_recall": q_minhash_recall,
-    "trajectory_stats": q_trajectory_stats,
-    "point_density": q_point_density,
-    "lm_quality_score": q_lm_quality_score,
-    "boilerplate_spans": q_boilerplate_spans,
-    "zonal_stats_time": q_zonal_stats_time,
-    "pip_unmatched": q_pip_unmatched,
-    "crawl_delta": q_crawl_delta,
-    "zone_geometry": q_zone_geometry,
-    "knn_classify": q_knn_classify,
-    "quality_deciles": q_quality_deciles,
-    "raster_pyramid": q_raster_pyramid,
-    "focal_mean_time": q_focal_mean_time,
-    "zonal_stats_shp": q_zonal_stats_shp,
-    "between_3d": q_between_3d,
-    "snapshot_rollback": q_snapshot_rollback,
-    "ann_pq_topk": q_ann_pq_topk,
-    "ann_pq_recall": q_ann_pq_recall,
-    "zonal_change": q_zonal_change,
-    "traffic_spikes": q_traffic_spikes,
-    "lang_drift": q_lang_drift,
-    "dup_rate_by_source": q_dup_rate_by_source,
-    "areal_interp": q_areal_interp,
-    "dedup_incremental": q_dedup_incremental,
-    "bloom_prefilter": q_bloom_prefilter,
-    "kmeans_assign": q_kmeans_assign,
-    "hll_shingle_ndv": q_hll_shingle_ndv,
-    "cms_heavy_hitters": q_cms_heavy_hitters,
-    "host_pagerank": q_host_pagerank,
-    "inverted_index": q_inverted_index,
-    "jsonl_ingest": q_jsonl_ingest,
-    "crawl_refresh": q_crawl_refresh,
-    "funnel": q_funnel,
-    "props_rollup": q_props_rollup,
-    "retention_cohorts": q_retention_cohorts,
-    "ann_sq8_topk": q_ann_sq8_topk,
-    "ann_sq8_recall": q_ann_sq8_recall,
-    "url_filter": q_url_filter,
-    "warc_ingest": q_warc_ingest,
-    "warc_ingest_gz": q_warc_ingest_gz,
-    "media_resize": q_media_resize,
-    "frame_sample": q_frame_sample,
-    "dup_span_dedup": q_dup_span_dedup,
-    "token_budget_sample": q_token_budget_sample,
-    "domain_mix_weights": q_domain_mix_weights,
-    # --- late-r5 additions: queued BEHIND the frozen driver window
-    # (positions 51+; verified by TAILCHECK_r05.json + pytest twins) ---
+    # --- r6 window: late-r5 additions, never driver-checked before
+    # (tail rows only: TAILCHECK_r05.json); first 50 of these form the
+    # r6 driver correctness window ---
     "max_drawdown": q_max_drawdown,
     "quantile_normalize": q_quantile_normalize,
     "flow_distance": q_flow_distance,
@@ -3201,6 +3153,57 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_join": q_interval_join,
     "theil_sen": q_theil_sen,
     "decayed_counts": q_decayed_counts,
+    # --- r5-window block (driver rows: r5) ---
+    "terrain": q_terrain,
+    "flow_accum": q_flow_accum,
+    "join_counts": q_join_counts,
+    "rotate90": q_rotate90,
+    "moran_i": q_moran_i,
+    "minhash_recall": q_minhash_recall,
+    "trajectory_stats": q_trajectory_stats,
+    "point_density": q_point_density,
+    "lm_quality_score": q_lm_quality_score,
+    "boilerplate_spans": q_boilerplate_spans,
+    "zonal_stats_time": q_zonal_stats_time,
+    "pip_unmatched": q_pip_unmatched,
+    "crawl_delta": q_crawl_delta,
+    "zone_geometry": q_zone_geometry,
+    "knn_classify": q_knn_classify,
+    "quality_deciles": q_quality_deciles,
+    "raster_pyramid": q_raster_pyramid,
+    "focal_mean_time": q_focal_mean_time,
+    "zonal_stats_shp": q_zonal_stats_shp,
+    "between_3d": q_between_3d,
+    "snapshot_rollback": q_snapshot_rollback,
+    "ann_pq_topk": q_ann_pq_topk,
+    "ann_pq_recall": q_ann_pq_recall,
+    "zonal_change": q_zonal_change,
+    "traffic_spikes": q_traffic_spikes,
+    "lang_drift": q_lang_drift,
+    "dup_rate_by_source": q_dup_rate_by_source,
+    "areal_interp": q_areal_interp,
+    "dedup_incremental": q_dedup_incremental,
+    "bloom_prefilter": q_bloom_prefilter,
+    "kmeans_assign": q_kmeans_assign,
+    "hll_shingle_ndv": q_hll_shingle_ndv,
+    "cms_heavy_hitters": q_cms_heavy_hitters,
+    "host_pagerank": q_host_pagerank,
+    "inverted_index": q_inverted_index,
+    "jsonl_ingest": q_jsonl_ingest,
+    "crawl_refresh": q_crawl_refresh,
+    "funnel": q_funnel,
+    "props_rollup": q_props_rollup,
+    "retention_cohorts": q_retention_cohorts,
+    "ann_sq8_topk": q_ann_sq8_topk,
+    "ann_sq8_recall": q_ann_sq8_recall,
+    "url_filter": q_url_filter,
+    "warc_ingest": q_warc_ingest,
+    "warc_ingest_gz": q_warc_ingest_gz,
+    "media_resize": q_media_resize,
+    "frame_sample": q_frame_sample,
+    "dup_span_dedup": q_dup_span_dedup,
+    "token_budget_sample": q_token_budget_sample,
+    "domain_mix_weights": q_domain_mix_weights,
     # --- r4 tail rotation (last driver rows: r3) ---
     "cost_reach": q_cost_reach,
     "local_moran": q_local_moran,

@@ -26,9 +26,10 @@ def test_every_query_has_an_oracle(entry):
 def test_registry_keys_unique_and_window_stable(entry):
     keys = list(entry.queries())
     assert len(keys) == len(set(keys))
-    # the r5 driver window leads with the rotation set; additions must
-    # queue BEHIND position 50 (the driver records the first 50)
-    assert keys[0] == "terrain" and len(keys) >= 50
+    # the r6 driver window leads with the rotation set (late-r5
+    # additions, previously tail-only); additions must queue BEHIND
+    # position 50 (the driver records the first 50)
+    assert keys[0] == "max_drawdown" and len(keys) >= 50
 
 
 def test_coverage_doc_mentions_every_query(entry):
