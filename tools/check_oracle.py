@@ -53,7 +53,10 @@ def compare(name: str, spark_df: pd.DataFrame, oracle_df: pd.DataFrame) -> list[
         if np.issubdtype(a[c].dtype, np.floating) or np.issubdtype(b[c].dtype, np.floating):
             af = av.astype(np.float64)
             bf = bv.astype(np.float64)
-            if not np.array_equal(af, bf):
+            # equal_nan: SQL NULL arrives as NaN on both engines; a
+            # NULL==NULL row (e.g. hourly_acf's constant-series r) must
+            # compare equal, matching the driver's null-aware value hash
+            if not np.array_equal(af, bf, equal_nan=True):
                 bad = np.nonzero(af != bf)[0][:3]
                 problems.append(f"col {c}: float mismatch at rows {bad.tolist()} {af[bad]} vs {bf[bad]}")
         else:
