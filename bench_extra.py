@@ -96,35 +96,38 @@ def cmd_noop():
 
 
 def cmd_freeze():
+    """Stage isolation for the r6-restructured corpus_freeze (dedup +
+    sample first, decontamination last over survivors)."""
     from scidbgeo_spark.operators import curation, dedup
 
     spark = _session()
     entrymod._ensure_pyfiles(spark)
     docs = entrymod._docs(spark, SF_DIR)
     timed(spark, "docs scan", docs, "noop")
-    t0 = time.time()
-    corp = dedup.dup_corpus(docs)
-    print(f"{'dup_corpus construct (isEmpty probe)':44s} {time.time()-t0:7.3f}s")
     is_eval = (F.col("doc_id") % curation.EVAL_MOD == curation.EVAL_REM) & (
         F.col("doc_id") < 100000
     )
     eval_docs = docs.filter(
         F.col("doc_id") % curation.EVAL_MOD == curation.EVAL_REM
     ).select("doc_id", "text")
-    corp = corp.filter(~is_eval)
+    corp = dedup.dup_corpus(docs, extra_cols=("lang",)).filter(~is_eval)
     timed(spark, "corp scan", corp, "noop")
     keep = dedup.dedup_exact(corp).select(F.col("keep_id").alias("doc_id"))
     timed(spark, "dedup_exact", keep, "noop")
-    contam = curation.contamination_check(corp, eval_docs).select("doc_id")
-    timed(spark, "contamination_check", contam, "noop")
-    kept = (
-        corp.join(keep, "doc_id")
-        .join(contam, "doc_id", "left_anti")
-        .join(docs.select("doc_id", "lang"), "doc_id", "left")
-        .withColumn("lang", F.coalesce("lang", F.lit("unk")))
+    kept = corp.join(keep, "doc_id").withColumn(
+        "lang", F.coalesce("lang", F.lit("unk"))
     )
-    sampled = curation.sample_keep(kept).select("doc_id", "text")
-    timed(spark, "kept+sampled (cumulative)", sampled, "noop")
+    pre = curation.sample_keep(kept).select("doc_id", "text")
+    timed(spark, "kept+sampled (cumulative)", pre, "noop")
+    contam = curation.contamination_check(pre, eval_docs).select(
+        "doc_id", "n_hits"
+    )
+    timed(spark, "contamination over survivors (cum.)", contam, "noop")
+    sampled = (
+        pre.join(contam, "doc_id", "left")
+        .filter(F.col("n_hits").isNull())
+        .select("doc_id", "text")
+    )
     out = curation.pack_sequences(sampled)
     timed(spark, "full corpus_freeze (cumulative)", out)
 
