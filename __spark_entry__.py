@@ -100,6 +100,15 @@ def _zone_tiles(spark: SparkSession, sf_dir: str, polygons, h: int, w: int):
     return zonal.rasterize_polygons(spark, polygons, h, w, CHUNK)
 
 
+def _zone_tiles_rect(spark: SparkSession, sf_dir: str, h: int, w: int):
+    """The fixtures.rect_grid_polygons layer via the JVM fast path —
+    bit-identical zone tiles (pinned by tests) without the Python
+    rasterize stage; arbitrary-polygon layers keep _zone_tiles."""
+    return zonal.rasterize_rect_grid(
+        spark, h, w, CHUNK, fixtures.ZONE_H, fixtures.ZONE_W
+    )
+
+
 # ---------------------------------------------------------------------------
 # query callables (names match oracle.SQL keys)
 # ---------------------------------------------------------------------------
@@ -428,7 +437,7 @@ def q_redimension_roundtrip_3d(spark, sf_dir):
 
 def q_zonal_stats_rect(spark, sf_dir):
     tiles, h, w = _raster_tiles(spark, sf_dir)
-    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zt = _zone_tiles_rect(spark, sf_dir, h, w)
     return zonal.zonal_stats_tiles(tiles, zt)
 
 
@@ -518,7 +527,7 @@ def q_zonal_stats_time(spark, sf_dir):
     coo3 = model.raster3_coo(spark, sf_dir)
     _, h3, _ = model.raster3_dims(spark, sf_dir)
     tiles3 = tiling.pack_tiles_3d(coo3, CHUNK, h3, RASTER3_W)
-    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h3, RASTER3_W), h3, RASTER3_W)
+    zt = _zone_tiles_rect(spark, sf_dir, h3, RASTER3_W)
     return zonal.zonal_stats_time(tiles3, zt)
 
 
@@ -539,9 +548,7 @@ def q_zonal_change(spark, sf_dir):
         "y", "x", (F.col("b.value") - F.col("a.value")).alias("value")
     )
     tiles = tiling.pack_tiles(delta, CHUNK, h3, RASTER3_W)
-    zt = _zone_tiles(
-        spark, sf_dir, fixtures.rect_grid_polygons(h3, RASTER3_W), h3, RASTER3_W
-    )
+    zt = _zone_tiles_rect(spark, sf_dir, h3, RASTER3_W)
     return zonal.zonal_stats_tiles(tiles, zt)
 
 
@@ -625,7 +632,7 @@ def q_between_3d(spark, sf_dir):
 def q_zonal_stats_broadcast(spark, sf_dir):
     coo = model.raster_coo(spark, sf_dir)
     h, w = model.raster_dims(spark, sf_dir)
-    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zt = _zone_tiles_rect(spark, sf_dir, h, w)
     zones_coo = tiling.tiles_to_coo(
         zt.withColumnRenamed("zid", "px"), "id"
     )
@@ -642,7 +649,7 @@ def q_zonal_ivm(spark, sf_dir):
 
     coo = model.raster_coo(spark, sf_dir)
     h, w = model.raster_dims(spark, sf_dir)
-    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zt = _zone_tiles_rect(spark, sf_dir, h, w)
     zones_coo = tiling.tiles_to_coo(zt.withColumnRenamed("zid", "px"), "id")
     base = zonal.zonal_sums(coo, zones_coo)
     eid = F.col("y") * w + F.col("x")
@@ -702,7 +709,7 @@ def q_colocation_pairs(spark, sf_dir):
 def q_join_reclass(spark, sf_dir):
     coo = model.raster_coo(spark, sf_dir)
     h, w = model.raster_dims(spark, sf_dir)
-    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zt = _zone_tiles_rect(spark, sf_dir, h, w)
     zones_coo = tiling.tiles_to_coo(zt.withColumnRenamed("zid", "px"), "id")
     return zonal.join_reclass(coo, zones_coo, target_zone=7, new_value=500)
 
@@ -922,7 +929,7 @@ def q_zonal_stats_sortmerge(spark, sf_dir):
 
     coo = model.raster_coo(spark, sf_dir)
     h, w = model.raster_dims(spark, sf_dir)
-    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zt = _zone_tiles_rect(spark, sf_dir, h, w)
     zones_coo = tiling.tiles_to_coo(zt.withColumnRenamed("zid", "px"), "id").hint("merge")
     return (
         coo.join(zones_coo, ["y", "x"])
@@ -952,7 +959,7 @@ def q_zonal_stats_float(spark, sf_dir):
     )
     h, w = model.raster_dims(spark, sf_dir)
     tiles = tiling.pack_tiles(coo, CHUNK, h, w, int_values=False)
-    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zt = _zone_tiles_rect(spark, sf_dir, h, w)
     j = tiles.join(zt.select("tile_y", "tile_x", "zid"), ["tile_y", "tile_x"])
     flat = j.select(F.explode(F.arrays_zip(F.col("zid"), F.col("px"))).alias("c")).select(
         F.col("c.zid").cast("long").alias("id"), F.col("c.px").alias("v")
@@ -972,7 +979,7 @@ def q_zonal_median(spark, sf_dir):
     from pyspark.sql import functions as F
 
     tiles, h, w = _raster_tiles(spark, sf_dir)
-    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zt = _zone_tiles_rect(spark, sf_dir, h, w)
     j = tiles.join(zt.select("tile_y", "tile_x", "zid"), ["tile_y", "tile_x"])
     flat = j.select(F.explode(F.arrays_zip("zid", "px")).alias("c")).select(
         F.col("c.zid").cast("long").alias("id"), F.col("c.px").alias("v")
@@ -988,7 +995,7 @@ def q_zonal_var(spark, sf_dir):
     with one closing division (and IEEE-exact sqrt), so the float
     results are bitwise across engines."""
     tiles, h, w = _raster_tiles(spark, sf_dir)
-    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zt = _zone_tiles_rect(spark, sf_dir, h, w)
     return zonal.zonal_variance(tiles, zt)
 
 
@@ -996,7 +1003,7 @@ def q_zonal_mode(spark, sf_dir):
     """Zonal MAJORITY (mode) per zone — the (zone, value) histogram
     shuffles as counts, one window picks the argmax."""
     tiles, h, w = _raster_tiles(spark, sf_dir)
-    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zt = _zone_tiles_rect(spark, sf_dir, h, w)
     return zonal.zonal_mode(tiles, zt)
 
 
@@ -1006,7 +1013,7 @@ def q_zonal_histogram(spark, sf_dir):
     from pyspark.sql import functions as F
 
     tiles, h, w = _raster_tiles(spark, sf_dir)
-    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zt = _zone_tiles_rect(spark, sf_dir, h, w)
     j = tiles.join(zt.select("tile_y", "tile_x", "zid"), ["tile_y", "tile_x"])
     flat = j.select(F.explode(F.arrays_zip("zid", "px")).alias("c")).select(
         F.col("c.zid").cast("long").alias("id"),
@@ -1025,7 +1032,7 @@ def q_zonal_stats_multi(spark, sf_dir):
     coo = model.raster_coo_multi(spark, sf_dir)
     h, w = model.raster_dims(spark, sf_dir)
     tiles = tiling.pack_tiles_multi(coo, CHUNK, h, w, ["va", "vb"])
-    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zt = _zone_tiles_rect(spark, sf_dir, h, w)
     j = tiles.join(zt.select("tile_y", "tile_x", "zid"), ["tile_y", "tile_x"])
     flat = j.select(
         F.explode(F.arrays_zip("zid", "px_va", "px_vb")).alias("c")
@@ -2983,7 +2990,7 @@ def q_zonal_iqr(spark, sf_dir):
     from pyspark.sql import functions as F
 
     tiles, h, w = _raster_tiles(spark, sf_dir)
-    zt = _zone_tiles(spark, sf_dir, fixtures.rect_grid_polygons(h, w), h, w)
+    zt = _zone_tiles_rect(spark, sf_dir, h, w)
     j = tiles.join(zt.select("tile_y", "tile_x", "zid"), ["tile_y", "tile_x"])
     flat = j.select(F.explode(F.arrays_zip("zid", "px")).alias("c")).select(
         F.col("c.zid").cast("long").alias("id"), F.col("c.px").alias("v")

@@ -1565,3 +1565,25 @@ def test_events_ohlc_tiebreak_on_event_id(spark):
     )
     [r] = temporal.events_ohlc(ev).collect()
     assert (r.open, r.high, r.low, r.close, r.n) == (3.0, 9.0, 3.0, 9.0, 3)
+
+
+def test_rasterize_rect_grid_jvm_matches_kernel_path(spark):
+    """The JVM codegen fast path for the full-grid rectangle layer is
+    bit-identical to the ray-cast kernel on rasterize_polygons — tile
+    keys, geometry columns, and every zid element, including rasters
+    whose extent does not divide evenly by the zone size (trailing
+    pixels burn to the nodata zone on both paths)."""
+    for h, w, ch in [(100, 100, 50), (130, 97, 50), (45, 60, 32), (20, 20, 50)]:
+        want = {
+            (r.tile_y, r.tile_x, r.y0, r.x0, r.h, r.w): list(r.zid)
+            for r in zonal.rasterize_polygons(
+                spark, fixtures.rect_grid_polygons(h, w), h, w, ch
+            ).collect()
+        }
+        got = {
+            (r.tile_y, r.tile_x, r.y0, r.x0, r.h, r.w): list(r.zid)
+            for r in zonal.rasterize_rect_grid(
+                spark, h, w, ch, fixtures.ZONE_H, fixtures.ZONE_W
+            ).collect()
+        }
+        assert got == want, (h, w, ch)
