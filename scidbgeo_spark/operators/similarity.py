@@ -54,14 +54,28 @@ def ann_bruteforce_topk(emb: DataFrame, n_queries: int = 8, k: int = 5) -> DataF
 
     The corpus side fans out to session parallelism when the scan
     under-partitions (single-file parquet serialized the whole
-    n_vectors x n_queries cosine sweep onto one core — guide §2.5)."""
+    n_vectors x n_queries cosine sweep onto one core — guide §2.5).
+
+    Norms are projected ONCE PER ROW below the join instead of being
+    re-folded inside cosine() per (vector, query) pair: the naive form
+    runs three zip_with+aggregate array folds per pair (dot, |a|, |b|),
+    so each corpus vector's norm was recomputed n_queries times and the
+    transient product arrays dominated memory traffic (guide §1.2
+    per-task work).  sqrt of the same index-ascending fold is the same
+    double and the den = |q|*|v| operand order is preserved, so
+    similarities stay bitwise identical to cosine() (and the oracle)."""
     from scidbgeo_spark.plans.fanout import fan_out
 
-    emb = fan_out(emb, "vec_id")
-    q = emb.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    emb = fan_out(emb, "vec_id").select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("nv")
     )
-    sim = cosine(F.col("qe"), F.col("embedding"))
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nv").alias("nq"),
+    )
+    den = F.col("nq") * F.col("nv")
+    sim = F.when(den > 0, _dot(F.col("qe"), F.col("embedding")) / den)
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.col("vec_id"))
     return (
         emb.crossJoin(F.broadcast(q))
