@@ -72,9 +72,14 @@ def _warm_python_stages(spark: SparkSession) -> None:
     try:
         from pyspark.sql import functions as F
 
-        df = spark.range(4, numPartitions=2)
+        # one task per core: the worker POOL is the expensive part — a
+        # 2-task warmup leaves the other ~30 workers to fork inside the
+        # first wide Python stage's timed run (measured: zonal's
+        # rasterize +0.5 s with a narrow warmup)
+        par = max(2, spark.sparkContext.defaultParallelism)
+        df = spark.range(par * 2, numPartitions=par)
         df.mapInPandas(lambda it: it, schema="id long").count()
-        df.groupBy((F.col("id") % 2).alias("g")).applyInPandas(
+        df.groupBy((F.col("id") % par).alias("g")).applyInPandas(
             lambda p: p[["id"]], schema="id long"
         ).count()
         spark.conf.set("spark.scidbgeo.pywarmed", "1")
